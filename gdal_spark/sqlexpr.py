@@ -1,0 +1,125 @@
+"""Dialect-neutral SQL snippets shared by the engine (Spark SQL) and the
+DuckDB oracle — the SAME text parses and evaluates identically in both.
+
+Why: the driver's correctness gate hashes values of the Spark result vs
+a DuckDB oracle. Synthetic geocoding and tile math must therefore be
+*bit-exact* across engines. We restrict these snippets to operations
+with identical IEEE-754 behavior (integer %, *, +, -, /, CASE, LN, TAN,
+PI(), CEIL, CAST) and keep operation ORDER identical — so both engines
+execute the same float op sequence.
+
+Page geocoding derivation (FIXTURES.md F1): each doc gets deterministic
+integer hashes; ~60% carry an "embedded coordinate" (the html
+<meta geo.position> analog), ~30% geocode via TLD centroid (the geocode
+cache analog, ogr/ogr_geocoding.cpp:118), ~10% have no geo signal
+(null geometry — excluded from spatial ops, preserved in passthrough).
+70% of embedded coords cluster in 5 urban hotspot discs (skew is
+intentional: hot-cell salting tests), 30% uniform.
+
+Tile math: exact gdal2tiles.py GlobalMercator formulas (see
+gdal_spark/geo/mercator.py for the full citation list).
+"""
+
+from __future__ import annotations
+
+from gdal_spark.fixtures import HOTSPOTS, TLD_CENTROIDS, TLDS
+
+# Multiplicative hash constants (Knuth / xxhash-prime flavored)
+_H1 = "(({k}) * 2654435761) % 4294967296"
+_H2 = "(({k}) * 2246822519 + 3266489917) % 4294967296"
+_H3 = "(({k}) * 3266489917 + 668265263) % 4294967296"
+
+
+def _case_from_list(expr: str, values, quote=False) -> str:
+    arms = []
+    for i, v in enumerate(values):
+        lit = f"'{v}'" if quote else repr(float(v))
+        arms.append(f"WHEN {i} THEN {lit}")
+    return f"CASE {expr} " + " ".join(arms) + " END"
+
+
+def geo_exprs(key: str) -> dict[str, str]:
+    """SQL expressions keyed off an integer column `key`:
+    geo_src ('embed'|'tld'|NULL), lat, lon (NULL when no geo)."""
+    h1, h2, h3 = _H1.format(k=key), _H2.format(k=key), _H3.format(k=key)
+    hot_k = f"({h1}) % 5"
+    hot_lat = _case_from_list(hot_k, [lat for lat, _ in HOTSPOTS])
+    hot_lon = _case_from_list(hot_k, [lon for _, lon in HOTSPOTS])
+    tld = _case_from_list(f"({h1}) % {len(TLDS)}", TLDS, quote=True)
+    tld_lat = "CASE tld " + " ".join(
+        f"WHEN '{t}' THEN {TLD_CENTROIDS[t][0]!r}" for t in TLDS) + " END"
+    tld_lon = "CASE tld " + " ".join(
+        f"WHEN '{t}' THEN {TLD_CENTROIDS[t][1]!r}" for t in TLDS) + " END"
+    embed_lat = (f"CASE WHEN ({h1}) % 10 < 7 THEN {hot_lat} + ((({h2}) % 20001) - 10000) * 0.0001 "
+                 f"ELSE ((({h2}) % 160001) * 0.001) - 80.0 END")
+    embed_lon = (f"CASE WHEN ({h1}) % 10 < 7 THEN {hot_lon} + ((({h3}) % 20001) - 10000) * 0.0001 "
+                 f"ELSE ((({h3}) % 360001) * 0.001) - 180.0 END")
+    src = f"CASE WHEN ({h1}) % 100 < 60 THEN 'embed' WHEN ({h1}) % 100 < 90 THEN 'tld' ELSE NULL END"
+    return {
+        "tld": tld, "geo_src": src,
+        "embed_lat": embed_lat, "embed_lon": embed_lon,
+        "tld_lat": tld_lat, "tld_lon": tld_lon,
+    }
+
+
+def pages_cte(src_table: str = "documents") -> str:
+    """CTE body: documents → pages(doc_id, url, tld, lang, text, n_chars,
+    geo_src, lat, lon). Geocode rule: embedded coordinate wins, else TLD
+    centroid, else null geometry (FIXTURES.md F1)."""
+    e = geo_exprs("doc_id")
+    return f"""
+pages0 AS (
+  SELECT doc_id, text, lang, n_chars, {e['tld']} AS tld, {e['geo_src']} AS geo_src,
+         {e['embed_lat']} AS embed_lat, {e['embed_lon']} AS embed_lon
+  FROM {src_table}
+),
+pages AS (
+  SELECT doc_id,
+         'https://doc-' || CAST(doc_id AS STRING) || '.' || tld AS url,
+         tld, lang, text, n_chars, geo_src,
+         CASE WHEN geo_src = 'embed' THEN embed_lat
+              WHEN geo_src = 'tld' THEN {e['tld_lat']} END AS lat,
+         CASE WHEN geo_src = 'embed' THEN embed_lon
+              WHEN geo_src = 'tld' THEN {e['tld_lon']} END AS lon
+  FROM pages0
+)"""
+
+
+def points_cte(src_table: str = "lineitem") -> str:
+    """High-volume points table derived from lineitem (600k rows at
+    sf0.1) for throughput benchmarks: key = l_orderkey*8+l_linenumber."""
+    key = "(l_orderkey * 8 + l_linenumber)"
+    e = geo_exprs(key)
+    return f"""
+pts0 AS (
+  SELECT {key} AS pt_id, l_quantity AS value, {e['geo_src']} AS geo_src,
+         {e['embed_lat']} AS embed_lat, {e['embed_lon']} AS embed_lon, {e['tld']} AS tld
+  FROM {src_table}
+),
+points AS (
+  SELECT pt_id, value, geo_src,
+         CASE WHEN geo_src = 'embed' THEN embed_lat
+              WHEN geo_src = 'tld' THEN {e['tld_lat']} END AS lat,
+         CASE WHEN geo_src = 'embed' THEN embed_lon
+              WHEN geo_src = 'tld' THEN {e['tld_lon']} END AS lon
+  FROM pts0
+)"""
+
+
+# ----------------------------------------------------------- tile math ---
+
+def tile_sql(lat: str, lon: str, z: int, xyz: bool = True) -> tuple[str, str]:
+    """(tx, ty) SQL expressions — op-ordered identically to
+    mercator.tile_cols / latlon_to_tile_np (gdal2tiles.py:423-465,512-516).
+    """
+    mx = f"(({lon}) * (PI() * 6378137)) / 180.0"
+    my = (f"(LN(TAN((90.0 + ({lat})) * PI() / 360.0)) / (PI() / 180.0))"
+          f" * (PI() * 6378137) / 180.0")
+    res = f"(2.0 * PI() * 6378137 / 256.0 / POWER(2.0, {z}))"
+    px = f"(({mx}) + PI() * 6378137) / {res}"
+    py = f"(({my}) + PI() * 6378137) / {res}"
+    tx = f"CAST(CEIL(({px}) / 256.0) AS BIGINT) - 1"
+    ty = f"CAST(CEIL(({py}) / 256.0) AS BIGINT) - 1"
+    if xyz:
+        ty = f"{2 ** z - 1} - ({ty})"
+    return tx, ty
