@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship pipeline on sf0.001 — geocode pages → H3/S2 +
+XYZ cell index → point-in-polygon join against the 10-zone cover →
+per-zone page counts with zone attributes joined back.
+
+queries()/oracle_sql(): one entry per implemented operator from
+SURVEY.md §2, engine DataFrame vs DuckDB oracle (see gdal_spark/queries.py).
 """
 
 from __future__ import annotations
@@ -16,23 +17,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators import spatial_join as sj
+    from gdal_spark.queries import pages_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_df(spark, sf_dir)
+    hits = sj.pip_join(pages, spark)
+    zattr = sj.zones_attr_df(spark)
+    return (hits.groupBy("zone_fid")
+            .agg(F.count("*").alias("n_pages"),
+                 F.count_distinct("tld").alias("n_tlds"))
+            .join(F.broadcast(zattr), "zone_fid")
+            .select("zone_fid", "eas_id", "prfedea", "n_pages", "n_tlds")
+            .orderBy("zone_fid"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from gdal_spark.queries import REGISTRY
+    return {name: fns[0] for name, fns in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gdal_spark.queries import REGISTRY
+    return {name: fns[1]() for name, fns in REGISTRY.items() if fns[1] is not None}

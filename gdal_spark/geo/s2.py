@@ -64,7 +64,9 @@ def xyz_to_face_uv(x, y, z):
 
 def _uv_to_st(u):
     u = np.asarray(u, dtype=np.float64)
-    return np.where(u >= 0.0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0.0, 0.5 * np.sqrt(1.0 + 3.0 * u),
+                        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
 
 
 def _st_to_uv(s):

@@ -1,0 +1,87 @@
+"""Tile pyramid — gdal2tiles' base-tiles + overview cascade as DataFrame
+aggregations.
+
+Reference pipeline (osgeo_utils/gdal2tiles.py): base tiles at max zoom
+(create_base_tile:1278), overview tiles built from their 4 children
+(create_overview_tile:1466), parallelized by a process pool
+(:4515-4560). ``gdal raster tile`` (apps/gdalalg_raster_tile.cpp) is the
+same with an OGC TileMatrixSet registry.
+
+Spark shape: per-page tile assignment is pure column math
+(mercator.tile_cols — no UDF, fully codegen'd); the pyramid is an
+iterative ``groupBy(tx // 2, ty // 2)`` cascade, one narrow shuffle per
+zoom — EXACTLY the reference's overview stage, with executors replacing
+the process pool. XYZ parent/child halving is exact: the ceil−1 tile
+rule commutes with integer halving (proved in tests/test_tiling.py).
+
+Skew: hot tiles (urban hotspots / hot TLD centroids burn one tile with
+a large fraction of all pages) are harmless for counts because Spark's
+partial aggregation combines map-side. For high-cardinality per-tile
+payload aggregations (e.g. collecting page lists), ``salted_agg``
+two-phases the aggregation over a salt column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.geo import mercator as M
+
+
+def assign_tiles(points: DataFrame, z: int, lat_col: str = "lat",
+                 lon_col: str = "lon") -> DataFrame:
+    tx, ty = M.tile_cols(F.col(lat_col), F.col(lon_col), z)
+    return (points.filter(F.col(lat_col).isNotNull())
+            .withColumn("z", F.lit(z)).withColumn("tx", tx).withColumn("ty", ty))
+
+
+def tile_counts(points: DataFrame, z: int, lat_col: str = "lat",
+                lon_col: str = "lon") -> DataFrame:
+    return (assign_tiles(points, z, lat_col, lon_col)
+            .groupBy("z", "tx", "ty").agg(F.count("*").alias("n_pages")))
+
+
+def pyramid(base_counts: DataFrame, min_zoom: int = 0) -> DataFrame:
+    """Overview cascade: each zoom's counts from the 4 children below
+    (create_overview_tile:1466 semantics; ADD merge of children)."""
+    levels = [base_counts]
+    cur = base_counts
+    z = cur.select(F.first("z")).first()[0]
+    while z > min_zoom:
+        cur = (cur.select(
+            (F.col("z") - 1).alias("z"),
+            F.floor(F.col("tx") / 2).cast("long").alias("tx"),
+            F.floor(F.col("ty") / 2).cast("long").alias("ty"),
+            F.col("n_pages"))
+            .groupBy("z", "tx", "ty").agg(F.sum("n_pages").alias("n_pages")))
+        levels.append(cur)
+        z -= 1
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def salted_agg(df: DataFrame, keys: list[str], agg_exprs: list, salt: int = 16,
+               merge_exprs: list | None = None) -> DataFrame:
+    """Two-phase aggregation with explicit salting for skewed keys
+    (north-rule skew handling; complements AQE skew-join splitting).
+
+    Phase 1 groups by (keys + salt) so one hot key spreads over `salt`
+    reducers; phase 2 merges the partials. ``agg_exprs`` must be
+    algebraic (sum/count/min/max); pass ``merge_exprs`` when the merge
+    differs (count → sum)."""
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*keys, F.rand(seed=0)), F.lit(salt)))
+    part = salted.groupBy(*keys, "_salt").agg(*agg_exprs)
+    return part.groupBy(*keys).agg(*(merge_exprs or agg_exprs)).drop("_salt")
+
+
+def quadkey_col(tx, ty, z: int):
+    """Bing quadkey string (gdal2tiles.py:518-533) as column math."""
+    digits = []
+    for i in range(z, 0, -1):
+        digit = (F.shiftright(tx, i - 1).bitwiseAND(F.lit(1))
+                 + F.shiftright(ty, i - 1).bitwiseAND(F.lit(1)) * F.lit(2))
+        digits.append(digit.cast("string"))
+    return F.concat(*digits) if digits else F.lit("")

@@ -1,0 +1,615 @@
+"""Query registry: every implemented operator exposed as
+(engine callable, DuckDB oracle SQL) pairs consumed by __spark_entry__.
+
+Engine callables take (spark, sf_dir) and build DataFrame plans with the
+gdal_spark operators; oracle strings are ANSI SQL DuckDB runs on the
+same parquet tables. Column names/aliases match exactly (the driver
+hash-compares values after sorting columns by name).
+
+Cross-engine float discipline (see sqlexpr.py): shared derivations are
+dialect-neutral SQL evaluated identically; aggregates over floats either
+use exact integer sums or are rounded on both sides; orderings tie-break
+on integer ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gdal_spark import sqlexpr
+from gdal_spark.fixtures import (
+    KNN_QUERIES, ZONES, idlink_values_sql, knn_queries_sql,
+    zone_part_edges_sql, zones_values_sql,
+)
+from gdal_spark.operators import knn as knn_op
+from gdal_spark.operators import rasterize as rast_op
+from gdal_spark.operators import relational as rel_op
+from gdal_spark.operators import spatial_join as sj
+from gdal_spark.operators import tiling
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# 64×64 world grid for point rasterization (whole-world geotransform,
+# offset a hair off "nice" numbers so polygon edges / lattice points
+# never land exactly on pixel boundaries — FIXTURES.md F6 discipline)
+GRID_GT = (-180.0, 5.625, 0.0, 90.0, 0.0, -2.8125)
+GRID_W, GRID_H = 64, 64
+
+# 40×40 grid over the London region for polygon scanline rasterization
+ZRAST_GT = (-1.730055, 0.0731, 0.0, 52.7312, 0.0, -0.0519)
+ZRAST_W, ZRAST_H = 40, 40
+ZRAST_ZONES = [1, 9]  # triangle + polygon-with-hole
+
+
+def _views(spark: SparkSession, sf_dir: str, names=("documents",)) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(f"WITH {sqlexpr.pages_cte()} SELECT * FROM pages")
+
+
+def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("lineitem",))
+    return spark.sql(f"WITH {sqlexpr.points_cte()} SELECT * FROM points")
+
+
+# =================================================================
+# spatial: geocode / tiles / PIP / kNN / zonal / algebra / rasterize
+# =================================================================
+
+def q_geocode(spark, sf_dir):
+    """Deterministic page geocoding (§2.13 analog): embedded coordinate
+    wins, else TLD centroid, else null — full passthrough of text."""
+    return pages_df(spark, sf_dir).select(
+        "doc_id", "url", "tld", "lang", "geo_src", "lat", "lon")
+
+
+def o_geocode():
+    return (f"WITH {sqlexpr.pages_cte()} "
+            "SELECT doc_id, url, tld, lang, geo_src, lat, lon FROM pages")
+
+
+def q_tile_assign(spark, sf_dir):
+    """Per-page XYZ tile ids at z∈{5,12} — pure column math
+    (gdal2tiles.py:423-465,512-516)."""
+    from gdal_spark.geo import mercator as M
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    tx5, ty5 = M.tile_cols(F.col("lat"), F.col("lon"), 5)
+    tx12, ty12 = M.tile_cols(F.col("lat"), F.col("lon"), 12)
+    return p.select("doc_id", tx5.alias("tx5"), ty5.alias("ty5"),
+                    tx12.alias("tx12"), ty12.alias("ty12"))
+
+
+def o_tile_assign():
+    tx5, ty5 = sqlexpr.tile_sql("lat", "lon", 5)
+    tx12, ty12 = sqlexpr.tile_sql("lat", "lon", 12)
+    return (f"WITH {sqlexpr.pages_cte()} "
+            f"SELECT doc_id, {tx5} AS tx5, {ty5} AS ty5, "
+            f"{tx12} AS tx12, {ty12} AS ty12 FROM pages WHERE lat IS NOT NULL")
+
+
+_PIP_HITS_SQL = """
+hits AS (
+  SELECT p.doc_id, e.zone_fid,
+    MAX(CASE WHEN e.is_hole = 0 AND e.inc = 1 THEN 1 ELSE 0 END) AS in_part,
+    MAX(CASE WHEN e.is_hole = 1 AND e.strict = 1 THEN 1 ELSE 0 END) AS in_hole
+  FROM (
+    SELECT p2.doc_id, zpe.zone_fid, zpe.part_id, zpe.is_hole,
+      MIN(CASE WHEN (zpe.x2-zpe.x1)*(p2.lat-zpe.y1) - (zpe.y2-zpe.y1)*(p2.lon-zpe.x1) >= 0 THEN 1 ELSE 0 END) AS inc,
+      MIN(CASE WHEN (zpe.x2-zpe.x1)*(p2.lat-zpe.y1) - (zpe.y2-zpe.y1)*(p2.lon-zpe.x1) > 0 THEN 1 ELSE 0 END) AS strict
+    FROM pages p2, {zpe}
+    WHERE p2.lat IS NOT NULL
+    GROUP BY p2.doc_id, zpe.zone_fid, zpe.part_id, zpe.is_hole
+  ) e JOIN pages p ON p.doc_id = e.doc_id
+  GROUP BY p.doc_id, e.zone_fid
+),
+pip AS (
+  SELECT doc_id, zone_fid FROM hits WHERE in_part = 1 AND in_hole = 0
+)"""
+
+
+def _pip_sql() -> str:
+    return _PIP_HITS_SQL.format(zpe=zone_part_edges_sql())
+
+
+def q_pip_join(spark, sf_dir):
+    """Spatial intersects join: all (page, zone) pairs — layer-algebra
+    Intersection pair semantics (ogrlayer.cpp:5386-5803)."""
+    p = pages_df(spark, sf_dir)
+    return sj.pip_join(p, spark).select("doc_id", "zone_fid")
+
+
+def o_pip_join():
+    return (f"WITH {sqlexpr.pages_cte()}, {_pip_sql()} "
+            "SELECT doc_id, zone_fid FROM pip")
+
+
+def q_pip_first(spark, sf_dir):
+    """OGR SQL JOIN pick-first rule: one zone per page (lowest zone_fid
+    = secondary FID order; ogr_gensql.cpp:1334-1546), with zone attrs."""
+    p = pages_df(spark, sf_dir)
+    hits = sj.pip_join(p, spark, first_match=True, point_fid="doc_id")
+    z = sj.zones_attr_df(spark)
+    return (hits.select("doc_id", "zone_fid")
+            .join(F.broadcast(z), "zone_fid")
+            .select("doc_id", "zone_fid", "eas_id", "prfedea"))
+
+
+def o_pip_first():
+    return (f"WITH {sqlexpr.pages_cte()}, {_pip_sql()} "
+            "SELECT f.doc_id, f.zone_fid, zones.eas_id, zones.prfedea FROM "
+            "(SELECT doc_id, MIN(zone_fid) AS zone_fid FROM pip GROUP BY doc_id) f "
+            f"JOIN {zones_values_sql()} ON zones.zone_fid = f.zone_fid")
+
+
+def q_attr_join(spark, sf_dir):
+    """Replay of the reference join fixture (ogr_join_test.py:39-69):
+    zones LEFT JOIN idlink ON eas_id — first-match, null-filled."""
+    from gdal_spark.fixtures import IDLINK
+    z = sj.zones_attr_df(spark)
+    idl = spark.createDataFrame(IDLINK, "idlink_fid int, eas_id int, name string")
+    j = rel_op.first_match_left_join(
+        z, idl.withColumnRenamed("eas_id", "i_eas"),
+        F.col("eas_id") == F.col("i_eas"), "zone_fid", "idlink_fid")
+    return j.select("zone_fid", "eas_id", "prfedea", "name").orderBy("zone_fid")
+
+
+def o_attr_join():
+    return f"""
+WITH j AS (
+  SELECT zones.zone_fid, zones.eas_id, zones.prfedea, idlink.name,
+         ROW_NUMBER() OVER (PARTITION BY zones.zone_fid ORDER BY idlink.idlink_fid NULLS LAST) AS rn
+  FROM {zones_values_sql()}
+  LEFT JOIN {idlink_values_sql()} ON zones.eas_id = idlink.eas_id
+)
+SELECT zone_fid, eas_id, prfedea, name FROM j WHERE rn = 1 ORDER BY zone_fid"""
+
+
+def q_knn(spark, sf_dir):
+    """kNN pages per query point — ring expansion + exact refine
+    (alg/gdalgrid.cpp:905-976 twin). Exactly equals brute-force top-k."""
+    p = pages_df(spark, sf_dir)
+    return knn_op.knn_join(p, KNN_QUERIES, spark)
+
+
+def o_knn():
+    return f"""
+WITH {sqlexpr.pages_cte()},
+d AS (
+  SELECT knnq.query_id, p.doc_id, knnq.k,
+         (p.lat - knnq.qlat) * (p.lat - knnq.qlat) + (p.lon - knnq.qlon) * (p.lon - knnq.qlon) AS dist2
+  FROM pages p, {knn_queries_sql()}
+  WHERE p.lat IS NOT NULL
+),
+r AS (
+  SELECT query_id, doc_id, dist2, k,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, doc_id) AS rank
+  FROM d
+)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, dist2 FROM r WHERE rank <= k"""
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (alg/zonal.cpp semantics — count/min/max/mean/
+    stddev_pop per zone) over page n_chars. Exact-integer sums keep the
+    float outputs bit-identical across engines."""
+    p = pages_df(spark, sf_dir)
+    hits = sj.pip_join(p, spark).select("doc_id", "zone_fid", "n_chars", "tld")
+    g = hits.groupBy("zone_fid").agg(
+        F.count("*").alias("n_pages"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct("tld").alias("n_tlds"),
+    )
+    mean = F.col("sum_chars").cast("double") / F.col("n_pages").cast("double")
+    return g.select("zone_fid", "n_pages", "min_chars", "max_chars",
+                    "sum_chars", mean.alias("mean_chars"), "n_tlds")
+
+
+def o_zonal_stats():
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pip_sql()}
+SELECT z.zone_fid, COUNT(*) AS n_pages,
+       MIN(p.n_chars) AS min_chars, MAX(p.n_chars) AS max_chars,
+       SUM(p.n_chars) AS sum_chars,
+       CAST(SUM(p.n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+       COUNT(DISTINCT p.tld) AS n_tlds
+FROM pip z JOIN pages p ON p.doc_id = z.doc_id
+GROUP BY z.zone_fid"""
+
+
+def q_clip(spark, sf_dir):
+    """Layer-algebra Clip (ogrlayer.cpp:7538): pages ∩ union(zones),
+    keeping only A's schema — geometric LEFT SEMI join."""
+    p = pages_df(spark, sf_dir)
+    hits = sj.pip_join(p, spark).select("doc_id").distinct()
+    return (p.join(hits, "doc_id", "left_semi")
+            .select("doc_id", "url", "lat", "lon"))
+
+
+def o_clip():
+    return (f"WITH {sqlexpr.pages_cte()}, {_pip_sql()} "
+            "SELECT doc_id, url, lat, lon FROM pages WHERE doc_id IN "
+            "(SELECT doc_id FROM pip)")
+
+
+def q_erase(spark, sf_dir):
+    """Layer-algebra Erase (ogrlayer.cpp:7847): pages − union(zones) —
+    geometric LEFT ANTI join (geocoded pages outside every zone)."""
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    hits = sj.pip_join(p, spark).select("doc_id").distinct()
+    return (p.join(hits, "doc_id", "left_anti")
+            .select("doc_id", "url", "lat", "lon"))
+
+
+def o_erase():
+    return (f"WITH {sqlexpr.pages_cte()}, {_pip_sql()} "
+            "SELECT doc_id, url, lat, lon FROM pages WHERE lat IS NOT NULL "
+            "AND doc_id NOT IN (SELECT doc_id FROM pip)")
+
+
+def q_rasterize_points(spark, sf_dir):
+    """Point burn, MERGE_ALG=ADD (llrasterize.cpp:233-250 +
+    gdalrasterize.cpp:796-834) of the high-volume lineitem points onto a
+    64×64 world grid."""
+    pts = points_df(spark, sf_dir)
+    return rast_op.burn_points(pts, GRID_GT, GRID_W, GRID_H)
+
+
+def o_rasterize_points():
+    g = GRID_GT
+    fx = f"((lon - ({g[0]!r})) / {g[1]!r})"
+    fy = f"((lat - ({g[3]!r})) / ({g[5]!r}))"
+    return f"""
+WITH {sqlexpr.points_cte()}
+SELECT CAST(FLOOR({fy}) AS BIGINT) AS py, CAST(FLOOR({fx}) AS BIGINT) AS px,
+       CAST(COUNT(*) AS DOUBLE) AS burn
+FROM points
+WHERE lat IS NOT NULL AND {fx} >= 0 AND {fx} < {GRID_W} AND {fy} >= 0 AND {fy} < {GRID_H}
+GROUP BY 1, 2"""
+
+
+def q_rasterize_zones(spark, sf_dir):
+    """Polygon scanline rasterize (llrasterize.cpp:41-228 exact port) of
+    the triangle zone and the hole zone onto a 40×40 grid → one row per
+    burned pixel. Runs distributed: one task per zone via mapInPandas."""
+    import pandas as pd
+    zdf = spark.createDataFrame([(z,) for z in ZRAST_ZONES], "zone_fid int")
+
+    rings_by_fid = {z["zone_fid"]: z["rings"] for z in ZONES}
+
+    def _burn(it):
+        for pdf in it:
+            for fid in pdf["zone_fid"]:
+                grid = rast_op.rasterize_polygon_grid(
+                    rings_by_fid[int(fid)], ZRAST_GT, ZRAST_W, ZRAST_H)
+                ys, xs = grid.nonzero()
+                yield pd.DataFrame({
+                    "zone_fid": int(fid), "py": ys.astype("int64"),
+                    "px": xs.astype("int64")})
+
+    return zdf.repartition(len(ZRAST_ZONES), "zone_fid").mapInPandas(
+        _burn, "zone_fid int, py long, px long")
+
+
+def o_rasterize_zones():
+    # oracle = pixel-CENTER point-in-polygon (the scanline algorithm's
+    # defining rule, llrasterize.cpp:43-46) via half-plane tests on the
+    # convex decomposition — an independent formulation of the same rule
+    g = ZRAST_GT
+    cx = f"({g[0]!r} + (px + 0.5) * {g[1]!r})"   # pixel-center lon
+    cy = f"({g[3]!r} + (py + 0.5) * ({g[5]!r}))"  # pixel-center lat
+    zfids = ", ".join(str(z) for z in ZRAST_ZONES)
+    return f"""
+WITH px AS (SELECT CAST(r1.range AS BIGINT) AS py, CAST(r2.range AS BIGINT) AS px
+            FROM range({ZRAST_H}) r1, range({ZRAST_W}) r2),
+ctr AS (SELECT py, px, {cy} AS lat, {cx} AS lon FROM px),
+e AS (
+  SELECT c.py, c.px, zpe.zone_fid, zpe.part_id, zpe.is_hole,
+    MIN(CASE WHEN (zpe.x2-zpe.x1)*(c.lat-zpe.y1) - (zpe.y2-zpe.y1)*(c.lon-zpe.x1) >= 0 THEN 1 ELSE 0 END) AS inc,
+    MIN(CASE WHEN (zpe.x2-zpe.x1)*(c.lat-zpe.y1) - (zpe.y2-zpe.y1)*(c.lon-zpe.x1) > 0 THEN 1 ELSE 0 END) AS strict
+  FROM ctr c, {zone_part_edges_sql()}
+  WHERE zpe.zone_fid IN ({zfids})
+  GROUP BY 1, 2, 3, 4, 5
+),
+hit AS (
+  SELECT py, px, zone_fid,
+    MAX(CASE WHEN is_hole = 0 AND inc = 1 THEN 1 ELSE 0 END) AS in_part,
+    MAX(CASE WHEN is_hole = 1 AND strict = 1 THEN 1 ELSE 0 END) AS in_hole
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT CAST(zone_fid AS INT) AS zone_fid, py, px
+FROM hit WHERE in_part = 1 AND in_hole = 0"""
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Tile pyramid z6→z0 over the lineitem points: base counts then the
+    4-children overview cascade (gdal2tiles create_overview_tile:1466)."""
+    pts = points_df(spark, sf_dir)
+    base = tiling.tile_counts(pts, 6)
+    return tiling.pyramid(base, min_zoom=0)
+
+
+def o_tile_pyramid():
+    parts = []
+    for z in range(0, 7):
+        tx, ty = sqlexpr.tile_sql("lat", "lon", z)
+        parts.append(
+            f"SELECT {z} AS z, {tx} AS tx, {ty} AS ty, COUNT(*) AS n_pages "
+            f"FROM points WHERE lat IS NOT NULL GROUP BY 2, 3")
+    return f"WITH {sqlexpr.points_cte()} " + " UNION ALL ".join(parts)
+
+
+# =================================================================
+# relational parity (OGR SQL surface)
+# =================================================================
+
+def q_select_where(spark, sf_dir):
+    """SELECT + WHERE surface: LIKE / IN / BETWEEN / IS NULL / aliases
+    (ogr/swq_op_registrar.cpp:29-38, swq_op_general.cpp:41-123)."""
+    _views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderkey AS okey, o_totalprice AS price, o_orderpriority AS prio
+        FROM orders
+        WHERE o_orderpriority LIKE '1%' AND o_orderstatus IN ('O', 'F')
+          AND o_totalprice BETWEEN 1000.0 AND 100000.0
+          AND o_custkey IS NOT NULL""")
+
+
+def o_select_where():
+    return ("SELECT o_orderkey AS okey, o_totalprice AS price, o_orderpriority AS prio "
+            "FROM orders WHERE o_orderpriority LIKE '1%' AND o_orderstatus IN ('O', 'F') "
+            "AND o_totalprice BETWEEN 1000.0 AND 100000.0 AND o_custkey IS NOT NULL")
+
+
+def q_summary(spark, sf_dir):
+    """OGR SQL summary record (SWQM_SUMMARY_RECORD, ogr/ogr_swq.h:320):
+    whole-table MIN/MAX/COUNT/SUM/AVG/STDDEV + COUNT(DISTINCT)."""
+    _views(spark, sf_dir, ("lineitem",))
+    return rel_op.summary_record(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_quantity")
+
+
+def o_summary():
+    c = "l_quantity"
+    return (f"SELECT MIN({c}) AS min_v, MAX({c}) AS max_v, COUNT({c}) AS count_v, "
+            f"ROUND(SUM({c}), 4) AS sum_v, ROUND(AVG({c}), 6) AS avg_v, "
+            f"ROUND(STDDEV_POP({c}), 6) AS stddev_pop_v, "
+            f"ROUND(STDDEV_SAMP({c}), 6) AS stddev_samp_v, "
+            f"COUNT(DISTINCT {c}) AS count_distinct_v FROM lineitem")
+
+
+def q_order_limit(spark, sf_dir):
+    """ORDER BY … LIMIT n OFFSET m (swq_parser.y:1129-1137; distributed
+    TakeOrderedAndProject replaces the reference's in-memory FID sort,
+    ogr_gensql.cpp:2202-2428)."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (df.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .select("o_orderkey", "o_totalprice").offset(5).limit(20))
+
+
+def o_order_limit():
+    return ("SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 5")
+
+
+def q_union_all(spark, sf_dir):
+    """UNION ALL of two selects (OGRUnionLayer, swq_parser.y:840)."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = df.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_acctbal")
+    b = df.filter(F.col("c_acctbal") < 0).select("c_custkey", "c_acctbal")
+    return a.unionByName(b)
+
+
+def o_union_all():
+    return ("SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION ALL SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0")
+
+
+def q_distinct(spark, sf_dir):
+    """SELECT DISTINCT single column (SWQM_DISTINCT_LIST, ogr_swq.h:322)."""
+    return (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select(F.col("l_returnflag").alias("flag")).distinct())
+
+
+def o_distinct():
+    return "SELECT DISTINCT l_returnflag AS flag FROM lineitem"
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """OGR SQL scalar surface (swq_op_registrar.cpp:28-62): CONCAT,
+    SUBSTR (1-based like OGR), arithmetic, CAST."""
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return df.select(
+        F.col("n_nationkey").alias("k"),
+        F.concat(F.col("n_name"), F.lit("_"), F.col("n_nationkey").cast("string")).alias("tag"),
+        F.substring(F.col("n_name"), 1, 3).alias("pfx"),
+        (F.col("n_nationkey") * 7 % 5).alias("m"),
+        F.col("n_nationkey").cast("double").alias("kd"))
+
+
+def o_scalar_funcs():
+    return ("SELECT n_nationkey AS k, "
+            "n_name || '_' || CAST(n_nationkey AS STRING) AS tag, "
+            "SUBSTR(n_name, 1, 3) AS pfx, (n_nationkey * 7) % 5 AS m, "
+            "CAST(n_nationkey AS DOUBLE) AS kd FROM nation")
+
+
+def q_events_window(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event type (batch shape of
+    the streaming rollup; the reference is batch-only — SURVEY.md §2.15)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (df.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def o_events_window():
+    return ("SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n, "
+            "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1, 2")
+
+
+# =================================================================
+# training-data pipeline operators (documents / embeddings)
+# =================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: keep the lowest doc_id per md5(text)
+    — hash-groupBy dedup over the documents table."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("h").orderBy(F.col("doc_id").asc())
+    return (df.withColumn("h", F.md5(F.col("text").cast("binary")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "h"))
+
+
+def o_dedup_exact():
+    return ("SELECT doc_id, h FROM (SELECT doc_id, MD5(text) AS h, "
+            "ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn "
+            "FROM documents) WHERE rn = 1")
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace token counting + char stats per document."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return df.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+         .otherwise(F.size(toks)).alias("n_tokens"),
+        F.length("text").alias("len_chars"))
+
+
+def o_token_count():
+    return ("SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+            "ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens, "
+            "LENGTH(text) AS len_chars FROM documents")
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring: punctuation/digit/space ratios (rounded to 6)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.length("text").cast("double")
+    digits = (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))).cast("double")
+    punct = (F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).cast("double")
+    return df.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.round(digits / n, 6).alias("digit_ratio"),
+        F.round(punct / n, 6).alias("punct_ratio"))
+
+
+def o_quality():
+    n = "CAST(LENGTH(text) AS DOUBLE)"
+    d = "CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)"
+    p = "CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS DOUBLE)"
+    return (f"SELECT doc_id, ROUND({d} / {n}, 6) AS digit_ratio, "
+            f"ROUND({p} / {n}, 6) AS punct_ratio FROM documents WHERE LENGTH(text) > 0")
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force inner-product top-10 against a fixed query vector
+    (the ANN baseline; dot products summed left-to-right in double)."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = (df.orderBy("vec_id").limit(1)
+            .select(F.col("embedding")).first()[0])
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), q, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (df.withColumn("dot", F.round(dot, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("vec_id", "rank", "dot"))
+
+
+def o_ann_cosine():
+    return """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+d AS (
+  SELECT e.vec_id,
+         ROUND(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+                                        z -> z[1] * z[2])), 6) AS dot
+  FROM embeddings e, q
+),
+r AS (SELECT vec_id, dot, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rank FROM d)
+SELECT vec_id, CAST(rank AS INT) AS rank, dot FROM r WHERE rank <= 10"""
+
+
+def q_simhash_lsh(spark, sf_dir):
+    """SimHash-style LSH bucketing on embedding sign bits (dims 0..15) —
+    near-dup candidate pairs = same bucket, exact cosine check ≥ 0.9.
+    Deterministic recall semantics: only same-bucket pairs are emitted
+    (documented engine rule; the oracle mirrors the same algorithm)."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    bucket = F.concat(*[
+        F.when(F.element_at(emb, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(16)])
+    e = df.select("vec_id", emb.alias("v"), bucket.alias("bucket"))
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn("cos", F.round(dot / (na * nb), 6))
+            .filter(F.col("cos") >= 0.9)
+            .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos"))
+
+
+def o_simhash_lsh():
+    bucket = ("list_aggregate(list_transform((embedding::DOUBLE[])[1:16], "
+              "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+               / (SQRT(list_sum(list_transform(a.v, x -> x * x)))
+                  * SQRT(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9"""
+
+
+# =================================================================
+# registry
+# =================================================================
+
+REGISTRY: dict[str, tuple] = {
+    "geocode": (q_geocode, o_geocode),
+    "tile_assign": (q_tile_assign, o_tile_assign),
+    "pip_join": (q_pip_join, o_pip_join),
+    "pip_first": (q_pip_first, o_pip_first),
+    "attr_join": (q_attr_join, o_attr_join),
+    "knn": (q_knn, o_knn),
+    "zonal_stats": (q_zonal_stats, o_zonal_stats),
+    "clip": (q_clip, o_clip),
+    "erase": (q_erase, o_erase),
+    "rasterize_points": (q_rasterize_points, o_rasterize_points),
+    "rasterize_zones": (q_rasterize_zones, o_rasterize_zones),
+    "tile_pyramid": (q_tile_pyramid, o_tile_pyramid),
+    "select_where": (q_select_where, o_select_where),
+    "summary": (q_summary, o_summary),
+    "order_limit": (q_order_limit, o_order_limit),
+    "union_all": (q_union_all, o_union_all),
+    "distinct": (q_distinct, o_distinct),
+    "scalar_funcs": (q_scalar_funcs, o_scalar_funcs),
+    "events_window": (q_events_window, o_events_window),
+    "dedup_exact": (q_dedup_exact, o_dedup_exact),
+    "token_count": (q_token_count, o_token_count),
+    "quality": (q_quality, o_quality),
+    "ann_cosine": (q_ann_cosine, o_ann_cosine),
+    "simhash_lsh": (q_simhash_lsh, o_simhash_lsh),
+}

@@ -77,10 +77,10 @@ pages AS (
   SELECT doc_id,
          'https://doc-' || CAST(doc_id AS STRING) || '.' || tld AS url,
          tld, lang, text, n_chars, geo_src,
-         CASE WHEN geo_src = 'embed' THEN embed_lat
-              WHEN geo_src = 'tld' THEN {e['tld_lat']} END AS lat,
-         CASE WHEN geo_src = 'embed' THEN embed_lon
-              WHEN geo_src = 'tld' THEN {e['tld_lon']} END AS lon
+         CAST(CASE WHEN geo_src = 'embed' THEN embed_lat
+              WHEN geo_src = 'tld' THEN {e['tld_lat']} END AS DOUBLE) AS lat,
+         CAST(CASE WHEN geo_src = 'embed' THEN embed_lon
+              WHEN geo_src = 'tld' THEN {e['tld_lon']} END AS DOUBLE) AS lon
   FROM pages0
 )"""
 
@@ -98,10 +98,10 @@ pts0 AS (
 ),
 points AS (
   SELECT pt_id, value, geo_src,
-         CASE WHEN geo_src = 'embed' THEN embed_lat
-              WHEN geo_src = 'tld' THEN {e['tld_lat']} END AS lat,
-         CASE WHEN geo_src = 'embed' THEN embed_lon
-              WHEN geo_src = 'tld' THEN {e['tld_lon']} END AS lon
+         CAST(CASE WHEN geo_src = 'embed' THEN embed_lat
+              WHEN geo_src = 'tld' THEN {e['tld_lat']} END AS DOUBLE) AS lat,
+         CAST(CASE WHEN geo_src = 'embed' THEN embed_lon
+              WHEN geo_src = 'tld' THEN {e['tld_lon']} END AS DOUBLE) AS lon
   FROM pts0
 )"""
 
