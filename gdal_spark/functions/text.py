@@ -1,0 +1,112 @@
+"""Text-analysis column functions for the training-data pipeline ops.
+
+All functions are pure `pyspark.sql.functions` column expressions (JVM
+side, whole-stage-codegen'd — no Python UDFs), chosen so the identical
+derivation is expressible in ANSI SQL for the DuckDB oracle:
+
+- tokenization: lowercase + trim + split on runs of whitespace,
+- shingling: word 3-grams (the classic near-dup shingle unit),
+- hashing: MD5 hex strings (lowercase in both engines) ordered and
+  min-reduced as strings, so MinHash signatures are bit-identical
+  across engines with no integer-conversion portability issues.
+
+The language-ID profile weights are deterministic MD5-derived values —
+a synthetic stand-in for real per-language n-gram frequency profiles
+(the corpus here shares one vocabulary across langs, so no real profile
+separates them). The pipeline SHAPE is the real one: tokenize →
+explode → broadcast profile join → per-doc score agg → argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def tokens_col(text_col):
+    """Whitespace tokens of lowercased text (split on \\s+ runs)."""
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def shingles3(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Distinct word-3-gram shingles: (id_col, s). Docs with fewer than
+    3 tokens contribute no shingles."""
+    t = tokens_col(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(t) - 3)
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2),
+            F.element_at(t, i + 3)))
+    return (df.select(id_col, F.when(F.size(t) >= 3, sh)
+                      .otherwise(F.array().cast("array<string>")).alias("_sh"))
+            .select(id_col, F.explode("_sh").alias("s"))
+            .distinct())
+
+
+def perm_hash(s_col, perm: int):
+    """MD5 hex of the perm-salted shingle — one simulated permutation of
+    the MinHash family; string MIN over these is the signature entry."""
+    return F.md5(F.concat(F.lit(f"{perm}:"), s_col))
+
+
+def minhash_signature(shingles: DataFrame, id_col: str = "doc_id",
+                      n_perm: int = 8) -> DataFrame:
+    """(id_col, h0..h{n_perm-1}) — MIN of perm-salted MD5 per doc."""
+    aggs = [F.min(perm_hash(F.col("s"), p)).alias(f"h{p}")
+            for p in range(n_perm)]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def fingerprint_col(n_bottom: int = 4):
+    """Aggregate: bottom-k sketch of shingle MD5s — the winnowing-style
+    document fingerprint. Use after groupBy(id): the k smallest distinct
+    hashes concatenated."""
+    return F.concat_ws(
+        "", F.slice(F.array_sort(F.collect_set(F.md5(F.col("s")))),
+                    1, n_bottom))
+
+
+def lang_profile_rows() -> list[tuple]:
+    """Deterministic (lang, token, weight) profile table built from the
+    corpus vocabulary at call time is NOT needed — weights derive from
+    the (lang, token) pair itself, so the profile is a pure function we
+    can also express in oracle SQL. Kept here for documentation; the
+    engine computes weights inline via `lang_weight_col`."""
+    raise NotImplementedError("weights are computed inline; see lang_weight_col")
+
+
+def lang_weight_col(lang: str, token_col):
+    """Synthetic profile weight for (lang, token): ASCII codes of the
+    first 4 hex chars of md5('<lang>|<token>') summed — identical in
+    Spark and DuckDB (both md5s are lowercase hex; ascii/substring
+    agree)."""
+    h = F.md5(F.concat(F.lit(f"{lang}|"), token_col))
+    return sum(F.ascii(F.substring(h, i + 1, 1)) for i in range(4))
+
+
+def langid(df: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """Predict a language per doc: argmax over per-lang token-profile
+    scores (sum of profile weights over token OCCURRENCES), ties broken
+    by lang ascending. Returns (id_col, pred_lang, score)."""
+    toks = (df.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("t")))
+    scored = toks.select(
+        id_col,
+        *[lang_weight_col(lang, F.col("t")).alias(f"w_{lang}") for lang in LANGS])
+    agg = scored.groupBy(id_col).agg(
+        *[F.sum(f"w_{lang}").alias(f"s_{lang}") for lang in LANGS])
+    # unpivot → argmax with lang-asc tie-break
+    stacked = agg.select(
+        id_col, F.explode(F.array(*[
+            F.struct(F.lit(lang).alias("lang"),
+                     F.col(f"s_{lang}").cast("long").alias("score"))
+            for lang in LANGS])).alias("ls"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ls.score").desc(), F.col("ls.lang").asc())
+    return (stacked.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, F.col("ls.lang").alias("pred_lang"),
+                    F.col("ls.score").alias("score")))

@@ -544,6 +544,130 @@ r AS (SELECT vec_id, dot, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rank 
 SELECT vec_id, CAST(rank AS INT) AS rank, dot FROM r WHERE rank <= 10"""
 
 
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket
+    join → exact-Jaccard verify (operators/dedup.py)."""
+    from gdal_spark.operators import dedup as dedup_op
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_op.minhash_lsh_pairs(df)
+
+
+_DUCK_SH3 = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks)"""
+
+
+def o_minhash_lsh():
+    mins = ", ".join(f"MIN(md5('{p}:' || s)) AS h{p}" for p in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bkey FROM sig"
+        for b in range(4))
+    return f"""
+WITH {_DUCK_SH3},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS c
+          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS j
+FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.8"""
+
+
+def q_langid(spark, sf_dir):
+    """Language-ID pipeline: tokenize → per-lang profile score → argmax
+    (functions/text.langid; deterministic profile weights)."""
+    from gdal_spark.functions import text as T_
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T_.langid(df)
+
+
+def o_langid():
+    from gdal_spark.functions.text import LANGS
+    def wsum(lang):
+        h = f"md5('{lang}|' || t)"
+        return " + ".join(f"ascii(substr({h}, {i + 1}, 1))" for i in range(4))
+    sums = ", ".join(
+        f"CAST(SUM({wsum(lang)}) AS BIGINT) AS s_{lang}" for lang in LANGS)
+    unpiv = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, s_{lang} AS score FROM sc"
+        for lang in LANGS)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+              FROM documents),
+sc AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id),
+up AS ({unpiv}),
+r AS (SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+      FROM up)
+SELECT doc_id, lang AS pred_lang, score FROM r WHERE rn = 1"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: bottom-4 sketch of shingle MD5s
+    (functions/text.fingerprint_col)."""
+    from gdal_spark.functions.text import fingerprint_col, shingles3
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (shingles3(df).groupBy("doc_id")
+            .agg(fingerprint_col().alias("fp")))
+
+
+def o_fingerprint():
+    return f"""
+WITH {_DUCK_SH3}
+SELECT doc_id,
+       array_to_string(list_sort(list(DISTINCT md5(s)))[1:4], '') AS fp
+FROM sh GROUP BY doc_id"""
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN: centroid-cell partition + nprobe=2 probe + dot top-10
+    (operators/ann.py). Codebook = embeddings of vec_id 0..3."""
+    from gdal_spark.operators import ann as ann_op
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent_rows = (df.filter(F.col("vec_id") < 4).orderBy("vec_id")
+                 .select("vec_id", "embedding").collect())
+    centroids = [(int(r["vec_id"]), [float(v) for v in r["embedding"]])
+                 for r in cent_rows]
+    query = centroids[0][1]
+    return ann_op.ivf_topk(df, query, centroids)
+
+
+def o_ivf_ann():
+    sq = "z -> (z[1] - z[2]) * (z[1] - z[2])"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ad AS (SELECT e.vec_id, cent.cid,
+              list_sum(list_transform(list_zip(e.v, cent.c), {sq})) AS d
+       FROM e, cent),
+asg AS (SELECT vec_id, cid AS cell FROM
+        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM ad) WHERE rn = 1),
+qd AS (SELECT cent.cid,
+              list_sum(list_transform(list_zip(q.qv, cent.c), {sq})) AS d
+       FROM cent, q),
+probe AS (SELECT cid FROM
+          (SELECT cid, ROW_NUMBER() OVER (ORDER BY d, cid) AS rn FROM qd)
+          WHERE rn <= 2),
+d AS (SELECT e.vec_id,
+             ROUND(list_sum(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2])), 6) AS dot
+      FROM e JOIN asg ON asg.vec_id = e.vec_id, q
+      WHERE asg.cell IN (SELECT cid FROM probe)),
+r AS (SELECT vec_id, dot, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rank FROM d)
+SELECT vec_id, CAST(rank AS INT) AS rank, dot FROM r WHERE rank <= 10"""
+
+
 def q_simhash_lsh(spark, sf_dir):
     """SimHash-style LSH bucketing on embedding sign bits (dims 0..15) —
     near-dup candidate pairs = same bucket, exact cosine check ≥ 0.9.
@@ -612,4 +736,8 @@ REGISTRY: dict[str, tuple] = {
     "quality": (q_quality, o_quality),
     "ann_cosine": (q_ann_cosine, o_ann_cosine),
     "simhash_lsh": (q_simhash_lsh, o_simhash_lsh),
+    "minhash_lsh": (q_minhash_lsh, o_minhash_lsh),
+    "langid": (q_langid, o_langid),
+    "fingerprint": (q_fingerprint, o_fingerprint),
+    "ivf_ann": (q_ivf_ann, o_ivf_ann),
 }
