@@ -346,6 +346,171 @@ def o_tile_pyramid():
     return f"WITH {sqlexpr.points_cte()} " + " UNION ALL ".join(parts)
 
 
+def q_algebra_union(spark, sf_dir):
+    """Layer-algebra Union (ogrlayer.cpp:5804): intersecting pairs +
+    A-only remainder + B-only remainder, tagged by side."""
+    from gdal_spark.operators import algebra
+    return algebra.union(pages_df(spark, sf_dir), spark)
+
+
+def o_algebra_union():
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pip_sql()}
+SELECT 'both' AS side, doc_id, zone_fid FROM pip
+UNION ALL
+SELECT 'a' AS side, doc_id, CAST(NULL AS INT) AS zone_fid FROM pages
+WHERE lat IS NOT NULL AND doc_id NOT IN (SELECT doc_id FROM pip)
+UNION ALL
+SELECT 'b' AS side, CAST(NULL AS BIGINT) AS doc_id, zones.zone_fid
+FROM {zones_values_sql()}
+WHERE zones.zone_fid NOT IN (SELECT zone_fid FROM pip)"""
+
+
+def q_algebra_identity(spark, sf_dir):
+    """Layer-algebra Identity (ogrlayer.cpp:6771): all of A, split by B
+    — LEFT join shape over the PIP pairs."""
+    from gdal_spark.operators import algebra
+    return algebra.identity(pages_df(spark, sf_dir), spark)
+
+
+def o_algebra_identity():
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pip_sql()}
+SELECT p.doc_id, pip.zone_fid
+FROM pages p LEFT JOIN pip ON pip.doc_id = p.doc_id
+WHERE p.lat IS NOT NULL"""
+
+
+def q_algebra_update(spark, sf_dir):
+    """Layer-algebra Update (ogrlayer.cpp:7189): A not touched by B +
+    all of B."""
+    from gdal_spark.operators import algebra
+    return algebra.update(pages_df(spark, sf_dir), spark)
+
+
+def o_algebra_update():
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pip_sql()}
+SELECT 'a' AS side, doc_id, CAST(NULL AS INT) AS zone_fid FROM pages
+WHERE lat IS NOT NULL AND doc_id NOT IN (SELECT doc_id FROM pip)
+UNION ALL
+SELECT 'b' AS side, CAST(NULL AS BIGINT) AS doc_id, zones.zone_fid
+FROM {zones_values_sql()}"""
+
+
+def q_sym_difference(spark, sf_dir):
+    """Layer-algebra SymDifference (ogrlayer.cpp:6341): A-only + B-only."""
+    from gdal_spark.operators import algebra
+    return algebra.sym_difference(pages_df(spark, sf_dir), spark)
+
+
+def o_sym_difference():
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pip_sql()}
+SELECT 'a' AS side, doc_id, CAST(NULL AS INT) AS zone_fid FROM pages
+WHERE lat IS NOT NULL AND doc_id NOT IN (SELECT doc_id FROM pip)
+UNION ALL
+SELECT 'b' AS side, CAST(NULL AS BIGINT) AS doc_id, zones.zone_fid
+FROM {zones_values_sql()}
+WHERE zones.zone_fid NOT IN (SELECT zone_fid FROM pip)"""
+
+
+def q_dissolve(spark, sf_dir):
+    """Dissolve (apps/gdalalg_vector_dissolve.cpp:53-120): merge
+    per-key geometries — for points the dissolved multipoint is
+    summarized by exact extent + cardinality (min/max are float-exact
+    across engines; centroids would be order-dependent sums)."""
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    return p.groupBy("tld").agg(
+        F.count("*").alias("n_pages"),
+        F.min("lon").alias("xmin"), F.min("lat").alias("ymin"),
+        F.max("lon").alias("xmax"), F.max("lat").alias("ymax"))
+
+
+def o_dissolve():
+    return f"""
+WITH {sqlexpr.pages_cte()}
+SELECT tld, COUNT(*) AS n_pages,
+       MIN(lon) AS xmin, MIN(lat) AS ymin,
+       MAX(lon) AS xmax, MAX(lat) AS ymax
+FROM pages WHERE lat IS NOT NULL GROUP BY tld"""
+
+
+def q_zonal_majority(spark, sf_dir):
+    """Zonal minority/majority/variety (alg/zonal.cpp:661-705) over the
+    categorical tld per zone; ties break to the smaller tld string."""
+    p = pages_df(spark, sf_dir)
+    hits = sj.pip_join(p, spark).select("zone_fid", "tld")
+    counts = hits.groupBy("zone_fid", "tld").agg(F.count("*").alias("c"))
+    w_maj = Window.partitionBy("zone_fid").orderBy(
+        F.col("c").desc(), F.col("tld").asc())
+    w_min = Window.partitionBy("zone_fid").orderBy(
+        F.col("c").asc(), F.col("tld").asc())
+    ranked = (counts
+              .withColumn("r_maj", F.row_number().over(w_maj))
+              .withColumn("r_min", F.row_number().over(w_min)))
+    agg = ranked.groupBy("zone_fid").agg(
+        F.max(F.when(F.col("r_maj") == 1, F.col("tld"))).alias("majority_tld"),
+        F.max(F.when(F.col("r_maj") == 1, F.col("c"))).alias("majority_n"),
+        F.max(F.when(F.col("r_min") == 1, F.col("tld"))).alias("minority_tld"),
+        F.max(F.when(F.col("r_min") == 1, F.col("c"))).alias("minority_n"),
+        F.count("*").alias("variety"))
+    return agg
+
+
+def o_zonal_majority():
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pip_sql()},
+counts AS (
+  SELECT z.zone_fid, p.tld, COUNT(*) AS c
+  FROM pip z JOIN pages p ON p.doc_id = z.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT zone_fid, tld, c,
+         ROW_NUMBER() OVER (PARTITION BY zone_fid ORDER BY c DESC, tld ASC) AS r_maj,
+         ROW_NUMBER() OVER (PARTITION BY zone_fid ORDER BY c ASC, tld ASC) AS r_min
+  FROM counts
+)
+SELECT zone_fid,
+       MAX(CASE WHEN r_maj = 1 THEN tld END) AS majority_tld,
+       MAX(CASE WHEN r_maj = 1 THEN c END) AS majority_n,
+       MAX(CASE WHEN r_min = 1 THEN tld END) AS minority_tld,
+       MAX(CASE WHEN r_min = 1 THEN c END) AS minority_n,
+       COUNT(*) AS variety
+FROM ranked GROUP BY zone_fid"""
+
+
+_HILBERT_SRC = """
+src AS (
+  SELECT pt_id,
+         LEAST(255, GREATEST(0, CAST(FLOOR((lon + 180.0) / 360.0 * 256.0) AS INT))) AS hx,
+         LEAST(255, GREATEST(0, CAST(FLOOR((90.0 - lat) / 180.0 * 256.0) AS INT))) AS hy
+  FROM points WHERE lat IS NOT NULL
+),
+src2 AS (SELECT pt_id, hx AS gx, hy AS gy, hx, hy FROM src)"""
+
+
+def _hilbert_sql() -> str:
+    ctes, fin = sqlexpr.hilbert_ctes("src2", ["pt_id", "gx", "gy"], order=8)
+    return (f"WITH {sqlexpr.points_cte()}, {_HILBERT_SRC},\n{ctes}\n"
+            f"SELECT pt_id, gx, gy, hd FROM {fin}")
+
+
+def q_hilbert_sort(spark, sf_dir):
+    """Hilbert spatial sort key (gdal vector sort,
+    apps/gdalalg_vector_sort.cpp:40,302-375; alg/hilbert.cpp): order-8
+    curve code over the world grid, then range-repartition on the code
+    — exactly how Iceberg files get spatial locality (SURVEY §2.6)."""
+    _views(spark, sf_dir, ("lineitem",))
+    df = spark.sql(_hilbert_sql())
+    return df.repartitionByRange(32, "hd")
+
+
+def o_hilbert_sort():
+    return _hilbert_sql()
+
+
 # =================================================================
 # relational parity (OGR SQL surface)
 # =================================================================
@@ -740,4 +905,11 @@ REGISTRY: dict[str, tuple] = {
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
+    "algebra_union": (q_algebra_union, o_algebra_union),
+    "algebra_identity": (q_algebra_identity, o_algebra_identity),
+    "algebra_update": (q_algebra_update, o_algebra_update),
+    "sym_difference": (q_sym_difference, o_sym_difference),
+    "dissolve": (q_dissolve, o_dissolve),
+    "zonal_majority": (q_zonal_majority, o_zonal_majority),
+    "hilbert_sort": (q_hilbert_sort, o_hilbert_sort),
 }

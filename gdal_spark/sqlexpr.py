@@ -106,6 +106,65 @@ points AS (
 )"""
 
 
+# -------------------------------------------------------- hilbert code ---
+
+def hilbert_ctes(src_rel: str, carry_cols: list[str],
+                 order: int = 8) -> tuple[str, str]:
+    """Chained-CTE Hilbert xy→d encoding (the spatial sort key of
+    ``gdal vector sort`` — apps/gdalalg_vector_sort.cpp:40,302-375 uses
+    GDALHilbertCode over the layer extent; alg/hilbert.cpp math).
+
+    Input relation ``src_rel`` must expose integer columns ``hx, hy`` in
+    [0, 2^order). Returns (cte_sql, final_rel): final relation carries
+    ``carry_cols`` plus ``hd`` (the Hilbert index) and the rotated
+    hx/hy scratch columns.
+
+    Dialect-portable: only &, *, +, -, CASE (DuckDB's ^ is POW and
+    Spark lacks EXCLUDE, so columns are explicit and the quadrant
+    Gray-code XOR is spelled as a CASE table). One CTE per bit level
+    keeps the expression tree linear (inlining would grow 3^order).
+    """
+    n = 1 << order
+    ctes = []
+    prev = src_rel
+    for lvl in range(order):
+        s = 1 << (order - 1 - lvl)
+        rel = f"_hl{lvl}"
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+                f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+                f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)")
+        d0 = "0" if lvl == 0 else "hd"
+        new_x = (f"(CASE WHEN {ry} = 1 THEN hx "
+                 f"WHEN {rx} = 0 THEN hy ELSE {s} - 1 - hy END)")
+        new_y = (f"(CASE WHEN {ry} = 1 THEN hy "
+                 f"WHEN {rx} = 0 THEN hx ELSE {s} - 1 - hx END)")
+        carry = ", ".join(carry_cols)
+        ctes.append(
+            f"{rel} AS (SELECT {carry}, "
+            f"{new_x} AS hx, {new_y} AS hy, "
+            f"{d0} + {s * s} * {quad} AS hd FROM {prev})")
+        prev = rel
+    return ",\n".join(ctes), prev
+
+
+def hilbert_d_py(x: int, y: int, order: int = 8) -> int:
+    """Reference Python twin of hilbert_ctes (test oracle)."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
 # ----------------------------------------------------------- tile math ---
 
 def tile_sql(lat: str, lon: str, z: int, xyz: bool = True) -> tuple[str, str]:
