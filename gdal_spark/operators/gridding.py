@@ -1,0 +1,97 @@
+"""Gridding — scatter points onto a regular grid with a search radius,
+the distributed re-expression of gdal_grid (alg/gdalgrid.cpp, 4,308
+LoC: invdist :242-277 AOI search, moving average :630-720, nearest
+quadtree search :905-976, data metrics gdalgrid.h:68-84).
+
+Shape: the reference iterates GRID CELLS and searches points via a
+quadtree. Inverted for Spark: each POINT computes the (small, bounded)
+range of cells whose center lies within `radius` of it — pure column
+math + one explode of a sequence — then one shuffle groups candidate
+(cell, point) rows by cell. No broadcast of the big side, no quadtree:
+the cell-range arithmetic IS the spatial index. Skewed cells (hotspot
+discs) stay cheap for count/min/max (map-side combine); the invdist
+fold materializes per-cell candidate lists and is the documented
+hotspot cost of exact-order summation.
+
+Float discipline (cross-engine exactness):
+- distances: sqrt/d² of lattice-exact doubles — identical bit patterns
+  in Spark, DuckDB and numpy;
+- MIN/MAX/COUNT: order-free — safe;
+- inverse-distance weighted sums: floating sums are order-DEPENDENT,
+  so the fold runs over candidates sorted by pt_id: collect → sort →
+  sequential fold (F.aggregate ≡ DuckDB list_reduce over
+  list(... ORDER BY pt_id)). Smoothing δ=1e-9 on d² sidesteps the
+  exact-hit pole (GDAL's invdist smoothing parameter plays this role).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SMOOTH = 1e-9
+
+
+def scatter_to_cells(points: DataFrame, x0: float, y0: float, dx: float,
+                     dy: float, nx: int, ny: int, radius: float,
+                     lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Candidate (cy, cx, …point cols, d2, d) rows: every grid cell
+    whose CENTER is within `radius` of the point. Cell centers:
+    (x0 + (cx+0.5)·dx, y0 + (cy+0.5)·dy), dy negative north-up."""
+    p = points.filter(F.col(lat_col).isNotNull())
+    # candidate index ranges from the point's radius bbox (column math)
+    cx_lo = F.greatest(F.lit(0), F.floor((F.col(lon_col) - radius - x0) / dx - 0.5).cast("int"))
+    cx_hi = F.least(F.lit(nx - 1), F.ceil((F.col(lon_col) + radius - x0) / dx).cast("int"))
+    cy_lo = F.greatest(F.lit(0), F.floor((F.col(lat_col) + radius - y0) / dy - 0.5).cast("int"))
+    cy_hi = F.least(F.lit(ny - 1), F.ceil((F.col(lat_col) - radius - y0) / dy).cast("int"))
+    p = (p.withColumn("cx", F.explode_outer(
+            F.when(cx_lo <= cx_hi, F.sequence(cx_lo, cx_hi))))
+         .withColumn("cy", F.explode_outer(
+            F.when(cy_lo <= cy_hi, F.sequence(cy_lo, cy_hi))))
+         .filter(F.col("cx").isNotNull() & F.col("cy").isNotNull()))
+    ctr_x = F.lit(x0) + (F.col("cx") + 0.5) * F.lit(dx)
+    ctr_y = F.lit(y0) + (F.col("cy") + 0.5) * F.lit(dy)
+    ddx = F.col(lon_col) - ctr_x
+    ddy = F.col(lat_col) - ctr_y
+    d2 = ddx * ddx + ddy * ddy
+    return (p.withColumn("d2", d2).withColumn("d", F.sqrt(F.col("d2")))
+            .filter(F.col("d") <= radius))
+
+
+def grid_metrics(cand: DataFrame) -> DataFrame:
+    """Data metrics (gdalgrid.h:68-84): count / minimum_distance /
+    maximum_distance per cell."""
+    return cand.groupBy("cy", "cx").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("d"), 6).alias("min_d"),
+        F.round(F.max("d"), 6).alias("max_d"))
+
+
+def grid_nearest(cand: DataFrame, id_col: str = "pt_id",
+                 value_col: str = "value") -> DataFrame:
+    """Nearest (alg/gdalgrid.cpp:905-976 semantics at fixed radius):
+    value of the closest candidate, ties by point id."""
+    w = Window.partitionBy("cy", "cx").orderBy(
+        F.col("d2").asc(), F.col(id_col).asc())
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cy", "cx", F.col(id_col).alias("pt_id"),
+                    F.col(value_col).alias("v"),
+                    F.round(F.col("d2"), 6).alias("d2")))
+
+
+def grid_invdist(cand: DataFrame, id_col: str = "pt_id",
+                 value_col: str = "value") -> DataFrame:
+    """Inverse-distance-squared weighting with smoothing, folded in
+    pt_id order for cross-engine bit-exactness."""
+    w = 1.0 / (F.col("d2") + F.lit(SMOOTH))
+    items = F.array_sort(F.collect_list(F.struct(
+        F.col(id_col).alias("pid"),
+        w.alias("w"),
+        (w * F.col(value_col)).alias("wv"))))
+    folded = cand.groupBy("cy", "cx").agg(items.alias("it"))
+    sw = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["w"])
+    swv = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["wv"])
+    return folded.select(
+        "cy", "cx", F.size("it").alias("n"),
+        F.round(swv / sw, 6).alias("v"))

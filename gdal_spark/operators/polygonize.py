@@ -1,0 +1,175 @@
+"""Polygonize — raster → vector connected-component labeling, the
+distributed twin of GDAL's two-pass CCL (alg/polygonize.cpp:73-300,
+4-connected default, label merges at :223; ring assembly in
+alg/polygonize_polygonizer.cpp is represented here by per-component
+pixel sets + exact bboxes — our vector payload is the component row,
+not a traced ring).
+
+Distributed shape (classic map-reduce CCL):
+
+1. tile pass — pixels bucketed into T×T tiles; per tile a pandas-UDF
+   union-find labels local components with the component's MIN global
+   pixel id (py*W + px). One shuffle on tile id; each task touches ≤ T²
+   pixels.
+2. border pass — 4-adjacent pixel pairs that straddle a tile edge
+   produce (label_a, label_b) equivalence edges: a self equi-join of
+   the (small) border-pixel subset on shifted coordinates.
+3. star merging — iterate: map every label to min(self ∪ neighbors),
+   rewrite edges through the mapping, drop self-loops, until no edges
+   remain. Converges in O(log) rounds (each round contracts label
+   chains); all joins run on the tiny label/edge tables, never on the
+   pixel table.
+4. final relabel — one broadcast-ish join pixel.label → root.
+
+At 10^12 pixels the only full-data shuffles are the tile bucketing and
+the final relabel join; the iterative merge works on O(perimeter)
+edges. This is exactly the cross-tile connected-component equivalence
+strategy SURVEY §2.9 prescribes.
+
+Sieve (alg/gdalsievefilter.cpp:640 semantics, simplified): components
+with fewer than `threshold` pixels are REMOVED (the reference merges
+them into their largest neighbor; the merge step is a follow-up join
+on the same adjacency edges — documented deviation, removal only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tile_local_labels(mask: DataFrame, width: int, tile: int = 32) -> DataFrame:
+    """Per-tile union-find: (py, px) mask pixels → (py, px, label) where
+    label = min global pixel id of the pixel's LOCAL (within-tile)
+    component."""
+
+    def _label(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ys = pdf["py"].to_numpy()
+            xs = pdf["px"].to_numpy()
+            pid = ys * width + xs
+            index = {(int(y), int(x)): i for i, (y, x) in enumerate(zip(ys, xs))}
+            parent = np.arange(len(pdf))
+
+            def find(a: int) -> int:
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            for i, (y, x) in enumerate(zip(ys, xs)):
+                for ny, nx in ((y + 1, x), (y, x + 1)):
+                    j = index.get((int(ny), int(nx)))
+                    if j is not None:
+                        ra, rb = find(i), find(int(j))
+                        if ra != rb:
+                            parent[ra] = rb
+            roots = np.array([find(i) for i in range(len(pdf))])
+            # label = min pid within local component
+            lab = np.zeros(len(pdf), dtype=np.int64)
+            order = np.argsort(pid, kind="stable")
+            seen: dict[int, int] = {}
+            for i in order:
+                r = int(roots[i])
+                if r not in seen:
+                    seen[r] = int(pid[i])
+            for i in range(len(pdf)):
+                lab[i] = seen[int(roots[i])]
+            yield pd.DataFrame({"py": ys, "px": xs, "label": lab})
+
+    tiled = mask.withColumn("_ty", (F.col("py") / tile).cast("long")) \
+                .withColumn("_tx", (F.col("px") / tile).cast("long"))
+    return (tiled.repartition("_ty", "_tx")
+            .mapInPandas(_label, "py long, px long, label long"))
+
+
+def border_edges(labels: DataFrame, tile: int = 32) -> DataFrame:
+    """(a, b) label equivalences for 4-adjacent pixels in DIFFERENT
+    tiles. Only border pixels join — O(perimeter) rows."""
+    right = labels.filter(F.col("px") % tile == tile - 1)
+    left = labels.filter(F.col("px") % tile == 0)
+    down = labels.filter(F.col("py") % tile == tile - 1)
+    up = labels.filter(F.col("py") % tile == 0)
+    h = right.alias("a").join(
+        left.alias("b"),
+        (F.col("a.py") == F.col("b.py")) & (F.col("a.px") + 1 == F.col("b.px")))
+    v = down.alias("a").join(
+        up.alias("b"),
+        (F.col("a.px") == F.col("b.px")) & (F.col("a.py") + 1 == F.col("b.py")))
+    pairs = (h.select(F.col("a.label").alias("a"), F.col("b.label").alias("b"))
+             .unionByName(v.select(F.col("a.label").alias("a"),
+                                   F.col("b.label").alias("b"))))
+    return pairs.filter(F.col("a") != F.col("b")).distinct()
+
+
+def resolve_equivalences(labels: DataFrame, edges: DataFrame,
+                         max_rounds: int = 32) -> DataFrame:
+    """Star-merge iteration on the label graph; returns (py, px, label)
+    with final (global-min) labels."""
+    spark = labels.sparkSession
+    mapping = None  # cumulative label -> root
+    cur = edges
+    for _ in range(max_rounds):
+        if cur.isEmpty():
+            break
+        sym = cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (sym.groupBy("a").agg(F.min("b").alias("b"))
+             .select(F.col("a").alias("l"),
+                     F.least(F.col("a"), F.col("b")).alias("r")))
+        m = m.filter(F.col("l") != F.col("r"))
+        # pointer halving: follow the map one extra hop so label chains
+        # contract geometrically (keeps round count O(log) on paths)
+        m = (m.alias("x")
+             .join(m.alias("y"), F.col("x.r") == F.col("y.l"), "left")
+             .select(F.col("x.l").alias("l"),
+                     F.coalesce(F.col("y.r"), F.col("x.r")).alias("r"))
+             .persist())
+        if mapping is None:
+            mapping = m
+        else:
+            # compose: existing roots that got remapped follow the new map
+            mapping = (mapping.alias("x")
+                       .join(m.alias("y"), F.col("x.r") == F.col("y.l"), "left")
+                       .select(F.col("x.l").alias("l"),
+                               F.coalesce(F.col("y.r"), F.col("x.r")).alias("r"))
+                       .unionByName(m.select("l", "r"))
+                       .groupBy("l").agg(F.min("r").alias("r")))
+        cur = (cur.alias("e")
+               .join(m.alias("ma"), F.col("e.a") == F.col("ma.l"), "left")
+               .join(m.alias("mb"), F.col("e.b") == F.col("mb.l"), "left")
+               .select(F.coalesce(F.col("ma.r"), F.col("e.a")).alias("a"),
+                       F.coalesce(F.col("mb.r"), F.col("e.b")).alias("b"))
+               .filter(F.col("a") != F.col("b")).distinct())
+    if mapping is None:
+        return labels
+    return (labels.alias("p")
+            .join(F.broadcast(mapping.alias("m")),
+                  F.col("p.label") == F.col("m.l"), "left")
+            .select("py", "px",
+                    F.coalesce(F.col("m.r"), F.col("p.label")).alias("label")))
+
+
+def polygonize(mask: DataFrame, width: int, tile: int = 32) -> DataFrame:
+    """mask(py, px) → per-pixel final labels (py, px, label)."""
+    local = tile_local_labels(mask, width, tile)
+    edges = border_edges(local, tile)
+    return resolve_equivalences(local, edges)
+
+
+def components(labels: DataFrame) -> DataFrame:
+    """Component rows: (label, n_pixels, ymin, xmin, ymax, xmax)."""
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_pixels"),
+        F.min("py").alias("ymin"), F.min("px").alias("xmin"),
+        F.max("py").alias("ymax"), F.max("px").alias("xmax"))
+
+
+def sieve(labels: DataFrame, threshold: int) -> DataFrame:
+    """Keep pixels of components with ≥ threshold pixels."""
+    big = (labels.groupBy("label").agg(F.count("*").alias("n"))
+           .filter(F.col("n") >= threshold).select("label"))
+    return labels.join(F.broadcast(big), "label").select("py", "px", "label")

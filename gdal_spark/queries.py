@@ -328,6 +328,278 @@ SELECT CAST(zone_fid AS INT) AS zone_fid, py, px
 FROM hit WHERE in_part = 1 AND in_hole = 0"""
 
 
+# 128×128 world grid for polygonize/proximity (finer than GRID_GT so
+# components stay small and well-separated)
+PGRID_GT = (-180.0, 2.8125, 0.0, 90.0, 0.0, -1.40625)
+PGRID_W = PGRID_H = 128
+PMASK_THR = 3.0     # polygonize mask: pixels with ≥3 burned points
+PTARGET_THR = 10.0  # proximity targets: hotspot cores
+PMAXDIST = 8.0
+
+# 32×32 Europe grid for gdal_grid-style interpolation
+EGRID = dict(x0=-10.0, y0=60.0, dx=1.25, dy=-0.78125, nx=32, ny=32, radius=1.0)
+
+
+def _pixel_counts_sql(gt, w, h, src="points"):
+    """Shared point-burn SQL (llrasterize.cpp:233-250 rule) → relation
+    ``burn(py, px, c)``."""
+    fx = f"((lon - ({gt[0]!r})) / {gt[1]!r})"
+    fy = f"((lat - ({gt[3]!r})) / ({gt[5]!r}))"
+    return f"""
+burn AS (
+  SELECT CAST(FLOOR({fy}) AS BIGINT) AS py, CAST(FLOOR({fx}) AS BIGINT) AS px,
+         COUNT(*) AS c
+  FROM {src}
+  WHERE lat IS NOT NULL AND {fx} >= 0 AND {fx} < {w} AND {fy} >= 0 AND {fy} < {h}
+  GROUP BY 1, 2
+)"""
+
+
+def _mask_df(spark, sf_dir, thr):
+    pts = points_df(spark, sf_dir)
+    return (rast_op.burn_points(pts, PGRID_GT, PGRID_W, PGRID_H)
+            .filter(F.col("burn") >= thr).select("py", "px"))
+
+
+def q_polygonize(spark, sf_dir):
+    """Polygonize (alg/polygonize.cpp:73-300): distributed CCL over the
+    thresholded density mask → component rows with exact bbox. Labels =
+    min global pixel id per 4-connected component."""
+    from gdal_spark.operators import polygonize as poly_op
+    labels = poly_op.polygonize(_mask_df(spark, sf_dir, PMASK_THR), PGRID_W)
+    return poly_op.components(labels)
+
+
+def _ccl_oracle_sql(extra: str = "") -> str:
+    """Recursive-CTE connected components over the same mask (the
+    oracle's independent formulation: min label reachable by 4-paths)."""
+    return f"""
+WITH RECURSIVE {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
+mask AS (SELECT py, px, py * {PGRID_W} + px AS pid FROM burn WHERE c >= {PMASK_THR!r}),
+reach(py, px, l) AS (
+  SELECT py, px, pid FROM mask
+  UNION
+  SELECT m.py, m.px, r.l
+  FROM mask m JOIN reach r
+    ON (ABS(m.py - r.py) + ABS(m.px - r.px)) = 1
+),
+lbl AS (SELECT py, px, MIN(l) AS label FROM reach GROUP BY py, px)
+{extra}"""
+
+
+def o_polygonize():
+    return _ccl_oracle_sql(
+        "SELECT label, COUNT(*) AS n_pixels, MIN(py) AS ymin, MIN(px) AS xmin, "
+        "MAX(py) AS ymax, MAX(px) AS xmax FROM lbl GROUP BY label")
+
+
+def q_sieve(spark, sf_dir):
+    """Sieve filter (alg/gdalsievefilter.cpp): drop components smaller
+    than 3 px (removal variant — see operators/polygonize.py)."""
+    from gdal_spark.operators import polygonize as poly_op
+    labels = poly_op.polygonize(_mask_df(spark, sf_dir, PMASK_THR), PGRID_W)
+    return poly_op.sieve(labels, 3)
+
+
+def o_sieve():
+    return _ccl_oracle_sql(
+        ", sized AS (SELECT py, px, label, COUNT(*) OVER (PARTITION BY label) AS n "
+        "FROM lbl) SELECT py, px, label FROM sized WHERE n >= 3")
+
+
+def q_proximity(spark, sf_dir):
+    """Proximity raster (alg/gdalproximity.cpp): exact Euclidean
+    distance to the nearest hotspot-core pixel, maxdist 8 px."""
+    from gdal_spark.operators import proximity as prox_op
+    targets = _mask_df(spark, sf_dir, PTARGET_THR)
+    pixels = spark.range(PGRID_H * PGRID_W).select(
+        (F.col("id") / PGRID_W).cast("long").alias("py"),
+        (F.col("id") % PGRID_W).alias("px"))
+    return prox_op.proximity(pixels, targets, PMAXDIST)
+
+
+def o_proximity():
+    return f"""
+WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
+tgt AS (SELECT py AS ty, px AS tx FROM burn WHERE c >= {PTARGET_THR!r}),
+pix AS (SELECT CAST(r1.range AS BIGINT) AS py, CAST(r2.range AS BIGINT) AS px
+        FROM range({PGRID_H}) r1, range({PGRID_W}) r2),
+d AS (SELECT p.py, p.px,
+             SQRT(CAST(p.py - t.ty AS DOUBLE) * CAST(p.py - t.ty AS DOUBLE)
+                  + CAST(p.px - t.tx AS DOUBLE) * CAST(p.px - t.tx AS DOUBLE)) AS dist
+      FROM pix p, tgt t)
+SELECT py, px, ROUND(MIN(dist), 6) AS dist FROM d
+WHERE dist <= {PMAXDIST!r} GROUP BY py, px"""
+
+
+def _egrid_cand(spark, sf_dir):
+    from gdal_spark.operators import gridding
+    pts = points_df(spark, sf_dir)
+    g = EGRID
+    return gridding.scatter_to_cells(
+        pts, g["x0"], g["y0"], g["dx"], g["dy"], g["nx"], g["ny"], g["radius"])
+
+
+_EGRID_CAND_SQL = """
+cells AS (SELECT CAST(r1.range AS INT) AS cy, CAST(r2.range AS INT) AS cx
+          FROM range({ny}) r1, range({nx}) r2),
+ctr AS (SELECT cy, cx, {x0!r} + (cx + 0.5) * {dx!r} AS ctr_x,
+               {y0!r} + (cy + 0.5) * ({dy!r}) AS ctr_y FROM cells),
+cand AS (
+  SELECT c.cy, c.cx, p.pt_id, p.value,
+         (p.lon - c.ctr_x) * (p.lon - c.ctr_x)
+         + (p.lat - c.ctr_y) * (p.lat - c.ctr_y) AS d2,
+         SQRT((p.lon - c.ctr_x) * (p.lon - c.ctr_x)
+              + (p.lat - c.ctr_y) * (p.lat - c.ctr_y)) AS d
+  FROM points p JOIN ctr c
+    ON p.lat IS NOT NULL
+   AND p.lon BETWEEN c.ctr_x - {radius!r} AND c.ctr_x + {radius!r}
+   AND p.lat BETWEEN c.ctr_y - {radius!r} AND c.ctr_y + {radius!r}
+  WHERE SQRT((p.lon - c.ctr_x) * (p.lon - c.ctr_x)
+             + (p.lat - c.ctr_y) * (p.lat - c.ctr_y)) <= {radius!r}
+)"""
+
+
+def _egrid_cand_sql():
+    return _EGRID_CAND_SQL.format(**EGRID)
+
+
+def q_grid_metrics(spark, sf_dir):
+    """gdal_grid data metrics (gdalgrid.h:68-84): count/min-dist/
+    max-dist per cell, radius-1° disc on a 32×32 Europe grid."""
+    from gdal_spark.operators import gridding
+    return gridding.grid_metrics(_egrid_cand(spark, sf_dir))
+
+
+def o_grid_metrics():
+    return (f"WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()} "
+            "SELECT cy, cx, COUNT(*) AS n, ROUND(MIN(d), 6) AS min_d, "
+            "ROUND(MAX(d), 6) AS max_d FROM cand GROUP BY cy, cx")
+
+
+def q_grid_nearest(spark, sf_dir):
+    """gdal_grid nearest (alg/gdalgrid.cpp:905-976): closest point's
+    value per cell within the radius, ties by pt_id."""
+    from gdal_spark.operators import gridding
+    return gridding.grid_nearest(_egrid_cand(spark, sf_dir))
+
+
+def o_grid_nearest():
+    return f"""
+WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()},
+r AS (SELECT cy, cx, pt_id, value, d2,
+             ROW_NUMBER() OVER (PARTITION BY cy, cx ORDER BY d2, pt_id) AS rn
+      FROM cand)
+SELECT cy, cx, pt_id, value AS v, ROUND(d2, 6) AS d2 FROM r WHERE rn = 1"""
+
+
+def q_grid_invdist(spark, sf_dir):
+    """gdal_grid invdist (alg/gdalgrid.cpp:242-277 family) with
+    smoothing δ=1e-9; candidate fold in pt_id order for cross-engine
+    bit-exactness (operators/gridding.py)."""
+    from gdal_spark.operators import gridding
+    return gridding.grid_invdist(_egrid_cand(spark, sf_dir))
+
+
+def o_grid_invdist():
+    from gdal_spark.operators.gridding import SMOOTH
+    return f"""
+WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()},
+folded AS (
+  SELECT cy, cx, COUNT(*) AS n,
+         list(1.0 / (d2 + {SMOOTH!r}) ORDER BY pt_id) AS ws,
+         list((1.0 / (d2 + {SMOOTH!r})) * value ORDER BY pt_id) AS wvs
+  FROM cand GROUP BY cy, cx
+)
+SELECT cy, cx, CAST(n AS INT) AS n,
+       ROUND(list_reduce(wvs, (a, b) -> a + b)
+             / list_reduce(ws, (a, b) -> a + b), 6) AS v
+FROM folded"""
+
+
+def q_overview_modes(spark, sf_dir):
+    """Overview resampling (gcore/overview.cpp:4401-4800): z6 tile
+    counts decimated 2× to z5 with AVERAGE / MIN / MAX / MODE of the ≤4
+    children (mode ties → smallest value)."""
+    tc = tiling.tile_counts(points_df(spark, sf_dir), 6)
+    child = tc.select(
+        F.floor(F.col("tx") / 2).cast("long").alias("tx"),
+        F.floor(F.col("ty") / 2).cast("long").alias("ty"),
+        F.col("n_pages").alias("n"))
+    vc = child.groupBy("tx", "ty", "n").agg(F.count("*").alias("vn"))
+    w = Window.partitionBy("tx", "ty").orderBy(F.col("vn").desc(), F.col("n").asc())
+    mode = (vc.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("tx", "ty", F.col("n").alias("mode_n")))
+    agg = child.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_children"),
+        (F.sum("n") / F.count("*")).alias("avg_n"),
+        F.min("n").alias("min_n"), F.max("n").alias("max_n"))
+    return agg.join(mode, ["tx", "ty"])
+
+
+def o_overview_modes():
+    tx6, ty6 = sqlexpr.tile_sql("lat", "lon", 6)
+    return f"""
+WITH {sqlexpr.points_cte()},
+tc AS (SELECT {tx6} AS tx6, {ty6} AS ty6, COUNT(*) AS n
+       FROM points WHERE lat IS NOT NULL GROUP BY 1, 2),
+child AS (SELECT CAST(FLOOR(tx6 / 2.0) AS BIGINT) AS tx,
+                 CAST(FLOOR(ty6 / 2.0) AS BIGINT) AS ty, n FROM tc),
+vc AS (SELECT tx, ty, n, COUNT(*) AS vn FROM child GROUP BY 1, 2, 3),
+mode AS (SELECT tx, ty, n AS mode_n FROM
+         (SELECT tx, ty, n, ROW_NUMBER() OVER
+            (PARTITION BY tx, ty ORDER BY vn DESC, n ASC) AS rn FROM vc)
+         WHERE rn = 1)
+SELECT a.tx, a.ty, a.n_children, a.avg_n, a.min_n, a.max_n, m.mode_n
+FROM (SELECT tx, ty, COUNT(*) AS n_children,
+             SUM(n) / COUNT(*) AS avg_n,
+             MIN(n) AS min_n, MAX(n) AS max_n
+      FROM child GROUP BY tx, ty) a
+JOIN mode m ON m.tx = a.tx AND m.ty = a.ty"""
+
+
+def q_raster_calc(spark, sf_dir):
+    """Raster band math (frmts/vrt/pixelfunctions.cpp:4320-4441 —
+    sum/diff/norm_diff): per-pixel embed-density vs tld-density bands
+    on the 64×64 grid."""
+    pts = points_df(spark, sf_dir)
+    fx = (F.col("lon") - F.lit(GRID_GT[0])) / F.lit(GRID_GT[1])
+    fy = (F.col("lat") - F.lit(GRID_GT[3])) / F.lit(GRID_GT[5])
+    df = (pts.filter(F.col("lat").isNotNull())
+          .withColumn("_fx", fx).withColumn("_fy", fy)
+          .filter((F.col("_fx") >= 0) & (F.col("_fx") < GRID_W)
+                  & (F.col("_fy") >= 0) & (F.col("_fy") < GRID_H))
+          .withColumn("px", F.floor("_fx").cast("long"))
+          .withColumn("py", F.floor("_fy").cast("long")))
+    g = df.groupBy("py", "px").agg(
+        F.sum(F.when(F.col("geo_src") == "embed", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("geo_src") == "tld", 1).otherwise(0)).alias("b"))
+    nd = (F.col("a") - F.col("b")).cast("double") / (F.col("a") + F.col("b")).cast("double")
+    return g.select("py", "px", "a", "b",
+                    (F.col("a") + F.col("b")).alias("sum_ab"),
+                    F.round(nd, 6).alias("norm_diff"))
+
+
+def o_raster_calc():
+    g = GRID_GT
+    fx = f"((lon - ({g[0]!r})) / {g[1]!r})"
+    fy = f"((lat - ({g[3]!r})) / ({g[5]!r}))"
+    return f"""
+WITH {sqlexpr.points_cte()},
+px AS (SELECT CAST(FLOOR({fy}) AS BIGINT) AS py, CAST(FLOOR({fx}) AS BIGINT) AS px,
+              SUM(CASE WHEN geo_src = 'embed' THEN 1 ELSE 0 END) AS a,
+              SUM(CASE WHEN geo_src = 'tld' THEN 1 ELSE 0 END) AS b
+       FROM points
+       WHERE lat IS NOT NULL AND {fx} >= 0 AND {fx} < {GRID_W}
+         AND {fy} >= 0 AND {fy} < {GRID_H}
+       GROUP BY 1, 2)
+SELECT py, px, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(a + b AS BIGINT) AS sum_ab,
+       ROUND(CAST(a - b AS DOUBLE) / CAST(a + b AS DOUBLE), 6) AS norm_diff
+FROM px"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Tile pyramid z6→z0 over the lineitem points: base counts then the
     4-children overview cascade (gdal2tiles create_overview_tile:1466)."""
@@ -912,4 +1184,12 @@ REGISTRY: dict[str, tuple] = {
     "dissolve": (q_dissolve, o_dissolve),
     "zonal_majority": (q_zonal_majority, o_zonal_majority),
     "hilbert_sort": (q_hilbert_sort, o_hilbert_sort),
+    "polygonize": (q_polygonize, o_polygonize),
+    "sieve": (q_sieve, o_sieve),
+    "proximity": (q_proximity, o_proximity),
+    "grid_metrics": (q_grid_metrics, o_grid_metrics),
+    "grid_nearest": (q_grid_nearest, o_grid_nearest),
+    "grid_invdist": (q_grid_invdist, o_grid_invdist),
+    "overview_modes": (q_overview_modes, o_overview_modes),
+    "raster_calc": (q_raster_calc, o_raster_calc),
 }
