@@ -1,0 +1,82 @@
+"""Warp — suggested-output-envelope math and reprojection helpers for
+EPSG:4326 ↔ EPSG:3857 (closed-form spherical Mercator; the sandbox has
+no PROJ, and the north-star transform pair is exactly this one).
+
+Envelope rule (GDALSuggestedWarpOutput2, alg/gdaltransformer.cpp:342-
+1170, reimplemented from the documented semantics — no code copied):
+
+- sample ``nSteps + 1`` points along each of the 4 raster edges, with
+  ``nSteps = clamp(min(W, H) / 50, 20, 100)`` (:451-454) — for our
+  small grids always 20 → 21 points/edge;
+- transform, take min/max X/Y (the round-trip verification and
+  anti-meridian bisection of :189-239/:740-810 are no-ops for this
+  smooth closed-form transform pair — documented simplification);
+- ``pixel_size = dist(T(0,0), T(W,H)) / sqrt(W² + H²)`` (:1077-1100);
+- ``width = floor((maxX-minX)/pixel_size + 0.5)`` (round-half-up, the
+  C rounding at :1110-1116), same for height, min 1;
+- per-axis stretched sizes ``psx/psy`` so the grid covers the extent
+  exactly (the reference stretches its single ps; per-axis is our
+  documented variant).
+
+Float discipline: scalar math via the ``math`` module (C libm — the
+same functions DuckDB calls), op-ordered identically to the SQL twins
+in queries.py (o_warp_envelope / the resample expressions), so the
+driver's hash-compare is exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+OS = math.pi * 6378137  # originShift numerator (gdal2tiles.py:420)
+
+
+def fwd_3857(lon: float, lat: float) -> tuple[float, float]:
+    """EPSG:4326 → EPSG:3857, op-ordered like sqlexpr.tile_sql."""
+    mx = (lon * OS) / 180.0
+    my = (math.log(math.tan((90.0 + lat) * math.pi / 360.0))
+          / (math.pi / 180.0)) * OS / 180.0
+    return mx, my
+
+
+def inv_3857(mx: float, my: float) -> tuple[float, float]:
+    """EPSG:3857 → EPSG:4326 (inverse of fwd_3857, same op order as the
+    SQL twin in queries.o_warp_resample)."""
+    lon = (mx * 180.0) / OS
+    lat = (math.atan(math.exp((my * math.pi) / OS)) * 360.0) / math.pi - 90.0
+    return lon, lat
+
+
+def suggested_warp_output(gt: tuple, width: int, height: int) -> dict:
+    """Suggested EPSG:3857 output grid for a north-up EPSG:4326 raster
+    (gt rotation terms must be 0)."""
+    n_steps = max(20, min(100, min(width, height) // 50))
+    pts = []
+    for i in range(n_steps + 1):
+        fx = i * width / n_steps
+        fy = i * height / n_steps
+        pts.append((fx, 0.0))
+        pts.append((fx, float(height)))
+        pts.append((0.0, fy))
+        pts.append((float(width), fy))
+    tx = []
+    ty = []
+    for px, py in pts:
+        lon = gt[0] + px * gt[1]
+        lat = gt[3] + py * gt[5]
+        mx, my = fwd_3857(lon, lat)
+        tx.append(mx)
+        ty.append(my)
+    minx, maxx = min(tx), max(tx)
+    miny, maxy = min(ty), max(ty)
+    x0, y0 = fwd_3857(gt[0], gt[3])
+    x1, y1 = fwd_3857(gt[0] + width * gt[1], gt[3] + height * gt[5])
+    diag = math.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+    ps = diag / math.sqrt(width * width + height * height)
+    out_w = max(1, int(math.floor((maxx - minx) / ps + 0.5)))
+    out_h = max(1, int(math.floor((maxy - miny) / ps + 0.5)))
+    return {
+        "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+        "pixel_size": ps, "width": out_w, "height": out_h,
+        "psx": (maxx - minx) / out_w, "psy": (maxy - miny) / out_h,
+    }

@@ -600,6 +600,130 @@ SELECT py, px, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
 FROM px"""
 
 
+def q_warp_envelope(spark, sf_dir):
+    """Suggested warp output (GDALSuggestedWarpOutput2,
+    alg/gdaltransformer.cpp:342-1170) for the London 40×40 grid warped
+    EPSG:4326 → EPSG:3857 — driver-side libm math (geo/warp.py), the
+    exact envelope rule the reference autotests assert."""
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    row = [(env["minx"], env["miny"], env["maxx"], env["maxy"],
+            env["pixel_size"], env["width"], env["height"],
+            env["psx"], env["psy"])]
+    return spark.createDataFrame(
+        row, "minx double, miny double, maxx double, maxy double, "
+             "pixel_size double, width int, height int, psx double, psy double")
+
+
+def o_warp_envelope():
+    g, w, h, ns = ZRAST_GT, ZRAST_W, ZRAST_H, 20
+    mx = "((lon) * (PI() * 6378137)) / 180.0"
+    my = ("(LN(TAN((90.0 + (lat)) * PI() / 360.0)) / (PI() / 180.0))"
+          " * (PI() * 6378137) / 180.0")
+    def geo(px, py):
+        # CAST the pixel operand to DOUBLE so literal-only corner
+        # expressions don't evaluate in exact DECIMAL (see
+        # o_warp_resample note)
+        return (f"{g[0]!r} + CAST({px} AS DOUBLE) * {g[1]!r}",
+                f"{g[3]!r} + CAST({py} AS DOUBLE) * ({g[5]!r})")
+    c0 = geo("0.0", "0.0")
+    c1 = geo(f"{float(w)!r}", f"{float(h)!r}")
+    return f"""
+WITH steps AS (SELECT CAST(r.range AS DOUBLE) AS i FROM range(0, {ns + 1}) r),
+pts AS (
+  SELECT i * {w} / {ns} AS px, 0.0 AS py FROM steps
+  UNION ALL SELECT i * {w} / {ns}, {float(h)!r} FROM steps
+  UNION ALL SELECT 0.0, i * {h} / {ns} FROM steps
+  UNION ALL SELECT {float(w)!r}, i * {h} / {ns} FROM steps),
+geo AS (SELECT {geo('px', 'py')[0]} AS lon, {geo('px', 'py')[1]} AS lat FROM pts),
+merc AS (SELECT {mx} AS mxv, {my} AS myv FROM geo),
+ext AS (SELECT MIN(mxv) AS minx, MIN(myv) AS miny,
+               MAX(mxv) AS maxx, MAX(myv) AS maxy FROM merc),
+corner AS (SELECT
+  (SELECT {mx.replace('lon', f'({c0[0]})')} ) AS x0,
+  (SELECT {my.replace('lat', f'({c0[1]})')} ) AS y0,
+  (SELECT {mx.replace('lon', f'({c1[0]})')} ) AS x1,
+  (SELECT {my.replace('lat', f'({c1[1]})')} ) AS y1),
+ps AS (SELECT SQRT((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+              / SQRT({float(w * w + h * h)!r}) AS pixel_size FROM corner),
+dims AS (SELECT GREATEST(1, CAST(FLOOR((ext.maxx - ext.minx) / ps.pixel_size + 0.5) AS INT)) AS width,
+                GREATEST(1, CAST(FLOOR((ext.maxy - ext.miny) / ps.pixel_size + 0.5) AS INT)) AS height
+         FROM ext, ps)
+SELECT ext.minx, ext.miny, ext.maxx, ext.maxy, ps.pixel_size,
+       dims.width, dims.height,
+       (ext.maxx - ext.minx) / dims.width AS psx,
+       (ext.maxy - ext.miny) / dims.height AS psy
+FROM ext, ps, dims"""
+
+
+def q_warp_resample(spark, sf_dir):
+    """gdalwarp nearest-neighbour resample (alg/gdalwarpkernel.cpp
+    GRA_NearestNeighbour; chunk execution alg/gdalwarpoperation.cpp):
+    the London page-density raster warped 4326 → 3857 onto the
+    suggested grid. Dst pixels = one DataFrame; inverse transform +
+    src-pixel lookup are pure column math + one broadcast join."""
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    p = pages_df(spark, sf_dir)
+    src = rast_op.burn_points(p, ZRAST_GT, ZRAST_W, ZRAST_H) \
+        .select(F.col("py").alias("sy"), F.col("px").alias("sx"), "burn")
+    dst = spark.range(env["width"] * env["height"]).select(
+        (F.col("id") / env["width"]).cast("long").alias("dy"),
+        (F.col("id") % env["width"]).alias("dx"))
+    # Axis-aligned transform ⇒ sy depends only on dy and sx only on dx:
+    # precompute the two O(W+H) inverse-mapping dims driver-side with C
+    # libm (bit-matching the DuckDB oracle; Spark's Java Math.atan/exp
+    # differ in last-ulp and can flip a floor at pixel boundaries) and
+    # broadcast-join them — the scanline-lookup analog of GDAL's
+    # approximation transformer (alg/gdaltransformer.cpp, -et).
+    import math as _m
+    xs, ys = [], []
+    for dx in range(env["width"]):
+        X = env["minx"] + (dx + 0.5) * env["psx"]
+        lon = (X * 180.0) / W_.OS
+        xs.append((dx, int(_m.floor((lon - ZRAST_GT[0]) / ZRAST_GT[1]))))
+    for dy in range(env["height"]):
+        Y = env["maxy"] - (dy + 0.5) * env["psy"]
+        lat = (_m.atan(_m.exp((Y * _m.pi) / W_.OS)) * 360.0) / _m.pi - 90.0
+        ys.append((dy, int(_m.floor((lat - ZRAST_GT[3]) / ZRAST_GT[5]))))
+    bx = spark.createDataFrame(xs, "dx long, sx long")
+    by = spark.createDataFrame(ys, "dy long, sy long")
+    d = (dst.join(F.broadcast(bx), "dx").join(F.broadcast(by), "dy")
+         .filter((F.col("sx") >= 0) & (F.col("sx") < ZRAST_W)
+                 & (F.col("sy") >= 0) & (F.col("sy") < ZRAST_H)))
+    return (d.join(F.broadcast(src), ["sy", "sx"], "left")
+            .select("dy", "dx", F.coalesce(F.col("burn"), F.lit(0.0)).alias("v")))
+
+
+def o_warp_resample():
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    g = ZRAST_GT
+    # CAST literals to DOUBLE: DuckDB/Spark parse decimal literals as
+    # exact DECIMAL, and these expressions contain no double column to
+    # force promotion — without the cast the oracle computes in exact
+    # decimal and disagrees with the driver-side double math at floor
+    # boundaries (observed: fx exactly 20.0 flipping to 19)
+    X = (f"(CAST({env['minx']!r} AS DOUBLE) "
+         f"+ (dx + 0.5) * CAST({env['psx']!r} AS DOUBLE))")
+    Y = (f"(CAST({env['maxy']!r} AS DOUBLE) "
+         f"- (dy + 0.5) * CAST({env['psy']!r} AS DOUBLE))")
+    OS = "(PI() * 6378137)"
+    lon = f"(({X} * 180.0) / {OS})"
+    lat = f"((ATAN(EXP(({Y} * PI()) / {OS})) * 360.0) / PI() - 90.0)"
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pixel_counts_sql(g, ZRAST_W, ZRAST_H, src="pages")},
+dst AS (SELECT CAST(r1.range AS BIGINT) AS dy, CAST(r2.range AS BIGINT) AS dx
+        FROM range({env['height']}) r1, range({env['width']}) r2),
+m AS (SELECT dy, dx,
+             CAST(FLOOR(({lon} - ({g[0]!r})) / {g[1]!r}) AS BIGINT) AS sx,
+             CAST(FLOOR(({lat} - ({g[3]!r})) / ({g[5]!r})) AS BIGINT) AS sy
+      FROM dst)
+SELECT m.dy, m.dx, COALESCE(CAST(b.c AS DOUBLE), 0.0) AS v
+FROM m LEFT JOIN burn b ON b.py = m.sy AND b.px = m.sx
+WHERE m.sx >= 0 AND m.sx < {ZRAST_W} AND m.sy >= 0 AND m.sy < {ZRAST_H}"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Tile pyramid z6→z0 over the lineitem points: base counts then the
     4-children overview cascade (gdal2tiles create_overview_tile:1466)."""
@@ -1192,4 +1316,6 @@ REGISTRY: dict[str, tuple] = {
     "grid_invdist": (q_grid_invdist, o_grid_invdist),
     "overview_modes": (q_overview_modes, o_overview_modes),
     "raster_calc": (q_raster_calc, o_raster_calc),
+    "warp_envelope": (q_warp_envelope, o_warp_envelope),
+    "warp_resample": (q_warp_resample, o_warp_resample),
 }
