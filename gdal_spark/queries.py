@@ -1017,6 +1017,20 @@ def o_events_window():
             "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1, 2")
 
 
+def q_stream_rollup(spark, sf_dir):
+    """Hourly rollup as a Structured Streaming job (file source →
+    watermark → tumbling window → memory sink, availableNow) — result
+    equals the batch GROUP BY, so the oracle is exact
+    (gdal_spark/streaming/events.py)."""
+    from gdal_spark.streaming.events import hourly_rollup_stream
+    return hourly_rollup_stream(spark, sf_dir)
+
+
+def o_stream_rollup():
+    return ("SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n, "
+            "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1, 2")
+
+
 # =================================================================
 # training-data pipeline operators (documents / embeddings)
 # =================================================================
@@ -1318,4 +1332,5 @@ REGISTRY: dict[str, tuple] = {
     "raster_calc": (q_raster_calc, o_raster_calc),
     "warp_envelope": (q_warp_envelope, o_warp_envelope),
     "warp_resample": (q_warp_resample, o_warp_resample),
+    "stream_rollup": (q_stream_rollup, o_stream_rollup),
 }

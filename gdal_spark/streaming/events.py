@@ -1,0 +1,54 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming model (SURVEY §2.15 — GDAL is a batch
+library; its incremental story is chunk-restartable utilities). The
+north star's incremental requirement is checkpoint/resume (see
+pipeline/checkpoint.py). This module adds the Spark-native streaming
+twin of the batch event rollup anyway, because a web-scale ingest
+pipeline would arrive as a stream: file-source → event-time watermark →
+tumbling windows → sink, runnable with trigger(availableNow) for
+batch-equivalent replays.
+
+Determinism: with availableNow + complete mode the stream drains the
+full input and the result equals the batch GROUP BY (the oracle is the
+same SQL as queries.o_events_window) — so even the streaming operator
+gets an exact cross-engine check.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hourly_rollup_stream(spark: SparkSession, sf_dir: str,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Run the hourly per-type rollup as a stream over the events
+    parquet; returns the drained result as a batch DataFrame."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(schema)
+           # file source requires a directory; select just the events
+           # table out of the shared sf dir
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir)
+           # watermark requires TIMESTAMP (LTZ); the table stores NTZ.
+           # Session TZ is UTC so the cast is value-preserving.
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (src.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value")))
+    name = f"rollup_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_stream_ckpt_")
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").cast("timestamp_ntz").alias("hour"),
+                    "event_type", "n", "sum_value"))
