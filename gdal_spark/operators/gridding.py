@@ -70,9 +70,12 @@ def grid_metrics(cand: DataFrame) -> DataFrame:
 def grid_nearest(cand: DataFrame, id_col: str = "pt_id",
                  value_col: str = "value") -> DataFrame:
     """Nearest (alg/gdalgrid.cpp:905-976 semantics at fixed radius):
-    value of the closest candidate, ties by point id."""
+    value of the closest candidate, ties by (point id, value) — the
+    value term matters because the synthetic point table contains
+    duplicate pt_ids (colliding l_orderkey*8+l_linenumber keys) whose
+    hash-derived coords tie exactly but whose values differ."""
     w = Window.partitionBy("cy", "cx").orderBy(
-        F.col("d2").asc(), F.col(id_col).asc())
+        F.col("d2").asc(), F.col(id_col).asc(), F.col(value_col).asc())
     return (cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("cy", "cx", F.col(id_col).alias("pt_id"),

@@ -44,18 +44,28 @@ ZRAST_ZONES = [1, 9]  # triangle + polygon-with-hole
 
 
 def _views(spark: SparkSession, sf_dir: str, names=("documents",)) -> None:
+    # The sandbox sf files are single-row-group parquet, so the scan
+    # itself is one task no matter the split config; the round-robin
+    # repartition right after the scan spreads the (expensive) geocode
+    # and tile derivations across all cores. On a real multi-file /
+    # multi-row-group table the scan parallelizes natively and this
+    # becomes a no-op knob.
+    n_parts = spark.sparkContext.defaultParallelism
     for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+        (spark.read.parquet(f"{sf_dir}/{n}.parquet")
+         .repartition(n_parts).createOrReplaceTempView(n))
 
 
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("documents",))
-    return spark.sql(f"WITH {sqlexpr.pages_cte()} SELECT * FROM pages")
+    return spark.sql(
+        f"WITH {sqlexpr.pages_cte(dialect='spark')} SELECT * FROM pages")
 
 
 def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("lineitem",))
-    return spark.sql(f"WITH {sqlexpr.points_cte()} SELECT * FROM points")
+    return spark.sql(
+        f"WITH {sqlexpr.points_cte(dialect='spark')} SELECT * FROM points")
 
 
 # =================================================================
@@ -488,7 +498,7 @@ def o_grid_nearest():
     return f"""
 WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()},
 r AS (SELECT cy, cx, pt_id, value, d2,
-             ROW_NUMBER() OVER (PARTITION BY cy, cx ORDER BY d2, pt_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY cy, cx ORDER BY d2, pt_id, value) AS rn
       FROM cand)
 SELECT cy, cx, pt_id, value AS v, ROUND(d2, 6) AS d2 FROM r WHERE rn = 1"""
 
@@ -507,8 +517,8 @@ def o_grid_invdist():
 WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()},
 folded AS (
   SELECT cy, cx, COUNT(*) AS n,
-         list(1.0 / (d2 + {SMOOTH!r}) ORDER BY pt_id) AS ws,
-         list((1.0 / (d2 + {SMOOTH!r})) * value ORDER BY pt_id) AS wvs
+         list(1.0 / (d2 + {SMOOTH!r}) ORDER BY pt_id, value) AS ws,
+         list((1.0 / (d2 + {SMOOTH!r})) * value ORDER BY pt_id, value) AS wvs
   FROM cand GROUP BY cy, cx
 )
 SELECT cy, cx, CAST(n AS INT) AS n,
@@ -887,9 +897,9 @@ src AS (
 src2 AS (SELECT pt_id, hx AS gx, hy AS gy, hx, hy FROM src)"""
 
 
-def _hilbert_sql() -> str:
+def _hilbert_sql(dialect: str = "duck") -> str:
     ctes, fin = sqlexpr.hilbert_ctes("src2", ["pt_id", "gx", "gy"], order=8)
-    return (f"WITH {sqlexpr.points_cte()}, {_HILBERT_SRC},\n{ctes}\n"
+    return (f"WITH {sqlexpr.points_cte(dialect=dialect)}, {_HILBERT_SRC},\n{ctes}\n"
             f"SELECT pt_id, gx, gy, hd FROM {fin}")
 
 
@@ -899,7 +909,7 @@ def q_hilbert_sort(spark, sf_dir):
     curve code over the world grid, then range-repartition on the code
     — exactly how Iceberg files get spatial locality (SURVEY §2.6)."""
     _views(spark, sf_dir, ("lineitem",))
-    df = spark.sql(_hilbert_sql())
+    df = spark.sql(_hilbert_sql(dialect="spark"))
     return df.repartitionByRange(32, "hd")
 
 

@@ -27,9 +27,21 @@ def get_spark(app: str = "gdal_spark", master: str | None = None,
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Partition coalescing sizes post-shuffle stages by BYTES; our
+        # aggregation stages are CPU-bound with tiny rows (tile ids),
+        # and coalescing a 500k-group aggregation to 3 partitions left
+        # 29/32 cores idle (measured 2× slowdown on the z12 pyramid).
+        # Skew-join splitting stays on — that one works by row counts.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # local sf files are a few MB: without a floor on scan splits a
+        # whole table lands in 1-3 input partitions and 29 of 32 cores
+        # idle through every scan-heavy stage (observed: flagship scans
+        # ran "(0 + 3) / 3"). On a real cluster the same floor comes
+        # from block sizes; here we force split parallelism explicitly.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -30,26 +30,33 @@ _H2 = "(({k}) * 2246822519 + 3266489917) % 4294967296"
 _H3 = "(({k}) * 3266489917 + 668265263) % 4294967296"
 
 
-def _case_from_list(expr: str, values, quote=False) -> str:
-    arms = []
-    for i, v in enumerate(values):
-        lit = f"'{v}'" if quote else repr(float(v))
-        arms.append(f"WHEN {i} THEN {lit}")
-    return f"CASE {expr} " + " ".join(arms) + " END"
+def _lookup(expr: str, values, dialect: str, quote=False) -> str:
+    """1-based indexed lookup into a literal array — the codegen-light
+    replacement for an N-arm CASE chain (a 12-arm CASE × 6 columns blew
+    Spark's whole-stage-codegen past janino's 64 KB method limit and
+    forced interpreted execution of the geocode projection). Spark and
+    DuckDB spell list indexing differently, so this is the one
+    dialect-split snippet; the element VALUES are identical literals.
+    """
+    lits = ", ".join(
+        f"'{v}'" if quote else f"CAST({float(v)!r} AS DOUBLE)" for v in values)
+    idx = f"CAST({expr} AS INT) + 1"
+    if dialect == "spark":
+        return f"element_at(array({lits}), {idx})"
+    return f"list_extract(list_value({lits}), {idx})"
 
 
-def geo_exprs(key: str) -> dict[str, str]:
+def geo_exprs(key: str, dialect: str = "duck") -> dict[str, str]:
     """SQL expressions keyed off an integer column `key`:
     geo_src ('embed'|'tld'|NULL), lat, lon (NULL when no geo)."""
     h1, h2, h3 = _H1.format(k=key), _H2.format(k=key), _H3.format(k=key)
     hot_k = f"({h1}) % 5"
-    hot_lat = _case_from_list(hot_k, [lat for lat, _ in HOTSPOTS])
-    hot_lon = _case_from_list(hot_k, [lon for _, lon in HOTSPOTS])
-    tld = _case_from_list(f"({h1}) % {len(TLDS)}", TLDS, quote=True)
-    tld_lat = "CASE tld " + " ".join(
-        f"WHEN '{t}' THEN {TLD_CENTROIDS[t][0]!r}" for t in TLDS) + " END"
-    tld_lon = "CASE tld " + " ".join(
-        f"WHEN '{t}' THEN {TLD_CENTROIDS[t][1]!r}" for t in TLDS) + " END"
+    hot_lat = _lookup(hot_k, [lat for lat, _ in HOTSPOTS], dialect)
+    hot_lon = _lookup(hot_k, [lon for _, lon in HOTSPOTS], dialect)
+    tld_idx = f"({h1}) % {len(TLDS)}"
+    tld = _lookup(tld_idx, TLDS, dialect, quote=True)
+    tld_lat = _lookup(tld_idx, [TLD_CENTROIDS[t][0] for t in TLDS], dialect)
+    tld_lon = _lookup(tld_idx, [TLD_CENTROIDS[t][1] for t in TLDS], dialect)
     embed_lat = (f"CASE WHEN ({h1}) % 10 < 7 THEN {hot_lat} + ((({h2}) % 20001) - 10000) * 0.0001 "
                  f"ELSE ((({h2}) % 160001) * 0.001) - 80.0 END")
     embed_lon = (f"CASE WHEN ({h1}) % 10 < 7 THEN {hot_lon} + ((({h3}) % 20001) - 10000) * 0.0001 "
@@ -62,11 +69,11 @@ def geo_exprs(key: str) -> dict[str, str]:
     }
 
 
-def pages_cte(src_table: str = "documents") -> str:
+def pages_cte(src_table: str = "documents", dialect: str = "duck") -> str:
     """CTE body: documents → pages(doc_id, url, tld, lang, text, n_chars,
     geo_src, lat, lon). Geocode rule: embedded coordinate wins, else TLD
     centroid, else null geometry (FIXTURES.md F1)."""
-    e = geo_exprs("doc_id")
+    e = geo_exprs("doc_id", dialect)
     return f"""
 pages0 AS (
   SELECT doc_id, text, lang, n_chars, {e['tld']} AS tld, {e['geo_src']} AS geo_src,
@@ -85,11 +92,13 @@ pages AS (
 )"""
 
 
-def points_cte(src_table: str = "lineitem") -> str:
+def points_cte(src_table: str = "lineitem", dialect: str = "duck") -> str:
     """High-volume points table derived from lineitem (600k rows at
     sf0.1) for throughput benchmarks: key = l_orderkey*8+l_linenumber."""
     key = "(l_orderkey * 8 + l_linenumber)"
-    e = geo_exprs(key)
+    e = geo_exprs(key, dialect)
+    # level-2 expressions re-key off pt_id (same value as `key`)
+    e2 = geo_exprs("pt_id", dialect)
     return f"""
 pts0 AS (
   SELECT {key} AS pt_id, l_quantity AS value, {e['geo_src']} AS geo_src,
@@ -99,9 +108,9 @@ pts0 AS (
 points AS (
   SELECT pt_id, value, geo_src,
          CAST(CASE WHEN geo_src = 'embed' THEN embed_lat
-              WHEN geo_src = 'tld' THEN {e['tld_lat']} END AS DOUBLE) AS lat,
+              WHEN geo_src = 'tld' THEN {e2['tld_lat']} END AS DOUBLE) AS lat,
          CAST(CASE WHEN geo_src = 'embed' THEN embed_lon
-              WHEN geo_src = 'tld' THEN {e['tld_lon']} END AS DOUBLE) AS lon
+              WHEN geo_src = 'tld' THEN {e2['tld_lon']} END AS DOUBLE) AS lon
   FROM pts0
 )"""
 
