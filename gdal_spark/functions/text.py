@@ -40,9 +40,12 @@ def shingles3(df: DataFrame, id_col: str = "doc_id",
         idx, lambda i: F.concat_ws(
             " ", F.element_at(t, i + 1), F.element_at(t, i + 2),
             F.element_at(t, i + 3)))
-    return (df.select(id_col, F.when(F.size(t) >= 3, sh)
-                      .otherwise(F.array().cast("array<string>")).alias("_sh"))
-            .select(id_col, F.explode("_sh").alias("s"))
+    # guard via row filter, NOT when(): a CASE WHEN wrapped around the
+    # transform lambda measured 10× slower (19 s vs 2 s at sf0.1 —
+    # the conditional defeats codegen of the nested higher-order func);
+    # the filter also keeps sequence() from descending when size < 3
+    return (df.filter(F.size(t) >= 3)
+            .select(id_col, F.explode(sh).alias("s"))
             .distinct())
 
 

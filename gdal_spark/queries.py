@@ -56,6 +56,15 @@ def _views(spark: SparkSession, sf_dir: str, names=("documents",)) -> None:
          .repartition(n_parts).createOrReplaceTempView(n))
 
 
+def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the single-row-group scan spread across cores
+    (see _views note) — the text ops explode ~60 tokens/doc, so the
+    scan task must not be the parallelism ceiling."""
+    n_parts = spark.sparkContext.defaultParallelism
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(n_parts))
+
+
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ("documents",))
     return spark.sql(
@@ -82,6 +91,25 @@ def q_geocode(spark, sf_dir):
 def o_geocode():
     return (f"WITH {sqlexpr.pages_cte()} "
             "SELECT doc_id, url, tld, lang, geo_src, lat, lon FROM pages")
+
+
+def q_text_passthrough(spark, sf_dir):
+    """input_hint per-row invariant: byte-identical extracted text per
+    url after the geocode pipeline. The engine carries `text` untouched
+    through every pages-CTE stage; the MD5 here is computed on the
+    engine's OUTPUT text and must hash-match the oracle's, which reads
+    the source column directly — any mutation (encoding, trim,
+    normalization) anywhere in the pipeline breaks the compare."""
+    return (pages_df(spark, sf_dir)
+            .select("doc_id", "url",
+                    F.md5(F.col("text").cast("binary")).alias("text_md5"),
+                    F.length("text").alias("text_len")))
+
+
+def o_text_passthrough():
+    return (f"WITH {sqlexpr.pages_cte()} "
+            "SELECT doc_id, url, MD5(text) AS text_md5, "
+            "LENGTH(text) AS text_len FROM pages")
 
 
 def q_tile_assign(spark, sf_dir):
@@ -610,6 +638,62 @@ SELECT py, px, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
 FROM px"""
 
 
+def q_contour_cells(spark, sf_dir):
+    """Contour via marching squares (alg/contour.cpp,
+    alg/marching_squares/*): classify every 2×2 pixel block of the
+    density raster against an iso-threshold into its 4-bit
+    marching-squares case (corner-above bitmask, TL=1 TR=2 BR=4 BL=8);
+    emit blocks that produce contour segments (cases 1..14). Segment
+    geometry assembly is the per-tile continuation; the case field IS
+    the crossing topology the reference's segment generator consumes.
+
+    Spark shape: the sparse pixel table self-joined 4× via shifted
+    keys — equivalently one join per corner offset; block ids are
+    (by, bx) = top-left pixel. Missing pixels count as 0 (below
+    threshold). Only blocks with ≥1 above-threshold corner survive the
+    union, so the join stays sparse."""
+    pts = points_df(spark, sf_dir)
+    burn = rast_op.burn_points(pts, PGRID_GT, PGRID_W, PGRID_H)
+    thr = float(PMASK_THR)
+    above = (burn.filter(F.col("burn") >= thr)
+             .select(F.col("py").alias("ay"), F.col("px").alias("ax")))
+    # candidate blocks: any block whose 2x2 window touches an
+    # above-threshold pixel — 4 shifted copies of the sparse mask
+    corners = []
+    for dy, dx, bit in ((0, 0, 1), (0, 1, 2), (1, 1, 4), (1, 0, 8)):
+        corners.append(above.select(
+            (F.col("ay") - dy).alias("by"), (F.col("ax") - dx).alias("bx"),
+            F.lit(bit).alias("bit")))
+    blocks = corners[0]
+    for c in corners[1:]:
+        blocks = blocks.unionByName(c)
+    cases = (blocks
+             .filter((F.col("by") >= 0) & (F.col("by") < PGRID_H - 1)
+                     & (F.col("bx") >= 0) & (F.col("bx") < PGRID_W - 1))
+             .groupBy("by", "bx").agg(F.sum("bit").alias("ms_case")))
+    return cases.filter((F.col("ms_case") >= 1) & (F.col("ms_case") <= 14))
+
+
+def o_contour_cells():
+    thr = float(PMASK_THR)
+    return f"""
+WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
+above AS (SELECT py AS ay, px AS ax FROM burn WHERE c >= {thr!r}),
+corners AS (
+  SELECT ay AS by, ax AS bx, 1 AS bit FROM above
+  UNION ALL SELECT ay, ax - 1, 2 FROM above
+  UNION ALL SELECT ay - 1, ax - 1, 4 FROM above
+  UNION ALL SELECT ay - 1, ax, 8 FROM above
+),
+cases AS (
+  SELECT by, bx, SUM(bit) AS ms_case FROM corners
+  WHERE by >= 0 AND by < {PGRID_H - 1} AND bx >= 0 AND bx < {PGRID_W - 1}
+  GROUP BY by, bx
+)
+SELECT by, bx, CAST(ms_case AS BIGINT) AS ms_case FROM cases
+WHERE ms_case BETWEEN 1 AND 14"""
+
+
 def q_warp_envelope(spark, sf_dir):
     """Suggested warp output (GDALSuggestedWarpOutput2,
     alg/gdaltransformer.cpp:342-1170) for the London 40×40 grid warped
@@ -1048,7 +1132,7 @@ def o_stream_rollup():
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash: keep the lowest doc_id per md5(text)
     — hash-groupBy dedup over the documents table."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs_df(spark, sf_dir)
     w = Window.partitionBy("h").orderBy(F.col("doc_id").asc())
     return (df.withColumn("h", F.md5(F.col("text").cast("binary")))
             .withColumn("rn", F.row_number().over(w))
@@ -1064,7 +1148,7 @@ def o_dedup_exact():
 
 def q_token_count(spark, sf_dir):
     """Whitespace token counting + char stats per document."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs_df(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return df.select(
         "doc_id",
@@ -1081,7 +1165,7 @@ def o_token_count():
 
 def q_quality(spark, sf_dir):
     """Quality scoring: punctuation/digit/space ratios (rounded to 6)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs_df(spark, sf_dir)
     n = F.length("text").cast("double")
     digits = (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))).cast("double")
     punct = (F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).cast("double")
@@ -1133,7 +1217,7 @@ def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket
     join → exact-Jaccard verify (operators/dedup.py)."""
     from gdal_spark.operators import dedup as dedup_op
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs_df(spark, sf_dir)
     return dedup_op.minhash_lsh_pairs(df)
 
 
@@ -1172,7 +1256,7 @@ def q_langid(spark, sf_dir):
     """Language-ID pipeline: tokenize → per-lang profile score → argmax
     (functions/text.langid; deterministic profile weights)."""
     from gdal_spark.functions import text as T_
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs_df(spark, sf_dir)
     return T_.langid(df)
 
 
@@ -1201,7 +1285,7 @@ def q_fingerprint(spark, sf_dir):
     """Document fingerprint: bottom-4 sketch of shingle MD5s
     (functions/text.fingerprint_col)."""
     from gdal_spark.functions.text import fingerprint_col, shingles3
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs_df(spark, sf_dir)
     return (shingles3(df).groupBy("doc_id")
             .agg(fingerprint_col().alias("fp")))
 
@@ -1343,4 +1427,6 @@ REGISTRY: dict[str, tuple] = {
     "warp_envelope": (q_warp_envelope, o_warp_envelope),
     "warp_resample": (q_warp_resample, o_warp_resample),
     "stream_rollup": (q_stream_rollup, o_stream_rollup),
+    "contour_cells": (q_contour_cells, o_contour_cells),
+    "text_passthrough": (q_text_passthrough, o_text_passthrough),
 }

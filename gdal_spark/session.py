@@ -42,6 +42,10 @@ def get_spark(app: str = "gdal_spark", master: str | None = None,
         # from block sizes; here we force split parallelism explicitly.
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "8m")
+        # our repartition() calls spread single-row-group scans; the
+        # pre-shuffle sort only exists for deterministic task retries
+        # and costs more than the exchange itself on wide rows
+        .config("spark.sql.execution.sortBeforeRepartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
