@@ -24,6 +24,16 @@ from __future__ import annotations
 
 import numpy as np
 
+
+def dlit(x) -> str:
+    """Render a float as a guaranteed-DOUBLE SQL literal. Bare decimal
+    literals parse as DECIMAL in both engines, and DuckDB's
+    DECIMAL(17,15)→DOUBLE conversion differs from strtod in the last
+    ulp (CAST(-45.730000000000004 AS DOUBLE) ≠ -45.730000000000004e0 —
+    verified). An exponent suffix forces the strtod path."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "n" in s) else s + "e0"
+
 # ------------------------------------------------------------ hotspots ---
 
 HOTSPOTS = [  # (lat, lon) — 5 urban discs used by the page generator
@@ -106,8 +116,11 @@ def zone_area(z) -> float:
 
 def zones_values_sql() -> str:
     """zones(zone_fid, eas_id, area, prfedea) as a VALUES relation."""
+    # CAST floats to DOUBLE: DuckDB unifies a VALUES column to the
+    # FIRST row's decimal scale and silently rounds later rows (bit
+    # mismatch vs the engine's float64 — see sqlexpr._lookup note)
     rows = ", ".join(
-        f"({z['zone_fid']}, {z['eas_id']}, {zone_area(z)!r}, '{z['prfedea']}')"
+        f"({z['zone_fid']}, {z['eas_id']}, {dlit(zone_area(z))}, '{z['prfedea']}')"
         for z in ZONES
     )
     return f"(VALUES {rows}) AS zones(zone_fid, eas_id, area, prfedea)"
@@ -123,13 +136,17 @@ def zone_part_edges_sql() -> str:
             for i in range(n):
                 x1, y1 = ring[i]
                 x2, y2 = ring[(i + 1) % n]
-                rows.append(f"({z['zone_fid']}, {pid}, 0, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+                rows.append(
+                    f"({z['zone_fid']}, {pid}, 0, {dlit(x1)}, {dlit(y1)}, "
+                    f"{dlit(x2)}, {dlit(y2)})")
         for hid, ring in enumerate(z["holes"]):
             n = len(ring)
             for i in range(n):
                 x1, y1 = ring[i]
                 x2, y2 = ring[(i + 1) % n]
-                rows.append(f"({z['zone_fid']}, {100 + hid}, 1, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+                rows.append(
+                    f"({z['zone_fid']}, {100 + hid}, 1, {dlit(x1)}, {dlit(y1)}, "
+                    f"{dlit(x2)}, {dlit(y2)})")
     return "(VALUES " + ", ".join(rows) + ") AS zpe(zone_fid, part_id, is_hole, x1, y1, x2, y2)"
 
 
@@ -143,13 +160,16 @@ def zone_bbox_values_sql() -> str:
     rows = []
     for z in ZONES:
         xmin, ymin, xmax, ymax = polygon_bbox(z["rings"])
-        rows.append(f"({z['zone_fid']}, {xmin!r}, {ymin!r}, {xmax!r}, {ymax!r})")
+        rows.append(
+            f"({z['zone_fid']}, {dlit(xmin)}, {dlit(ymin)}, "
+            f"{dlit(xmax)}, {dlit(ymax)})")
     return "(VALUES " + ", ".join(rows) + ") AS zbox(zone_fid, xmin, ymin, xmax, ymax)"
 
 
 def tld_values_sql() -> str:
     rows = ", ".join(
-        f"('{t}', {lat!r}, {lon!r}, '{c}')" for t, (lat, lon, c) in TLD_CENTROIDS.items()
+        f"('{t}', {dlit(lat)}, {dlit(lon)}, '{c}')"
+        for t, (lat, lon, c) in TLD_CENTROIDS.items()
     )
     return f"(VALUES {rows}) AS tldc(tld, tlat, tlon, country)"
 
@@ -191,5 +211,7 @@ KNN_QUERIES = [  # (query_id, lat, lon, k): hotspots, ocean (forces ring
 
 
 def knn_queries_sql() -> str:
-    rows = ", ".join(f"({q}, {lat!r}, {lon!r}, {k})" for q, lat, lon, k in KNN_QUERIES)
+    rows = ", ".join(
+        f"({q}, {dlit(lat)}, {dlit(lon)}, {k})"
+        for q, lat, lon, k in KNN_QUERIES)
     return f"(VALUES {rows}) AS knnq(query_id, qlat, qlon, k)"

@@ -798,10 +798,8 @@ def o_warp_resample():
     # force promotion — without the cast the oracle computes in exact
     # decimal and disagrees with the driver-side double math at floor
     # boundaries (observed: fx exactly 20.0 flipping to 19)
-    X = (f"(CAST({env['minx']!r} AS DOUBLE) "
-         f"+ (dx + 0.5) * CAST({env['psx']!r} AS DOUBLE))")
-    Y = (f"(CAST({env['maxy']!r} AS DOUBLE) "
-         f"- (dy + 0.5) * CAST({env['psy']!r} AS DOUBLE))")
+    X = f"({sqlexpr.dlit(env['minx'])} + (dx + 0.5) * {sqlexpr.dlit(env['psx'])})"
+    Y = f"({sqlexpr.dlit(env['maxy'])} - (dy + 0.5) * {sqlexpr.dlit(env['psy'])})"
     OS = "(PI() * 6378137)"
     lon = f"(({X} * 180.0) / {OS})"
     lat = f"((ATAN(EXP(({Y} * PI()) / {OS})) * 360.0) / PI() - 90.0)"
@@ -999,6 +997,104 @@ def q_hilbert_sort(spark, sf_dir):
 
 def o_hilbert_sort():
     return _hilbert_sql()
+
+
+def q_table_stats(spark, sf_dir):
+    """Metadata-style table answers (GetFeatureCount / GetExtent
+    pushdown, ogrlayer.cpp:204,294; COUNT(*) fast path
+    ogr_gensql.cpp:953-974): row count + geocoded extent per geo_src."""
+    p = pages_df(spark, sf_dir)
+    return (p.groupBy("geo_src").agg(
+        F.count("*").alias("n"),
+        F.min("lon").alias("xmin"), F.min("lat").alias("ymin"),
+        F.max("lon").alias("xmax"), F.max("lat").alias("ymax")))
+
+
+def o_table_stats():
+    return (f"WITH {sqlexpr.pages_cte()} "
+            "SELECT geo_src, COUNT(*) AS n, MIN(lon) AS xmin, MIN(lat) AS ymin, "
+            "MAX(lon) AS xmax, MAX(lat) AS ymax FROM pages GROUP BY geo_src")
+
+
+def q_vector_index(spark, sf_dir):
+    """gdal vector/raster index (apps/gdalalg_vector_index.cpp,
+    gdalalg_raster_index.cpp): a footprint table — one bbox row per
+    zone plus its page count — the broadcastable pre-filter index."""
+    from gdal_spark.geo.geom import polygon_bbox
+    p = pages_df(spark, sf_dir)
+    hits = sj.pip_join(p, spark).select("zone_fid")
+    counts = hits.groupBy("zone_fid").agg(F.count("*").alias("n_pages"))
+    z = spark.createDataFrame(
+        [(zz["zone_fid"],) + tuple(polygon_bbox(zz["rings"])) for zz in ZONES],
+        "zone_fid int, xmin double, ymin double, xmax double, ymax double")
+    return (z.join(counts, "zone_fid", "left")
+            .select("zone_fid", "xmin", "ymin", "xmax", "ymax",
+                    F.coalesce("n_pages", F.lit(0)).alias("n_pages")))
+
+
+def o_vector_index():
+    from gdal_spark.fixtures import zone_bbox_values_sql
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pip_sql()},
+counts AS (SELECT zone_fid, COUNT(*) AS n_pages FROM pip GROUP BY zone_fid)
+SELECT zbox.zone_fid, zbox.xmin, zbox.ymin, zbox.xmax, zbox.ymax,
+       COALESCE(counts.n_pages, 0) AS n_pages
+FROM {zone_bbox_values_sql()} LEFT JOIN counts ON counts.zone_fid = zbox.zone_fid"""
+
+
+def q_segmentize(spark, sf_dir):
+    """Segmentize (ogr2ogr -segmentize; OGRGeometry::segmentize,
+    ogr/ogr_geometry.h:543): add vertices along zone edges so no
+    segment exceeds max_len=0.25° — per-edge point explosion as pure
+    column math (the same scatter pattern as gridding)."""
+    rows = []
+    for z in ZONES:
+        for ring in z["rings"]:
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                rows.append((z["zone_fid"], i, float(x1), float(y1),
+                             float(x2), float(y2)))
+    edges = spark.createDataFrame(
+        rows, "zone_fid int, edge int, x1 double, y1 double, x2 double, y2 double")
+    seg_len = F.sqrt((F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+                     + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1")))
+    nseg = F.greatest(F.lit(1), F.ceil(seg_len / 0.25).cast("int"))
+    return (edges.withColumn("_n", nseg)
+            .withColumn("k", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+            .select("zone_fid", "edge", "k",
+                    F.round(F.col("x1") + (F.col("x2") - F.col("x1"))
+                            * (F.col("k").cast("double") / F.col("_n")), 9).alias("vx"),
+                    F.round(F.col("y1") + (F.col("y2") - F.col("y1"))
+                            * (F.col("k").cast("double") / F.col("_n")), 9).alias("vy")))
+
+
+def o_segmentize():
+    # identical edge table + arithmetic in SQL
+    rows = []
+    for z in ZONES:
+        for ring in z["rings"]:
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                rows.append(
+                    f"({z['zone_fid']}, {i}, {sqlexpr.dlit(x1)}, {sqlexpr.dlit(y1)}, "
+                    f"{sqlexpr.dlit(x2)}, {sqlexpr.dlit(y2)})")
+    edges = ("(VALUES " + ", ".join(rows)
+             + ") AS edges(zone_fid, edge, x1, y1, x2, y2)")
+    return f"""
+WITH e AS (
+  SELECT zone_fid, edge, x1, y1, x2, y2,
+         GREATEST(1, CAST(CEIL(SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+                               / 0.25) AS INT)) AS n
+  FROM {edges}
+)
+SELECT zone_fid, edge, CAST(k.range AS INT) AS k,
+       ROUND(x1 + (x2 - x1) * (CAST(k.range AS DOUBLE) / n), 9) AS vx,
+       ROUND(y1 + (y2 - y1) * (CAST(k.range AS DOUBLE) / n), 9) AS vy
+FROM e CROSS JOIN range(0, 1000) k(range) WHERE k.range < n"""
 
 
 # =================================================================
@@ -1429,4 +1525,7 @@ REGISTRY: dict[str, tuple] = {
     "stream_rollup": (q_stream_rollup, o_stream_rollup),
     "contour_cells": (q_contour_cells, o_contour_cells),
     "text_passthrough": (q_text_passthrough, o_text_passthrough),
+    "table_stats": (q_table_stats, o_table_stats),
+    "vector_index": (q_vector_index, o_vector_index),
+    "segmentize": (q_segmentize, o_segmentize),
 }

@@ -22,7 +22,7 @@ gdal_spark/geo/mercator.py for the full citation list).
 
 from __future__ import annotations
 
-from gdal_spark.fixtures import HOTSPOTS, TLD_CENTROIDS, TLDS
+from gdal_spark.fixtures import HOTSPOTS, TLD_CENTROIDS, TLDS, dlit
 
 # Multiplicative hash constants (Knuth / xxhash-prime flavored)
 _H1 = "(({k}) * 2654435761) % 4294967296"
