@@ -14,6 +14,7 @@ on integer ids.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1221,6 +1222,53 @@ def o_stream_rollup():
             "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1, 2")
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Per-user sessionization as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState; gdal_spark/streaming/sessions.py). Exact
+    oracle: with availableNow the result equals the batch
+    gaps-and-islands query."""
+    from gdal_spark.streaming.sessions import sessionize_stream
+    return sessionize_stream(spark, sf_dir)
+
+
+def o_stream_sessions():
+    return """
+WITH e AS (SELECT user_id, event_id, ts FROM events),
+m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM m
+)
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(*) AS n_events
+FROM g GROUP BY user_id, session_idx"""
+
+
+def q_s2_cells(spark, sf_dir):
+    """S2 cell index (north-rule physical design; pure-numpy S2 in
+    geo/s2.py — no s2 lib in the container): per-page level-10 cell id
+    via a vectorized pandas UDF + per-cell counts. No SQL oracle exists
+    for S2 math → rows-only driver check; exactness is covered by
+    tests/test_s2.py round-trip/hierarchy properties."""
+    from gdal_spark.geo import s2 as s2mod
+
+    @F.pandas_udf("long")
+    def s2_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        ids = s2mod.latlon_to_cell(lat.to_numpy(), lon.to_numpy(), level=10)
+        return pd.Series(ids.astype("int64"))
+
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    return (p.withColumn("s2", s2_cell(F.col("lat"), F.col("lon")))
+            .groupBy("s2").agg(F.count("*").alias("n_pages")))
+
+
 # =================================================================
 # training-data pipeline operators (documents / embeddings)
 # =================================================================
@@ -1528,4 +1576,6 @@ REGISTRY: dict[str, tuple] = {
     "table_stats": (q_table_stats, o_table_stats),
     "vector_index": (q_vector_index, o_vector_index),
     "segmentize": (q_segmentize, o_segmentize),
+    "stream_sessions": (q_stream_sessions, o_stream_sessions),
+    "s2_cells": (q_s2_cells, None),
 }

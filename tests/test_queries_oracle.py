@@ -29,4 +29,6 @@ def test_every_query_has_oracle_or_reason(spark):
     qs, os = entry.queries(), entry.oracle_sql()
     missing = set(qs) - set(os)
     # non-SQL-expressible ops may be rows-only; keep the list explicit
-    assert missing <= set(), f"queries without oracle: {missing}"
+    # (s2_cells: S2 curve math has no SQL oracle; covered by
+    # tests/test_s2.py property tests instead)
+    assert missing <= {"s2_cells"}, f"queries without oracle: {missing}"
