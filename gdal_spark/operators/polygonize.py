@@ -203,7 +203,10 @@ def resolve_equivalences(labels: DataFrame, edges: DataFrame,
 
 def polygonize(mask: DataFrame, width: int, tile: int = 32) -> DataFrame:
     """mask(py, px) → per-pixel final labels (py, px, label)."""
-    local = tile_local_labels(mask, width, tile)
+    # the tile pass feeds three consumers (border self-join ×2 sides +
+    # final relabel); persist it so the upstream burn/geocode pipeline
+    # runs once, not four times
+    local = tile_local_labels(mask, width, tile).persist()
     edges = border_edges(local, tile)
     return resolve_equivalences(local, edges)
 
