@@ -1222,6 +1222,33 @@ def o_stream_rollup():
             "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1, 2")
 
 
+def q_topk_per_zone(spark, sf_dir):
+    """Top-k per group (SURVEY §2.5 — the window machinery the
+    reference reaches only via its SQLite dialect): 3 largest docs per
+    zone by (n_chars desc, doc_id asc)."""
+    p = pages_df(spark, sf_dir)
+    hits = sj.pip_join(p, spark).select("doc_id", "zone_fid", "n_chars")
+    w = Window.partitionBy("zone_fid").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("zone_fid", F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "n_chars"))
+
+
+def o_topk_per_zone():
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pip_sql()},
+h AS (SELECT pip.zone_fid, p.doc_id, p.n_chars
+      FROM pip JOIN pages p ON p.doc_id = pip.doc_id),
+r AS (SELECT zone_fid, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY zone_fid
+                                ORDER BY n_chars DESC, doc_id ASC) AS rank
+      FROM h)
+SELECT zone_fid, CAST(rank AS INT) AS rank, doc_id, n_chars
+FROM r WHERE rank <= 3"""
+
+
 def q_stream_sessions(spark, sf_dir):
     """Per-user sessionization as a CUSTOM STATEFUL streaming operator
     (applyInPandasWithState; gdal_spark/streaming/sessions.py). Exact
@@ -1578,4 +1605,5 @@ REGISTRY: dict[str, tuple] = {
     "segmentize": (q_segmentize, o_segmentize),
     "stream_sessions": (q_stream_sessions, o_stream_sessions),
     "s2_cells": (q_s2_cells, None),
+    "topk_per_zone": (q_topk_per_zone, o_topk_per_zone),
 }
