@@ -28,6 +28,10 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str,
                          watermark: str = "2 hours") -> DataFrame:
     """Run the hourly per-type rollup as a stream over the events
     parquet; returns the drained result as a batch DataFrame."""
+    # the NTZ→LTZ→window→NTZ round-trip is tz-invariant only for
+    # whole-hour-offset zones; pin UTC so a driver-owned session with
+    # another zone can't shift bucket boundaries
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (spark.readStream.schema(schema)
            # file source requires a directory; select just the events

@@ -59,6 +59,7 @@ def _sessionize_user(key, pdfs: Iterator[pd.DataFrame],
 def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the events table through the stateful operator; returns the
     session table as a batch DataFrame."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see events.py
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
