@@ -817,6 +817,52 @@ FROM m LEFT JOIN burn b ON b.py = m.sy AND b.px = m.sx
 WHERE m.sx >= 0 AND m.sx < {ZRAST_W} AND m.sy >= 0 AND m.sy < {ZRAST_H}"""
 
 
+def q_raster_mosaic(spark, sf_dir):
+    """Raster mosaic/stack (gdal raster mosaic/stack,
+    apps/gdalalg_raster_mosaic.cpp, gdalalg_raster_stack.cpp): two
+    source rasters (embed-density, tld-density) virtually concatenated;
+    mosaic rule = first band wins where present, else second
+    (VRT source order); stack keeps both as bands."""
+    pts = points_df(spark, sf_dir)
+    fx = (F.col("lon") - F.lit(GRID_GT[0])) / F.lit(GRID_GT[1])
+    fy = (F.col("lat") - F.lit(GRID_GT[3])) / F.lit(GRID_GT[5])
+    base = (pts.filter(F.col("lat").isNotNull())
+            .withColumn("_fx", fx).withColumn("_fy", fy)
+            .filter((F.col("_fx") >= 0) & (F.col("_fx") < GRID_W)
+                    & (F.col("_fy") >= 0) & (F.col("_fy") < GRID_H))
+            .withColumn("px", F.floor("_fx").cast("long"))
+            .withColumn("py", F.floor("_fy").cast("long")))
+    a = (base.filter(F.col("geo_src") == "embed").groupBy("py", "px")
+         .agg(F.count("*").cast("double").alias("band_a")))
+    b = (base.filter(F.col("geo_src") == "tld").groupBy("py", "px")
+         .agg(F.count("*").cast("double").alias("band_b")))
+    stacked = a.join(b, ["py", "px"], "full_outer")
+    return stacked.select(
+        "py", "px", "band_a", "band_b",
+        F.coalesce("band_a", "band_b").alias("mosaic"))
+
+
+def o_raster_mosaic():
+    g = GRID_GT
+    fx = f"((lon - ({g[0]!r})) / {g[1]!r})"
+    fy = f"((lat - ({g[3]!r})) / ({g[5]!r}))"
+    return f"""
+WITH {sqlexpr.points_cte()},
+base AS (
+  SELECT CAST(FLOOR({fy}) AS BIGINT) AS py, CAST(FLOOR({fx}) AS BIGINT) AS px, geo_src
+  FROM points
+  WHERE lat IS NOT NULL AND {fx} >= 0 AND {fx} < {GRID_W}
+    AND {fy} >= 0 AND {fy} < {GRID_H}
+),
+a AS (SELECT py, px, CAST(COUNT(*) AS DOUBLE) AS band_a FROM base
+      WHERE geo_src = 'embed' GROUP BY 1, 2),
+b AS (SELECT py, px, CAST(COUNT(*) AS DOUBLE) AS band_b FROM base
+      WHERE geo_src = 'tld' GROUP BY 1, 2)
+SELECT COALESCE(a.py, b.py) AS py, COALESCE(a.px, b.px) AS px,
+       a.band_a, b.band_b, COALESCE(a.band_a, b.band_b) AS mosaic
+FROM a FULL OUTER JOIN b ON a.py = b.py AND a.px = b.px"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Tile pyramid z6→z0 over the lineitem points: base counts then the
     4-children overview cascade (gdal2tiles create_overview_tile:1466)."""
@@ -1606,4 +1652,5 @@ REGISTRY: dict[str, tuple] = {
     "stream_sessions": (q_stream_sessions, o_stream_sessions),
     "s2_cells": (q_s2_cells, None),
     "topk_per_zone": (q_topk_per_zone, o_topk_per_zone),
+    "raster_mosaic": (q_raster_mosaic, o_raster_mosaic),
 }
