@@ -9,12 +9,15 @@ Two strategies over `embedding: array<float>`:
   search scans ~nprobe/n_centroids of the data, and a real deployment
   would Iceberg-partition by `cell` so probes prune files.
 
-Determinism (for the DuckDB oracle): the codebook is NOT trained —
-centroids are the embeddings of the first `n_centroids` vec_ids (a
-deterministic stand-in for k-means; the plumbing — assignment, probe,
-refine — is the real IVF shape). All float reductions are sequential
-left-to-right sums in double, identical in Spark's F.aggregate, DuckDB
-list_transform/list_sum, and the numpy oracle kernels.
+Determinism (for the DuckDB oracle): the codebook IS trained — a
+distributed Lloyd loop (``train_codebook``) whose every float is
+cross-engine exact: centroid updates use EXACT INTEGER sums of
+floor-scaled values (order-independent, so the distributed groupBy can
+combine partials in any order), and distance folds are sequential
+left-to-right over the dim axis in both engines. All other float
+reductions are sequential left-to-right sums in double, identical in
+Spark's F.aggregate, DuckDB list_transform/list_sum, and the numpy
+oracle kernels.
 
 GDAL analog: none (ANN is training-data surface); the cell-probe shape
 mirrors our kNN ring search (alg/gdalgrid.cpp:905-976 twin).
@@ -40,6 +43,47 @@ def _dot(vec_col, q: list[float]):
     return F.aggregate(
         F.zip_with(vec_col, qc, lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
+
+
+# centroid-update quantization: floor(val * 2^20) — power-of-two scale
+# so the multiply is exact; integer sums are order-free; the final
+# s / (SCALE * n) division is a single correctly-rounded IEEE op in
+# Python, Spark, and DuckDB alike.
+TRAIN_SCALE = 1 << 20
+
+
+def train_codebook(df: DataFrame, k: int = 4, iters: int = 3,
+                   train_n: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic distributed Lloyd: init = embeddings of the first
+    ``k`` ids; each iteration assigns the training sample (ids <
+    ``train_n`` — a deployment trains on a bounded sample, never the
+    full table) via broadcast column math, then updates centroids with
+    exact-integer sums (see TRAIN_SCALE). Per-iteration driver traffic
+    is k × dims rows — bounded at any data scale. Empty cells keep
+    their previous centroid. Returns [(cid, centroid)] sorted by cid."""
+    v = F.col(vec_col).cast("array<double>")
+    train = (df.filter(F.col(id_col) < train_n)
+             .select(F.col(id_col).alias("_id"), v.alias("_v")).persist())
+    init = train.filter(F.col("_id") < k).orderBy("_id").collect()
+    cents = [(int(r["_id"]), [float(x) for x in r["_v"]]) for r in init]
+    dims = len(cents[0][1])
+    for _ in range(iters):
+        assigned = assign_cells(train, cents, vec_col="_v")
+        el = assigned.select(
+            "cell", F.posexplode(F.col("_v")).alias("dim", "val"))
+        upd = el.groupBy("cell", "dim").agg(
+            F.sum(F.floor(F.col("val") * TRAIN_SCALE).cast("long")).alias("s"),
+            F.count("*").alias("n"))
+        bycell: dict[int, dict[int, float]] = {}
+        for r in upd.collect():
+            bycell.setdefault(int(r["cell"]), {})[int(r["dim"])] = \
+                int(r["s"]) / (TRAIN_SCALE * int(r["n"]))
+        cents = [(cid, [bycell.get(cid, {}).get(d, old[d])
+                        for d in range(dims)])
+                 for cid, old in cents]
+    train.unpersist()
+    return cents
 
 
 def assign_cells(df: DataFrame, centroids: list[tuple[int, list[float]]],
@@ -75,9 +119,14 @@ def ivf_topk(df: DataFrame, query: list[float],
 
     v = F.col(vec_col).cast("array<double>")
     cells = assign_cells(df, centroids, vec_col)
-    w = Window.orderBy(F.col("dot").desc(), F.col(id_col).asc())
-    return (cells.filter(F.col("cell").isin(probe))
+    # TakeOrderedAndProject top-k (orderBy+limit): per-partition heaps
+    # merged on the driver — no global-window shuffle-to-one-task. The
+    # rank window then runs on k rows only.
+    topk = (cells.filter(F.col("cell").isin(probe))
             .withColumn("dot", F.round(_dot(v, query), 6))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(id_col, "rank", "dot"))
+            .select(id_col, "dot")
+            .orderBy(F.col("dot").desc(), F.col(id_col).asc())
+            .limit(k))
+    w = Window.orderBy(F.col("dot").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w)) \
+               .select(id_col, "rank", "dot")

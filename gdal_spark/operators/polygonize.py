@@ -46,9 +46,19 @@ def tile_local_labels(mask: DataFrame, width: int, tile: int = 32) -> DataFrame:
     component."""
 
     def _label(pdf_iter):
-        for pdf in pdf_iter:
+        # Concatenate the WHOLE partition before labeling: Arrow caps
+        # batches at maxRecordsPerBatch (65536), so a tile larger than
+        # one batch would otherwise be split and its interior
+        # adjacencies across the batch boundary silently lost
+        # (border_edges only repairs tile-EDGE pairs). Memory stays
+        # bounded by partition size, which the tile bucketing controls.
+        # A partition may hold several tiles; union-find across them is
+        # harmless (it just discovers some cross-tile merges early).
+        batches = list(pdf_iter)
+        if batches:
+            pdf = pd.concat(batches, ignore_index=True)
             if len(pdf) == 0:
-                continue
+                return
             ys = pdf["py"].to_numpy()
             xs = pdf["px"].to_numpy()
             pid = ys * width + xs
@@ -220,7 +230,12 @@ def components(labels: DataFrame) -> DataFrame:
 
 
 def sieve(labels: DataFrame, threshold: int) -> DataFrame:
-    """Keep pixels of components with ≥ threshold pixels."""
+    """Keep pixels of components with ≥ threshold pixels.
+
+    No broadcast hint: sieve KEEPS the large components, so the
+    keep-list is unbounded at scale (a 10^12-pixel mask can have more
+    surviving components than any broadcast limit). AQE picks broadcast
+    at runtime when the list actually is small."""
     big = (labels.groupBy("label").agg(F.count("*").alias("n"))
            .filter(F.col("n") >= threshold).select("label"))
-    return labels.join(F.broadcast(big), "label").select("py", "px", "label")
+    return labels.join(big, "label").select("py", "px", "label")

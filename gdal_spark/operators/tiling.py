@@ -64,15 +64,25 @@ def pyramid(base_counts: DataFrame, min_zoom: int = 0) -> DataFrame:
 
 
 def salted_agg(df: DataFrame, keys: list[str], agg_exprs: list, salt: int = 16,
-               merge_exprs: list | None = None) -> DataFrame:
+               merge_exprs: list | None = None,
+               salt_cols: list[str] | None = None) -> DataFrame:
     """Two-phase aggregation with explicit salting for skewed keys
     (north-rule skew handling; complements AQE skew-join splitting).
 
     Phase 1 groups by (keys + salt) so one hot key spreads over `salt`
     reducers; phase 2 merges the partials. ``agg_exprs`` must be
     algebraic (sum/count/min/max); pass ``merge_exprs`` when the merge
-    differs (count → sum)."""
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*keys, F.rand(seed=0)), F.lit(salt)))
+    differs (count → sum).
+
+    The salt must vary WITHIN a key group but be DETERMINISTIC per row
+    (a ``rand()`` salt is recomputed on task retry, breaking
+    partial-aggregate exactly-once). ``salt_cols`` names row attributes
+    to hash; by default every non-key column is hashed, so two rows of
+    the same hot key land on different reducers while any given row
+    always lands on the same one."""
+    scols = salt_cols or [c for c in df.columns if c not in keys]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*scols), F.lit(salt)))
     part = salted.groupBy(*keys, "_salt").agg(*agg_exprs)
     return part.groupBy(*keys).agg(*(merge_exprs or agg_exprs)).drop("_salt")
 

@@ -256,7 +256,7 @@ def o_zonal_stats():
 WITH {sqlexpr.pages_cte()}, {_pip_sql()}
 SELECT z.zone_fid, COUNT(*) AS n_pages,
        MIN(p.n_chars) AS min_chars, MAX(p.n_chars) AS max_chars,
-       SUM(p.n_chars) AS sum_chars,
+       CAST(SUM(p.n_chars) AS BIGINT) AS sum_chars,
        CAST(SUM(p.n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
        COUNT(DISTINCT p.tld) AS n_tlds
 FROM pip z JOIN pages p ON p.doc_id = z.doc_id
@@ -1410,11 +1410,17 @@ def q_ann_cosine(spark, sf_dir):
     dot = F.aggregate(
         F.zip_with(F.col("embedding").cast("array<double>"), q, lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
+    # top-k via orderBy().limit(k) = Catalyst TakeOrderedAndProject
+    # (per-partition heap + driver merge) — NOT a global window, which
+    # would shuffle every scored row to one task. rank is derived on the
+    # k-row result, where a single-task window is free.
+    topk = (df.withColumn("dot", F.round(dot, 6))
+            .select("vec_id", "dot")
+            .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+            .limit(10))
     w = Window.orderBy(F.col("dot").desc(), F.col("vec_id").asc())
-    return (df.withColumn("dot", F.round(dot, 6))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 10)
-            .select("vec_id", "rank", "dot"))
+    return topk.withColumn("rank", F.row_number().over(w)) \
+               .select("vec_id", "rank", "dot")
 
 
 def o_ann_cosine():
@@ -1515,36 +1521,76 @@ SELECT doc_id,
 FROM sh GROUP BY doc_id"""
 
 
+IVF_K, IVF_ITERS, IVF_TRAIN_N, IVF_DIMS = 4, 3, 64, 64
+
+
 def q_ivf_ann(spark, sf_dir):
-    """IVF ANN: centroid-cell partition + nprobe=2 probe + dot top-10
-    (operators/ann.py). Codebook = embeddings of vec_id 0..3."""
+    """IVF ANN: Lloyd-trained codebook (operators/ann.train_codebook —
+    deterministic: exact-integer centroid sums, dim-ordered distance
+    folds) + nprobe=2 cell probe + TakeOrderedAndProject dot top-10."""
     from gdal_spark.operators import ann as ann_op
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cent_rows = (df.filter(F.col("vec_id") < 4).orderBy("vec_id")
-                 .select("vec_id", "embedding").collect())
-    centroids = [(int(r["vec_id"]), [float(v) for v in r["embedding"]])
-                 for r in cent_rows]
-    query = centroids[0][1]
+    centroids = ann_op.train_codebook(
+        df, k=IVF_K, iters=IVF_ITERS, train_n=IVF_TRAIN_N)
+    query = [float(v) for v in
+             df.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ann_op.ivf_topk(df, query, centroids)
 
 
 def o_ivf_ann():
-    sq = "z -> (z[1] - z[2]) * (z[1] - z[2])"
+    """Generated Lloyd-in-SQL twin of ann.train_codebook: per-iteration
+    assignment = dim-ordered fold distances + ROW_NUMBER argmin; update
+    = exact FLOOR(val*2^20) integer sums (order-free, so DuckDB's and
+    Spark's arbitrary partial-agg orders agree bit-for-bit)."""
+    from gdal_spark.operators.ann import TRAIN_SCALE
+    nd = IVF_DIMS + 1
+    fold = "(a, b) -> a + b"
+    it_ctes = []
+    for i in range(IVF_ITERS):
+        it_ctes.append(f"""
+d{i} AS (SELECT t.vec_id, c.cid,
+         list_reduce(list((t.val - c.cval) * (t.val - c.cval) ORDER BY t.dim),
+                     {fold}) AS dist
+         FROM tel t JOIN c{i} c ON c.dim = t.dim
+         GROUP BY t.vec_id, c.cid),
+a{i} AS (SELECT vec_id, cid FROM
+         (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d{i}) WHERE rn = 1),
+u{i} AS (SELECT a.cid, t.dim,
+         CAST(SUM(CAST(FLOOR(t.val * {TRAIN_SCALE}) AS BIGINT)) AS DOUBLE)
+           / (CAST({TRAIN_SCALE} AS DOUBLE) * COUNT(*)) AS cval
+         FROM tel t JOIN a{i} a ON a.vec_id = t.vec_id
+         GROUP BY a.cid, t.dim),
+c{i + 1} AS (SELECT c.cid, c.dim, COALESCE(u.cval, c.cval) AS cval
+             FROM c{i} c LEFT JOIN u{i} u ON u.cid = c.cid AND u.dim = c.dim)""")
+    cn = f"c{IVF_ITERS}"
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-ad AS (SELECT e.vec_id, cent.cid,
-              list_sum(list_transform(list_zip(e.v, cent.c), {sq})) AS d
-       FROM e, cent),
+train AS (SELECT vec_id, v FROM e WHERE vec_id < {IVF_TRAIN_N}),
+tel AS (SELECT vec_id, CAST(r.range AS INT) AS dim, v[r.range] AS val
+        FROM train, range(1, {nd}) r),
+c0 AS (SELECT vec_id AS cid, dim, val AS cval FROM tel WHERE vec_id < {IVF_K}),
+{','.join(it_ctes)},
+fel AS (SELECT vec_id, CAST(r.range AS INT) AS dim, v[r.range] AS val
+        FROM e, range(1, {nd}) r),
+fd AS (SELECT f.vec_id, c.cid,
+       list_reduce(list((f.val - c.cval) * (f.val - c.cval) ORDER BY f.dim),
+                   {fold}) AS dist
+       FROM fel f JOIN {cn} c ON c.dim = f.dim GROUP BY f.vec_id, c.cid),
 asg AS (SELECT vec_id, cid AS cell FROM
-        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-         FROM ad) WHERE rn = 1),
-qd AS (SELECT cent.cid,
-              list_sum(list_transform(list_zip(q.qv, cent.c), {sq})) AS d
-       FROM cent, q),
+        (SELECT vec_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         FROM fd) WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qel AS (SELECT CAST(r.range AS INT) AS dim, qv[r.range] AS val
+        FROM q, range(1, {nd}) r),
+qd AS (SELECT c.cid,
+       list_reduce(list((qe.val - c.cval) * (qe.val - c.cval) ORDER BY qe.dim),
+                   {fold}) AS dist
+       FROM qel qe JOIN {cn} c ON c.dim = qe.dim GROUP BY c.cid),
 probe AS (SELECT cid FROM
-          (SELECT cid, ROW_NUMBER() OVER (ORDER BY d, cid) AS rn FROM qd)
+          (SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn FROM qd)
           WHERE rn <= 2),
 d AS (SELECT e.vec_id,
              ROUND(list_sum(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2])), 6) AS dot
@@ -1554,41 +1600,92 @@ r AS (SELECT vec_id, dot, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rank 
 SELECT vec_id, CAST(rank AS INT) AS rank, dot FROM r WHERE rank <= 10"""
 
 
+SIMHASH_BANDS = 4       # 4 tables × 16 sign bits over the 64 dims
+SIMHASH_BITS = 16
+SIMHASH_SEEDS = 40      # vec_id < 40 get a near-dup twin (see below)
+SIMHASH_DUP_OFFSET = 100_000
+
+
 def q_simhash_lsh(spark, sf_dir):
-    """SimHash-style LSH bucketing on embedding sign bits (dims 0..15) —
-    near-dup candidate pairs = same bucket, exact cosine check ≥ 0.9.
-    Deterministic recall semantics: only same-bucket pairs are emitted
-    (documented engine rule; the oracle mirrors the same algorithm)."""
+    """Banded multi-table SimHash LSH on embedding sign bits: the 64
+    dims split into 4 tables of 16 bits; candidate pairs match in ANY
+    band (standard banding — multi-table recall without the quadratic
+    blowup of one coarse bucket), then an exact cosine check ≥ 0.9.
+
+    The raw synthetic embeddings have max pairwise cosine ~0.51, which
+    would make the ≥0.9 gate vacuously empty — so BOTH engines first
+    augment the input with deterministic near-duplicates (vec_id <
+    SIMHASH_SEEDS copied to vec_id + 100000 with every component
+    shifted by +0.01, cosine ≈ 0.995): the pair-emission path is
+    genuinely exercised and hash-compared.
+
+    At scale: band keys are 16-bit → within-bucket pairing is
+    ~ (N/65536)² per band but over 4 independent tables the recall is
+    banded-LSH's, and the per-band join is a plain equi-join a real
+    deployment salts by bkey. No all-pairs anywhere."""
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb = F.col("embedding").cast("array<double>")
-    bucket = F.concat(*[
-        F.when(F.element_at(emb, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(16)])
-    e = df.select("vec_id", emb.alias("v"), bucket.alias("bucket"))
-    a = e.alias("a")
-    b = e.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+    base = df.select("vec_id", emb.alias("v"))
+    dup = (base.filter(F.col("vec_id") < SIMHASH_SEEDS)
+           .select((F.col("vec_id") + SIMHASH_DUP_OFFSET).alias("vec_id"),
+                   F.transform("v", lambda x: x + F.lit(0.01)).alias("v")))
+    e = base.unionByName(dup).persist()
+    tables = []
+    for b in range(SIMHASH_BANDS):
+        key = F.concat(*[
+            F.when(F.element_at(F.col("v"), b * SIMHASH_BITS + i + 1) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIMHASH_BITS)])
+        tables.append(e.select("vec_id", F.lit(b).alias("band"),
+                               key.alias("bkey")))
+    bt = tables[0]
+    for t in tables[1:]:
+        bt = bt.unionByName(t)
+    cand = (bt.alias("a").join(
+        bt.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"))
+        .distinct())
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return (cand.join(va, "id_a").join(vb, "id_b")
             .withColumn("cos", F.round(dot / (na * nb), 6))
             .filter(F.col("cos") >= 0.9)
-            .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos"))
+            .select("id_a", "id_b", "cos"))
 
 
 def o_simhash_lsh():
-    bucket = ("list_aggregate(list_transform((embedding::DOUBLE[])[1:16], "
-              "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')")
+    def band_key(b):
+        lo, hi = b * SIMHASH_BITS + 1, (b + 1) * SIMHASH_BITS
+        return (f"list_aggregate(list_transform(v[{lo}:{hi}], "
+                "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), "
+                "'string_agg', '')")
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {band_key(b)} AS bkey FROM e"
+        for b in range(SIMHASH_BANDS))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings),
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dup AS (SELECT vec_id + {SIMHASH_DUP_OFFSET} AS vec_id,
+               list_transform(v, x -> x + CAST(0.01 AS DOUBLE)) AS v
+        FROM base WHERE vec_id < {SIMHASH_SEEDS}),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
 p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
-               / (SQRT(list_sum(list_transform(a.v, x -> x * x)))
-                  * SQRT(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
-  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT c.id_a, c.id_b,
+         ROUND(list_sum(list_transform(list_zip(ea.v, eb.v), z -> z[1] * z[2]))
+               / (SQRT(list_sum(list_transform(ea.v, x -> x * x)))
+                  * SQRT(list_sum(list_transform(eb.v, x -> x * x)))), 6) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
 )
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9"""
 

@@ -42,16 +42,20 @@ def get_spark(app: str = "gdal_spark", master: str | None = None,
         # from block sizes; here we force split parallelism explicitly.
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "8m")
-        # our repartition() calls spread single-row-group scans; the
-        # pre-shuffle sort only exists for deterministic task retries
-        # and costs more than the exchange itself on wide rows
-        .config("spark.sql.execution.sortBeforeRepartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )
+    if master.startswith("local"):
+        # Our repartition() calls spread single-row-group scans; the
+        # pre-shuffle sort only exists so round-robin output is
+        # deterministic across task retries (SPARK-23207) and costs
+        # more than the exchange itself on wide rows. Local mode has no
+        # fetch-failure-driven stage retries, so skipping the sort is
+        # safe HERE ONLY — cluster sessions keep the safe default.
+        b = b.config("spark.sql.execution.sortBeforeRepartition", "false")
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -17,11 +17,26 @@ gets an exact cross-engine check.
 
 from __future__ import annotations
 
+import contextlib
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def utc_session(spark: SparkSession):
+    """Pin the session timezone to UTC for the duration, restoring the
+    caller's zone after — a driver-owned session with a deliberately
+    different tz must not see it permanently changed."""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
 
 
 def hourly_rollup_stream(spark: SparkSession, sf_dir: str,
@@ -31,28 +46,35 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str,
     # the NTZ→LTZ→window→NTZ round-trip is tz-invariant only for
     # whole-hour-offset zones; pin UTC so a driver-owned session with
     # another zone can't shift bucket boundaries
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (spark.readStream.schema(schema)
-           # file source requires a directory; select just the events
-           # table out of the shared sf dir
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir)
-           # watermark requires TIMESTAMP (LTZ); the table stores NTZ.
-           # Session TZ is UTC so the cast is value-preserving.
-           .withColumn("ts", F.col("ts").cast("timestamp")))
-    agg = (src.withWatermark("ts", watermark)
-           .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-           .agg(F.count("*").alias("n"),
-                F.round(F.sum("value"), 4).alias("sum_value")))
     name = f"rollup_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="gdal_spark_stream_ckpt_")
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete")
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return (spark.table(name)
-            .select(F.col("w.start").cast("timestamp_ntz").alias("hour"),
-                    "event_type", "n", "sum_value"))
+    try:
+        with utc_session(spark):
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            src = (spark.readStream.schema(schema)
+                   # file source requires a directory; select just the
+                   # events table out of the shared sf dir
+                   .option("pathGlobFilter", "events.parquet")
+                   .parquet(sf_dir)
+                   # watermark requires TIMESTAMP (LTZ); the table
+                   # stores NTZ. Session TZ is UTC so the cast is
+                   # value-preserving.
+                   .withColumn("ts", F.col("ts").cast("timestamp")))
+            agg = (src.withWatermark("ts", watermark)
+                   .groupBy(F.window("ts", "1 hour").alias("w"),
+                            F.col("event_type"))
+                   .agg(F.count("*").alias("n"),
+                        F.round(F.sum("value"), 4).alias("sum_value")))
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("complete")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            # materialize under UTC — the memory sink holds LTZ windows
+            return (spark.table(name)
+                    .select(F.col("w.start").cast("timestamp_ntz").alias("hour"),
+                            "event_type", "n", "sum_value")
+                    .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
