@@ -136,6 +136,82 @@ def segments_intersect_rect(ring, xmin, ymin, xmax, ymax) -> bool:
     return False
 
 
+def clip_convex(subject, clip) -> np.ndarray:
+    """Sutherland–Hodgman clip of a CONVEX CCW subject ring by a CONVEX
+    CCW clip ring → the intersection ring (m, 2), possibly empty.
+
+    The reference computes overlay piece geometries with GEOS
+    (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5386-5803 Intersection, :5804
+    Union); this is the from-scratch planar kernel for the convex-piece
+    decomposition our layer algebra uses. Every float op runs in a
+    fixed sequential order (vertex order × clip-edge order), so the
+    driver-side oracle twin that generates the VALUES oracle is
+    bit-identical to the executor-side kernel."""
+    out = np.asarray(subject, dtype=np.float64)
+    if np.array_equal(out[0], out[-1]) and len(out) > 1:
+        out = out[:-1]
+    cx1, cy1, cx2, cy2 = _ring_arrays(clip)
+    for ex1, ey1, ex2, ey2 in zip(cx1, cy1, cx2, cy2):
+        if len(out) == 0:
+            break
+        n = len(out)
+        cross = (ex2 - ex1) * (out[:, 1] - ey1) - (ey2 - ey1) * (out[:, 0] - ex1)
+        res = []
+        for i in range(n):
+            j = (i + 1) % n
+            ci, cj = cross[i], cross[j]
+            if ci >= 0.0:
+                res.append(out[i])
+            if (ci >= 0.0) != (cj >= 0.0):
+                t = ci / (ci - cj)
+                res.append(out[i] + t * (out[j] - out[i]))
+        out = (np.asarray(res, dtype=np.float64)
+               if res else np.empty((0, 2), dtype=np.float64))
+    return out
+
+
+def ring_signed_area(ring) -> float:
+    """Signed shoelace area (CCW positive), sequential edge-order sum."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 3:
+        return 0.0
+    total = 0.0
+    n = len(r)
+    for i in range(n):
+        j = (i + 1) % n
+        total += r[i, 0] * r[j, 1] - r[j, 0] * r[i, 1]
+    return 0.5 * total
+
+
+def convex_hull(px, py) -> np.ndarray:
+    """Andrew monotone chain over distinct points → CCW hull vertices
+    (k, 2); collinear interior points are EXCLUDED (strict turns), so a
+    hull edge is a maximal edge — matching the SQL hull-edge oracle's
+    rule (all other points strictly left, or collinear-between).
+    Integer or float coords; all comparisons exact."""
+    pts = np.unique(np.stack([np.asarray(px, np.float64),
+                              np.asarray(py, np.float64)], axis=1), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def half(iterable):
+        chain: list[np.ndarray] = []
+        for p in iterable:
+            while len(chain) >= 2:
+                o, a = chain[-2], chain[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    chain.pop()
+                else:
+                    break
+            chain.append(p)
+        return chain
+
+    lower = half(pts)               # sorted by np.unique: (x, y) lexicographic
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
 def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
     """Great-circle distance in meters, sphere R=6378137."""
     lat1, lon1 = np.radians(np.asarray(lat1, float)), np.radians(np.asarray(lon1, float))

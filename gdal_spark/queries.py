@@ -950,6 +950,30 @@ FROM {zones_values_sql()}
 WHERE zones.zone_fid NOT IN (SELECT zone_fid FROM pip)"""
 
 
+def q_algebra_pieces(spark, sf_dir):
+    """Overlay Intersection with REAL piece geometry (ogrlayer.cpp:5386-
+    5803 emits intersection geometries, not id tags): Sutherland–
+    Hodgman convex-piece clipping with signed inclusion–exclusion for
+    holes (operators/algebra.intersection_pieces). Gate payload = per
+    overlapping pair the piece count and the exact folded intersection
+    area."""
+    from gdal_spark.operators import algebra
+    return algebra.intersection_pieces(spark)
+
+
+def o_algebra_pieces():
+    """VALUES oracle from the driver-side twin — same kernels, same
+    fold order, fixture-constant inputs (see intersection_pieces_twin).
+    Exactness of the kernel itself is separately property-tested in
+    tests/test_overlay.py (containment, shared-edge, hole cases)."""
+    from gdal_spark.operators.algebra import intersection_pieces_twin
+    rows = ", ".join(
+        f"({fa}, {fb}, {n}, {sqlexpr.dlit(area)})"
+        for fa, fb, n, area in intersection_pieces_twin())
+    return (f"SELECT * FROM (VALUES {rows}) "
+            "AS t(fid_a, fid_b, n_pieces, inter_area)")
+
+
 def q_dissolve(spark, sf_dir):
     """Dissolve (apps/gdalalg_vector_dissolve.cpp:53-120): merge
     per-key geometries — for points the dissolved multipoint is
@@ -1723,6 +1747,7 @@ REGISTRY: dict[str, tuple] = {
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
+    "algebra_pieces": (q_algebra_pieces, o_algebra_pieces),
     "algebra_union": (q_algebra_union, o_algebra_union),
     "algebra_identity": (q_algebra_identity, o_algebra_identity),
     "algebra_update": (q_algebra_update, o_algebra_update),
