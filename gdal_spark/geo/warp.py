@@ -47,6 +47,59 @@ def inv_3857(mx: float, my: float) -> tuple[float, float]:
     return lon, lat
 
 
+def bilinear_dim_maps(env: dict, gt: tuple) -> tuple[list, list]:
+    """Axis-separable inverse maps + bilinear taps (GWKBilinearResample,
+    alg/gdalwarpkernel.cpp — 2×2 kernel at the continuous source
+    position fx−0.5): per dst column (dx, sx0, sx1, wx) and per dst row
+    (dy, sy0, sy1, wy). Computed driver-side with C libm and injected
+    into BOTH engines (broadcast DF / VALUES) — the scanline
+    approximation-transformer analog (alg/gdaltransformer.cpp -et), so
+    the cross-engine compare exercises the joins + kernel arithmetic,
+    not libm parity."""
+    xs = []
+    for dx in range(env["width"]):
+        X = env["minx"] + (dx + 0.5) * env["psx"]
+        lon = (X * 180.0) / OS
+        fx = (lon - gt[0]) / gt[1]
+        sx0 = math.floor(fx - 0.5)
+        xs.append((dx, int(sx0), int(sx0) + 1, fx - 0.5 - sx0))
+    ys = []
+    for dy in range(env["height"]):
+        Y = env["maxy"] - (dy + 0.5) * env["psy"]
+        lat = (math.atan(math.exp((Y * math.pi) / OS)) * 360.0) / math.pi - 90.0
+        fy = (lat - gt[3]) / gt[5]
+        sy0 = math.floor(fy - 0.5)
+        ys.append((dy, int(sy0), int(sy0) + 1, fy - 0.5 - sy0))
+    return xs, ys
+
+
+def _cubic_w(t: float) -> float:
+    """Cubic convolution weight, A = -0.5 (GWKCubicResample's kernel,
+    alg/gdalwarpkernel.cpp; t = |distance| in pixels, 0 ≤ t < 2)."""
+    a = -0.5
+    if t <= 1.0:
+        return ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+    return a * (((t - 5.0) * t + 8.0) * t - 4.0)
+
+
+def cubic_dim_maps(env: dict, gt: tuple) -> tuple[list, list]:
+    """Per-axis 4-tap cubic maps: (d, s_m1, s0, s1, s2, w0, w1, w2, w3)
+    with weights at distances (1+f, f, 1−f, 2−f) of the fractional
+    offset f — same injection discipline as bilinear_dim_maps."""
+    bx, by = bilinear_dim_maps(env, gt)
+    xs = []
+    for dx, sx0, _, f in bx:
+        xs.append((dx, sx0 - 1, sx0, sx0 + 1, sx0 + 2,
+                   _cubic_w(1.0 + f), _cubic_w(f),
+                   _cubic_w(1.0 - f), _cubic_w(2.0 - f)))
+    ys = []
+    for dy, sy0, _, f in by:
+        ys.append((dy, sy0 - 1, sy0, sy0 + 1, sy0 + 2,
+                   _cubic_w(1.0 + f), _cubic_w(f),
+                   _cubic_w(1.0 - f), _cubic_w(2.0 - f)))
+    return xs, ys
+
+
 def suggested_warp_output(gt: tuple, width: int, height: int) -> dict:
     """Suggested EPSG:3857 output grid for a north-up EPSG:4326 raster
     (gt rotation terms must be 0)."""

@@ -817,6 +817,166 @@ FROM m LEFT JOIN burn b ON b.py = m.sy AND b.px = m.sx
 WHERE m.sx >= 0 AND m.sx < {ZRAST_W} AND m.sy >= 0 AND m.sy < {ZRAST_H}"""
 
 
+def _warp_src_burn(spark, sf_dir):
+    """Shared warp source: the London page-density raster."""
+    p = pages_df(spark, sf_dir)
+    return rast_op.burn_points(p, ZRAST_GT, ZRAST_W, ZRAST_H) \
+        .select(F.col("py").alias("sy"), F.col("px").alias("sx"), "burn")
+
+
+def _burn_cte_sql():
+    return (f"WITH {sqlexpr.pages_cte()}, "
+            f"{_pixel_counts_sql(ZRAST_GT, ZRAST_W, ZRAST_H, src='pages')}")
+
+
+def q_warp_bilinear(spark, sf_dir):
+    """gdalwarp bilinear resample (GWKBilinearResample,
+    alg/gdalwarpkernel.cpp — 2×2 kernel; the reference's own warp bench
+    exercises near AND cubic, autotest/benchmark/test_gdalwarp.py:24-57):
+    dst grid from the suggested envelope, per-axis tap/weight maps
+    broadcast (axis-separable closed-form transform), source sampled
+    with 4 broadcast left joins, missing taps = 0. The weighted sum is
+    one fixed-order expression — bit-identical across engines because
+    the weights are injected literals and the burns are exact counts."""
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.bilinear_dim_maps(env, ZRAST_GT)
+    src = _warp_src_burn(spark, sf_dir)
+    xm = spark.createDataFrame(xs, "dx long, sx0 long, sx1 long, wx double")
+    ym = spark.createDataFrame(ys, "dy long, sy0 long, sy1 long, wy double")
+    dst = spark.range(env["width"] * env["height"]).select(
+        (F.col("id") / env["width"]).cast("long").alias("dy"),
+        (F.col("id") % env["width"]).alias("dx"))
+    d = dst.join(F.broadcast(xm), "dx").join(F.broadcast(ym), "dy")
+    for tap, (syc, sxc) in {"v00": ("sy0", "sx0"), "v01": ("sy0", "sx1"),
+                            "v10": ("sy1", "sx0"), "v11": ("sy1", "sx1")}.items():
+        b = src.select(F.col("sy").alias(f"_{tap}_y"),
+                       F.col("sx").alias(f"_{tap}_x"),
+                       F.col("burn").alias(tap))
+        d = (d.join(F.broadcast(b),
+                    (F.col(syc) == F.col(f"_{tap}_y"))
+                    & (F.col(sxc) == F.col(f"_{tap}_x")), "left")
+             .drop(f"_{tap}_y", f"_{tap}_x")
+             .withColumn(tap, F.coalesce(F.col(tap), F.lit(0.0))))
+    wx, wy = F.col("wx"), F.col("wy")
+    v = ((1.0 - wy) * ((1.0 - wx) * F.col("v00") + wx * F.col("v01"))
+         + wy * ((1.0 - wx) * F.col("v10") + wx * F.col("v11")))
+    return d.select("dy", "dx", v.alias("v"))
+
+
+def o_warp_bilinear():
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.bilinear_dim_maps(env, ZRAST_GT)
+    xv = ", ".join(f"({dx}, {s0}, {s1}, {sqlexpr.dlit(w)})"
+                   for dx, s0, s1, w in xs)
+    yv = ", ".join(f"({dy}, {s0}, {s1}, {sqlexpr.dlit(w)})"
+                   for dy, s0, s1, w in ys)
+    return f"""
+{_burn_cte_sql()},
+xm AS (SELECT * FROM (VALUES {xv}) AS t(dx, sx0, sx1, wx)),
+ym AS (SELECT * FROM (VALUES {yv}) AS t(dy, sy0, sy1, wy)),
+d AS (
+  SELECT ym.dy, xm.dx, xm.wx, ym.wy,
+         COALESCE(b00.c, 0) AS v00, COALESCE(b01.c, 0) AS v01,
+         COALESCE(b10.c, 0) AS v10, COALESCE(b11.c, 0) AS v11
+  FROM xm CROSS JOIN ym
+  LEFT JOIN burn b00 ON b00.py = ym.sy0 AND b00.px = xm.sx0
+  LEFT JOIN burn b01 ON b01.py = ym.sy0 AND b01.px = xm.sx1
+  LEFT JOIN burn b10 ON b10.py = ym.sy1 AND b10.px = xm.sx0
+  LEFT JOIN burn b11 ON b11.py = ym.sy1 AND b11.px = xm.sx1
+)
+SELECT CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx,
+       (1.0 - wy) * ((1.0 - wx) * v00 + wx * v01)
+       + wy * ((1.0 - wx) * v10 + wx * v11) AS v
+FROM d"""
+
+
+def q_warp_cubic(spark, sf_dir):
+    """gdalwarp cubic resample (GWKCubicResample, A=-0.5 cubic
+    convolution, alg/gdalwarpkernel.cpp): separable two-pass — a
+    horizontal 4-tap pass over source rows, then a vertical 4-tap pass
+    over the intermediate — the classic separable-kernel factorization
+    (W·4 + W·4 multiplies per dst pixel instead of 16). Tap positions
+    and weights from cubic_dim_maps (injected literals both engines);
+    out-of-source taps contribute 0."""
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.cubic_dim_maps(env, ZRAST_GT)
+    src = _warp_src_burn(spark, sf_dir)
+    xm = spark.createDataFrame(
+        xs, "dx long, xm1 long, x0 long, x1 long, x2 long, "
+            "wx0 double, wx1 double, wx2 double, wx3 double")
+    ym = spark.createDataFrame(
+        ys, "dy long, ym1 long, y0 long, y1 long, y2 long, "
+            "wy0 double, wy1 double, wy2 double, wy3 double")
+    rows = spark.range(ZRAST_H).select(F.col("id").alias("sy"))
+    h = rows.crossJoin(F.broadcast(xm))
+    for i, sc in enumerate(["xm1", "x0", "x1", "x2"]):
+        b = src.select(F.col("sy").alias(f"_b{i}_y"),
+                       F.col("sx").alias(f"_b{i}_x"),
+                       F.col("burn").alias(f"hv{i}"))
+        h = (h.join(F.broadcast(b),
+                    (F.col("sy") == F.col(f"_b{i}_y"))
+                    & (F.col(sc) == F.col(f"_b{i}_x")), "left")
+             .drop(f"_b{i}_y", f"_b{i}_x")
+             .withColumn(f"hv{i}", F.coalesce(F.col(f"hv{i}"), F.lit(0.0))))
+    hval = (F.col("wx0") * F.col("hv0") + F.col("wx1") * F.col("hv1")
+            + F.col("wx2") * F.col("hv2") + F.col("wx3") * F.col("hv3"))
+    hdf = h.select("sy", "dx", hval.alias("h"))
+    dst = spark.range(env["width"] * env["height"]).select(
+        (F.col("id") / env["width"]).cast("long").alias("dy"),
+        (F.col("id") % env["width"]).alias("dx"))
+    d = dst.join(F.broadcast(ym), "dy")
+    for i, sc in enumerate(["ym1", "y0", "y1", "y2"]):
+        hb = hdf.select(F.col("sy").alias(f"_h{i}_y"),
+                        F.col("dx").alias(f"_h{i}_x"),
+                        F.col("h").alias(f"vv{i}"))
+        d = (d.join(hb, (F.col(sc) == F.col(f"_h{i}_y"))
+                    & (F.col("dx") == F.col(f"_h{i}_x")), "left")
+             .drop(f"_h{i}_y", f"_h{i}_x")
+             .withColumn(f"vv{i}", F.coalesce(F.col(f"vv{i}"), F.lit(0.0))))
+    v = (F.col("wy0") * F.col("vv0") + F.col("wy1") * F.col("vv1")
+         + F.col("wy2") * F.col("vv2") + F.col("wy3") * F.col("vv3"))
+    return d.select("dy", "dx", v.alias("v"))
+
+
+def o_warp_cubic():
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.cubic_dim_maps(env, ZRAST_GT)
+    def vals(rows):
+        return ", ".join(
+            "(" + ", ".join([str(r[0])] + [str(s) for s in r[1:5]]
+                            + [sqlexpr.dlit(w) for w in r[5:]]) + ")"
+            for r in rows)
+    return f"""
+{_burn_cte_sql()},
+xm AS (SELECT * FROM (VALUES {vals(xs)})
+       AS t(dx, xm1, x0, x1, x2, wx0, wx1, wx2, wx3)),
+ym AS (SELECT * FROM (VALUES {vals(ys)})
+       AS t(dy, ym1, y0, y1, y2, wy0, wy1, wy2, wy3)),
+rows_ AS (SELECT CAST(r.range AS BIGINT) AS sy FROM range({ZRAST_H}) r),
+h AS (
+  SELECT rows_.sy, xm.dx,
+         xm.wx0 * COALESCE(b0.c, 0) + xm.wx1 * COALESCE(b1.c, 0)
+         + xm.wx2 * COALESCE(b2.c, 0) + xm.wx3 * COALESCE(b3.c, 0) AS h
+  FROM rows_ CROSS JOIN xm
+  LEFT JOIN burn b0 ON b0.py = rows_.sy AND b0.px = xm.xm1
+  LEFT JOIN burn b1 ON b1.py = rows_.sy AND b1.px = xm.x0
+  LEFT JOIN burn b2 ON b2.py = rows_.sy AND b2.px = xm.x1
+  LEFT JOIN burn b3 ON b3.py = rows_.sy AND b3.px = xm.x2
+)
+SELECT CAST(ym.dy AS BIGINT) AS dy, CAST(xd.dx AS BIGINT) AS dx,
+       ym.wy0 * COALESCE(h0.h, 0) + ym.wy1 * COALESCE(h1.h, 0)
+       + ym.wy2 * COALESCE(h2.h, 0) + ym.wy3 * COALESCE(h3.h, 0) AS v
+FROM (SELECT DISTINCT dx FROM xm) xd CROSS JOIN ym
+LEFT JOIN h h0 ON h0.sy = ym.ym1 AND h0.dx = xd.dx
+LEFT JOIN h h1 ON h1.sy = ym.y0 AND h1.dx = xd.dx
+LEFT JOIN h h2 ON h2.sy = ym.y1 AND h2.dx = xd.dx
+LEFT JOIN h h3 ON h3.sy = ym.y2 AND h3.dx = xd.dx"""
+
+
 def q_raster_mosaic(spark, sf_dir):
     """Raster mosaic/stack (gdal raster mosaic/stack,
     apps/gdalalg_raster_mosaic.cpp, gdalalg_raster_stack.cpp): two
@@ -1765,6 +1925,8 @@ REGISTRY: dict[str, tuple] = {
     "raster_calc": (q_raster_calc, o_raster_calc),
     "warp_envelope": (q_warp_envelope, o_warp_envelope),
     "warp_resample": (q_warp_resample, o_warp_resample),
+    "warp_bilinear": (q_warp_bilinear, o_warp_bilinear),
+    "warp_cubic": (q_warp_cubic, o_warp_cubic),
     "stream_rollup": (q_stream_rollup, o_stream_rollup),
     "contour_cells": (q_contour_cells, o_contour_cells),
     "text_passthrough": (q_text_passthrough, o_text_passthrough),
