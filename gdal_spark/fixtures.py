@@ -150,6 +150,30 @@ def zone_part_edges_sql() -> str:
     return "(VALUES " + ", ".join(rows) + ") AS zpe(zone_fid, part_id, is_hole, x1, y1, x2, y2)"
 
 
+def zone_ring_edge_rows():
+    """(zone_fid, ring_id, edge, x1, y1, x2, y2) for EVERY ring edge —
+    outer rings and holes (line burn draws hole boundaries too). The
+    line-rasterize fixture: zone boundaries as a road-network stand-in."""
+    rows = []
+    for z in ZONES:
+        for rid, ring in enumerate(z["rings"]):
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                rows.append((z["zone_fid"], rid, i, float(x1), float(y1),
+                             float(x2), float(y2)))
+    return rows
+
+
+def zone_ring_edges_sql() -> str:
+    rows = ", ".join(
+        f"({zf}, {rid}, {e}, {dlit(x1)}, {dlit(y1)}, {dlit(x2)}, {dlit(y2)})"
+        for zf, rid, e, x1, y1, x2, y2 in zone_ring_edge_rows())
+    return ("(VALUES " + rows
+            + ") AS redges(zone_fid, ring_id, edge, x1, y1, x2, y2)")
+
+
 def idlink_values_sql() -> str:
     rows = ", ".join(f"({f}, {e}, '{n}')" for f, e, n in IDLINK)
     return f"(VALUES {rows}) AS idlink(idlink_fid, eas_id, name)"

@@ -132,6 +132,105 @@ def burn_points(points: DataFrame, gt: tuple, width: int, height: int,
     return df.groupBy("py", "px").agg(agg)
 
 
+def burn_lines(edges: DataFrame, gt: tuple, width: int, height: int) -> DataFrame:
+    """Line burn — the DDA rule of GDALdllImageLine (alg/llrasterize.cpp
+    GDALdllImageLine; dispatch alg/gdalrasterize.cpp:717-763) as pure
+    column math: endpoints truncated to integer pixels, n = max(|Δix|,
+    |Δiy|) steps, k-th pixel = i1 + floor(k·Δ/n + 0.5) per axis.
+    Every op (int products exact in double, one correctly-rounded
+    division, +0.5, floor) is bit-deterministic across engines.
+
+    MERGE_ALG=ADD over features: pixels deduped per (zone_fid, ring_id,
+    edge) then counted → (py, px, burn). Scale shape: explode(sequence)
+    per edge = one task-local row expansion, no shuffle until the final
+    map-side-combined count."""
+    fx1 = (F.col("x1") - F.lit(gt[0])) / F.lit(gt[1])
+    fy1 = (F.col("y1") - F.lit(gt[3])) / F.lit(gt[5])
+    fx2 = (F.col("x2") - F.lit(gt[0])) / F.lit(gt[1])
+    fy2 = (F.col("y2") - F.lit(gt[3])) / F.lit(gt[5])
+    base = (edges
+            .withColumn("ix1", F.floor(fx1)).withColumn("iy1", F.floor(fy1))
+            .withColumn("ix2", F.floor(fx2)).withColumn("iy2", F.floor(fy2))
+            .withColumn("n", F.greatest(F.abs(F.col("ix2") - F.col("ix1")),
+                                        F.abs(F.col("iy2") - F.col("iy1")))))
+    nn = F.greatest(F.col("n"), F.lit(1))
+    k = F.col("k")
+    px = F.col("ix1") + F.floor(
+        (k * (F.col("ix2") - F.col("ix1"))).cast("double") / nn + 0.5)
+    py = F.col("iy1") + F.floor(
+        (k * (F.col("iy2") - F.col("iy1"))).cast("double") / nn + 0.5)
+    pix = (base
+           .withColumn("k", F.explode(F.sequence(F.lit(0), F.col("n"))))
+           .select("zone_fid", "ring_id", "edge",
+                   py.alias("py"), px.alias("px"))
+           .filter((F.col("px") >= 0) & (F.col("px") < width)
+                   & (F.col("py") >= 0) & (F.col("py") < height))
+           .distinct())
+    return pix.groupBy("py", "px").agg(F.count("*").cast("double").alias("burn"))
+
+
+def burn_lines_all_touched(edges: DataFrame, gt: tuple, width: int,
+                           height: int) -> DataFrame:
+    """ALL_TOUCHED line burn (GDALdllImageLineAllTouched,
+    alg/llrasterize.cpp): every pixel whose CLOSED unit square the
+    segment touches. Exact formulation: candidates = DDA pixels dilated
+    by a 3×3 ring (the supercover is always within Chebyshev distance 1
+    of the DDA line), then a Liang-Barsky parametric clip test per
+    (edge, cell) — pure arithmetic, same op order both engines.
+    Documented deviation: corner-grazing pixels count (closed-cell
+    rule; the reference's epsilon handling differs at exact corners)."""
+    fx1 = (F.col("x1") - F.lit(gt[0])) / F.lit(gt[1])
+    fy1 = (F.col("y1") - F.lit(gt[3])) / F.lit(gt[5])
+    fx2 = (F.col("x2") - F.lit(gt[0])) / F.lit(gt[1])
+    fy2 = (F.col("y2") - F.lit(gt[3])) / F.lit(gt[5])
+    base = (edges
+            .withColumn("fx1", fx1).withColumn("fy1", fy1)
+            .withColumn("fx2", fx2).withColumn("fy2", fy2)
+            .withColumn("ix1", F.floor("fx1")).withColumn("iy1", F.floor("fy1"))
+            .withColumn("ix2", F.floor("fx2")).withColumn("iy2", F.floor("fy2"))
+            .withColumn("n", F.greatest(F.abs(F.col("ix2") - F.col("ix1")),
+                                        F.abs(F.col("iy2") - F.col("iy1")))))
+    nn = F.greatest(F.col("n"), F.lit(1))
+    k = F.col("k")
+    px = F.col("ix1") + F.floor(
+        (k * (F.col("ix2") - F.col("ix1"))).cast("double") / nn + 0.5)
+    py = F.col("iy1") + F.floor(
+        (k * (F.col("iy2") - F.col("iy1"))).cast("double") / nn + 0.5)
+    cand = (base
+            .withColumn("k", F.explode(F.sequence(F.lit(0), F.col("n"))))
+            .withColumn("bpx", px).withColumn("bpy", py)
+            .withColumn("ox", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+            .withColumn("oy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+            .select("zone_fid", "ring_id", "edge", "fx1", "fy1", "fx2", "fy2",
+                    (F.col("bpx") + F.col("ox")).alias("cx"),
+                    (F.col("bpy") + F.col("oy")).alias("cy"))
+            .filter((F.col("cx") >= 0) & (F.col("cx") < width)
+                    & (F.col("cy") >= 0) & (F.col("cy") < height))
+            .distinct())
+    dxf = F.col("fx2") - F.col("fx1")
+    dyf = F.col("fy2") - F.col("fy1")
+    BIG = F.lit(1e300)
+
+    def axis_range(d, f1, c):
+        t1 = (c - f1) / d
+        t2 = (c + 1.0 - f1) / d
+        in_band = (f1 >= c) & (f1 <= c + 1.0)
+        lo = F.when(d == 0.0, F.when(in_band, -BIG).otherwise(BIG)) \
+             .otherwise(F.least(t1, t2))
+        hi = F.when(d == 0.0, F.when(in_band, BIG).otherwise(-BIG)) \
+             .otherwise(F.greatest(t1, t2))
+        return lo, hi
+
+    lox, hix = axis_range(dxf, F.col("fx1"), F.col("cx").cast("double"))
+    loy, hiy = axis_range(dyf, F.col("fy1"), F.col("cy").cast("double"))
+    entry = F.greatest(F.lit(0.0), lox, loy)
+    exit_ = F.least(F.lit(1.0), hix, hiy)
+    hit = (cand.filter(entry <= exit_)
+           .select("zone_fid", "ring_id", "edge", "cy", "cx").distinct())
+    return (hit.groupBy(F.col("cy").alias("py"), F.col("cx").alias("px"))
+            .agg(F.count("*").cast("double").alias("burn")))
+
+
 def gdal_checksum(grid: np.ndarray) -> int:
     """GDAL band checksum (alg/gdalchecksum.cpp:54-56,174-187): per pixel
     in row-major order, value rounded ``floor(v + 0.5)`` (GDALCopyWords

@@ -1023,6 +1023,107 @@ SELECT COALESCE(a.py, b.py) AS py, COALESCE(a.px, b.px) AS px,
 FROM a FULL OUTER JOIN b ON a.py = b.py AND a.px = b.px"""
 
 
+# 512×512 world grid for line rasterization — fine enough that zone
+# edges span many pixels (DDA vs ALL_TOUCHED genuinely differ)
+LGRID_GT = (-180.0, 0.703125, 0.0, 90.0, 0.0, -0.3515625)
+LGRID_W = LGRID_H = 512
+
+
+def _ring_edges_df(spark):
+    from gdal_spark.fixtures import zone_ring_edge_rows
+    return spark.createDataFrame(
+        zone_ring_edge_rows(),
+        "zone_fid int, ring_id int, edge int, x1 double, y1 double, "
+        "x2 double, y2 double")
+
+
+_LINE_IB_SQL = """
+base AS (
+  SELECT zone_fid, ring_id, edge,
+         (x1 - ({g0})) / {g1} AS fx1, (y1 - ({g3})) / ({g5}) AS fy1,
+         (x2 - ({g0})) / {g1} AS fx2, (y2 - ({g3})) / ({g5}) AS fy2
+  FROM {edges}
+),
+ib AS (
+  SELECT *, GREATEST(ABS(ix2 - ix1), ABS(iy2 - iy1)) AS n FROM (
+    SELECT *, CAST(FLOOR(fx1) AS BIGINT) AS ix1, CAST(FLOOR(fy1) AS BIGINT) AS iy1,
+           CAST(FLOOR(fx2) AS BIGINT) AS ix2, CAST(FLOOR(fy2) AS BIGINT) AS iy2
+    FROM base)
+),
+pix AS (
+  SELECT zone_fid, ring_id, edge, fx1, fy1, fx2, fy2,
+         iy1 + CAST(FLOOR(CAST(k.range * (iy2 - iy1) AS DOUBLE)
+                          / GREATEST(n, 1) + 0.5) AS BIGINT) AS py,
+         ix1 + CAST(FLOOR(CAST(k.range * (ix2 - ix1) AS DOUBLE)
+                          / GREATEST(n, 1) + 0.5) AS BIGINT) AS px
+  FROM ib CROSS JOIN range(0, 1000) k WHERE k.range <= n
+)"""
+
+
+def _line_ib_sql():
+    from gdal_spark.fixtures import zone_ring_edges_sql
+    g = LGRID_GT
+    return _LINE_IB_SQL.format(edges=zone_ring_edges_sql(), g0=repr(g[0]),
+                               g1=repr(g[1]), g3=repr(g[3]), g5=repr(g[5]))
+
+
+def q_rasterize_lines(spark, sf_dir):
+    """Line burn via the GDALdllImageLine DDA rule
+    (operators/rasterize.burn_lines) — zone boundary edges onto the
+    64×64 world grid, MERGE_ALG=ADD across features."""
+    return rast_op.burn_lines(_ring_edges_df(spark), LGRID_GT, LGRID_W, LGRID_H)
+
+
+def o_rasterize_lines():
+    return f"""
+WITH {_line_ib_sql()},
+ded AS (SELECT DISTINCT zone_fid, ring_id, edge, py, px FROM pix
+        WHERE px >= 0 AND px < {LGRID_W} AND py >= 0 AND py < {LGRID_H})
+SELECT py, px, CAST(COUNT(*) AS DOUBLE) AS burn FROM ded GROUP BY py, px"""
+
+
+def q_rasterize_touched(spark, sf_dir):
+    """ALL_TOUCHED line burn (GDALdllImageLineAllTouched twin —
+    operators/rasterize.burn_lines_all_touched): DDA candidates ⊕ 3×3
+    ring, exact Liang-Barsky cell test."""
+    return rast_op.burn_lines_all_touched(
+        _ring_edges_df(spark), LGRID_GT, LGRID_W, LGRID_H)
+
+
+def o_rasterize_touched():
+    return f"""
+WITH {_line_ib_sql()},
+cand AS (
+  SELECT DISTINCT zone_fid, ring_id, edge, fx1, fy1, fx2, fy2,
+         px + ox.o AS cx, py + oy.o AS cy
+  FROM pix
+  CROSS JOIN (VALUES (-1), (0), (1)) ox(o)
+  CROSS JOIN (VALUES (-1), (0), (1)) oy(o)
+),
+cand2 AS (SELECT * FROM cand
+          WHERE cx >= 0 AND cx < {LGRID_W} AND cy >= 0 AND cy < {LGRID_H}),
+lb AS (
+  SELECT zone_fid, ring_id, edge, cy, cx,
+    CASE WHEN fx2 - fx1 = 0.0
+         THEN CASE WHEN fx1 >= cx AND fx1 <= cx + 1.0 THEN -1e300 ELSE 1e300 END
+         ELSE LEAST((cx - fx1) / (fx2 - fx1), (cx + 1.0 - fx1) / (fx2 - fx1)) END AS lox,
+    CASE WHEN fx2 - fx1 = 0.0
+         THEN CASE WHEN fx1 >= cx AND fx1 <= cx + 1.0 THEN 1e300 ELSE -1e300 END
+         ELSE GREATEST((cx - fx1) / (fx2 - fx1), (cx + 1.0 - fx1) / (fx2 - fx1)) END AS hix,
+    CASE WHEN fy2 - fy1 = 0.0
+         THEN CASE WHEN fy1 >= cy AND fy1 <= cy + 1.0 THEN -1e300 ELSE 1e300 END
+         ELSE LEAST((cy - fy1) / (fy2 - fy1), (cy + 1.0 - fy1) / (fy2 - fy1)) END AS loy,
+    CASE WHEN fy2 - fy1 = 0.0
+         THEN CASE WHEN fy1 >= cy AND fy1 <= cy + 1.0 THEN 1e300 ELSE -1e300 END
+         ELSE GREATEST((cy - fy1) / (fy2 - fy1), (cy + 1.0 - fy1) / (fy2 - fy1)) END AS hiy
+  FROM cand2
+),
+hit AS (SELECT DISTINCT zone_fid, ring_id, edge, cy, cx FROM lb
+        WHERE GREATEST(0.0, lox, loy) <= LEAST(1.0, hix, hiy))
+SELECT cy AS py, cx AS px, CAST(COUNT(*) AS DOUBLE) AS burn
+FROM hit GROUP BY cy, cx"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Tile pyramid z6→z0 over the lineitem points: base counts then the
     4-children overview cascade (gdal2tiles create_overview_tile:1466)."""
@@ -1890,6 +1991,8 @@ REGISTRY: dict[str, tuple] = {
     "erase": (q_erase, o_erase),
     "rasterize_points": (q_rasterize_points, o_rasterize_points),
     "rasterize_zones": (q_rasterize_zones, o_rasterize_zones),
+    "rasterize_lines": (q_rasterize_lines, o_rasterize_lines),
+    "rasterize_touched": (q_rasterize_touched, o_rasterize_touched),
     "tile_pyramid": (q_tile_pyramid, o_tile_pyramid),
     "select_where": (q_select_where, o_select_where),
     "summary": (q_summary, o_summary),

@@ -82,3 +82,21 @@ def test_checksum_changes_with_position():
     a = np.zeros((4, 4)); a[0, 0] = 9
     b = np.zeros((4, 4)); b[2, 2] = 9
     assert R.gdal_checksum(a) != R.gdal_checksum(b)
+
+
+def test_line_burn_all_touched_superset(spark):
+    """ALL_TOUCHED must cover every DDA pixel of a diagonal segment and
+    typically more (supercover vs one-pixel-per-major-step)."""
+    from gdal_spark.operators.rasterize import burn_lines, burn_lines_all_touched
+    gt = (0.0, 1.0, 0.0, 16.0, 0.0, -1.0)  # 16x16 unit grid
+    edges = spark.createDataFrame(
+        [(0, 0, 0, 0.2, 15.8, 15.7, 0.3)],  # steep diagonal corner to corner
+        "zone_fid int, ring_id int, edge int, x1 double, y1 double, x2 double, y2 double")
+    dda = {(r["py"], r["px"]) for r in burn_lines(edges, gt, 16, 16).collect()}
+    touched = {(r["py"], r["px"])
+               for r in burn_lines_all_touched(edges, gt, 16, 16).collect()}
+    assert dda <= touched
+    assert len(touched) > len(dda)
+    # exact 45-degree line through lattice corners: the closed-cell rule
+    # counts all 4 cells at each grazed corner (documented deviation)
+    assert 16 <= len(touched) <= 46
