@@ -83,6 +83,33 @@ def grid_nearest(cand: DataFrame, id_col: str = "pt_id",
                     F.round(F.col("d2"), 6).alias("d2")))
 
 
+def grid_average(cand: DataFrame, id_col: str = "pt_id",
+                 value_col: str = "value") -> DataFrame:
+    """Moving average (alg/gdalgrid.cpp:630-720 GDALGridMovingAverage,
+    circular window): mean of candidate values in the radius, summed in
+    (pt_id, value) order for cross-engine bit-exactness."""
+    items = F.array_sort(F.collect_list(F.struct(
+        F.col(id_col).alias("pid"), F.col(value_col).alias("v"))))
+    folded = cand.groupBy("cy", "cx").agg(items.alias("it"))
+    sv = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["v"])
+    return folded.select(
+        "cy", "cx", F.size("it").alias("n"),
+        F.round(sv / F.size("it").cast("double"), 6).alias("v"))
+
+
+def grid_invdistnn(cand: DataFrame, max_points: int = 8,
+                   id_col: str = "pt_id", value_col: str = "value") -> DataFrame:
+    """invdistnn (GDALGridInverseDistanceToAPowerNearestNeighbor,
+    alg/gdalgrid.cpp): inverse-distance weighting restricted to the
+    `max_points` nearest candidates — a per-cell ranked top-N (ties by
+    (pt_id, value)) feeding the same ordered invdist fold."""
+    w_rank = Window.partitionBy("cy", "cx").orderBy(
+        F.col("d2").asc(), F.col(id_col).asc(), F.col(value_col).asc())
+    top = (cand.withColumn("_rn", F.row_number().over(w_rank))
+           .filter(F.col("_rn") <= max_points).drop("_rn"))
+    return grid_invdist(top, id_col, value_col)
+
+
 def grid_invdist(cand: DataFrame, id_col: str = "pt_id",
                  value_col: str = "value") -> DataFrame:
     """Inverse-distance-squared weighting with smoothing, folded in

@@ -556,6 +556,54 @@ SELECT cy, cx, CAST(n AS INT) AS n,
 FROM folded"""
 
 
+def q_grid_average(spark, sf_dir):
+    """gdal_grid moving average (alg/gdalgrid.cpp:630-720) on the 32×32
+    Europe grid, ordered-fold mean (operators/gridding.grid_average)."""
+    from gdal_spark.operators import gridding
+    return gridding.grid_average(_egrid_cand(spark, sf_dir))
+
+
+def o_grid_average():
+    return f"""
+WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()},
+folded AS (
+  SELECT cy, cx, COUNT(*) AS n, list(value ORDER BY pt_id, value) AS vs
+  FROM cand GROUP BY cy, cx
+)
+SELECT cy, cx, CAST(n AS INT) AS n,
+       ROUND(list_reduce(vs, (a, b) -> a + b) / CAST(n AS DOUBLE), 6) AS v
+FROM folded"""
+
+
+def q_grid_invdistnn(spark, sf_dir):
+    """gdal_grid invdistnn (GDALGridInverseDistanceToAPowerNearest-
+    Neighbor, alg/gdalgrid.cpp): invdist over the 8 nearest candidates
+    per cell (operators/gridding.grid_invdistnn)."""
+    from gdal_spark.operators import gridding
+    return gridding.grid_invdistnn(_egrid_cand(spark, sf_dir), max_points=8)
+
+
+def o_grid_invdistnn():
+    from gdal_spark.operators.gridding import SMOOTH
+    return f"""
+WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()},
+r AS (SELECT cy, cx, pt_id, value, d2,
+             ROW_NUMBER() OVER (PARTITION BY cy, cx
+                                ORDER BY d2, pt_id, value) AS rn
+      FROM cand),
+top AS (SELECT * FROM r WHERE rn <= 8),
+folded AS (
+  SELECT cy, cx, COUNT(*) AS n,
+         list(1.0 / (d2 + {SMOOTH!r}) ORDER BY pt_id, value) AS ws,
+         list((1.0 / (d2 + {SMOOTH!r})) * value ORDER BY pt_id, value) AS wvs
+  FROM top GROUP BY cy, cx
+)
+SELECT cy, cx, CAST(n AS INT) AS n,
+       ROUND(list_reduce(wvs, (a, b) -> a + b)
+             / list_reduce(ws, (a, b) -> a + b), 6) AS v
+FROM folded"""
+
+
 def q_overview_modes(spark, sf_dir):
     """Overview resampling (gcore/overview.cpp:4401-4800): z6 tile
     counts decimated 2× to z5 with AVERAGE / MIN / MAX / MODE of the ≤4
@@ -1429,6 +1477,86 @@ SELECT zone_fid, edge, CAST(k.range AS INT) AS k,
 FROM e CROSS JOIN range(0, 1000) k(range) WHERE k.range < n"""
 
 
+def q_geodesic_measures(spark, sf_dir):
+    """Geodesic perimeter + spherical-excess area per zone — the
+    ST_Length/ST_Area-on-sphere analog of the reference's SQLite
+    dialect functions (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:
+    627-700; sphere R=6378137). Per-edge terms are computed VECTORIZED
+    in a pandas UDF (numpy trig == glibc == DuckDB trig, verified
+    bitwise), then folded per ring in edge order and per zone in ring
+    order — the ordered-fold float discipline, since spherical terms
+    are order-dependent float sums."""
+    import pandas as pd
+    R = 6378137.0
+    edges = _ring_edges_df(spark)
+
+    def _terms(batches):
+        import numpy as np
+        for pdf in batches:
+            x1 = np.radians(pdf["x1"].to_numpy(dtype=np.float64))
+            y1 = np.radians(pdf["y1"].to_numpy(dtype=np.float64))
+            x2 = np.radians(pdf["x2"].to_numpy(dtype=np.float64))
+            y2 = np.radians(pdf["y2"].to_numpy(dtype=np.float64))
+            term = (x2 - x1) * (2.0 + np.sin(y1) + np.sin(y2))
+            sdlat = np.sin((y2 - y1) / 2.0)
+            sdlon = np.sin((x2 - x1) / 2.0)
+            a = sdlat * sdlat + np.cos(y1) * np.cos(y2) * (sdlon * sdlon)
+            seglen = 2.0 * R * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+            yield pd.DataFrame({
+                "zone_fid": pdf["zone_fid"], "ring_id": pdf["ring_id"],
+                "edge": pdf["edge"], "term": term, "seglen": seglen})
+
+    t = edges.mapInPandas(
+        _terms, "zone_fid int, ring_id int, edge int, term double, seglen double")
+    per_ring = (t.groupBy("zone_fid", "ring_id")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("edge", "term", "seglen"))).alias("it")))
+    rsum = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["term"])
+    rlen = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["seglen"])
+    rings = per_ring.select(
+        "zone_fid", "ring_id",
+        (F.abs(rsum) * F.lit(R) * F.lit(R) / F.lit(2.0)).alias("ra"),
+        rlen.alias("rl"))
+    per_zone = (rings.groupBy("zone_fid")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("ring_id", "ra", "rl"))).alias("rs")))
+    area = F.aggregate(
+        F.col("rs"), F.lit(0.0),
+        lambda a, x: a + F.when(x["ring_id"] == 0, x["ra"]).otherwise(-x["ra"]))
+    perim = F.aggregate(F.col("rs"), F.lit(0.0), lambda a, x: a + x["rl"])
+    return per_zone.select(
+        "zone_fid", area.alias("geod_area_m2"), perim.alias("geod_perim_m"))
+
+
+def o_geodesic_measures():
+    from gdal_spark.fixtures import zone_ring_edges_sql
+    return f"""
+WITH t AS (
+  SELECT zone_fid, ring_id, edge,
+         (RADIANS(x2) - RADIANS(x1))
+           * (2.0 + SIN(RADIANS(y1)) + SIN(RADIANS(y2))) AS term,
+         2.0 * 6378137.0 * ASIN(SQRT(LEAST(1.0, GREATEST(0.0,
+             SIN((RADIANS(y2) - RADIANS(y1)) / 2.0)
+               * SIN((RADIANS(y2) - RADIANS(y1)) / 2.0)
+             + COS(RADIANS(y1)) * COS(RADIANS(y2))
+               * (SIN((RADIANS(x2) - RADIANS(x1)) / 2.0)
+                  * SIN((RADIANS(x2) - RADIANS(x1)) / 2.0)))))) AS seglen
+  FROM {zone_ring_edges_sql()}
+),
+per_ring AS (
+  SELECT zone_fid, ring_id,
+         ABS(list_reduce(list(term ORDER BY edge), (a, b) -> a + b))
+           * 6378137.0 * 6378137.0 / 2.0 AS ra,
+         list_reduce(list(seglen ORDER BY edge), (a, b) -> a + b) AS rl
+  FROM t GROUP BY zone_fid, ring_id
+)
+SELECT zone_fid,
+       list_reduce(list(CASE WHEN ring_id = 0 THEN ra ELSE -ra END
+                        ORDER BY ring_id), (a, b) -> a + b) AS geod_area_m2,
+       list_reduce(list(rl ORDER BY ring_id), (a, b) -> a + b) AS geod_perim_m
+FROM per_ring GROUP BY zone_fid"""
+
+
 # =================================================================
 # relational parity (OGR SQL surface)
 # =================================================================
@@ -2024,6 +2152,8 @@ REGISTRY: dict[str, tuple] = {
     "grid_metrics": (q_grid_metrics, o_grid_metrics),
     "grid_nearest": (q_grid_nearest, o_grid_nearest),
     "grid_invdist": (q_grid_invdist, o_grid_invdist),
+    "grid_average": (q_grid_average, o_grid_average),
+    "grid_invdistnn": (q_grid_invdistnn, o_grid_invdistnn),
     "overview_modes": (q_overview_modes, o_overview_modes),
     "raster_calc": (q_raster_calc, o_raster_calc),
     "warp_envelope": (q_warp_envelope, o_warp_envelope),
@@ -2036,6 +2166,7 @@ REGISTRY: dict[str, tuple] = {
     "table_stats": (q_table_stats, o_table_stats),
     "vector_index": (q_vector_index, o_vector_index),
     "segmentize": (q_segmentize, o_segmentize),
+    "geodesic_measures": (q_geodesic_measures, o_geodesic_measures),
     "stream_sessions": (q_stream_sessions, o_stream_sessions),
     "s2_cells": (q_s2_cells, None),
     "topk_per_zone": (q_topk_per_zone, o_topk_per_zone),
