@@ -432,6 +432,85 @@ def o_polygonize():
         "MAX(py) AS ymax, MAX(px) AS xmax FROM lbl GROUP BY label")
 
 
+def q_polygonize_rings(spark, sf_dir):
+    """Polygonize RING TRACING (alg/polygonize_polygonizer.cpp): trace
+    each component's boundary into closed vertex rings (interior-left
+    directed unit edges chained by right-most-turn preference; pinch
+    points split). Gate payload = per component the traced vertex
+    count, boundary length, and pixel count — the oracle recomputes
+    n_vertices INDEPENDENTLY from 2×2 corner masks and perimeter from
+    adjacency counts, so a tracing bug cannot hash-match."""
+    from gdal_spark.operators import polygonize as poly_op
+    labels = poly_op.polygonize(_mask_df(spark, sf_dir, PMASK_THR), PGRID_W)
+    return (poly_op.trace_rings(labels)
+            .select("label", "n_vertices", "perimeter", "n_pixels"))
+
+
+def o_polygonize_rings():
+    return _ccl_oracle_sql("""
+, cp AS (
+  SELECT label, px + 1 AS cx_, py + 1 AS cy_, 1 AS bit FROM lbl
+  UNION ALL SELECT label, px, py + 1, 2 FROM lbl
+  UNION ALL SELECT label, px + 1, py, 4 FROM lbl
+  UNION ALL SELECT label, px, py, 8 FROM lbl
+),
+pm AS (SELECT label, cx_, cy_, SUM(bit) AS mask, COUNT(*) AS cnt
+       FROM cp GROUP BY 1, 2, 3),
+crn AS (SELECT label,
+               SUM(CASE WHEN cnt IN (1, 3) THEN 1
+                        WHEN mask IN (6, 9) THEN 2 ELSE 0 END) AS n_vertices
+        FROM pm GROUP BY label),
+adj AS (SELECT a.label, COUNT(*) AS shared
+        FROM lbl a JOIN lbl b ON b.label = a.label
+         AND ((b.py = a.py AND b.px = a.px + 1)
+              OR (b.py = a.py + 1 AND b.px = a.px))
+        GROUP BY a.label),
+sz AS (SELECT label, COUNT(*) AS n_pixels FROM lbl GROUP BY label)
+SELECT s.label, CAST(c.n_vertices AS BIGINT) AS n_vertices,
+       CAST(4 * s.n_pixels - 2 * COALESCE(a.shared, 0) AS BIGINT) AS perimeter,
+       s.n_pixels
+FROM sz s JOIN crn c ON c.label = s.label
+LEFT JOIN adj a ON a.label = s.label""")
+
+
+def q_footprint(spark, sf_dir):
+    """Footprint (apps/gdal_footprint_lib.cpp -convex-hull): polygonize
+    the density mask, then per component the convex hull of its pixel
+    centers — the polygonize→hull composition the reference tool runs.
+    Oracle: the O(n³) hull-EDGE characterization per component (edge ∈
+    hull iff every other point is strictly left or collinear-between),
+    with the shoelace over directed hull edges — fully independent of
+    the engine's monotone-chain."""
+    from gdal_spark.operators import polygonize as poly_op
+    labels = poly_op.polygonize(_mask_df(spark, sf_dir, PMASK_THR), PGRID_W)
+    return poly_op.footprint(labels, min_pixels=2)
+
+
+def o_footprint():
+    cross = "(b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)"
+    return _ccl_oracle_sql(f"""
+, p2 AS (
+  SELECT l.label, l.px AS x, l.py AS y FROM lbl l
+  JOIN (SELECT label FROM lbl GROUP BY label HAVING COUNT(*) >= 2) s
+    ON s.label = l.label
+),
+e AS (
+  SELECT a.label, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM p2 a JOIN p2 b ON a.label = b.label AND (a.x != b.x OR a.y != b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p2 c WHERE c.label = a.label
+      AND (c.x != a.x OR c.y != a.y) AND (c.x != b.x OR c.y != b.y)
+      AND NOT ({cross} > 0
+               OR ({cross} = 0
+                   AND c.x BETWEEN LEAST(a.x, b.x) AND GREATEST(a.x, b.x)
+                   AND c.y BETWEEN LEAST(a.y, b.y) AND GREATEST(a.y, b.y)))
+  )
+)
+SELECT label, CAST(COUNT(*) AS INT) AS n_hull_vertices,
+       CAST(ABS(SUM(ax * by - bx * ay)) AS DOUBLE) / 2.0 AS hull_area
+FROM e GROUP BY label""")
+
+
 def q_sieve(spark, sf_dir):
     """Sieve filter (alg/gdalsievefilter.cpp): drop components smaller
     than 3 px (removal variant — see operators/polygonize.py)."""
@@ -2147,6 +2226,8 @@ REGISTRY: dict[str, tuple] = {
     "zonal_majority": (q_zonal_majority, o_zonal_majority),
     "hilbert_sort": (q_hilbert_sort, o_hilbert_sort),
     "polygonize": (q_polygonize, o_polygonize),
+    "polygonize_rings": (q_polygonize_rings, o_polygonize_rings),
+    "footprint": (q_footprint, o_footprint),
     "sieve": (q_sieve, o_sieve),
     "proximity": (q_proximity, o_proximity),
     "grid_metrics": (q_grid_metrics, o_grid_metrics),

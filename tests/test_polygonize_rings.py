@@ -1,0 +1,57 @@
+"""Ring tracer goldens on hand grids + footprint hull kernel checks."""
+
+import numpy as np
+
+from gdal_spark.geo.geom import convex_hull, ring_signed_area
+from gdal_spark.operators.polygonize import _trace_component
+
+
+def test_single_pixel():
+    assert _trace_component({(0, 0)})[:3] == (1, 4, 4)
+
+
+def test_square_2x2():
+    cells = {(y, x) for y in range(2) for x in range(2)}
+    assert _trace_component(cells)[:3] == (1, 4, 8)
+
+
+def test_l_tromino():
+    n_rings, n_vertices, perim, rings = _trace_component(
+        {(0, 0), (1, 0), (1, 1)})
+    assert (n_rings, n_vertices, perim) == (1, 6, 8)
+
+
+def test_ring_with_hole():
+    cells = {(y, x) for y in range(3) for x in range(3)} - {(1, 1)}
+    n_rings, n_vertices, perim, rings = _trace_component(cells)
+    assert (n_rings, n_vertices, perim) == (2, 8, 16)
+    # one outer 12-edge ring (4 verts), one hole 4-edge ring (4 verts)
+    assert sorted(len(r) for r in rings) == [4, 4]
+
+
+def test_diagonal_pinch_splits():
+    # 4-connectivity: diagonal cells pinch at the shared corner — the
+    # right-most-turn rule splits them into two rings (2 corners at the
+    # pinch point, matching the 2x2-mask count)
+    n_rings, n_vertices, perim, _ = _trace_component({(0, 0), (1, 1)})
+    assert (n_rings, n_vertices, perim) == (2, 8, 8)
+
+
+def test_plus_shape():
+    cells = {(1, 0), (1, 1), (1, 2), (0, 1), (2, 1)}
+    n_rings, n_vertices, perim, _ = _trace_component(cells)
+    assert (n_rings, n_vertices, perim) == (1, 12, 12)
+
+
+def test_hull_kernel_square_plus_interior():
+    px = np.array([0, 4, 4, 0, 2, 2, 0])  # square + interior + edge-mid
+    py = np.array([0, 0, 4, 4, 2, 0, 2])
+    h = convex_hull(px, py)
+    assert len(h) == 4  # collinear edge-mids excluded
+    assert abs(ring_signed_area(h)) == 16.0
+
+
+def test_hull_kernel_collinear():
+    h = convex_hull(np.array([0, 1, 2, 3]), np.array([0, 1, 2, 3]))
+    assert len(h) == 2
+    assert abs(ring_signed_area(h)) == 0.0
