@@ -162,3 +162,20 @@ def tile_cols(lat: Column, lon: Column, z: int, xyz: bool = True,
     if xyz:
         ty = F.lit(int(2 ** z) - 1).cast("long") - ty
     return tx, ty
+
+
+def geodetic_tile_cols(lat: Column, lon: Column, z: int,
+                       tile_size: int = TILE_SIZE) -> tuple[Column, Column]:
+    """EPSG:4326 geodetic tiling scheme (GlobalGeodetic,
+    osgeo_utils/gdal2tiles.py:535-610): resolution 180/tile/2^z deg/px,
+    2×1 tiles at z0, the same ceil−1 pixel→tile rule as mercator.
+    Returns XYZ-flipped (tx, ty). The resolution literal is computed
+    driver-side and injected into both engines (decimal-literal
+    division would diverge in DuckDB)."""
+    res = 180.0 / tile_size / (2.0 ** z)
+    px = (F.lit(180.0) + lon) / F.lit(res)
+    py = (F.lit(90.0) + lat) / F.lit(res)
+    tx = F.ceil(px / F.lit(float(tile_size))).cast("long") - F.lit(1).cast("long")
+    ty = F.ceil(py / F.lit(float(tile_size))).cast("long") - F.lit(1).cast("long")
+    ty = F.lit(int(2 ** z) - 1).cast("long") - ty
+    return tx, ty

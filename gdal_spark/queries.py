@@ -1636,6 +1636,224 @@ SELECT zone_fid,
 FROM per_ring GROUP BY zone_fid"""
 
 
+def _ring_folds(spark):
+    """Per (zone, ring) shoelace folds in edge order → signed area s_r,
+    centroid numerators — pure column math (no UDF), mirroring the SQL
+    twin expression-for-expression."""
+    e = _ring_edges_df(spark)
+    cross = F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+    t = e.select(
+        "zone_fid", "ring_id", "edge", cross.alias("cr"),
+        ((F.col("x1") + F.col("x2")) * cross).alias("sx"),
+        ((F.col("y1") + F.col("y2")) * cross).alias("sy"))
+    per_ring = (t.groupBy("zone_fid", "ring_id")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("edge", "cr", "sx", "sy"))).alias("it")))
+    s = F.lit(0.5) * F.aggregate(F.col("it"), F.lit(0.0),
+                                 lambda a, x: a + x["cr"])
+    fx = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["sx"])
+    fy = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["sy"])
+    return per_ring.select(
+        "zone_fid", "ring_id", s.alias("s"),
+        (fx / (F.lit(6.0) * s)).alias("cx_r"),
+        (fy / (F.lit(6.0) * s)).alias("cy_r"))
+
+
+_RING_FOLDS_SQL = """
+t AS (
+  SELECT zone_fid, ring_id, edge, x1 * y2 - x2 * y1 AS cr,
+         (x1 + x2) * (x1 * y2 - x2 * y1) AS sx,
+         (y1 + y2) * (x1 * y2 - x2 * y1) AS sy
+  FROM {edges}
+),
+per_ring AS (
+  SELECT zone_fid, ring_id,
+         0.5 * list_reduce(list(cr ORDER BY edge), (a, b) -> a + b) AS s,
+         list_reduce(list(sx ORDER BY edge), (a, b) -> a + b) AS fx,
+         list_reduce(list(sy ORDER BY edge), (a, b) -> a + b) AS fy
+  FROM t GROUP BY zone_fid, ring_id
+),
+rc AS (
+  SELECT zone_fid, ring_id, s,
+         fx / (6.0 * s) AS cx_r, fy / (6.0 * s) AS cy_r
+  FROM per_ring
+),
+zc AS (
+  SELECT zone_fid,
+         list_reduce(list(CASE WHEN ring_id = 0 THEN ABS(s) ELSE -ABS(s) END
+                          ORDER BY ring_id), (a, b) -> a + b) AS area,
+         list_reduce(list((CASE WHEN ring_id = 0 THEN ABS(s) ELSE -ABS(s) END)
+                          * cx_r ORDER BY ring_id), (a, b) -> a + b) AS nx,
+         list_reduce(list((CASE WHEN ring_id = 0 THEN ABS(s) ELSE -ABS(s) END)
+                          * cy_r ORDER BY ring_id), (a, b) -> a + b) AS ny
+  FROM rc GROUP BY zone_fid
+)"""
+
+
+def _zc_sql():
+    from gdal_spark.fixtures import zone_ring_edges_sql
+    return _RING_FOLDS_SQL.format(edges=zone_ring_edges_sql())
+
+
+def q_zone_centroid(spark, sf_dir):
+    """Constructive geometry: area-weighted polygon centroid + planar
+    area with holes subtracted (OGRGeometry::Centroid / get_Area,
+    ogr/ogr_geometry.h:430,1788 — GEOS centroid semantics): shoelace
+    centroid per ring (orientation-normalized), rings combined with
+    +outer/−hole weights. Ordered folds everywhere; zero UDFs."""
+    rings = _ring_folds(spark)
+    w = F.when(F.col("ring_id") == 0, F.abs(F.col("s"))) \
+         .otherwise(-F.abs(F.col("s")))
+    per_zone = (rings.select("zone_fid", "ring_id", w.alias("w"),
+                             "cx_r", "cy_r")
+                .groupBy("zone_fid")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("ring_id", "w", "cx_r", "cy_r"))).alias("rs")))
+    area = F.aggregate(F.col("rs"), F.lit(0.0), lambda a, x: a + x["w"])
+    nx = F.aggregate(F.col("rs"), F.lit(0.0),
+                     lambda a, x: a + x["w"] * x["cx_r"])
+    ny = F.aggregate(F.col("rs"), F.lit(0.0),
+                     lambda a, x: a + x["w"] * x["cy_r"])
+    return per_zone.select(
+        "zone_fid", (nx / area).alias("cx"), (ny / area).alias("cy"),
+        area.alias("area"))
+
+
+def o_zone_centroid():
+    return f"""
+WITH {_zc_sql()}
+SELECT zone_fid, nx / area AS cx, ny / area AS cy, area FROM zc"""
+
+
+def q_special_fields(spark, sf_dir):
+    """OGR special fields (ogr/ogrsf_frmts/generic/ogr_gensql.cpp:839-
+    841 OGR_GEOM_AREA; OGR_STYLE ogr_swq.h special-field table): FID,
+    planar geometry area (holes subtracted), and a deterministic style
+    string derived per feature."""
+    rings = _ring_folds(spark)
+    w = F.when(F.col("ring_id") == 0, F.abs(F.col("s"))) \
+         .otherwise(-F.abs(F.col("s")))
+    per_zone = (rings.select("zone_fid", "ring_id", w.alias("w"))
+                .groupBy("zone_fid")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("ring_id", "w"))).alias("rs")))
+    area = F.aggregate(F.col("rs"), F.lit(0.0), lambda a, x: a + x["w"])
+    z = sj.zones_attr_df(spark).select("zone_fid", "prfedea")
+    style = F.concat(F.lit("BRUSH(fc:#"),
+                     F.substring(F.md5(F.col("prfedea").cast("binary")), 1, 6),
+                     F.lit(")"))
+    return (per_zone.select(F.col("zone_fid"), area.alias("ogr_geom_area"))
+            .join(F.broadcast(z), "zone_fid")
+            .select(F.col("zone_fid").alias("fid"), "ogr_geom_area",
+                    style.alias("ogr_style")))
+
+
+def o_special_fields():
+    return f"""
+WITH {_zc_sql()}
+SELECT zc.zone_fid AS fid, zc.area AS ogr_geom_area,
+       'BRUSH(fc:#' || SUBSTR(MD5(zones.prfedea), 1, 6) || ')' AS ogr_style
+FROM zc JOIN {zones_values_sql()} ON zones.zone_fid = zc.zone_fid"""
+
+
+def q_hstore_get(spark, sf_dir):
+    """HSTORE_GET_VALUE (ogr/swq_op_general.cpp OGRHStoreGetValue):
+    parse 'k=>v,...' strings and extract by key; missing keys → NULL.
+    The hstore column is synthesized from orders fields so both engines
+    run the same end-to-end string pipeline."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hs = F.concat(F.lit("status=>"), F.col("o_orderstatus"),
+                  F.lit(",prio=>"), F.col("o_orderpriority"),
+                  F.lit(",cust=>"), F.col("o_custkey").cast("string"))
+    def get(key):
+        return F.nullif(
+            F.regexp_extract(hs, f"(^|,){key}=>([^,]*)", 2), F.lit(""))
+    return df.select(
+        F.col("o_orderkey").alias("okey"),
+        get("prio").alias("prio"), get("cust").alias("cust"),
+        get("absent").alias("absent"))
+
+
+def o_hstore_get():
+    hs = ("'status=>' || o_orderstatus || ',prio=>' || o_orderpriority "
+          "|| ',cust=>' || CAST(o_custkey AS VARCHAR)")
+    def get(key):
+        return f"NULLIF(REGEXP_EXTRACT({hs}, '(^|,){key}=>([^,]*)', 2), '')"
+    return (f"SELECT o_orderkey AS okey, {get('prio')} AS prio, "
+            f"{get('cust')} AS cust, {get('absent')} AS absent FROM orders")
+
+
+def q_geodetic_tiles(spark, sf_dir):
+    """Geodetic (EPSG:4326) tiling scheme (GlobalGeodetic,
+    osgeo_utils/gdal2tiles.py:535-610): raster-in-degrees XYZ tiles at
+    z5/z10 per page — the non-mercator profile of gdal2tiles."""
+    from gdal_spark.geo import mercator as M
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    tx5, ty5 = M.geodetic_tile_cols(F.col("lat"), F.col("lon"), 5)
+    tx10, ty10 = M.geodetic_tile_cols(F.col("lat"), F.col("lon"), 10)
+    return p.select("doc_id", tx5.alias("gx5"), ty5.alias("gy5"),
+                    tx10.alias("gx10"), ty10.alias("gy10"))
+
+
+def o_geodetic_tiles():
+    def tile(z):
+        res = 180.0 / 256.0 / (2.0 ** z)
+        px = f"((180.0 + lon) / {sqlexpr.dlit(res)})"
+        py = f"((90.0 + lat) / {sqlexpr.dlit(res)})"
+        tx = f"CAST(CEIL(({px}) / 256.0) AS BIGINT) - 1"
+        ty = f"{2 ** z - 1} - (CAST(CEIL(({py}) / 256.0) AS BIGINT) - 1)"
+        return tx, ty
+    tx5, ty5 = tile(5)
+    tx10, ty10 = tile(10)
+    return (f"WITH {sqlexpr.pages_cte()} "
+            f"SELECT doc_id, {tx5} AS gx5, {ty5} AS gy5, "
+            f"{tx10} AS gx10, {ty10} AS gy10 FROM pages WHERE lat IS NOT NULL")
+
+
+BUFFER_SEGS, BUFFER_RADIUS = 16, 0.5
+
+
+def _buffer_angle_rows():
+    import math as _m
+    return [(k, _m.cos(2.0 * _m.pi * k / BUFFER_SEGS),
+             _m.sin(2.0 * _m.pi * k / BUFFER_SEGS))
+            for k in range(BUFFER_SEGS)]
+
+
+def q_buffer_points(spark, sf_dir):
+    """ST_Buffer on points (OGRGeometry::Buffer, ogr/ogr_geometry.h:559;
+    apps/gdalalg_vector_buffer.cpp): K-segment polygonal disc around
+    each hotspot. Trig evaluated ONCE driver-side and injected as
+    literals into both engines (the GEOS buffer builder precomputes its
+    unit circle the same way); the per-point vertex expansion is pure
+    column math — the pattern scales to buffering billions of points."""
+    from gdal_spark.fixtures import HOTSPOTS
+    hs = spark.createDataFrame(
+        [(i, lat, lon) for i, (lat, lon) in enumerate(HOTSPOTS)],
+        "hs_id int, lat double, lon double")
+    ang = spark.createDataFrame(_buffer_angle_rows(),
+                                "k int, ck double, sk double")
+    r = F.lit(float(BUFFER_RADIUS))
+    return (hs.crossJoin(F.broadcast(ang))
+            .select("hs_id", "k",
+                    (F.col("lon") + r * F.col("ck")).alias("vx"),
+                    (F.col("lat") + r * F.col("sk")).alias("vy")))
+
+
+def o_buffer_points():
+    from gdal_spark.fixtures import HOTSPOTS, dlit
+    hrows = ", ".join(f"({i}, {dlit(lat)}, {dlit(lon)})"
+                      for i, (lat, lon) in enumerate(HOTSPOTS))
+    arows = ", ".join(f"({k}, {dlit(c)}, {dlit(s)})"
+                      for k, c, s in _buffer_angle_rows())
+    return f"""
+WITH hs AS (SELECT * FROM (VALUES {hrows}) AS t(hs_id, lat, lon)),
+ang AS (SELECT * FROM (VALUES {arows}) AS t(k, ck, sk))
+SELECT hs_id, k, lon + {sqlexpr.dlit(float(BUFFER_RADIUS))} * ck AS vx,
+       lat + {sqlexpr.dlit(float(BUFFER_RADIUS))} * sk AS vy
+FROM hs CROSS JOIN ang"""
+
+
 # =================================================================
 # relational parity (OGR SQL surface)
 # =================================================================
@@ -2248,6 +2466,11 @@ REGISTRY: dict[str, tuple] = {
     "vector_index": (q_vector_index, o_vector_index),
     "segmentize": (q_segmentize, o_segmentize),
     "geodesic_measures": (q_geodesic_measures, o_geodesic_measures),
+    "zone_centroid": (q_zone_centroid, o_zone_centroid),
+    "special_fields": (q_special_fields, o_special_fields),
+    "hstore_get": (q_hstore_get, o_hstore_get),
+    "geodetic_tiles": (q_geodetic_tiles, o_geodetic_tiles),
+    "buffer_points": (q_buffer_points, o_buffer_points),
     "stream_sessions": (q_stream_sessions, o_stream_sessions),
     "s2_cells": (q_s2_cells, None),
     "topk_per_zone": (q_topk_per_zone, o_topk_per_zone),
