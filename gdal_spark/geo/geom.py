@@ -212,6 +212,92 @@ def convex_hull(px, py) -> np.ndarray:
     return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
+def dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker polyline simplification (OGRGeometry::Simplify /
+    apps/gdalalg_vector_simplify.cpp semantics, reimplemented from the
+    published algorithm): boolean keep-mask over ``pts`` (n,2).
+    Deterministic: ties in the farthest-point argmax break to the first
+    index; float ops in fixed order so the driver-side oracle twin is
+    bit-identical."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+
+    def rec(i: int, j: int) -> None:
+        keep[i] = keep[j] = True
+        if j <= i + 1:
+            return
+        a, b = pts[i], pts[j]
+        seg = pts[i + 1:j]
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        if dx == 0.0 and dy == 0.0:
+            d = np.sqrt((seg[:, 0] - a[0]) ** 2 + (seg[:, 1] - a[1]) ** 2)
+        else:
+            d = np.abs(dx * (seg[:, 1] - a[1]) - dy * (seg[:, 0] - a[0])) \
+                / np.sqrt(dx * dx + dy * dy)
+        m = int(np.argmax(d))
+        if d[m] > tol:
+            rec(i, i + 1 + m)
+            rec(i + 1 + m, j)
+
+    rec(0, n - 1)
+    return keep
+
+
+def dp_ring_keep(pts: np.ndarray, tol: float) -> np.ndarray:
+    """DP for a CLOSED ring: split at vertex 0 and the vertex farthest
+    from it (squared-distance argmax, first-index ties), simplify the
+    two open halves over the closed traversal [v0..v_{n-1}, v0], return
+    the keep-mask for the original n vertices."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n <= 3:
+        return np.ones(n, dtype=bool)
+    d0 = (pts[:, 0] - pts[0, 0]) ** 2 + (pts[:, 1] - pts[0, 1]) ** 2
+    far = int(np.argmax(d0))
+    closed = np.vstack([pts, pts[:1]])
+    keep = np.zeros(n + 1, dtype=bool)
+    for i, j in ((0, far), (far, n)):
+        sub = dp_keep_mask(closed[i:j + 1], tol)
+        keep[i:j + 1] |= sub
+    return keep[:n]
+
+
+def _seg_intersection(a, b, c, d):
+    """Proper intersection point of open segments ab × cd, or None.
+    Exact-order float math (shared with the oracle twin)."""
+    r = (b[0] - a[0], b[1] - a[1])
+    s = (d[0] - c[0], d[1] - c[1])
+    den = r[0] * s[1] - r[1] * s[0]
+    if den == 0.0:
+        return None
+    t = ((c[0] - a[0]) * s[1] - (c[1] - a[1]) * s[0]) / den
+    u = ((c[0] - a[0]) * r[1] - (c[1] - a[1]) * r[0]) / den
+    if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+        return (a[0] + t * r[0], a[1] + t * r[1])
+    return None
+
+
+def make_valid_ring(ring) -> list:
+    """MakeValid (OGRGeometry::MakeValid, ogr/ogr_geometry.h:604) for
+    rings with at most one proper self-crossing — the bowtie case GEOS
+    resolves by node-splitting: returns the list of valid sub-rings
+    (the input unchanged when no crossing). Vertex order preserved;
+    the crossing point X joins both pieces."""
+    pts = [tuple(map(float, p)) for p in ring]
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            x = _seg_intersection(pts[i], pts[(i + 1) % n],
+                                  pts[j], pts[(j + 1) % n])
+            if x is not None:
+                ring1 = [x] + pts[i + 1:j + 1]
+                ring2 = [x] + pts[j + 1:] + pts[:i + 1]
+                return [ring1, ring2]
+    return [pts]
+
+
 def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
     """Great-circle distance in meters, sphere R=6378137."""
     lat1, lon1 = np.radians(np.asarray(lat1, float)), np.radians(np.asarray(lon1, float))

@@ -1854,6 +1854,163 @@ SELECT hs_id, k, lon + {sqlexpr.dlit(float(BUFFER_RADIUS))} * ck AS vx,
 FROM hs CROSS JOIN ang"""
 
 
+def q_tld_hull(spark, sf_dir):
+    """Per-TLD convex hull of geocoded pages (operators/hull.py — the
+    associative two-phase hull aggregation). Oracle: the independent
+    O(n³) hull-EDGE characterization over distinct coords per tld."""
+    from gdal_spark.operators.hull import hull_per_key
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    return hull_per_key(p, "tld", "lon", "lat")
+
+
+def o_tld_hull():
+    cross = "(b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)"
+    return f"""
+WITH {sqlexpr.pages_cte()},
+p0 AS (SELECT DISTINCT tld, lon AS x, lat AS y FROM pages WHERE lat IS NOT NULL),
+k AS (SELECT tld FROM p0 GROUP BY tld HAVING COUNT(*) >= 2),
+p2 AS (SELECT p0.* FROM p0 JOIN k USING (tld)),
+e AS (
+  SELECT a.tld, a.x AS ax, a.y AS ay
+  FROM p2 a JOIN p2 b ON a.tld = b.tld AND (a.x != b.x OR a.y != b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p2 c WHERE c.tld = a.tld
+      AND (c.x != a.x OR c.y != a.y) AND (c.x != b.x OR c.y != b.y)
+      AND NOT ({cross} > 0
+               OR ({cross} = 0
+                   AND c.x BETWEEN LEAST(a.x, b.x) AND GREATEST(a.x, b.x)
+                   AND c.y BETWEEN LEAST(a.y, b.y) AND GREATEST(a.y, b.y)))
+  )
+)
+SELECT DISTINCT tld, ax AS vx, ay AS vy FROM e"""
+
+
+SIMPLIFY_TOL = 0.1
+
+
+def _seg_ring_vertices_rows():
+    """Driver twin of the distributed segmentize-then-order pipeline:
+    per (zone, ring) the segmentized vertices in (edge, k) order —
+    identical float ops to the Spark column math in q_simplify."""
+    import math as _m
+
+    from gdal_spark.fixtures import zone_ring_edge_rows
+    by_ring: dict[tuple, list] = {}
+    for zf, rid, e, x1, y1, x2, y2 in zone_ring_edge_rows():
+        seg = _m.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+        nseg = max(1, int(_m.ceil(seg / 0.25)))
+        for k in range(nseg):
+            vx = x1 + (x2 - x1) * (float(k) / nseg)
+            vy = y1 + (y2 - y1) * (float(k) / nseg)
+            by_ring.setdefault((zf, rid), []).append(
+                (e * 100000 + k, vx, vy))
+    return by_ring
+
+
+def q_simplify(spark, sf_dir):
+    """Simplify (OGRGeometry::Simplify, apps/gdalalg_vector_simplify.cpp)
+    — Douglas–Peucker over the SEGMENTIZED zone rings (tolerance 0.1°),
+    so straight-edge midpoints vanish and corners survive. Distributed:
+    the segmentize explode is column math; the DP kernel runs per
+    (zone, ring) group in applyInPandas (rings are bounded —
+    feature-sized, not data-sized)."""
+    import pandas as pd
+
+    from gdal_spark.geo.geom import dp_ring_keep
+    e = _ring_edges_df(spark)
+    seg_len = F.sqrt((F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+                     + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1")))
+    nseg = F.greatest(F.lit(1), F.ceil(seg_len / 0.25).cast("int"))
+    verts = (e.withColumn("_n", nseg)
+             .withColumn("k", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+             .select("zone_fid", "ring_id",
+                     (F.col("edge") * 100000 + F.col("k")).alias("seq"),
+                     (F.col("x1") + (F.col("x2") - F.col("x1"))
+                      * (F.col("k").cast("double") / F.col("_n"))).alias("vx"),
+                     (F.col("y1") + (F.col("y2") - F.col("y1"))
+                      * (F.col("k").cast("double") / F.col("_n"))).alias("vy")))
+
+    def _dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pdf = pdf.sort_values("seq").reset_index(drop=True)
+        pts = np.stack([pdf["vx"].to_numpy(), pdf["vy"].to_numpy()], axis=1)
+        keep = dp_ring_keep(pts, SIMPLIFY_TOL)
+        return pdf.loc[keep, ["zone_fid", "ring_id", "seq", "vx", "vy"]]
+
+    return verts.groupBy("zone_fid", "ring_id").applyInPandas(
+        _dp, "zone_fid int, ring_id int, seq int, vx double, vy double")
+
+
+def o_simplify():
+    """VALUES twin: same segmentize float math + same DP kernel on the
+    fixture rings, rendered as literals."""
+    import numpy as np
+
+    from gdal_spark.geo.geom import dp_ring_keep
+    rows = []
+    for (zf, rid), vs in sorted(_seg_ring_vertices_rows().items()):
+        vs.sort()
+        pts = np.array([(vx, vy) for _, vx, vy in vs])
+        keep = dp_ring_keep(pts, SIMPLIFY_TOL)
+        for (seq, vx, vy), kp in zip(vs, keep):
+            if kp:
+                rows.append(f"({zf}, {rid}, {seq}, "
+                            f"{sqlexpr.dlit(vx)}, {sqlexpr.dlit(vy)})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(zone_fid, ring_id, seq, vx, vy)")
+
+
+# MakeValid fixture: one valid quad, one self-crossing bowtie
+MV_RINGS = [
+    (0, [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0)]),
+    (1, [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)]),  # bowtie
+]
+
+
+def q_make_valid(spark, sf_dir):
+    """MakeValid (OGRGeometry::MakeValid, ogr/ogr_geometry.h:604 — GEOS
+    node-split semantics for self-crossing rings): split each input
+    ring at its self-intersection into valid pieces; emit per piece the
+    vertex count and |shoelace| area. mapInPandas numpy kernel per ring
+    row (geometry-grained work, same pattern as the overlay clip)."""
+    import pandas as pd
+
+    from gdal_spark.geo.geom import make_valid_ring, ring_signed_area
+    rings = spark.createDataFrame(
+        [(rid, [float(c) for xy in ring for c in xy])
+         for rid, ring in MV_RINGS],
+        "ring_id int, ring array<double>")
+
+    def _mv(batches):
+        import numpy as np
+        for pdf in batches:
+            out = []
+            for rid, flat in zip(pdf["ring_id"], pdf["ring"]):
+                ring = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+                for pid, piece in enumerate(make_valid_ring(ring)):
+                    out.append((int(rid), pid, len(piece),
+                                abs(ring_signed_area(np.asarray(piece)))))
+            yield pd.DataFrame(
+                out, columns=["ring_id", "piece_id", "n_vertices", "area"])
+
+    return rings.mapInPandas(
+        _mv, "ring_id int, piece_id int, n_vertices int, area double")
+
+
+def o_make_valid():
+    """VALUES twin via the same kernel."""
+    import numpy as np
+
+    from gdal_spark.geo.geom import make_valid_ring, ring_signed_area
+    rows = []
+    for rid, ring in MV_RINGS:
+        for pid, piece in enumerate(make_valid_ring(np.asarray(ring))):
+            area = abs(ring_signed_area(np.asarray(piece)))
+            rows.append(f"({rid}, {pid}, {len(piece)}, {sqlexpr.dlit(area)})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(ring_id, piece_id, n_vertices, area)")
+
+
 # =================================================================
 # relational parity (OGR SQL surface)
 # =================================================================
@@ -2471,6 +2628,9 @@ REGISTRY: dict[str, tuple] = {
     "hstore_get": (q_hstore_get, o_hstore_get),
     "geodetic_tiles": (q_geodetic_tiles, o_geodetic_tiles),
     "buffer_points": (q_buffer_points, o_buffer_points),
+    "tld_hull": (q_tld_hull, o_tld_hull),
+    "simplify": (q_simplify, o_simplify),
+    "make_valid": (q_make_valid, o_make_valid),
     "stream_sessions": (q_stream_sessions, o_stream_sessions),
     "s2_cells": (q_s2_cells, None),
     "topk_per_zone": (q_topk_per_zone, o_topk_per_zone),
