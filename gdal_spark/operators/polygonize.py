@@ -7,10 +7,13 @@ not a traced ring).
 
 Distributed shape (classic map-reduce CCL):
 
-1. tile pass — pixels bucketed into T×T tiles; per tile a pandas-UDF
+1. tile pass — pixels bucketed into T×T tiles; per task a pandas-UDF
    union-find labels local components with the component's MIN global
-   pixel id (py*W + px). One shuffle on tile id; each task touches ≤ T²
-   pixels.
+   pixel id (py*W + px). One shuffle on tile id; hash partitioning may
+   place several tiles in one task (the task's pixel count is bounded
+   by the partition size, not T²), and the whole partition is labeled
+   in one union-find pass — cross-tile merges found early are simply a
+   head start on the border pass.
 2. border pass — 4-adjacent pixel pairs that straddle a tile edge
    produce (label_a, label_b) equivalence edges: a self equi-join of
    the (small) border-pixel subset on shifted coordinates.

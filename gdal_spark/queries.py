@@ -1104,6 +1104,130 @@ LEFT JOIN h h2 ON h2.sy = ym.y1 AND h2.dx = xd.dx
 LEFT JOIN h h3 ON h3.sy = ym.y2 AND h3.dx = xd.dx"""
 
 
+def q_warp_cutline(spark, sf_dir):
+    """Warp with CUTLINE crop (gdalwarp -cutline/-crop_to_cutline;
+    alg/gdalwarper.cpp cutline mask generation): the nearest-neighbour
+    3857 warp restricted to destination pixels whose center maps inside
+    zone 9 (outer quad minus its hole) — the cutline test is pure
+    half-plane column math over the broadcast per-dim inverse maps."""
+    import math as _m
+
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    src = _warp_src_burn(spark, sf_dir)
+    xs, ys = [], []
+    for dx in range(env["width"]):
+        X = env["minx"] + (dx + 0.5) * env["psx"]
+        lon = (X * 180.0) / W_.OS
+        xs.append((dx, int(_m.floor((lon - ZRAST_GT[0]) / ZRAST_GT[1])), lon))
+    for dy in range(env["height"]):
+        Y = env["maxy"] - (dy + 0.5) * env["psy"]
+        lat = (_m.atan(_m.exp((Y * _m.pi) / W_.OS)) * 360.0) / _m.pi - 90.0
+        ys.append((dy, int(_m.floor((lat - ZRAST_GT[3]) / ZRAST_GT[5])), lat))
+    bx = spark.createDataFrame(xs, "dx long, sx long, lon double")
+    by = spark.createDataFrame(ys, "dy long, sy long, lat double")
+    dst = spark.range(env["width"] * env["height"]).select(
+        (F.col("id") / env["width"]).cast("long").alias("dy"),
+        (F.col("id") % env["width"]).alias("dx"))
+    d = (dst.join(F.broadcast(bx), "dx").join(F.broadcast(by), "dy")
+         .filter((F.col("sx") >= 0) & (F.col("sx") < ZRAST_W)
+                 & (F.col("sy") >= 0) & (F.col("sy") < ZRAST_H)))
+    z9 = next(z for z in ZONES if z["zone_fid"] == 9)
+
+    def inside(ring, strict):
+        conds = []
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            c = ((F.lit(float(x2)) - F.lit(float(x1)))
+                 * (F.col("lat") - F.lit(float(y1)))
+                 - (F.lit(float(y2)) - F.lit(float(y1)))
+                 * (F.col("lon") - F.lit(float(x1))))
+            conds.append(c > 0 if strict else c >= 0)
+        out = conds[0]
+        for cc in conds[1:]:
+            out = out & cc
+        return out
+
+    keep = inside(z9["parts"][0], False) & ~inside(z9["holes"][0], True)
+    return (d.filter(keep)
+            .join(F.broadcast(src), ["sy", "sx"], "left")
+            .select("dy", "dx", F.coalesce(F.col("burn"), F.lit(0.0)).alias("v")))
+
+
+def o_warp_cutline():
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    g = ZRAST_GT
+    X = f"({sqlexpr.dlit(env['minx'])} + (dx + 0.5) * {sqlexpr.dlit(env['psx'])})"
+    Y = f"({sqlexpr.dlit(env['maxy'])} - (dy + 0.5) * {sqlexpr.dlit(env['psy'])})"
+    OS = "(PI() * 6378137)"
+    lon = f"(({X} * 180.0) / {OS})"
+    lat = f"((ATAN(EXP(({Y} * PI()) / {OS})) * 360.0) / PI() - 90.0)"
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pixel_counts_sql(g, ZRAST_W, ZRAST_H, src="pages")},
+dst AS (SELECT CAST(r1.range AS BIGINT) AS dy, CAST(r2.range AS BIGINT) AS dx
+        FROM range({env['height']}) r1, range({env['width']}) r2),
+m AS (SELECT dy, dx, {lon} AS lon, {lat} AS lat,
+             CAST(FLOOR(({lon} - ({g[0]!r})) / {g[1]!r}) AS BIGINT) AS sx,
+             CAST(FLOOR(({lat} - ({g[3]!r})) / ({g[5]!r})) AS BIGINT) AS sy
+      FROM dst),
+e AS (
+  SELECT m.dy, m.dx, m.sx, m.sy, zpe.is_hole,
+    MIN(CASE WHEN (zpe.x2-zpe.x1)*(m.lat-zpe.y1) - (zpe.y2-zpe.y1)*(m.lon-zpe.x1) >= 0 THEN 1 ELSE 0 END) AS inc,
+    MIN(CASE WHEN (zpe.x2-zpe.x1)*(m.lat-zpe.y1) - (zpe.y2-zpe.y1)*(m.lon-zpe.x1) > 0 THEN 1 ELSE 0 END) AS strict
+  FROM m, {zone_part_edges_sql()}
+  WHERE zpe.zone_fid = 9
+  GROUP BY m.dy, m.dx, m.sx, m.sy, zpe.is_hole
+),
+keepmask AS (
+  SELECT dy, dx, sx, sy,
+         MAX(CASE WHEN is_hole = 0 AND inc = 1 THEN 1 ELSE 0 END) AS in_part,
+         MAX(CASE WHEN is_hole = 1 AND strict = 1 THEN 1 ELSE 0 END) AS in_hole
+  FROM e GROUP BY dy, dx, sx, sy
+)
+SELECT k.dy, k.dx, COALESCE(CAST(b.c AS DOUBLE), 0.0) AS v
+FROM keepmask k LEFT JOIN burn b ON b.py = k.sy AND b.px = k.sx
+WHERE k.in_part = 1 AND k.in_hole = 0
+  AND k.sx >= 0 AND k.sx < {ZRAST_W} AND k.sy >= 0 AND k.sy < {ZRAST_H}"""
+
+
+HIST_BUCKETS, HIST_MIN, HIST_WIDTH = 16, 0.0, 1.0
+
+
+def q_raster_histogram(spark, sf_dir):
+    """Raster histogram (GDALRasterBand::GetHistogram,
+    gcore/rasterband.cpp — fixed min/width buckets, out-of-range
+    excluded): bucket counts of the 64×64 point-burn raster. Sparse
+    convention: only non-empty pixels are histogrammed (the implicit
+    zeros of the sparse raster are the nodata mask)."""
+    pts = points_df(spark, sf_dir)
+    burn = rast_op.burn_points(pts, GRID_GT, GRID_W, GRID_H)
+    b = F.floor((F.col("burn") - F.lit(HIST_MIN)) / F.lit(HIST_WIDTH))
+    return (burn.withColumn("bucket", b)
+            .filter((F.col("bucket") >= 0) & (F.col("bucket") < HIST_BUCKETS))
+            .groupBy("bucket").agg(F.count("*").alias("n_pixels")))
+
+
+def o_raster_histogram():
+    g = GRID_GT
+    fx = f"((lon - ({g[0]!r})) / {g[1]!r})"
+    fy = f"((lat - ({g[3]!r})) / ({g[5]!r}))"
+    return f"""
+WITH {sqlexpr.points_cte()},
+px AS (SELECT CAST(FLOOR({fy}) AS BIGINT) AS py, CAST(FLOOR({fx}) AS BIGINT) AS px,
+              CAST(COUNT(*) AS DOUBLE) AS burn
+       FROM points
+       WHERE lat IS NOT NULL AND {fx} >= 0 AND {fx} < {GRID_W}
+         AND {fy} >= 0 AND {fy} < {GRID_H}
+       GROUP BY 1, 2),
+bk AS (SELECT CAST(FLOOR((burn - {HIST_MIN!r}) / {HIST_WIDTH!r}) AS BIGINT) AS bucket
+       FROM px)
+SELECT bucket, COUNT(*) AS n_pixels FROM bk
+WHERE bucket >= 0 AND bucket < {HIST_BUCKETS} GROUP BY bucket"""
+
+
 def q_raster_mosaic(spark, sf_dir):
     """Raster mosaic/stack (gdal raster mosaic/stack,
     apps/gdalalg_raster_mosaic.cpp, gdalalg_raster_stack.cpp): two
@@ -2011,9 +2135,158 @@ def o_make_valid():
             + ") AS t(ring_id, piece_id, n_vertices, area)")
 
 
-# =================================================================
-# relational parity (OGR SQL surface)
-# =================================================================
+import math as _math
+
+UTM_K0, UTM_LON0 = 0.9996, -3.0  # zone-30N analog, spherical TM
+UTM_RK = 6378137.0 * UTM_K0
+UTM_LAM0R = _math.radians(UTM_LON0)
+
+
+def q_utm_transform(spark, sf_dir):
+    """Pluggable coordinate transform beyond 4326↔3857: closed-form
+    SPHERICAL transverse Mercator (the UTM zone-30N analog; the
+    reference routes arbitrary CRS pairs through PROJ,
+    ogr/ogrct.cpp:665,1793 — no PROJ in this container, so the
+    transform REGISTRY gets a second closed-form pair). Vectorized
+    numpy trig in a pandas UDF (bitwise == glibc == DuckDB, verified);
+    output rounded to mm."""
+    import pandas as pd
+    p = (pages_df(spark, sf_dir)
+         .filter(F.col("lat").isNotNull()
+                 & F.col("lon").between(UTM_LON0 - 60.0, UTM_LON0 + 60.0)))
+
+    def _tm(batches):
+        import numpy as np
+        for pdf in batches:
+            lam = np.radians(pdf["lon"].to_numpy(np.float64)) - UTM_LAM0R
+            phi = np.radians(pdf["lat"].to_numpy(np.float64))
+            b = np.cos(phi) * np.sin(lam)
+            x = 0.5 * UTM_RK * np.log((1.0 + b) / (1.0 - b))
+            y = UTM_RK * np.arctan(np.tan(phi) / np.cos(lam))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "easting": x, "northing": y})
+
+    t = p.select("doc_id", "lat", "lon").mapInPandas(
+        _tm, "doc_id long, easting double, northing double")
+    return t.select("doc_id", F.round("easting", 3).alias("easting"),
+                    F.round("northing", 3).alias("northing"))
+
+
+def o_utm_transform():
+    lam = f"(RADIANS(lon) - {sqlexpr.dlit(UTM_LAM0R)})"
+    b = f"(COS(RADIANS(lat)) * SIN({lam}))"
+    x = f"(0.5 * {sqlexpr.dlit(UTM_RK)} * LN((1.0 + {b}) / (1.0 - {b})))"
+    y = f"({sqlexpr.dlit(UTM_RK)} * ATAN(TAN(RADIANS(lat)) / COS({lam})))"
+    return (f"WITH {sqlexpr.pages_cte()} "
+            f"SELECT doc_id, ROUND({x}, 3) AS easting, "
+            f"ROUND({y}, 3) AS northing FROM pages "
+            f"WHERE lat IS NOT NULL AND lon BETWEEN {UTM_LON0 - 60.0!r} "
+            f"AND {UTM_LON0 + 60.0!r}")
+
+
+# marching-squares segment table: case → (seg_id, edge_a, edge_b);
+# edges 0=top 1=right 2=bottom 3=left; saddles (5, 10) split into the
+# two separated corner segments (documented fixed rule)
+MS_SEGS = [
+    (1, 0, 3, 0), (2, 0, 0, 1), (3, 0, 3, 1), (4, 0, 1, 2),
+    (5, 0, 3, 0), (5, 1, 1, 2), (6, 0, 0, 2), (7, 0, 3, 2),
+    (8, 0, 2, 3), (9, 0, 0, 2), (10, 0, 0, 1), (10, 1, 2, 3),
+    (11, 0, 1, 2), (12, 0, 3, 1), (13, 0, 0, 1), (14, 0, 0, 3),
+]
+
+
+def q_contour_segments(spark, sf_dir):
+    """Contour SEGMENT assembly (alg/contour.cpp + alg/marching_squares
+    segment generator): per 2×2 block classify the corner mask, then
+    emit the linear-interpolated crossing segment(s) in pixel coords —
+    the geometry continuation of contour_cells. Corner values gathered
+    by 4 shifted copies of the sparse burn raster; missing pixels = 0."""
+    pts = points_df(spark, sf_dir)
+    burn = rast_op.burn_points(pts, PGRID_GT, PGRID_W, PGRID_H)
+    thr = float(PMASK_THR)
+    parts = []
+    for dy, dx, name in ((0, 0, "vtl"), (0, 1, "vtr"), (1, 1, "vbr"), (1, 0, "vbl")):
+        parts.append(burn.select(
+            (F.col("py") - dy).alias("by"), (F.col("px") - dx).alias("bx"),
+            F.lit(name).alias("w"), F.col("burn").alias("v")))
+    u = parts[0]
+    for pp in parts[1:]:
+        u = u.unionByName(pp)
+    blocks = (u.filter((F.col("by") >= 0) & (F.col("by") < PGRID_H - 1)
+                       & (F.col("bx") >= 0) & (F.col("bx") < PGRID_W - 1))
+              .groupBy("by", "bx")
+              .agg(*[F.coalesce(F.max(F.when(F.col("w") == n, F.col("v"))),
+                                F.lit(0.0)).alias(n)
+                     for n in ("vtl", "vtr", "vbr", "vbl")]))
+    case = (F.when(F.col("vtl") >= thr, 1).otherwise(0)
+            + F.when(F.col("vtr") >= thr, 2).otherwise(0)
+            + F.when(F.col("vbr") >= thr, 4).otherwise(0)
+            + F.when(F.col("vbl") >= thr, 8).otherwise(0))
+    blocks = blocks.withColumn("ms_case", case)
+    segs = spark.createDataFrame(MS_SEGS, "ms_case int, seg int, ea int, eb int")
+    j = blocks.join(F.broadcast(segs), "ms_case")
+    tT = (thr - F.col("vtl")) / (F.col("vtr") - F.col("vtl"))
+    tR = (thr - F.col("vtr")) / (F.col("vbr") - F.col("vtr"))
+    tB = (thr - F.col("vbl")) / (F.col("vbr") - F.col("vbl"))
+    tL = (thr - F.col("vtl")) / (F.col("vbl") - F.col("vtl"))
+    bxd, byd = F.col("bx").cast("double"), F.col("by").cast("double")
+
+    def ex(e):
+        return (F.when(e == 0, bxd + tT).when(e == 1, bxd + 1.0)
+                .when(e == 2, bxd + tB).otherwise(bxd))
+
+    def ey(e):
+        return (F.when(e == 0, byd).when(e == 1, byd + tR)
+                .when(e == 2, byd + 1.0).otherwise(byd + tL))
+
+    return j.select("by", "bx", "seg",
+                    ex(F.col("ea")).alias("x1"), ey(F.col("ea")).alias("y1"),
+                    ex(F.col("eb")).alias("x2"), ey(F.col("eb")).alias("y2"))
+
+
+def o_contour_segments():
+    thr = float(PMASK_THR)
+    seg_rows = ", ".join(f"({c}, {s}, {a}, {b})" for c, s, a, b in MS_SEGS)
+    def ex(e):
+        return (f"CASE WHEN {e} = 0 THEN bx + (({thr!r}) - vtl) / (vtr - vtl) "
+                f"WHEN {e} = 1 THEN bx + 1.0 "
+                f"WHEN {e} = 2 THEN bx + (({thr!r}) - vbl) / (vbr - vbl) "
+                f"ELSE CAST(bx AS DOUBLE) END")
+    def ey(e):
+        return (f"CASE WHEN {e} = 0 THEN CAST(by AS DOUBLE) "
+                f"WHEN {e} = 1 THEN by + (({thr!r}) - vtr) / (vbr - vtr) "
+                f"WHEN {e} = 2 THEN by + 1.0 "
+                f"ELSE by + (({thr!r}) - vtl) / (vbl - vtl) END")
+    return f"""
+WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
+corners AS (
+  SELECT py AS by, px AS bx, 'vtl' AS w, CAST(c AS DOUBLE) AS v FROM burn
+  UNION ALL SELECT py, px - 1, 'vtr', CAST(c AS DOUBLE) FROM burn
+  UNION ALL SELECT py - 1, px - 1, 'vbr', CAST(c AS DOUBLE) FROM burn
+  UNION ALL SELECT py - 1, px, 'vbl', CAST(c AS DOUBLE) FROM burn
+),
+blocks AS (
+  SELECT by, bx,
+         COALESCE(MAX(CASE WHEN w = 'vtl' THEN v END), 0.0) AS vtl,
+         COALESCE(MAX(CASE WHEN w = 'vtr' THEN v END), 0.0) AS vtr,
+         COALESCE(MAX(CASE WHEN w = 'vbr' THEN v END), 0.0) AS vbr,
+         COALESCE(MAX(CASE WHEN w = 'vbl' THEN v END), 0.0) AS vbl
+  FROM corners
+  WHERE by >= 0 AND by < {PGRID_H - 1} AND bx >= 0 AND bx < {PGRID_W - 1}
+  GROUP BY by, bx
+),
+cased AS (
+  SELECT *, (CASE WHEN vtl >= {thr!r} THEN 1 ELSE 0 END
+             + CASE WHEN vtr >= {thr!r} THEN 2 ELSE 0 END
+             + CASE WHEN vbr >= {thr!r} THEN 4 ELSE 0 END
+             + CASE WHEN vbl >= {thr!r} THEN 8 ELSE 0 END) AS ms_case
+  FROM blocks
+),
+segs AS (SELECT * FROM (VALUES {seg_rows}) AS t(ms_case, seg, ea, eb))
+SELECT c.by, c.bx, s.seg,
+       {ex('s.ea')} AS x1, {ey('s.ea')} AS y1,
+       {ex('s.eb')} AS x2, {ey('s.eb')} AS y2
+FROM cased c JOIN segs s ON s.ms_case = c.ms_case"""
 
 def q_select_where(spark, sf_dir):
     """SELECT + WHERE surface: LIKE / IN / BETWEEN / IS NULL / aliases
@@ -2616,8 +2889,12 @@ REGISTRY: dict[str, tuple] = {
     "warp_resample": (q_warp_resample, o_warp_resample),
     "warp_bilinear": (q_warp_bilinear, o_warp_bilinear),
     "warp_cubic": (q_warp_cubic, o_warp_cubic),
+    "warp_cutline": (q_warp_cutline, o_warp_cutline),
+    "raster_histogram": (q_raster_histogram, o_raster_histogram),
     "stream_rollup": (q_stream_rollup, o_stream_rollup),
     "contour_cells": (q_contour_cells, o_contour_cells),
+    "contour_segments": (q_contour_segments, o_contour_segments),
+    "utm_transform": (q_utm_transform, o_utm_transform),
     "text_passthrough": (q_text_passthrough, o_text_passthrough),
     "table_stats": (q_table_stats, o_table_stats),
     "vector_index": (q_vector_index, o_vector_index),
