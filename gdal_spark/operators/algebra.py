@@ -145,7 +145,14 @@ def intersection_pieces(spark: SparkSession) -> DataFrame:
 
     from gdal_spark.geo.geom import clip_convex, ring_signed_area
 
-    pieces = spark.createDataFrame(convex_pieces_rows(), PIECES_SCHEMA)
+    # repartition(1): the piece table is feature-sized; without it the
+    # non-equi join plans as a CartesianProduct over the default 32×32
+    # partition grid — 1024 near-empty tasks (~20 s of pure task
+    # launch; coalesce(1) keeps the slow parent layout, measured 10 s
+    # vs 0.6 s). At data scale the big side would be a real table and
+    # the join a cell-cover equi-join instead.
+    pieces = spark.createDataFrame(
+        convex_pieces_rows(), PIECES_SCHEMA).repartition(1)
     a, b = pieces.alias("a"), pieces.alias("b")
     cand = (a.join(b, (F.col("a.zone_fid") < F.col("b.zone_fid"))
                    & (F.col("a.xmin") <= F.col("b.xmax"))

@@ -63,8 +63,13 @@ def train_codebook(df: DataFrame, k: int = 4, iters: int = 3,
     is k × dims rows — bounded at any data scale. Empty cells keep
     their previous centroid. Returns [(cid, centroid)] sorted by cid."""
     v = F.col(vec_col).cast("array<double>")
+    # repartition(1): the training sample is deliberately tiny; without
+    # it every Lloyd iteration schedules shuffle-partition-count
+    # near-empty tasks (the iterations are many small JOBS — task count
+    # is the cost driver, not data)
     train = (df.filter(F.col(id_col) < train_n)
-             .select(F.col(id_col).alias("_id"), v.alias("_v")).persist())
+             .select(F.col(id_col).alias("_id"), v.alias("_v"))
+             .repartition(1).persist())
     init = train.filter(F.col("_id") < k).orderBy("_id").collect()
     cents = [(int(r["_id"]), [float(x) for x in r["_v"]]) for r in init]
     dims = len(cents[0][1])
