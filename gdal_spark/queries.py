@@ -683,6 +683,237 @@ SELECT cy, cx, CAST(n AS INT) AS n,
 FROM folded"""
 
 
+LGRID_MOD = 97  # thins the Europe points to ~150 so the O(n^3) brute-
+#                 force oracle triangulation stays tractable in DuckDB
+
+
+def _lgrid_points(spark, sf_dir):
+    from gdal_spark.operators import delaunay
+    g = EGRID
+    pts = points_df(spark, sf_dir).filter(
+        F.col("lat").isNotNull()
+        & (F.col("lon") >= g["x0"]) & (F.col("lon") <= g["x0"] + g["nx"] * g["dx"])
+        & (F.col("lat") <= g["y0"]) & (F.col("lat") >= g["y0"] + g["ny"] * g["dy"])
+        & (F.col("pt_id") % LGRID_MOD == 0))
+    return delaunay.dedupe_coords(pts)
+
+
+def q_grid_linear(spark, sf_dir):
+    """gdal_grid linear (alg/gdalgrid.cpp GDALGridLinear +
+    alg/delaunay.c): Delaunay-triangulate the thinned Europe points,
+    then barycentric-interpolate each 32×32 grid node inside a
+    triangle; outside-hull nodes are nodata (dropped). Triangulation
+    is the bounded per-group kernel, interpolation is distributed
+    column math (operators/delaunay.py)."""
+    from gdal_spark.operators import delaunay
+    g = EGRID
+    tri = delaunay.triangulate(_lgrid_points(spark, sf_dir))
+    return delaunay.linear_interpolate(
+        tri, g["x0"], g["y0"], g["dx"], g["dy"], g["nx"], g["ny"])
+
+
+def o_grid_linear():
+    g = EGRID
+    xe = g["x0"] + g["nx"] * g["dx"]
+    ys = g["y0"] + g["ny"] * g["dy"]
+    return f"""
+WITH {sqlexpr.points_cte()},
+pf AS (SELECT pt_id, value, lon, lat,
+              ROW_NUMBER() OVER (PARTITION BY lon, lat
+                                 ORDER BY pt_id, value) AS rn
+       FROM points
+       WHERE lat IS NOT NULL
+         AND lon >= {g['x0']!r} AND lon <= {xe!r}
+         AND lat <= {g['y0']!r} AND lat >= {ys!r}
+         AND pt_id % {LGRID_MOD} = 0),
+p AS (SELECT pt_id, value, lon AS x, lat AS y FROM pf WHERE rn = 1),
+tri0 AS (
+  SELECT a.pt_id AS ia, b.pt_id AS ib, c.pt_id AS ic,
+         a.x AS ax, a.y AS ay, a.value AS av,
+         b.x AS bx, b.y AS by, b.value AS bv,
+         c.x AS cx, c.y AS cy, c.value AS cv,
+         2.0 * (a.x * (b.y - c.y) + b.x * (c.y - a.y)
+                + c.x * (a.y - b.y)) AS d
+  FROM p a JOIN p b ON a.pt_id < b.pt_id JOIN p c ON b.pt_id < c.pt_id
+),
+tri1 AS (
+  SELECT *,
+    ((ax*ax + ay*ay) * (by - cy) + (bx*bx + by*by) * (cy - ay)
+     + (cx*cx + cy*cy) * (ay - by)) / d AS ux,
+    ((ax*ax + ay*ay) * (cx - bx) + (bx*bx + by*by) * (ax - cx)
+     + (cx*cx + cy*cy) * (bx - ax)) / d AS uy
+  FROM tri0 WHERE d <> 0.0
+),
+tri2 AS (SELECT *, (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy) AS r2
+         FROM tri1),
+bad AS (
+  SELECT DISTINCT t.ia, t.ib, t.ic FROM tri2 t, p q
+  WHERE q.pt_id <> t.ia AND q.pt_id <> t.ib AND q.pt_id <> t.ic
+    AND (q.x - t.ux) * (q.x - t.ux)
+        + (q.y - t.uy) * (q.y - t.uy) < t.r2
+),
+tri AS (SELECT t.* FROM tri2 t ANTI JOIN bad USING (ia, ib, ic)),
+cells AS (SELECT CAST(r1.range AS INT) AS gcy, CAST(r2.range AS INT) AS gcx
+          FROM range({g['ny']}) r1, range({g['nx']}) r2),
+ctr AS (SELECT gcy, gcx, {g['x0']!r} + (gcx + 0.5) * {g['dx']!r} AS gx,
+               {g['y0']!r} + (gcy + 0.5) * ({g['dy']!r}) AS gy FROM cells),
+cand AS (
+  SELECT t.*, c.gcy, c.gcx, c.gx, c.gy,
+         ((t.by - t.cy) * (t.ax - t.cx)
+          + (t.cx - t.bx) * (t.ay - t.cy)) AS det
+  FROM tri t JOIN ctr c
+    ON c.gx >= LEAST(t.ax, t.bx, t.cx) AND c.gx <= GREATEST(t.ax, t.bx, t.cx)
+   AND c.gy >= LEAST(t.ay, t.by, t.cy) AND c.gy <= GREATEST(t.ay, t.by, t.cy)
+),
+bary AS (
+  SELECT gcy, gcx, ia, ib, ic, av, bv, cv,
+         ((by - cy) * (gx - cx) + (cx - bx) * (gy - cy)) / det AS w0,
+         ((cy - ay) * (gx - cx) + (ax - cx) * (gy - cy)) / det AS w1
+  FROM cand
+),
+hit AS (
+  SELECT gcy, gcx, ia, ib, ic, av, bv, cv, w0, w1,
+         1.0 - w0 - w1 AS w2
+  FROM bary
+  WHERE w0 >= 0.0 AND w1 >= 0.0 AND (1.0 - w0 - w1) >= 0.0
+),
+pick AS (
+  SELECT gcy, gcx, w0 * av + w1 * bv + w2 * cv AS val,
+         ROW_NUMBER() OVER (PARTITION BY gcy, gcx
+                            ORDER BY ia, ib, ic) AS rn
+  FROM hit
+)
+SELECT gcy AS cy, gcx AS cx, ROUND(val, 6) AS v FROM pick WHERE rn = 1"""
+
+
+def q_wrapdateline(spark, sf_dir):
+    """ogr2ogr -wrapdateline (OGRGeometryFactory::transformWithOptions
+    WRAPDATELINE option, ogr/ogrgeometryfactory.cpp): segments whose
+    eastward span crosses the ±180 antimeridian split into two parts
+    at lon=180 / lon=-180 with the crossing latitude linearly
+    interpolated; the overflow part shifts by -360. Fixture: every
+    geocoded point spawns a 75°-east segment — pure column math, one
+    union, no explode."""
+    p = (points_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+         .select("pt_id", F.col("lon").alias("x1"), F.col("lat").alias("y1"),
+                 (F.col("lon") + 75.0).alias("x2r"),
+                 (F.col("lat") + 5.0).alias("y2r")))
+    cross = F.col("x2r") > 180.0
+    ym = F.col("y1") + (F.col("y2r") - F.col("y1")) * (
+        (F.lit(180.0) - F.col("x1")) / (F.col("x2r") - F.col("x1")))
+    part0 = p.select(
+        "pt_id", F.lit(0).alias("part"),
+        F.round("x1", 9).alias("x1"), F.round("y1", 9).alias("y1"),
+        F.round(F.when(cross, F.lit(180.0)).otherwise(F.col("x2r")), 9).alias("x2"),
+        F.round(F.when(cross, ym).otherwise(F.col("y2r")), 9).alias("y2"))
+    part1 = p.filter(cross).select(
+        "pt_id", F.lit(1).alias("part"),
+        F.lit(-180.0).alias("x1"), F.round(ym, 9).alias("y1"),
+        F.round(F.col("x2r") - 360.0, 9).alias("x2"),
+        F.round("y2r", 9).alias("y2"))
+    return part0.unionByName(part1)
+
+
+def o_wrapdateline():
+    return f"""
+WITH {sqlexpr.points_cte()},
+seg AS (SELECT pt_id, lon AS x1, lat AS y1, lon + 75.0 AS x2r,
+               lat + 5.0 AS y2r
+        FROM points WHERE lat IS NOT NULL),
+s AS (SELECT *, x2r > 180.0 AS crossing,
+             y1 + (y2r - y1) * ((180.0 - x1) / (x2r - x1)) AS ym
+      FROM seg)
+SELECT pt_id, 0 AS part, ROUND(x1, 9) AS x1, ROUND(y1, 9) AS y1,
+       ROUND(CASE WHEN crossing THEN 180.0 ELSE x2r END, 9) AS x2,
+       ROUND(CASE WHEN crossing THEN ym ELSE y2r END, 9) AS y2
+FROM s
+UNION ALL
+SELECT pt_id, 1 AS part, -180.0 AS x1, ROUND(ym, 9) AS y1,
+       ROUND(x2r - 360.0, 9) AS x2, ROUND(y2r, 9) AS y2
+FROM s WHERE crossing"""
+
+
+def q_explode_collections(spark, sf_dir):
+    """ogr2ogr -explodecollections (apps/ogr2ogr_lib.cpp): one feature
+    per collection part, parent attributes duplicated onto each part
+    and part ordinal preserved. Fixture: per-TLD multipoint built from
+    the geocoded pages, exploded back to parts — collect_list →
+    array_sort → posexplode, all JVM-side."""
+    g = (pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+         .groupBy("tld")
+         .agg(F.array_sort(F.collect_list(
+             F.struct("doc_id", "lon", "lat"))).alias("parts")))
+    return (g.select("tld", F.size("parts").alias("n_parts"),
+                     F.posexplode("parts").alias("part", "p"))
+            .select("tld", "n_parts", "part",
+                    F.col("p.doc_id").alias("doc_id"),
+                    F.col("p.lon").alias("lon"),
+                    F.col("p.lat").alias("lat")))
+
+
+def o_explode_collections():
+    return f"""
+WITH {sqlexpr.pages_cte()},
+g AS (SELECT tld,
+             list(struct_pack(doc_id := doc_id, lon := lon, lat := lat)
+                  ORDER BY doc_id) AS parts
+      FROM pages WHERE lat IS NOT NULL GROUP BY tld),
+sel AS (SELECT tld, len(parts) AS n_parts, unnest(parts) AS p,
+               generate_subscripts(parts, 1) AS idx
+        FROM g)
+SELECT tld, CAST(n_parts AS INT) AS n_parts, CAST(idx - 1 AS INT) AS part,
+       p.doc_id AS doc_id, p.lon AS lon, p.lat AS lat
+FROM sel"""
+
+
+def q_tile_content_pyramid(spark, sf_dir):
+    """Base tiles + overview cascade with PIXEL CONTENT (gdal2tiles
+    create_base_tile + create_overview_tile, swne/gdal2tiles.py:
+    overview tiles average their 4 children; nodata children excluded
+    — GDAL 'average' overview semantics): the 128×128 burn raster
+    cut into 32×32-pixel tiles at level 0, then 3 overview levels,
+    each pixel = mean of its PRESENT children. All sums are exact
+    binary fractions (counts / 4^k), so the groupBy cascade is
+    order-safe; one shuffle per level on the decimated key."""
+    base = rast_op.burn_points(points_df(spark, sf_dir),
+                               PGRID_GT, PGRID_W, PGRID_H)
+    # each level feeds BOTH the output union and the next decimation:
+    # persist, or the union re-runs the whole cascade per branch
+    cur = (base.select("py", "px", F.col("burn").cast("double").alias("v"))
+           .persist())
+    levels = [cur.withColumn("level", F.lit(0))]
+    for k in range(1, 4):
+        cur = (cur.groupBy(F.floor(F.col("py") / 2).alias("py"),
+                           F.floor(F.col("px") / 2).alias("px"))
+               .agg((F.sum("v") / F.count("v")).alias("v"))
+               .persist())
+        levels.append(cur.withColumn("level", F.lit(k)))
+    out = levels[0]
+    for l in levels[1:]:
+        out = out.unionByName(l)
+    return out.select(
+        "level", F.floor(F.col("py") / 32).alias("ty"),
+        F.floor(F.col("px") / 32).alias("tx"),
+        "py", "px", F.round("v", 6).alias("v"))
+
+
+def o_tile_content_pyramid():
+    lvls = ["l0 AS (SELECT 0 AS level, py, px, CAST(c AS DOUBLE) AS v "
+            "FROM burn)"]
+    for k in range(1, 4):
+        lvls.append(
+            f"l{k} AS (SELECT {k} AS level, py // 2 AS py, px // 2 AS px, "
+            f"SUM(v) / COUNT(v) AS v FROM l{k-1} GROUP BY py // 2, px // 2)")
+    union = " UNION ALL ".join(
+        f"SELECT level, py, px, v FROM l{k}" for k in range(4))
+    return f"""
+WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
+{', '.join(lvls)},
+lv AS ({union})
+SELECT level, py // 32 AS ty, px // 32 AS tx, py, px, ROUND(v, 6) AS v
+FROM lv"""
+
+
 def q_overview_modes(spark, sf_dir):
     """Overview resampling (gcore/overview.cpp:4401-4800): z6 tile
     counts decimated 2× to z5 with AVERAGE / MIN / MAX / MODE of the ≤4
@@ -2886,6 +3117,10 @@ REGISTRY: dict[str, tuple] = {
     "grid_invdist": (q_grid_invdist, o_grid_invdist),
     "grid_average": (q_grid_average, o_grid_average),
     "grid_invdistnn": (q_grid_invdistnn, o_grid_invdistnn),
+    "grid_linear": (q_grid_linear, o_grid_linear),
+    "wrapdateline": (q_wrapdateline, o_wrapdateline),
+    "explode_collections": (q_explode_collections, o_explode_collections),
+    "tile_content_pyramid": (q_tile_content_pyramid, o_tile_content_pyramid),
     "overview_modes": (q_overview_modes, o_overview_modes),
     "raster_calc": (q_raster_calc, o_raster_calc),
     "warp_envelope": (q_warp_envelope, o_warp_envelope),
