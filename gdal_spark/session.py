@@ -14,7 +14,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "gdal_spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -56,6 +57,8 @@ def get_spark(app: str = "gdal_spark", master: str | None = None,
         # fetch-failure-driven stage retries, so skipping the sort is
         # safe HERE ONLY — cluster sessions keep the safe default.
         b = b.config("spark.sql.execution.sortBeforeRepartition", "false")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
