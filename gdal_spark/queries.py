@@ -2916,11 +2916,14 @@ def q_ivf_ann(spark, sf_dir):
     return ann_op.ivf_topk(df, query, centroids)
 
 
-def o_ivf_ann():
-    """Generated Lloyd-in-SQL twin of ann.train_codebook: per-iteration
+def _lloyd_asg_sql():
+    """Generated Lloyd-in-SQL twin of ann.train_codebook (per-iteration
     assignment = dim-ordered fold distances + ROW_NUMBER argmin; update
-    = exact FLOOR(val*2^20) integer sums (order-free, so DuckDB's and
-    Spark's arbitrary partial-agg orders agree bit-for-bit)."""
+    = exact FLOOR(val*2^20) integer sums, order-free so DuckDB's and
+    Spark's arbitrary partial-agg orders agree bit-for-bit). Returns
+    the CTE block text ``train .. asg`` that assigns every row of an
+    upstream CTE ``e(vec_id, v)`` to its trained cell — shared by
+    o_ivf_ann and o_embed_neardup."""
     from gdal_spark.operators.ann import TRAIN_SCALE
     nd = IVF_DIMS + 1
     fold = "(a, b) -> a + b"
@@ -2945,7 +2948,6 @@ c{i + 1} AS (SELECT c.cid, c.dim, COALESCE(u.cval, c.cval) AS cval
              FROM c{i} c LEFT JOIN u{i} u ON u.cid = c.cid AND u.dim = c.dim)""")
     cn = f"c{IVF_ITERS}"
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 train AS (SELECT vec_id, v FROM e WHERE vec_id < {IVF_TRAIN_N}),
 tel AS (SELECT vec_id, CAST(r.range AS INT) AS dim, v[r.range] AS val
         FROM train, range(1, {nd}) r),
@@ -2960,7 +2962,16 @@ fd AS (SELECT f.vec_id, c.cid,
 asg AS (SELECT vec_id, cid AS cell FROM
         (SELECT vec_id, cid,
                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         FROM fd) WHERE rn = 1),
+         FROM fd) WHERE rn = 1)"""
+
+
+def o_ivf_ann():
+    nd = IVF_DIMS + 1
+    fold = "(a, b) -> a + b"
+    cn = f"c{IVF_ITERS}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_lloyd_asg_sql()},
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 qel AS (SELECT CAST(r.range AS INT) AS dim, qv[r.range] AS val
         FROM q, range(1, {nd}) r),
@@ -3069,6 +3080,66 @@ p AS (
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9"""
 
 
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection via IVF cell
+    bucketing: vectors assigned to their Lloyd-trained codebook cell
+    (operators/ann.train_codebook — the same codebook the ANN index
+    partitions by, so near-dup detection rides the index for free),
+    candidate pairs = same-cell equi-join, exact cosine ≥ 0.9 verify.
+    Complements simhash_lsh's sign-bit LSH: here the bucketing is the
+    learned coarse quantizer, the production shape for tables already
+    IVF-partitioned. Non-vacuity: the same seeded +0.01 twins as
+    simhash_lsh. At scale: K cells sized so N/K per-cell candidates
+    stay bounded; no all-pairs anywhere."""
+    from gdal_spark.operators import ann as ann_op
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    base = df.select("vec_id", emb.alias("v"))
+    dup = (base.filter(F.col("vec_id") < SIMHASH_SEEDS)
+           .select((F.col("vec_id") + SIMHASH_DUP_OFFSET).alias("vec_id"),
+                   F.transform("v", lambda x: x + F.lit(0.01)).alias("v")))
+    e = base.unionByName(dup).persist()
+    cents = ann_op.train_codebook(
+        e, k=IVF_K, iters=IVF_ITERS, train_n=IVF_TRAIN_N, vec_col="v")
+    asg = ann_op.assign_cells(e, cents, vec_col="v").select(
+        "vec_id", "cell", "v")
+    a = asg.select(F.col("vec_id").alias("id_a"), F.col("cell"),
+                   F.col("v").alias("va"))
+    b = asg.select(F.col("vec_id").alias("id_b"),
+                   F.col("cell").alias("cell_b"), F.col("v").alias("vb"))
+    cand = a.join(b, (F.col("cell") == F.col("cell_b"))
+                  & (F.col("id_a") < F.col("id_b"))).drop("cell_b")
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return (cand.withColumn("cos", F.round(dot / (na * nb), 6))
+            .filter(F.col("cos") >= 0.9)
+            .select("id_a", "id_b", "cell", "cos"))
+
+
+def o_embed_neardup():
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dup AS (SELECT vec_id + {SIMHASH_DUP_OFFSET} AS vec_id,
+               list_transform(v, x -> x + CAST(0.01 AS DOUBLE)) AS v
+        FROM base WHERE vec_id < {SIMHASH_SEEDS}),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+{_lloyd_asg_sql()},
+cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+         FROM asg a JOIN asg b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id),
+p AS (
+  SELECT c.id_a, c.id_b, c.cell,
+         ROUND(list_sum(list_transform(list_zip(ea.v, eb.v), z -> z[1] * z[2]))
+               / (SQRT(list_sum(list_transform(ea.v, x -> x * x)))
+                  * SQRT(list_sum(list_transform(eb.v, x -> x * x)))), 6) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cell, cos FROM p WHERE cos >= 0.9"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -3100,6 +3171,7 @@ REGISTRY: dict[str, tuple] = {
     "quality": (q_quality, o_quality),
     "ann_cosine": (q_ann_cosine, o_ann_cosine),
     "simhash_lsh": (q_simhash_lsh, o_simhash_lsh),
+    "embed_neardup": (q_embed_neardup, o_embed_neardup),
     "minhash_lsh": (q_minhash_lsh, o_minhash_lsh),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
