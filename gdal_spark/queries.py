@@ -683,9 +683,9 @@ SELECT cy, cx, CAST(n AS INT) AS n,
 FROM folded"""
 
 
-LGRID_MOD = 97  # thins the Europe points to ~150 so the O(n^3) brute-
+DGRID_MOD = 97  # thins the Europe points to ~150 so the O(n^3) brute-
 #                 force oracle triangulation stays tractable in DuckDB
-LGRID_CAP = 120000  # pt_id ceiling: keeps the kernel's point budget
+DGRID_CAP = 120000  # pt_id ceiling: keeps the kernel's point budget
 #                 SF-stable (sf0.01 is unaffected — its max pt_id is
 #                 119998 — while sf0.1+ sees the same bounded set
 #                 instead of 10× the points), the fixture analog of
@@ -699,7 +699,7 @@ def _lgrid_points(spark, sf_dir):
         F.col("lat").isNotNull()
         & (F.col("lon") >= g["x0"]) & (F.col("lon") <= g["x0"] + g["nx"] * g["dx"])
         & (F.col("lat") <= g["y0"]) & (F.col("lat") >= g["y0"] + g["ny"] * g["dy"])
-        & (F.col("pt_id") % LGRID_MOD == 0) & (F.col("pt_id") < LGRID_CAP))
+        & (F.col("pt_id") % DGRID_MOD == 0) & (F.col("pt_id") < DGRID_CAP))
     return delaunay.dedupe_coords(pts)
 
 
@@ -730,7 +730,7 @@ pf AS (SELECT pt_id, value, lon, lat,
        WHERE lat IS NOT NULL
          AND lon >= {g['x0']!r} AND lon <= {xe!r}
          AND lat <= {g['y0']!r} AND lat >= {ys!r}
-         AND pt_id % {LGRID_MOD} = 0 AND pt_id < {LGRID_CAP}),
+         AND pt_id % {DGRID_MOD} = 0 AND pt_id < {DGRID_CAP}),
 p AS (SELECT pt_id, value, lon AS x, lat AS y FROM pf WHERE rn = 1),
 tri0 AS (
   SELECT a.pt_id AS ia, b.pt_id AS ib, c.pt_id AS ic,
@@ -2088,9 +2088,12 @@ SELECT zone_fid, nx / area AS cx, ny / area AS cy, area FROM zc"""
 
 def q_special_fields(spark, sf_dir):
     """OGR special fields (ogr/ogrsf_frmts/generic/ogr_gensql.cpp:839-
-    841 OGR_GEOM_AREA; OGR_STYLE ogr_swq.h special-field table): FID,
-    planar geometry area (holes subtracted), and a deterministic style
-    string derived per feature."""
+    841 OGR_GEOM_AREA; OGR_STYLE, OGR_GEOM_WKT ogr_swq.h special-field
+    table): FID, planar geometry area (holes subtracted), a
+    deterministic style string, and the WKT rendering of the zone
+    polygon (vertices %.6f-formatted — printf semantics shared by Java
+    and C — assembled in edge order with the closing vertex repeated,
+    rings in ring_id order)."""
     rings = _ring_folds(spark)
     w = F.when(F.col("ring_id") == 0, F.abs(F.col("s"))) \
          .otherwise(-F.abs(F.col("s")))
@@ -2099,22 +2102,55 @@ def q_special_fields(spark, sf_dir):
                 .agg(F.array_sort(F.collect_list(
                     F.struct("ring_id", "w"))).alias("rs")))
     area = F.aggregate(F.col("rs"), F.lit(0.0), lambda a, x: a + x["w"])
+    e = _ring_edges_df(spark)
+    pt = F.format_string("%.6f %.6f", F.col("x1"), F.col("y1"))
+    per_ring = (e.select("zone_fid", "ring_id", "edge", pt.alias("pt"))
+                .groupBy("zone_fid", "ring_id")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("edge", "pt"))).alias("vs")))
+    ring_txt = F.concat(
+        F.lit("("),
+        F.concat_ws(", ", F.transform(F.col("vs"), lambda s: s["pt"])),
+        F.lit(", "), F.element_at(F.col("vs"), 1)["pt"], F.lit(")"))
+    wkt_zone = (per_ring.select("zone_fid", "ring_id", ring_txt.alias("rt"))
+                .groupBy("zone_fid")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("ring_id", "rt"))).alias("rts")))
+    wkt = F.concat(F.lit("POLYGON ("),
+                   F.concat_ws(", ", F.transform(F.col("rts"),
+                                                 lambda s: s["rt"])),
+                   F.lit(")"))
     z = sj.zones_attr_df(spark).select("zone_fid", "prfedea")
     style = F.concat(F.lit("BRUSH(fc:#"),
                      F.substring(F.md5(F.col("prfedea").cast("binary")), 1, 6),
                      F.lit(")"))
     return (per_zone.select(F.col("zone_fid"), area.alias("ogr_geom_area"))
+            .join(wkt_zone.select("zone_fid", wkt.alias("ogr_geom_wkt")),
+                  "zone_fid")
             .join(F.broadcast(z), "zone_fid")
             .select(F.col("zone_fid").alias("fid"), "ogr_geom_area",
-                    style.alias("ogr_style")))
+                    style.alias("ogr_style"), "ogr_geom_wkt"))
 
 
 def o_special_fields():
+    from gdal_spark.fixtures import zone_ring_edges_sql
     return f"""
-WITH {_zc_sql()}
+WITH {_zc_sql()},
+wpts AS (SELECT zone_fid, ring_id, edge, printf('%.6f %.6f', x1, y1) AS pt
+         FROM {zone_ring_edges_sql()}),
+wring AS (SELECT zone_fid, ring_id,
+                 '(' || string_agg(pt, ', ' ORDER BY edge) || ', '
+                     || MAX(CASE WHEN edge = 0 THEN pt END) || ')' AS rt
+          FROM wpts GROUP BY zone_fid, ring_id),
+wzone AS (SELECT zone_fid,
+                 'POLYGON (' || string_agg(rt, ', ' ORDER BY ring_id) || ')'
+                   AS ogr_geom_wkt
+          FROM wring GROUP BY zone_fid)
 SELECT zc.zone_fid AS fid, zc.area AS ogr_geom_area,
-       'BRUSH(fc:#' || SUBSTR(MD5(zones.prfedea), 1, 6) || ')' AS ogr_style
-FROM zc JOIN {zones_values_sql()} ON zones.zone_fid = zc.zone_fid"""
+       'BRUSH(fc:#' || SUBSTR(MD5(zones.prfedea), 1, 6) || ')' AS ogr_style,
+       wzone.ogr_geom_wkt
+FROM zc JOIN {zones_values_sql()} ON zones.zone_fid = zc.zone_fid
+JOIN wzone ON wzone.zone_fid = zc.zone_fid"""
 
 
 def q_hstore_get(spark, sf_dir):
