@@ -232,3 +232,158 @@ def intersection_pieces_twin() -> list[tuple[int, int, int, float]]:
                     n_pieces += 1
             out.append((fa, fb, n_pieces, total))
     return out
+
+
+# ------------------------------------------------------------------------
+# full GEOS predicate matrix (ogr_geometry.h:546-553 Intersects/Equals/
+# Disjoint/Touches/Crosses/Within/Contains/Overlaps) for polygon pairs,
+# derived from the convex-piece intersection AREA plus a column-math
+# boundary-contact join — no GEOS in the container, same answers.
+# ------------------------------------------------------------------------
+
+PRED_EPS = 1e-9
+
+
+def _seg_intersect_col(px1, py1, px2, py2, qx1, qy1, qx2, qy2):
+    """Inclusive segment-intersection predicate as a Column expression:
+    orientation straddle test + collinear endpoint-on-segment cases
+    (the classic CLRS SEGMENTS-INTERSECT, identical formula shapes in
+    the numpy twin)."""
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    d1 = cross(qx1, qy1, qx2, qy2, px1, py1)
+    d2 = cross(qx1, qy1, qx2, qy2, px2, py2)
+    d3 = cross(px1, py1, px2, py2, qx1, qy1)
+    d4 = cross(px1, py1, px2, py2, qx2, qy2)
+    proper = ((((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+              & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))))
+
+    def on_seg(ax, ay, bx, by, px, py):
+        return ((px >= F.least(ax, bx)) & (px <= F.greatest(ax, bx))
+                & (py >= F.least(ay, by)) & (py <= F.greatest(ay, by)))
+
+    return (proper
+            | ((d1 == 0) & on_seg(qx1, qy1, qx2, qy2, px1, py1))
+            | ((d2 == 0) & on_seg(qx1, qy1, qx2, qy2, px2, py2))
+            | ((d3 == 0) & on_seg(px1, py1, px2, py2, qx1, qy1))
+            | ((d4 == 0) & on_seg(px1, py1, px2, py2, qx2, qy2)))
+
+
+def edge_contact(spark: SparkSession) -> DataFrame:
+    """(fid_a, fid_b, contact) — 1 iff any boundary edge of A touches
+    any boundary edge of B (holes included: a polygon's boundary is all
+    its rings). Pure column math over the edge-pair join; at data scale
+    the pair join keys on a cell cover instead of fid inequality."""
+    from gdal_spark.fixtures import zone_ring_edge_rows
+    e = spark.createDataFrame(
+        zone_ring_edge_rows(),
+        "zone_fid int, ring_id int, edge int, x1 double, y1 double, "
+        "x2 double, y2 double").repartition(1)
+    a, b = e.alias("a"), e.alias("b")
+    hit = _seg_intersect_col(
+        F.col("a.x1"), F.col("a.y1"), F.col("a.x2"), F.col("a.y2"),
+        F.col("b.x1"), F.col("b.y1"), F.col("b.x2"), F.col("b.y2"))
+    return (a.join(b, F.col("a.zone_fid") < F.col("b.zone_fid"))
+            .select(F.col("a.zone_fid").alias("fid_a"),
+                    F.col("b.zone_fid").alias("fid_b"),
+                    hit.cast("int").alias("h"))
+            .groupBy("fid_a", "fid_b").agg(F.max("h").alias("contact")))
+
+
+def zone_predicates(spark: SparkSession) -> DataFrame:
+    """Predicate matrix for every zone pair: area-derived containment
+    (|A∩B| vs |A|, |B| within PRED_EPS — exact for the fixture since
+    Sutherland–Hodgman of a contained polygon returns its own vertices)
+    + boundary contact for Touches/Disjoint. Crosses is identically
+    false for polygon×polygon (DE-9IM dimension rule)."""
+    from gdal_spark.fixtures import ZONES, zone_area
+    zrows = [(z["zone_fid"], float(zone_area(z))) for z in ZONES]
+    z = spark.createDataFrame(zrows, "fid int, area double").repartition(1)
+    pairs = (z.alias("a").join(z.alias("b"), F.col("a.fid") < F.col("b.fid"))
+             .select(F.col("a.fid").alias("fid_a"),
+                     F.col("b.fid").alias("fid_b"),
+                     F.col("a.area").alias("area_a"),
+                     F.col("b.area").alias("area_b")))
+    inter = intersection_pieces(spark).select("fid_a", "fid_b", "inter_area")
+    contact = edge_contact(spark)
+    j = (pairs.join(inter, ["fid_a", "fid_b"], "left")
+         .join(contact, ["fid_a", "fid_b"], "left")
+         .withColumn("ia", F.coalesce(F.col("inter_area"), F.lit(0.0)))
+         .withColumn("ct", F.coalesce(F.col("contact"), F.lit(0))))
+    has_int = F.col("ia") > PRED_EPS
+    within_a = F.abs(F.col("ia") - F.col("area_a")) <= PRED_EPS
+    contains_a = F.abs(F.col("ia") - F.col("area_b")) <= PRED_EPS
+    intersects = has_int | (F.col("ct") == 1)
+    touches = (~has_int) & (F.col("ct") == 1)
+    overlaps = has_int & ~within_a & ~contains_a
+    equals_ab = within_a & contains_a
+    return j.select(
+        "fid_a", "fid_b", F.round("ia", 9).alias("inter_area"),
+        intersects.cast("int").alias("intersects"),
+        (~intersects).cast("int").alias("disjoint"),
+        touches.cast("int").alias("touches"),
+        overlaps.cast("int").alias("overlaps"),
+        contains_a.cast("int").alias("contains_a"),
+        within_a.cast("int").alias("within_a"),
+        equals_ab.cast("int").alias("equals_ab"),
+        F.lit(0).alias("crosses"))
+
+
+def zone_predicates_twin() -> list[tuple]:
+    """Numpy/python twin of zone_predicates for the VALUES oracle —
+    same formulas, same fold orders, same EPS."""
+    from gdal_spark.fixtures import ZONES, zone_area, zone_ring_edge_rows
+    inter = {(fa, fb): area
+             for fa, fb, n, area in intersection_pieces_twin()}
+    edges: dict[int, list] = {}
+    for zf, rid, e, x1, y1, x2, y2 in zone_ring_edge_rows():
+        edges.setdefault(zf, []).append((x1, y1, x2, y2))
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    def on_seg(ax, ay, bx, by, px, py):
+        return (min(ax, bx) <= px <= max(ax, bx)
+                and min(ay, by) <= py <= max(ay, by))
+
+    def seg_int(p, q):
+        px1, py1, px2, py2 = p
+        qx1, qy1, qx2, qy2 = q
+        d1 = cross(qx1, qy1, qx2, qy2, px1, py1)
+        d2 = cross(qx1, qy1, qx2, qy2, px2, py2)
+        d3 = cross(px1, py1, px2, py2, qx1, qy1)
+        d4 = cross(px1, py1, px2, py2, qx2, qy2)
+        if (((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
+                and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0))):
+            return True
+        if d1 == 0 and on_seg(qx1, qy1, qx2, qy2, px1, py1):
+            return True
+        if d2 == 0 and on_seg(qx1, qy1, qx2, qy2, px2, py2):
+            return True
+        if d3 == 0 and on_seg(px1, py1, px2, py2, qx1, qy1):
+            return True
+        if d4 == 0 and on_seg(px1, py1, px2, py2, qx2, qy2):
+            return True
+        return False
+
+    areas = {z["zone_fid"]: float(zone_area(z)) for z in ZONES}
+    fids = sorted(areas)
+    out = []
+    for i, fa in enumerate(fids):
+        for fb in fids[i + 1:]:
+            ia = inter.get((fa, fb), 0.0)
+            ct = any(seg_int(p, q)
+                     for p in edges[fa] for q in edges[fb])
+            has_int = ia > PRED_EPS
+            within_a = abs(ia - areas[fa]) <= PRED_EPS
+            contains_a = abs(ia - areas[fb]) <= PRED_EPS
+            intersects = has_int or ct
+            out.append((
+                fa, fb, round(ia, 9),
+                int(intersects), int(not intersects),
+                int((not has_int) and ct),
+                int(has_int and not within_a and not contains_a),
+                int(contains_a), int(within_a),
+                int(within_a and contains_a), 0))
+    return out

@@ -1723,6 +1723,28 @@ def o_algebra_pieces():
             "AS t(fid_a, fid_b, n_pieces, inter_area)")
 
 
+def q_zone_predicates(spark, sf_dir):
+    """Full GEOS predicate matrix (OGRGeometry Intersects/Equals/
+    Disjoint/Touches/Crosses/Within/Contains/Overlaps,
+    ogr/ogr_geometry.h:546-553) for every zone pair: containment from
+    the convex-piece intersection area, Touches/Disjoint from a
+    column-math boundary-contact edge join (operators/algebra.
+    zone_predicates). Crosses ≡ 0 for polygon×polygon (DE-9IM)."""
+    from gdal_spark.operators import algebra
+    return algebra.zone_predicates(spark)
+
+
+def o_zone_predicates():
+    from gdal_spark.operators.algebra import zone_predicates_twin
+    rows = ", ".join(
+        f"({fa}, {fb}, {sqlexpr.dlit(ia)}, {i}, {d}, {t}, {o}, {c}, {w}, "
+        f"{e}, {cr})"
+        for fa, fb, ia, i, d, t, o, c, w, e, cr in zone_predicates_twin())
+    return (f'SELECT * FROM (VALUES {rows}) AS t(fid_a, fid_b, inter_area, '
+            '"intersects", "disjoint", "touches", "overlaps", contains_a, '
+            'within_a, equals_ab, crosses)')
+
+
 def q_dissolve(spark, sf_dir):
     """Dissolve (apps/gdalalg_vector_dissolve.cpp:53-120): merge
     per-key geometries — for points the dissolved multipoint is
@@ -3213,6 +3235,7 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
     "algebra_pieces": (q_algebra_pieces, o_algebra_pieces),
+    "zone_predicates": (q_zone_predicates, o_zone_predicates),
     "algebra_union": (q_algebra_union, o_algebra_union),
     "algebra_identity": (q_algebra_identity, o_algebra_identity),
     "algebra_update": (q_algebra_update, o_algebra_update),
