@@ -717,12 +717,14 @@ def q_grid_linear(spark, sf_dir):
         tri, g["x0"], g["y0"], g["dx"], g["dy"], g["nx"], g["ny"])
 
 
-def o_grid_linear():
+def _delaunay_tri_sql():
+    """CTE block ``pf .. tri`` — brute-force empty-circumcircle SQL
+    Delaunay over the thinned Europe points (expects the points CTE
+    upstream); shared by o_grid_linear and o_delaunay_tri."""
     g = EGRID
     xe = g["x0"] + g["nx"] * g["dx"]
     ys = g["y0"] + g["ny"] * g["dy"]
     return f"""
-WITH {sqlexpr.points_cte()},
 pf AS (SELECT pt_id, value, lon, lat,
               ROW_NUMBER() OVER (PARTITION BY lon, lat
                                  ORDER BY pt_id, value) AS rn
@@ -757,7 +759,14 @@ bad AS (
     AND (q.x - t.ux) * (q.x - t.ux)
         + (q.y - t.uy) * (q.y - t.uy) < t.r2
 ),
-tri AS (SELECT t.* FROM tri2 t ANTI JOIN bad USING (ia, ib, ic)),
+tri AS (SELECT t.* FROM tri2 t ANTI JOIN bad USING (ia, ib, ic))"""
+
+
+def o_grid_linear():
+    g = EGRID
+    return f"""
+WITH {sqlexpr.points_cte()},
+{_delaunay_tri_sql()},
 cells AS (SELECT CAST(r1.range AS INT) AS gcy, CAST(r2.range AS INT) AS gcx
           FROM range({g['ny']}) r1, range({g['nx']}) r2),
 ctr AS (SELECT gcy, gcx, {g['x0']!r} + (gcx + 0.5) * {g['dx']!r} AS gx,
@@ -789,6 +798,27 @@ pick AS (
   FROM hit
 )
 SELECT gcy AS cy, gcx AS cx, ROUND(val, 6) AS v FROM pick WHERE rn = 1"""
+
+
+def q_delaunay_tri(spark, sf_dir):
+    """DelaunayTriangulation as a first-class constructive op
+    (OGRGeometry::DelaunayTriangulation, ogr/ogr_geometry.h:596;
+    GEOSDelaunayTriangulation): the triangle set itself — vertex ids +
+    the triangle's doubled signed area (exact lattice arithmetic)."""
+    from gdal_spark.operators import delaunay
+    tri = delaunay.triangulate(_lgrid_points(spark, sf_dir))
+    d2a = ((F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay"))
+           - (F.col("cx") - F.col("ax")) * (F.col("by") - F.col("ay")))
+    return tri.select("ia", "ib", "ic", F.round(d2a, 9).alias("area2"))
+
+
+def o_delaunay_tri():
+    return f"""
+WITH {sqlexpr.points_cte()},
+{_delaunay_tri_sql()}
+SELECT ia, ib, ic,
+       ROUND((bx - ax) * (cy - ay) - (cx - ax) * (by - ay), 9) AS area2
+FROM tri"""
 
 
 def q_wrapdateline(spark, sf_dir):
@@ -3254,6 +3284,7 @@ REGISTRY: dict[str, tuple] = {
     "grid_average": (q_grid_average, o_grid_average),
     "grid_invdistnn": (q_grid_invdistnn, o_grid_invdistnn),
     "grid_linear": (q_grid_linear, o_grid_linear),
+    "delaunay_tri": (q_delaunay_tri, o_delaunay_tri),
     "wrapdateline": (q_wrapdateline, o_wrapdateline),
     "explode_collections": (q_explode_collections, o_explode_collections),
     "tile_content_pyramid": (q_tile_content_pyramid, o_tile_content_pyramid),
