@@ -250,11 +250,24 @@ def run_scaling() -> dict:
     times: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
     cores_sec: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
     rows = 0
+    # per-run checkpoint: each finished run appends one JSONL line so a
+    # killed/timed-out protocol keeps its completed measurements and a
+    # re-launch resumes instead of starting over
+    ckpt = os.environ.get("SPARK_GRAFT_SCALING_CKPT")
+    if ckpt and os.path.exists(ckpt):
+        with open(ckpt) as fh:
+            for ln in fh:
+                d = json.loads(ln)
+                times[d["cores"]].append(d["t"])
+                cores_sec[d["cores"]].append(d["core_sec"])
+                rows = d["n"]
     # interleave the two levels: machine drift (frequency, page cache,
     # co-tenant load) dominated run-to-run variance when all N runs
     # preceded all 4N runs
-    for _ in range(n_runs):
+    while len(times[SCALE_N]) < n_runs or len(times[SCALE_4N]) < n_runs:
         for cores in (SCALE_N, SCALE_4N):
+            if len(times[cores]) >= n_runs:
+                continue
             p = subprocess.run(
                 [sys.executable, "-c", script % (cores, cores)],
                 capture_output=True, text=True,
@@ -264,6 +277,9 @@ def run_scaling() -> dict:
             times[cores].append(d["t"])
             cores_sec[cores].append(d["core_sec"])
             rows = d["n"]
+            if ckpt:
+                with open(ckpt, "a") as fh:
+                    fh.write(json.dumps({"cores": cores, **d}) + "\n")
     for cores in (SCALE_N, SCALE_4N):
         med = statistics.median(times[cores])
         res[cores] = {"median_sec": med, "runs": times[cores],
