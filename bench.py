@@ -194,27 +194,39 @@ def scaling_job(spark, sf_dir: str, replicate: int,
     return zone_counts.unionByName(tiles)
 
 
-UI_PORT = 4057
+EVENTLOG_DIR = "/tmp/gdal_spark_eventlogs"
 
 
-def total_executor_run_ms(port: int = UI_PORT) -> int:
-    """Sum of executorRunTime (ms) over all completed stages, read from
-    the Spark REST API — the per-run CORE-SECONDS accounting. Sampled
-    before and after the timed pass, the delta is the work the timed
-    job actually consumed; constant work across parallelism levels is
-    the plan-level scaling evidence (no serial bottleneck, no
-    parallelism-induced overhead)."""
+def eventlog_core_ms(log_dir: str, t0_epoch_ms: float) -> int:
+    """Sum of per-task Executor Run Time (ms) for tasks launched after
+    ``t0_epoch_ms``, parsed from the newest Spark event log — the
+    per-run CORE-SECONDS accounting (event logging is the async
+    file-writer production clusters run anyway; the web UI stays off
+    so the measurement adds nothing to the measured job). Constant
+    core-seconds across parallelism levels is the plan-level scaling
+    evidence: no serial bottleneck, no parallelism-induced overhead."""
+    import glob
     import json as j
-    import urllib.request
 
-    base = f"http://localhost:{port}/api/v1"
-    with urllib.request.urlopen(f"{base}/applications", timeout=10) as r:
-        aid = j.load(r)[0]["id"]
-    with urllib.request.urlopen(
-            f"{base}/applications/{aid}/stages?status=complete",
-            timeout=10) as r:
-        stages = j.load(r)
-    return sum(s.get("executorRunTime", 0) for s in stages)
+    entries = sorted(glob.glob(os.path.join(log_dir, "*")),
+                     key=os.path.getmtime)
+    newest = entries[-1]
+    # Spark 4 rolling layout: eventlog_v2_<appid>/events_*_<appid>
+    files = (sorted(glob.glob(os.path.join(newest, "events_*")))
+             if os.path.isdir(newest) else [newest])
+    total = 0
+    for f in files:
+        with open(f) as fh:
+            for ln in fh:
+                if '"SparkListenerTaskEnd"' not in ln:
+                    continue
+                ev = j.loads(ln)
+                info = ev.get("Task Info", {})
+                if info.get("Launch Time", 0) < t0_epoch_ms:
+                    continue
+                total += (ev.get("Task Metrics") or {}).get(
+                    "Executor Run Time", 0)
+    return total
 
 
 def run_scaling() -> dict:
@@ -227,23 +239,26 @@ def run_scaling() -> dict:
     import subprocess
 
     staged = stage_scaling_input(SF_DIR)
+    os.makedirs(EVENTLOG_DIR, exist_ok=True)
     script = (
-        "import time,json,sys;"
+        "import time,json,sys,os;"
         "from gdal_spark.session import get_spark;"
-        "from bench import scaling_job, _force, total_executor_run_ms;"
+        "from bench import scaling_job, _force, eventlog_core_ms;"
         f"spark = get_spark(app='scaling', master='local[%d]', shuffle_partitions=%d, "
-        f"extra_conf={{'spark.ui.enabled': 'true', 'spark.ui.port': '{UI_PORT}'}});"
+        f"extra_conf={{'spark.eventLog.enabled': 'true', "
+        f"'spark.eventLog.compress': 'false', "
+        f"'spark.eventLog.dir': 'file://{EVENTLOG_DIR}'}});"
         "spark.sparkContext.setLogLevel('ERROR');"
         f"n = spark.read.parquet('{staged}').count() * {REPLICATE};"
         # warm-up pass (not timed)
         f"_force(scaling_job(spark, '{SF_DIR}', {REPLICATE}, staged_dir='{staged}'));"
-        "c0 = total_executor_run_ms();"
+        "e0 = time.time() * 1000.0;"
         "t0 = time.monotonic();"
         f"_force(scaling_job(spark, '{SF_DIR}', {REPLICATE}, staged_dir='{staged}'));"
         "t1 = time.monotonic();"
-        "c1 = total_executor_run_ms();"
-        "print(json.dumps({'t': t1 - t0, 'n': n, 'core_sec': (c1 - c0) / 1000.0}));"
-        "spark.stop()"
+        "spark.stop();"
+        f"cs = eventlog_core_ms('{EVENTLOG_DIR}', e0) / 1000.0;"
+        "print(json.dumps({'t': t1 - t0, 'n': n, 'core_sec': cs}))"
     )
     res = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "9"))
