@@ -100,6 +100,42 @@ def cubic_dim_maps(env: dict, gt: tuple) -> tuple[list, list]:
     return xs, ys
 
 
+def _lanczos_w(t: float) -> float:
+    """Lanczos-windowed sinc weight, a = 3 (GWKLanczosSinc,
+    alg/gdalwarpkernel.cpp:105; t = |distance| in pixels, 0 ≤ t < 3)."""
+    if t == 0.0:
+        return 1.0
+    if t >= 3.0:
+        return 0.0
+    px = math.pi * t
+    return (math.sin(px) / px) * (math.sin(px / 3.0) / (px / 3.0))
+
+
+def lanczos_dim_maps(env: dict, gt: tuple,
+                     src_w: int, src_h: int) -> tuple[list, list]:
+    """Per-axis 6-tap Lanczos maps: (d, s_m2 … s_p3, w0 … w5) at
+    distances (2+f, 1+f, f, 1−f, 2−f, 3−f) of the fractional offset f.
+    GDAL normalizes the kernel by the accumulated weight of *valid*
+    source pixels (GWKResample's dfAccumulatorWeight); with the only
+    invalidity being out-of-range taps, that normalization factorizes
+    per axis — so each axis's weights are renormalized driver-side over
+    its in-bounds taps (out-of-bounds taps get weight 0), keeping the
+    cross-engine compare on injected literals."""
+    bx, by = bilinear_dim_maps(env, gt)
+
+    def row(d, s0, f, n):
+        taps = [s0 - 2, s0 - 1, s0, s0 + 1, s0 + 2, s0 + 3]
+        ws = [_lanczos_w(abs(i - 2 - f)) if 0 <= t < n else 0.0
+              for i, t in enumerate(taps)]
+        tot = sum(ws)
+        ws = [w / tot for w in ws] if tot else ws
+        return tuple([d] + taps + ws)
+
+    xs = [row(dx, sx0, f, src_w) for dx, sx0, _, f in bx]
+    ys = [row(dy, sy0, f, src_h) for dy, sy0, _, f in by]
+    return xs, ys
+
+
 def suggested_warp_output(gt: tuple, width: int, height: int) -> dict:
     """Suggested EPSG:3857 output grid for a north-up EPSG:4326 raster
     (gt rotation terms must be 0)."""

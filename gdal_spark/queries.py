@@ -1371,6 +1371,96 @@ LEFT JOIN h h2 ON h2.sy = ym.y1 AND h2.dx = xd.dx
 LEFT JOIN h h3 ON h3.sy = ym.y2 AND h3.dx = xd.dx"""
 
 
+def q_warp_lanczos(spark, sf_dir):
+    """gdalwarp lanczos resample (GWKLanczosSinc, a=3 windowed sinc,
+    alg/gdalwarpkernel.cpp:105; 6×6 footprint): same separable two-pass
+    shape as cubic — horizontal 6-tap pass over source rows, vertical
+    6-tap pass over the intermediate. Tap positions and per-axis
+    edge-renormalized weights from lanczos_dim_maps (injected literals
+    both engines); out-of-source taps carry weight 0."""
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.lanczos_dim_maps(env, ZRAST_GT, ZRAST_W, ZRAST_H)
+    src = _warp_src_burn(spark, sf_dir)
+    tapx = ["xm2", "xm1", "x0", "x1", "x2", "x3"]
+    tapy = ["ym2", "ym1", "y0", "y1", "y2", "y3"]
+    xm = spark.createDataFrame(
+        xs, "dx long, " + ", ".join(f"{t} long" for t in tapx) + ", "
+            + ", ".join(f"wx{i} double" for i in range(6)))
+    ym = spark.createDataFrame(
+        ys, "dy long, " + ", ".join(f"{t} long" for t in tapy) + ", "
+            + ", ".join(f"wy{i} double" for i in range(6)))
+    rows = spark.range(ZRAST_H).select(F.col("id").alias("sy"))
+    h = rows.crossJoin(F.broadcast(xm))
+    for i, sc in enumerate(tapx):
+        b = src.select(F.col("sy").alias(f"_b{i}_y"),
+                       F.col("sx").alias(f"_b{i}_x"),
+                       F.col("burn").alias(f"hv{i}"))
+        h = (h.join(F.broadcast(b),
+                    (F.col("sy") == F.col(f"_b{i}_y"))
+                    & (F.col(sc) == F.col(f"_b{i}_x")), "left")
+             .drop(f"_b{i}_y", f"_b{i}_x")
+             .withColumn(f"hv{i}", F.coalesce(F.col(f"hv{i}"), F.lit(0.0))))
+    # explicit left-to-right fold — same float association as the SQL
+    # twin's `wx0*b0 + wx1*b1 + …` chain
+    hval = F.col("wx0") * F.col("hv0")
+    for i in range(1, 6):
+        hval = hval + F.col(f"wx{i}") * F.col(f"hv{i}")
+    hdf = h.select("sy", "dx", hval.alias("h"))
+    dst = spark.range(env["width"] * env["height"]).select(
+        (F.col("id") / env["width"]).cast("long").alias("dy"),
+        (F.col("id") % env["width"]).alias("dx"))
+    d = dst.join(F.broadcast(ym), "dy")
+    for i, sc in enumerate(tapy):
+        hb = hdf.select(F.col("sy").alias(f"_h{i}_y"),
+                        F.col("dx").alias(f"_h{i}_x"),
+                        F.col("h").alias(f"vv{i}"))
+        d = (d.join(hb, (F.col(sc) == F.col(f"_h{i}_y"))
+                    & (F.col("dx") == F.col(f"_h{i}_x")), "left")
+             .drop(f"_h{i}_y", f"_h{i}_x")
+             .withColumn(f"vv{i}", F.coalesce(F.col(f"vv{i}"), F.lit(0.0))))
+    v = F.col("wy0") * F.col("vv0")
+    for i in range(1, 6):
+        v = v + F.col(f"wy{i}") * F.col(f"vv{i}")
+    return d.select("dy", "dx", v.alias("v"))
+
+
+def o_warp_lanczos():
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.lanczos_dim_maps(env, ZRAST_GT, ZRAST_W, ZRAST_H)
+
+    def vals(rows_):
+        return ", ".join(
+            "(" + ", ".join([str(r[0])] + [str(s) for s in r[1:7]]
+                            + [sqlexpr.dlit(w) for w in r[7:]]) + ")"
+            for r in rows_)
+    hsum = " + ".join(f"xm.wx{i} * COALESCE(b{i}.c, 0)" for i in range(6))
+    hjoin = "\n".join(
+        f"  LEFT JOIN burn b{i} ON b{i}.py = rows_.sy AND b{i}.px = xm.{t}"
+        for i, t in enumerate(["xm2", "xm1", "x0", "x1", "x2", "x3"]))
+    vsum = " + ".join(f"ym.wy{i} * COALESCE(h{i}.h, 0)" for i in range(6))
+    vjoin = "\n".join(
+        f"LEFT JOIN h h{i} ON h{i}.sy = ym.{t} AND h{i}.dx = xd.dx"
+        for i, t in enumerate(["ym2", "ym1", "y0", "y1", "y2", "y3"]))
+    return f"""
+{_burn_cte_sql()},
+xm AS (SELECT * FROM (VALUES {vals(xs)})
+       AS t(dx, xm2, xm1, x0, x1, x2, x3, wx0, wx1, wx2, wx3, wx4, wx5)),
+ym AS (SELECT * FROM (VALUES {vals(ys)})
+       AS t(dy, ym2, ym1, y0, y1, y2, y3, wy0, wy1, wy2, wy3, wy4, wy5)),
+rows_ AS (SELECT CAST(r.range AS BIGINT) AS sy FROM range({ZRAST_H}) r),
+h AS (
+  SELECT rows_.sy, xm.dx, {hsum} AS h
+  FROM rows_ CROSS JOIN xm
+{hjoin}
+)
+SELECT CAST(ym.dy AS BIGINT) AS dy, CAST(xd.dx AS BIGINT) AS dx,
+       {vsum} AS v
+FROM (SELECT DISTINCT dx FROM xm) xd CROSS JOIN ym
+{vjoin}"""
+
+
 def q_warp_cutline(spark, sf_dir):
     """Warp with CUTLINE crop (gdalwarp -cutline/-crop_to_cutline;
     alg/gdalwarper.cpp cutline mask generation): the nearest-neighbour
@@ -3294,6 +3384,7 @@ REGISTRY: dict[str, tuple] = {
     "warp_resample": (q_warp_resample, o_warp_resample),
     "warp_bilinear": (q_warp_bilinear, o_warp_bilinear),
     "warp_cubic": (q_warp_cubic, o_warp_cubic),
+    "warp_lanczos": (q_warp_lanczos, o_warp_lanczos),
     "warp_cutline": (q_warp_cutline, o_warp_cutline),
     "raster_histogram": (q_raster_histogram, o_raster_histogram),
     "stream_rollup": (q_stream_rollup, o_stream_rollup),
