@@ -136,6 +136,44 @@ def segments_intersect_rect(ring, xmin, ymin, xmax, ymax) -> bool:
     return False
 
 
+def edges_cross_rects(ring, xmin, ymin, xmax, ymax) -> np.ndarray:
+    """Vectorized transpose of segments_intersect_rect: one ring vs N
+    axis-aligned rectangles (arrays xmin…ymax) → bool[N].
+
+    Same predicate per (edge, rect) pair — edge bbox overlap AND
+    (endpoint inside rect OR edge crosses a rect side) — so a cell is
+    classified identically by either code path; this form exists
+    because the cover builder tests ~10^5 cells per zone at fine zooms
+    and the scalar per-cell call is driver-bound (25 s at z12 vs <0.2 s
+    vectorized)."""
+    x1, y1, x2, y2 = _ring_arrays(ring)
+    xmin = np.asarray(xmin, dtype=np.float64)[:, None]
+    ymin = np.asarray(ymin, dtype=np.float64)[:, None]
+    xmax = np.asarray(xmax, dtype=np.float64)[:, None]
+    ymax = np.asarray(ymax, dtype=np.float64)[:, None]
+    emin_x, emax_x = np.minimum(x1, x2), np.maximum(x1, x2)
+    emin_y, emax_y = np.minimum(y1, y2), np.maximum(y1, y2)
+    overlap = (emax_x >= xmin) & (emin_x <= xmax) \
+        & (emax_y >= ymin) & (emin_y <= ymax)          # (N, E)
+    inside = ((x1 >= xmin) & (x1 <= xmax) & (y1 >= ymin) & (y1 <= ymax)) | (
+        (x2 >= xmin) & (x2 <= xmax) & (y2 >= ymin) & (y2 <= ymax))
+    hit = overlap & inside
+    todo = overlap & ~inside
+    if np.any(todo):
+        def seg_cross(bx1, by1, bx2, by2):
+            d1 = (x2 - x1) * (by1 - y1) - (y2 - y1) * (bx1 - x1)
+            d2 = (x2 - x1) * (by2 - y1) - (y2 - y1) * (bx2 - x1)
+            d3 = (bx2 - bx1) * (y1 - by1) - (by2 - by1) * (x1 - bx1)
+            d4 = (bx2 - bx1) * (y2 - by1) - (by2 - by1) * (x2 - bx1)
+            return (d1 * d2 <= 0) & (d3 * d4 <= 0)
+        for bx1, by1, bx2, by2 in ((xmin, ymin, xmax, ymin),
+                                   (xmax, ymin, xmax, ymax),
+                                   (xmax, ymax, xmin, ymax),
+                                   (xmin, ymax, xmin, ymin)):
+            hit |= todo & seg_cross(bx1, by1, bx2, by2)
+    return np.any(hit, axis=1)
+
+
 def clip_convex(subject, clip) -> np.ndarray:
     """Sutherland–Hodgman clip of a CONVEX CCW subject ring by a CONVEX
     CCW clip ring → the intersection ring (m, 2), possibly empty.

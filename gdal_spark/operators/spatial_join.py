@@ -42,7 +42,7 @@ from gdal_spark.geo import geom as G
 from gdal_spark.geo import mercator as M
 
 
-def auto_cover_zoom(zones=ZONES, max_cells_per_zone: int = 1024) -> int:
+def auto_cover_zoom(zones=ZONES, max_cells_per_zone: int = 131072) -> int:
     """Highest zoom where every zone's bbox cover stays under the cap."""
     best = 0
     for z in range(1, 19):
@@ -71,34 +71,125 @@ def zone_cell_cover(zones=ZONES, zoom: int | None = None) -> tuple[int, list[tup
     need no exact test.
     """
     zoom = auto_cover_zoom(zones) if zoom is None else zoom
-    out = []
+    parts = []
     for zone in zones:
         rings = [np.asarray(r, dtype=np.float64) for r in zone["rings"]]
-        xmin, ymin, xmax, ymax = G.polygon_bbox(zone["rings"])
-        tx0, ty0 = M.latlon_to_tile_np(np.array([ymax]), np.array([xmin]), zoom)
-        tx1, ty1 = M.latlon_to_tile_np(np.array([ymin]), np.array([xmax]), zoom)
-        for tx in range(int(tx0[0]), int(tx1[0]) + 1):
-            for ty in range(int(ty0[0]), int(ty1[0]) + 1):
-                minlat, minlon, maxlat, maxlon = M.tile_bounds_latlon_np(
-                    np.array([tx]), np.array([ty]), zoom)
-                lo_lat, hi_lat = float(minlat[0]), float(maxlat[0])
-                if lo_lat > hi_lat:
-                    lo_lat, hi_lat = hi_lat, lo_lat
-                lo_lon, hi_lon = float(minlon[0]), float(maxlon[0])
-                # cell bbox vs zone bbox reject (stage-1 envelope test)
-                if hi_lon < xmin or lo_lon > xmax or hi_lat < ymin or lo_lat > ymax:
-                    continue
-                corners_x = np.array([lo_lon, hi_lon, hi_lon, lo_lon])
-                corners_y = np.array([lo_lat, lo_lat, hi_lat, hi_lat])
-                inside = G.point_in_polygon(corners_x, corners_y, rings)
-                crossed = any(
-                    G.segments_intersect_rect(r, lo_lon, lo_lat, hi_lon, hi_lat)
-                    for r in rings)
-                if not crossed and not inside.any():
-                    continue  # disjoint cell inside bbox (concave zones)
-                full = bool(inside.all() and not crossed)
-                out.append((tx, ty, zone["zone_fid"], full))
-    return zoom, out
+        zbbox = G.polygon_bbox(zone["rings"])
+        txs, tys, fulls = _quad_cover(rings, zbbox, zoom)
+        parts.append(pd.DataFrame({
+            "tx": txs, "ty": tys,
+            "zone_fid": np.full(len(txs), zone["zone_fid"], dtype=np.int32),
+            "full": fulls}))
+    pdf = (pd.concat(parts, ignore_index=True) if parts
+           else pd.DataFrame({"tx": [], "ty": [], "zone_fid": [], "full": []}))
+    return zoom, pdf
+
+
+def _classify_cells(rings, zbbox, gx, gy, zoom):
+    """Classify cells (gx, gy int64 arrays at ``zoom``) against one
+    polygon → (keep, full) bool arrays. keep = cell intersects the
+    polygon; full = cell interior entirely inside (the ogrlayer.cpp:4040
+    envelope-contains accept)."""
+    xmin, ymin, xmax, ymax = zbbox
+    minlat, minlon, maxlat, maxlon = M.tile_bounds_latlon_np(gx, gy, zoom)
+    lo_lat, hi_lat = np.minimum(minlat, maxlat), np.maximum(minlat, maxlat)
+    lo_lon, hi_lon = minlon, maxlon
+    keep = np.zeros(len(gx), dtype=bool)
+    full = np.zeros(len(gx), dtype=bool)
+    # cell bbox vs zone bbox reject (stage-1 envelope test)
+    idx = np.nonzero(~((hi_lon < xmin) | (lo_lon > xmax)
+                       | (hi_lat < ymin) | (lo_lat > ymax)))[0]
+    if len(idx) == 0:
+        return keep, full
+    lo_lon, hi_lon = lo_lon[idx], hi_lon[idx]
+    lo_lat, hi_lat = lo_lat[idx], hi_lat[idx]
+    m = len(idx)
+    # 4 corners of every candidate cell in one PIP call
+    corners_x = np.concatenate([lo_lon, hi_lon, hi_lon, lo_lon])
+    corners_y = np.concatenate([lo_lat, lo_lat, hi_lat, hi_lat])
+    cin = G.point_in_polygon(corners_x, corners_y, rings).reshape(4, m)
+    inside_all, inside_any = cin.all(axis=0), cin.any(axis=0)
+    crossed = np.zeros(m, dtype=bool)
+    vin = np.zeros(m, dtype=bool)       # any polygon vertex inside cell
+    hole_vin = np.zeros(m, dtype=bool)  # any HOLE vertex inside cell
+    for ri, r in enumerate(rings):
+        crossed |= G.edges_cross_rects(r, lo_lon, lo_lat, hi_lon, hi_lat)
+        rx, ry = r[:, 0][None, :], r[:, 1][None, :]
+        v = ((rx >= lo_lon[:, None]) & (rx <= hi_lon[:, None])
+             & (ry >= lo_lat[:, None]) & (ry <= hi_lat[:, None])).any(axis=1)
+        vin |= v
+        if ri > 0:
+            hole_vin |= v
+    # vin guard: a polygon (or hole) strictly inside one cell leaves no
+    # corner-inside or edge-crossing evidence — the seed grid of the
+    # quadtree build can be coarser than the zone, so test ring
+    # vertices against the cell too
+    keep[idx] = crossed | inside_any | vin
+    full[idx] = inside_all & ~crossed & ~hole_vin
+    return keep, full
+
+
+def _expand_cells(tx, ty, d: int):
+    """All zoom+d descendants of cells (tx, ty): (n·4^d,) arrays."""
+    k = 1 << d
+    off = np.arange(k, dtype=np.int64)
+    ox, oy = np.meshgrid(off, off, indexing="ij")
+    ox, oy = ox.ravel(), oy.ravel()
+    ex = (tx[:, None] * k + ox[None, :]).ravel()
+    ey = (ty[:, None] * k + oy[None, :]).ravel()
+    return ex, ey
+
+
+#: seed-grid budget for the quadtree cover build: the recursion starts
+#: at the coarsest zoom where the zone bbox is under this many cells,
+#: then subdivides only boundary cells — build work is O(perimeter /
+#: cell_size), not O(area / cell_size²), so a fine final zoom (small
+#: Python-refine fraction) stays cheap to construct driver-side.
+COVER_SEED_CELLS = 1024
+
+
+def _quad_cover(rings, zbbox, zoom: int):
+    """Uniform-zoom cover of one polygon built by quadtree descent.
+
+    Emits the same (tx, ty, full) set as classifying every bbox cell at
+    ``zoom`` directly: full coarse cells expand to all-full descendants
+    (strict subset of the interior), boundary cells recurse.
+    """
+    xmin, ymin, xmax, ymax = zbbox
+    z0 = max(1, min(zoom, auto_cover_zoom(
+        [{"rings": [r.tolist() for r in rings], "zone_fid": -1}],
+        COVER_SEED_CELLS)))
+    tx0, ty0 = M.latlon_to_tile_np(np.array([ymax]), np.array([xmin]), z0)
+    tx1, ty1 = M.latlon_to_tile_np(np.array([ymin]), np.array([xmax]), z0)
+    txs = np.arange(int(tx0[0]), int(tx1[0]) + 1, dtype=np.int64)
+    tys = np.arange(int(ty0[0]), int(ty1[0]) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(txs, tys, indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    out_x, out_y, out_f = [], [], []
+    z = z0
+    while len(gx):
+        keep, full = _classify_cells(rings, zbbox, gx, gy, z)
+        if z == zoom:
+            out_x.append(gx[keep])
+            out_y.append(gy[keep])
+            out_f.append(full[keep])
+            break
+        fsel = keep & full
+        if fsel.any():
+            ex, ey = _expand_cells(gx[fsel], gy[fsel], zoom - z)
+            out_x.append(ex)
+            out_y.append(ey)
+            out_f.append(np.ones(len(ex), dtype=bool))
+        bsel = keep & ~full
+        bx, by = gx[bsel], gy[bsel]
+        gx = np.repeat(bx * 2, 4) + np.tile(np.array([0, 1, 0, 1]), len(bx))
+        gy = np.repeat(by * 2, 4) + np.tile(np.array([0, 0, 1, 1]), len(by))
+        z += 1
+    if not out_x:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), np.array([], dtype=bool)
+    return (np.concatenate(out_x), np.concatenate(out_y),
+            np.concatenate(out_f))
 
 
 def zones_attr_df(spark: SparkSession) -> DataFrame:
@@ -121,8 +212,12 @@ def pip_join(points: DataFrame, spark: SparkSession, zones=ZONES,
     # gives Spark its specialized LongHashedRelation instead of the
     # generic two-column UnsafeRow relation (~1.5× faster probe at 38M
     # rows measured)
-    cover1 = [(c[0] * (1 << zoom) + c[1], c[2], c[3]) for c in cover]
-    cover_df = spark.createDataFrame(cover1, "cell long, zone_fid int, full boolean")
+    cover_pdf = pd.DataFrame({
+        "cell": cover["tx"].to_numpy() * (1 << zoom) + cover["ty"].to_numpy(),
+        "zone_fid": cover["zone_fid"].to_numpy(np.int32),
+        "full": cover["full"].to_numpy()})
+    cover_df = spark.createDataFrame(
+        cover_pdf, "cell long, zone_fid int, full boolean")
 
     tx, ty = M.tile_cols(F.col(lat_col), F.col(lon_col), zoom)
     pts = points.filter(F.col(lat_col).isNotNull()).withColumn(

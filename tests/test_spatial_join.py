@@ -19,8 +19,8 @@ def test_cover_cells_contain_all_member_points():
     (no false negatives from the coarse stage)."""
     zoom, cover = sj.zone_cell_cover()
     cov = {}
-    for tx, ty, fid, full in cover:
-        cov.setdefault(fid, set()).add((tx, ty))
+    for fid, grp in cover.groupby("zone_fid"):
+        cov[fid] = set(zip(grp["tx"].tolist(), grp["ty"].tolist()))
     rng = np.random.RandomState(11)
     rings = zone_rings_numpy()
     for z in ZONES:
@@ -37,18 +37,18 @@ def test_full_cells_really_inside():
     zoom, cover = sj.zone_cell_cover()
     rings = zone_rings_numpy()
     rng = np.random.RandomState(13)
-    n_full = 0
-    for tx, ty, fid, full in cover:
-        if not full:
-            continue
-        n_full += 1
-        minlat, minlon, maxlat, maxlon = M.tile_bounds_latlon_np(
-            np.array([tx]), np.array([ty]), zoom)
-        lo, hi = sorted([float(minlat[0]), float(maxlat[0])])
-        px = rng.uniform(float(minlon[0]), float(maxlon[0]), 200)
-        py = rng.uniform(lo, hi, 200)
-        assert G.point_in_polygon(px, py, rings[fid]).all()
-    assert n_full > 0  # the shortcut must actually trigger on fixtures
+    full = cover[cover["full"]]
+    assert len(full) > 0  # the shortcut must actually trigger on fixtures
+    for fid, grp in full.groupby("zone_fid"):
+        tx = grp["tx"].to_numpy()
+        ty = grp["ty"].to_numpy()
+        minlat, minlon, maxlat, maxlon = M.tile_bounds_latlon_np(tx, ty, zoom)
+        lo, hi = np.minimum(minlat, maxlat), np.maximum(minlat, maxlat)
+        # 8 random points inside every full cell must all be inside
+        for _ in range(8):
+            px = rng.uniform(minlon, maxlon)
+            py = rng.uniform(lo, hi)
+            assert G.point_in_polygon(px, py, rings[fid]).all()
 
 
 def test_first_match_picks_lowest_zone_fid(spark):
