@@ -2899,6 +2899,32 @@ def q_s2_cells(spark, sf_dir):
             .groupBy("s2").agg(F.count("*").alias("n_pages")))
 
 
+def q_h3_cells(spark, sf_dir):
+    """H3-style hex cell index (north-rule physical design twin of
+    s2_cells; pure-numpy aperture-7 scheme in geo/h3.py — no h3 lib in
+    the container): per-page res-7 hex cell + its exact digit-arithmetic
+    res-6 parent via one vectorized pandas UDF, then per-parent rollup.
+    No SQL oracle exists for icosahedral hex math → rows-only driver
+    check; exactness is pinned by tests/test_h3.py round-trip/hierarchy
+    properties. At scale this is the cell-bucketing key for skew-salted
+    spatial partitioning (ring-expansion kNN uses k_ring on the same
+    ids)."""
+    from gdal_spark.geo import h3 as h3mod
+
+    @F.pandas_udf("struct<cell:long,parent:long>")
+    def h3_cell(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        ids = h3mod.latlon_to_cell(lat.to_numpy(), lon.to_numpy(), 7)
+        par = h3mod.cell_to_parent(ids)
+        return pd.DataFrame({"cell": ids.astype("int64"),
+                             "parent": par.astype("int64")})
+
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    cells = p.withColumn("h", h3_cell(F.col("lat"), F.col("lon")))
+    return (cells.groupBy(F.col("h.parent").alias("h3_parent"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("h.cell").alias("n_child_cells")))
+
+
 # =================================================================
 # training-data pipeline operators (documents / embeddings)
 # =================================================================
@@ -3406,6 +3432,7 @@ REGISTRY: dict[str, tuple] = {
     "make_valid": (q_make_valid, o_make_valid),
     "stream_sessions": (q_stream_sessions, o_stream_sessions),
     "s2_cells": (q_s2_cells, None),
+    "h3_cells": (q_h3_cells, None),
     "topk_per_zone": (q_topk_per_zone, o_topk_per_zone),
     "raster_mosaic": (q_raster_mosaic, o_raster_mosaic),
 }
