@@ -233,6 +233,17 @@ r AS (
 SELECT query_id, doc_id, CAST(rank AS INT) AS rank, dist2 FROM r WHERE rank <= k"""
 
 
+def q_knn_h3(spark, sf_dir):
+    """kNN via H3 hex-ring expansion + range-join refine (north-star
+    physical design; operators/knn_h3.py). Same result contract as
+    q_knn — exactly equal to brute-force top-k — so it shares o_knn's
+    oracle; only the physical plan differs (hex rings instead of the
+    1° grid, plus an explicit broadcast range-join refine)."""
+    from gdal_spark.operators import knn_h3 as knn_h3_op
+    p = pages_df(spark, sf_dir)
+    return knn_h3_op.knn_h3_join(p, KNN_QUERIES, spark)
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (alg/zonal.cpp semantics — count/min/max/mean/
     stddev_pop per zone) over page n_chars. Exact-integer sums keep the
@@ -3355,6 +3366,7 @@ REGISTRY: dict[str, tuple] = {
     "pip_first": (q_pip_first, o_pip_first),
     "attr_join": (q_attr_join, o_attr_join),
     "knn": (q_knn, o_knn),
+    "knn_h3": (q_knn_h3, o_knn),
     "zonal_stats": (q_zonal_stats, o_zonal_stats),
     "clip": (q_clip, o_clip),
     "erase": (q_erase, o_erase),

@@ -29,6 +29,7 @@ def test_every_query_has_oracle_or_reason(spark):
     qs, os = entry.queries(), entry.oracle_sql()
     missing = set(qs) - set(os)
     # non-SQL-expressible ops may be rows-only; keep the list explicit
-    # (s2_cells: S2 curve math has no SQL oracle; covered by
-    # tests/test_s2.py property tests instead)
-    assert missing <= {"s2_cells"}, f"queries without oracle: {missing}"
+    # (s2_cells / h3_cells: cell-curve math has no SQL oracle; covered
+    # by tests/test_s2.py and tests/test_h3.py property tests instead)
+    assert missing <= {"s2_cells", "h3_cells"}, \
+        f"queries without oracle: {missing}"
