@@ -117,6 +117,17 @@ def run_single() -> dict:
         "rows": n_rows,
         "cpus": CPUS,
     }
+    # attach the most recent scaling-protocol result (written by
+    # `python bench.py --scaling` → SCALING.json) so the per-round
+    # bench JSON carries the north-rule N→4N efficiency evidence
+    # without re-running the 40-minute interleaved protocol
+    scal_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scal_path):
+        with open(scal_path) as fh:
+            s = json.load(fh)
+        result["scaling_efficiency"] = s.get("efficiency")
+        result["scaling_protocol"] = s
     spark.stop()
     return result
 
@@ -343,6 +354,10 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        out = run_scaling()
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(json.dumps(out))
     else:
         print(json.dumps(run_single()))

@@ -82,22 +82,39 @@ def _cubic_w(t: float) -> float:
     return a * (((t - 5.0) * t + 8.0) * t - 4.0)
 
 
-def cubic_dim_maps(env: dict, gt: tuple) -> tuple[list, list]:
-    """Per-axis 4-tap cubic maps: (d, s_m1, s0, s1, s2, w0, w1, w2, w3)
-    with weights at distances (1+f, f, 1−f, 2−f) of the fractional
+def _bspline_w(t: float) -> float:
+    """Cubic B-spline weight (GWKCubicSpline's BSpline kernel,
+    alg/gdalwarpkernel.cpp — the smoothing 4-tap spline; weights are
+    everywhere ≥ 0 and sum to 1, unlike cubic convolution's A=-0.5
+    lobes)."""
+    if t <= 1.0:
+        return (4.0 - 6.0 * t * t + 3.0 * t * t * t) / 6.0
+    if t < 2.0:
+        u = 2.0 - t
+        return u * u * u / 6.0
+    return 0.0
+
+
+def _4tap_maps(env: dict, gt: tuple, wfn) -> tuple[list, list]:
+    """Per-axis 4-tap maps: (d, s_m1, s0, s1, s2, w0, w1, w2, w3) with
+    weights wfn at distances (1+f, f, 1−f, 2−f) of the fractional
     offset f — same injection discipline as bilinear_dim_maps."""
     bx, by = bilinear_dim_maps(env, gt)
-    xs = []
-    for dx, sx0, _, f in bx:
-        xs.append((dx, sx0 - 1, sx0, sx0 + 1, sx0 + 2,
-                   _cubic_w(1.0 + f), _cubic_w(f),
-                   _cubic_w(1.0 - f), _cubic_w(2.0 - f)))
-    ys = []
-    for dy, sy0, _, f in by:
-        ys.append((dy, sy0 - 1, sy0, sy0 + 1, sy0 + 2,
-                   _cubic_w(1.0 + f), _cubic_w(f),
-                   _cubic_w(1.0 - f), _cubic_w(2.0 - f)))
+    xs = [(dx, sx0 - 1, sx0, sx0 + 1, sx0 + 2,
+           wfn(1.0 + f), wfn(f), wfn(1.0 - f), wfn(2.0 - f))
+          for dx, sx0, _, f in bx]
+    ys = [(dy, sy0 - 1, sy0, sy0 + 1, sy0 + 2,
+           wfn(1.0 + f), wfn(f), wfn(1.0 - f), wfn(2.0 - f))
+          for dy, sy0, _, f in by]
     return xs, ys
+
+
+def cubic_dim_maps(env: dict, gt: tuple) -> tuple[list, list]:
+    return _4tap_maps(env, gt, _cubic_w)
+
+
+def cubicspline_dim_maps(env: dict, gt: tuple) -> tuple[list, list]:
+    return _4tap_maps(env, gt, _bspline_w)
 
 
 def _lanczos_w(t: float) -> float:

@@ -1043,6 +1043,76 @@ SELECT py, px, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
 FROM px"""
 
 
+def q_pixel_functions(spark, sf_dir):
+    """VRT pixel-function bank (frmts/vrt/pixelfunctions.cpp:4320-4441):
+    the scalar band-math surface beyond raster_calc's sum/diff/norm_diff
+    — mul, min, max, mean, inv, sqrt, log10, dB, pow, scale,
+    interpolate_linear, reclassify — evaluated per pixel over the same
+    two density bands (a = embed hits, b = tld hits). All pure JVM
+    column math (whole-stage codegen; no UDF); float outputs are either
+    exact in binary (scale/interp use 0.5/0.25/1.25) or ROUND(…, 6) so
+    Spark and DuckDB hash-match bit-for-bit."""
+    pts = points_df(spark, sf_dir)
+    fx = (F.col("lon") - F.lit(GRID_GT[0])) / F.lit(GRID_GT[1])
+    fy = (F.col("lat") - F.lit(GRID_GT[3])) / F.lit(GRID_GT[5])
+    df = (pts.filter(F.col("lat").isNotNull())
+          .withColumn("_fx", fx).withColumn("_fy", fy)
+          .filter((F.col("_fx") >= 0) & (F.col("_fx") < GRID_W)
+                  & (F.col("_fy") >= 0) & (F.col("_fy") < GRID_H))
+          .withColumn("px", F.floor("_fx").cast("long"))
+          .withColumn("py", F.floor("_fy").cast("long")))
+    g = df.groupBy("py", "px").agg(
+        F.sum(F.when(F.col("geo_src") == "embed", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("geo_src") == "tld", 1).otherwise(0)).alias("b"))
+    a, b = F.col("a"), F.col("b")
+    ad = a.cast("double")
+    return g.select(
+        "py", "px", "a", "b",
+        (a * b).alias("mul_ab"),
+        F.least(a, b).alias("min_ab"),
+        F.greatest(a, b).alias("max_ab"),
+        ((a + b).cast("double") / F.lit(2.0)).alias("mean_ab"),
+        F.when(a > 0, F.round(F.lit(1.0) / ad, 6)).alias("inv_a"),
+        F.round(F.sqrt(ad), 6).alias("sqrt_a"),
+        F.when(a > 0, F.round(F.log10(ad), 6)).alias("log10_a"),
+        F.when(a > 0, F.round(F.lit(10.0) * F.log10(ad), 6)).alias("db_a"),
+        (a * a).alias("pow2_a"),
+        (ad * F.lit(0.5) + F.lit(1.25)).alias("scale_a"),
+        (ad + F.lit(0.25) * (b - a).cast("double")).alias("interp_ab"),
+        F.when(a == 0, 0).when(a < 3, 1).when(a < 10, 2).otherwise(3)
+         .cast("int").alias("reclass_a"))
+
+
+def o_pixel_functions():
+    g = GRID_GT
+    fx = f"((lon - ({g[0]!r})) / {g[1]!r})"
+    fy = f"((lat - ({g[3]!r})) / ({g[5]!r}))"
+    return f"""
+WITH {sqlexpr.points_cte()},
+px AS (SELECT CAST(FLOOR({fy}) AS BIGINT) AS py, CAST(FLOOR({fx}) AS BIGINT) AS px,
+              SUM(CASE WHEN geo_src = 'embed' THEN 1 ELSE 0 END) AS a,
+              SUM(CASE WHEN geo_src = 'tld' THEN 1 ELSE 0 END) AS b
+       FROM points
+       WHERE lat IS NOT NULL AND {fx} >= 0 AND {fx} < {GRID_W}
+         AND {fy} >= 0 AND {fy} < {GRID_H}
+       GROUP BY 1, 2)
+SELECT py, px, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(a * b AS BIGINT) AS mul_ab,
+       CAST(LEAST(a, b) AS BIGINT) AS min_ab,
+       CAST(GREATEST(a, b) AS BIGINT) AS max_ab,
+       CAST(a + b AS DOUBLE) / 2.0 AS mean_ab,
+       CASE WHEN a > 0 THEN ROUND(1.0 / CAST(a AS DOUBLE), 6) END AS inv_a,
+       ROUND(SQRT(CAST(a AS DOUBLE)), 6) AS sqrt_a,
+       CASE WHEN a > 0 THEN ROUND(LOG10(CAST(a AS DOUBLE)), 6) END AS log10_a,
+       CASE WHEN a > 0 THEN ROUND(10.0 * LOG10(CAST(a AS DOUBLE)), 6) END AS db_a,
+       CAST(a * a AS BIGINT) AS pow2_a,
+       CAST(a AS DOUBLE) * 0.5 + 1.25 AS scale_a,
+       CAST(a AS DOUBLE) + 0.25 * CAST(b - a AS DOUBLE) AS interp_ab,
+       CAST(CASE WHEN a = 0 THEN 0 WHEN a < 3 THEN 1 WHEN a < 10 THEN 2
+                 ELSE 3 END AS INT) AS reclass_a
+FROM px"""
+
+
 def q_contour_cells(spark, sf_dir):
     """Contour via marching squares (alg/contour.cpp,
     alg/marching_squares/*): classify every 2×2 pixel block of the
@@ -1297,17 +1367,13 @@ SELECT CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx,
 FROM d"""
 
 
-def q_warp_cubic(spark, sf_dir):
-    """gdalwarp cubic resample (GWKCubicResample, A=-0.5 cubic
-    convolution, alg/gdalwarpkernel.cpp): separable two-pass — a
-    horizontal 4-tap pass over source rows, then a vertical 4-tap pass
-    over the intermediate — the classic separable-kernel factorization
-    (W·4 + W·4 multiplies per dst pixel instead of 16). Tap positions
-    and weights from cubic_dim_maps (injected literals both engines);
-    out-of-source taps contribute 0."""
-    from gdal_spark.geo import warp as W_
-    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
-    xs, ys = W_.cubic_dim_maps(env, ZRAST_GT)
+def _warp_4tap(spark, sf_dir, xs, ys, env):
+    """Shared separable 4-tap warp pipeline: a horizontal 4-tap pass
+    over source rows, then a vertical 4-tap pass over the intermediate
+    — the classic separable-kernel factorization (W·4 + W·4 multiplies
+    per dst pixel instead of 16). Tap positions and weights arrive as
+    injected literals (same rows feed the SQL oracle); out-of-source
+    taps contribute 0."""
     src = _warp_src_burn(spark, sf_dir)
     xm = spark.createDataFrame(
         xs, "dx long, xm1 long, x0 long, x1 long, x2 long, "
@@ -1346,10 +1412,28 @@ def q_warp_cubic(spark, sf_dir):
     return d.select("dy", "dx", v.alias("v"))
 
 
-def o_warp_cubic():
+def q_warp_cubic(spark, sf_dir):
+    """gdalwarp cubic resample (GWKCubicResample, A=-0.5 cubic
+    convolution, alg/gdalwarpkernel.cpp) via the shared separable
+    4-tap pipeline (_warp_4tap)."""
     from gdal_spark.geo import warp as W_
     env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
     xs, ys = W_.cubic_dim_maps(env, ZRAST_GT)
+    return _warp_4tap(spark, sf_dir, xs, ys, env)
+
+
+def q_warp_cubicspline(spark, sf_dir):
+    """gdalwarp cubicspline resample (GWKCubicSpline's B-spline kernel,
+    alg/gdalwarpkernel.cpp — non-negative smoothing weights) via the
+    shared separable 4-tap pipeline; only the weight function differs
+    from cubic."""
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.cubicspline_dim_maps(env, ZRAST_GT)
+    return _warp_4tap(spark, sf_dir, xs, ys, env)
+
+
+def _o_warp_4tap(xs, ys):
     def vals(rows):
         return ", ".join(
             "(" + ", ".join([str(r[0])] + [str(s) for s in r[1:5]]
@@ -1380,6 +1464,20 @@ LEFT JOIN h h0 ON h0.sy = ym.ym1 AND h0.dx = xd.dx
 LEFT JOIN h h1 ON h1.sy = ym.y0 AND h1.dx = xd.dx
 LEFT JOIN h h2 ON h2.sy = ym.y1 AND h2.dx = xd.dx
 LEFT JOIN h h3 ON h3.sy = ym.y2 AND h3.dx = xd.dx"""
+
+
+def o_warp_cubic():
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.cubic_dim_maps(env, ZRAST_GT)
+    return _o_warp_4tap(xs, ys)
+
+
+def o_warp_cubicspline():
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.cubicspline_dim_maps(env, ZRAST_GT)
+    return _o_warp_4tap(xs, ys)
 
 
 def q_warp_lanczos(spark, sf_dir):
@@ -2237,6 +2335,64 @@ def o_zone_centroid():
     return f"""
 WITH {_zc_sql()}
 SELECT zone_fid, nx / area AS cx, ny / area AS cy, area FROM zc"""
+
+
+def _gazetteer():
+    """Tiny deterministic gazetteer: one entry per zone at the vertex
+    mean of its outer ring — injected as literals into BOTH engines
+    (the cache-table analog of ogr_geocode's location table)."""
+    gaz = []
+    for z in ZONES:
+        ring = z["rings"][0]
+        glon = sum(p[0] for p in ring) / len(ring)
+        glat = sum(p[1] for p in ring) / len(ring)
+        gaz.append((z["zone_fid"], float(glat), float(glon)))
+    return gaz
+
+
+def q_geocode_reverse(spark, sf_dir):
+    """Reverse geocoding (ogr_geocode_reverse analog,
+    ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:268-465): each
+    geocoded page snaps to the nearest gazetteer entry. Physical plan:
+    broadcast the 10-row gazetteer, cross join (10× row fan-out, no
+    shuffle of the big side), then one map-side-combined
+    min(struct(dist2, fid)) per page — the struct min is Spark's
+    argmin idiom and matches the oracle's (dist2, fid) tie-break.
+    Planar squared-degree metric (only * and +) for bit-exact
+    cross-engine ordering."""
+    gaz = spark.createDataFrame(
+        _gazetteer(), "gz_fid long, glat double, glon double")
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    dlat = F.col("lat") - F.col("glat")
+    dlon = F.col("lon") - F.col("glon")
+    scored = (p.crossJoin(F.broadcast(gaz))
+              .withColumn("dist2", dlat * dlat + dlon * dlon))
+    best = (scored.groupBy("doc_id")
+            .agg(F.min(F.struct("dist2", "gz_fid")).alias("m")))
+    return best.select("doc_id", F.col("m.gz_fid").alias("nearest_fid"),
+                       F.col("m.dist2").alias("dist2"))
+
+
+def o_geocode_reverse():
+    vals = ", ".join(
+        f"({fid}, {sqlexpr.dlit(glat)}, {sqlexpr.dlit(glon)})"
+        for fid, glat, glon in _gazetteer())
+    return f"""
+WITH {sqlexpr.pages_cte()},
+gaz AS (SELECT * FROM (VALUES {vals}) AS t(gz_fid, glat, glon)),
+d AS (
+  SELECT p.doc_id, g.gz_fid,
+         (p.lat - g.glat) * (p.lat - g.glat)
+         + (p.lon - g.glon) * (p.lon - g.glon) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                            ORDER BY (p.lat - g.glat) * (p.lat - g.glat)
+                                     + (p.lon - g.glon) * (p.lon - g.glon),
+                                     g.gz_fid) AS rn
+  FROM pages p CROSS JOIN gaz g
+  WHERE p.lat IS NOT NULL
+)
+SELECT doc_id, CAST(gz_fid AS BIGINT) AS nearest_fid, dist2
+FROM d WHERE rn = 1"""
 
 
 def q_special_fields(spark, sf_dir):
@@ -3422,6 +3578,7 @@ REGISTRY: dict[str, tuple] = {
     "warp_resample": (q_warp_resample, o_warp_resample),
     "warp_bilinear": (q_warp_bilinear, o_warp_bilinear),
     "warp_cubic": (q_warp_cubic, o_warp_cubic),
+    "warp_cubicspline": (q_warp_cubicspline, o_warp_cubicspline),
     "warp_lanczos": (q_warp_lanczos, o_warp_lanczos),
     "warp_cutline": (q_warp_cutline, o_warp_cutline),
     "raster_histogram": (q_raster_histogram, o_raster_histogram),
@@ -3445,6 +3602,8 @@ REGISTRY: dict[str, tuple] = {
     "stream_sessions": (q_stream_sessions, o_stream_sessions),
     "s2_cells": (q_s2_cells, None),
     "h3_cells": (q_h3_cells, None),
+    "pixel_functions": (q_pixel_functions, o_pixel_functions),
+    "geocode_reverse": (q_geocode_reverse, o_geocode_reverse),
     "topk_per_zone": (q_topk_per_zone, o_topk_per_zone),
     "raster_mosaic": (q_raster_mosaic, o_raster_mosaic),
 }
