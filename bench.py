@@ -289,6 +289,7 @@ def run_scaling() -> dict:
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "9"))
     times: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
     cores_sec: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
+    gbps: dict[int, list] = {SCALE_N: [], SCALE_4N: []}
     rows = 0
     # per-run checkpoint: each finished run appends one JSONL line so a
     # killed/timed-out protocol keeps its completed measurements and a
@@ -300,6 +301,7 @@ def run_scaling() -> dict:
                 d = json.loads(ln)
                 times[d["cores"]].append(d["t"])
                 cores_sec[d["cores"]].append(d["core_sec"])
+                gbps[d["cores"]].append(d.get("gbps", -1.0))
                 rows = d["n"]
     # interleave the two levels: machine drift (frequency, page cache,
     # co-tenant load) dominated run-to-run variance when all N runs
@@ -308,14 +310,21 @@ def run_scaling() -> dict:
         for cores in (SCALE_N, SCALE_4N):
             if len(times[cores]) >= n_runs:
                 continue
+            # machine-health stamp: host memory bandwidth right before
+            # the run (shared-VM co-tenant load collapses bandwidth and
+            # with it every Spark stage; see tools/memprobe.py)
+            from tools.memprobe import probe_gbps
+            g = round(probe_gbps(), 2)
             p = subprocess.run(
                 [sys.executable, "-c", script % (cores, cores)],
                 capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
             d = json.loads(line)
+            d["gbps"] = g
             times[cores].append(d["t"])
             cores_sec[cores].append(d["core_sec"])
+            gbps[cores].append(g)
             rows = d["n"]
             if ckpt:
                 with open(ckpt, "a") as fh:
@@ -325,6 +334,7 @@ def run_scaling() -> dict:
         res[cores] = {"median_sec": med, "runs": times[cores],
                       "core_sec_runs": cores_sec[cores],
                       "core_sec_median": statistics.median(cores_sec[cores]),
+                      "gbps_runs": gbps[cores],
                       "pages_per_sec": rows / med, "rows": rows}
     eff_med = (res[SCALE_4N]["pages_per_sec"] / res[SCALE_N]["pages_per_sec"]) / 4.0
     # HEADLINE estimator: minimum-of-runs per level (timeit's documented

@@ -3150,6 +3150,64 @@ def o_quality():
             f"ROUND({p} / {n}, 6) AS punct_ratio FROM documents WHERE LENGTH(text) > 0")
 
 
+def q_binary_features(spark, sf_dir):
+    """Multimodal byte-feature extraction over opaque binary payloads
+    (functions/multimodal.byte_features): Arrow-batched mapInPandas
+    computes per-payload length, byte-value mean/std (population,
+    exact-integer cumulative moments), and the 16-byte-head FNV fold —
+    the decode→feature batch shape of an image/audio pipeline, run on
+    real bytes (text-as-binary stand-in payloads; codecs are stubbed)."""
+    from gdal_spark.functions import multimodal as mm
+
+    df = docs_df(spark, sf_dir).filter(F.length("text") > 0)
+    feats = mm.byte_features(mm.attach_fake_media(df))
+    return feats.select(
+        "doc_id", "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        "head_hash")
+
+
+def o_binary_features():
+    # The fixture text is pure ASCII (verified: octet_length(encode(x))
+    # == length(x) for every row), so ord(substring(...)) IS the payload
+    # byte. Moments are exact-integer sums → single double division on
+    # both sides → bit-identical means. The head hash is the engine's
+    # 64-bit FNV-style fold, replayed in HUGEINT with mod-2^64 after
+    # each multiply, then reinterpreted to signed int64 (h - 2^63).
+    b_cols = ", ".join(
+        f"MAX(CASE WHEN i = {j} THEN code END) AS b{j}" for j in range(1, 17))
+    two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    steps = ["f0 AS (SELECT *, CAST(1469598103934665603 AS HUGEINT) AS h FROM mom)"]
+    for j in range(1, 17):
+        steps.append(
+            f"f{j} AS (SELECT doc_id, n, s, sq, "
+            + ", ".join(f"b{k}" for k in range(1, 17)) + ", "
+            f"CASE WHEN n >= {j} THEN "
+            f"(xor(h, CAST(b{j} AS HUGEINT)) * 1099511628211) % {two64} "
+            f"ELSE h END AS h FROM f{j - 1})")
+    mean = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    var = f"CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) - ({mean}) * ({mean})"
+    return f"""
+WITH codes AS (
+  SELECT doc_id, LENGTH(text) AS n, gs.i AS i,
+         ord(substring(text, CAST(gs.i AS INTEGER), 1)) AS code
+  FROM documents, LATERAL (SELECT UNNEST(RANGE(1, LENGTH(text) + 1))) AS gs(i)
+  WHERE LENGTH(text) > 0
+),
+mom AS (
+  SELECT doc_id, MAX(n) AS n, SUM(code) AS s, SUM(code * code) AS sq,
+         {b_cols}
+  FROM codes GROUP BY doc_id
+),
+{', '.join(steps)}
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       ROUND({mean}, 6) AS byte_mean,
+       ROUND(SQRT(GREATEST({var}, 0.0)), 6) AS byte_std,
+       CAST(h - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS head_hash
+FROM f16"""
+
+
 def q_ann_cosine(spark, sf_dir):
     """Brute-force inner-product top-10 against a fixed query vector
     (the ANN baseline; dot products summed left-to-right in double)."""
@@ -3541,6 +3599,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, o_dedup_exact),
     "token_count": (q_token_count, o_token_count),
     "quality": (q_quality, o_quality),
+    "binary_features": (q_binary_features, o_binary_features),
     "ann_cosine": (q_ann_cosine, o_ann_cosine),
     "simhash_lsh": (q_simhash_lsh, o_simhash_lsh),
     "embed_neardup": (q_embed_neardup, o_embed_neardup),
