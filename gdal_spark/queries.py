@@ -3130,6 +3130,36 @@ def o_token_count():
             "LENGTH(text) AS len_chars FROM documents")
 
 
+#: BPE-ish pre-tokenizer: GPT-2-style piece classes (contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#: residual whitespace) WITHOUT the trailing-lookahead clause — the
+#: oracle engine's RE2 has no lookahead, and at 100 TB the count runs
+#: as one JVM regexp_count per row (codegen'd, no UDF).
+BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+               r"| ?[^A-Za-z0-9\s']+|'|\s+")
+
+
+def q_token_bpe(spark, sf_dir):
+    """Token counting, BPE-ish: pieces under the GPT-2-style regex vs
+    plain whitespace tokens — the pre-tokenization pass of a byte-pair
+    tokenizer, as a single codegen'd expression per row."""
+    df = docs_df(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_ws = (F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+            .otherwise(F.size(toks)))
+    n_bpe = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN))
+    return df.select("doc_id", n_ws.alias("n_ws"),
+                     n_bpe.cast("int").alias("n_bpe"))
+
+
+def o_token_bpe():
+    pat = BPE_PATTERN.replace("'", "''")
+    return ("SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+            "ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_ws, "
+            f"CAST(LEN(REGEXP_EXTRACT_ALL(text, '{pat}')) AS INTEGER) AS n_bpe "
+            "FROM documents")
+
+
 def q_quality(spark, sf_dir):
     """Quality scoring: punctuation/digit/space ratios (rounded to 6)."""
     df = docs_df(spark, sf_dir)
@@ -3573,6 +3603,121 @@ SELECT id_a, id_b, cell, cos FROM p WHERE cos >= 0.9"""
 # registry
 # =================================================================
 
+# =================================================================
+# gdaldem terrain kernels (apps/gdaldem_lib.cpp) over a synthetic DEM
+# =================================================================
+
+def _dem_win(spark):
+    from gdal_spark.operators import dem as dem_op
+    nb = dem_op.neighbors9(dem_op.dem_df(spark))
+    return nb, [F.col(f"win{k}") for k in range(9)]
+
+
+#: shared DuckDB window CTE — 8 equi-self-joins materialize the same
+#: win0..win8 the engine's scatter-pivot produces (interior pixels).
+def _o_dem_win_cte():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    joins = "\n".join(
+        f"  JOIN dem w{k} ON w{k}.px = c.px + ({dx}) AND w{k}.py = c.py + ({dy})"
+        for k, (dx, dy) in enumerate(
+            [(-1, -1), (0, -1), (1, -1), (-1, 0)])) + "\n" + "\n".join(
+        f"  JOIN dem w{k} ON w{k}.px = c.px + ({dx}) AND w{k}.py = c.py + ({dy})"
+        for k, (dx, dy) in zip([5, 6, 7, 8],
+                               [(1, 0), (-1, 1), (0, 1), (1, 1)]))
+    sel = ", ".join(f"w{k}.elev AS win{k}" for k in [0, 1, 2, 3]) \
+        + ", c.elev AS win4, " \
+        + ", ".join(f"w{k}.elev AS win{k}" for k in [5, 6, 7, 8])
+    return f"""dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys
+),
+w AS (
+  SELECT c.px, c.py, {sel}
+  FROM dem c
+{joins}
+  WHERE c.px BETWEEN 1 AND {DEM_W - 2} AND c.py BETWEEN 1 AND {DEM_H - 2}
+)"""
+
+
+_HORN_X = "(1.0 * ((win0 + win3 + win3 + win6) - (win2 + win5 + win5 + win8)) / 8.0)"
+_HORN_Y = "(1.0 * ((win6 + win7 + win7 + win8) - (win0 + win1 + win1 + win2)) / 8.0)"
+
+
+def q_dem_hillshade(spark, sf_dir):
+    """gdaldem hillshade, Horn gradient, az=315 alt=45 z=1 (the
+    GDALHillshadeAlg one-rsqrt form, gdaldem_lib.cpp:1016-1040) — pure
+    column math over the scatter-pivot 3x3 window."""
+    from gdal_spark.operators import dem as dem_op
+    nb, win = _dem_win(spark)
+    return nb.select("py", "px",
+                     F.round(dem_op.hillshade_cols(win), 6).alias("shade"))
+
+
+def o_dem_hillshade():
+    import math
+    az, alt = math.radians(315.0), math.radians(45.0)
+    c_sin = repr(254.0 * math.sin(alt))
+    c_cos_az = repr(254.0 * math.cos(az) * math.cos(alt))
+    c_sin_az = repr(254.0 * math.sin(az) * math.cos(alt))
+    expr = (f"(({c_sin} - ({_HORN_Y} * {c_cos_az} - {_HORN_X} * {c_sin_az}))"
+            f" / SQRT(1.0 + 1.0 * ({_HORN_X} * {_HORN_X} + {_HORN_Y} * {_HORN_Y})))")
+    return (f"WITH {_o_dem_win_cte()} "
+            f"SELECT py, px, ROUND(CASE WHEN {expr} <= 0.0 THEN 1.0 "
+            f"ELSE {expr} + 1.0 END, 6) AS shade FROM w")
+
+
+def q_dem_slope_aspect(spark, sf_dir):
+    """gdaldem slope (degrees, Horn) + aspect (azimuth, flat -> NULL)
+    (gdaldem_lib.cpp:1365,1441)."""
+    from gdal_spark.operators import dem as dem_op
+    nb, win = _dem_win(spark)
+    return nb.select(
+        "py", "px",
+        F.round(dem_op.slope_deg_col(win), 6).alias("slope_deg"),
+        F.round(dem_op.aspect_col(win), 6).alias("aspect_az"))
+
+
+def o_dem_slope_aspect():
+    deg = repr(180.0 / __import__("math").pi)
+    dx = "(1.0 * ((win2 + win5 + win5 + win8) - (win0 + win3 + win3 + win6)))"
+    dy = "(1.0 * ((win6 + win7 + win7 + win8) - (win0 + win1 + win1 + win2)))"
+    a = f"(ATAN2({dy}, -{dx}) * {deg})"
+    az = (f"(CASE WHEN {a} > 90.0 THEN 450.0 - {a} ELSE 90.0 - {a} END)")
+    az = f"(CASE WHEN {az} = 360.0 THEN 0.0 ELSE {az} END)"
+    return (f"WITH {_o_dem_win_cte()} SELECT py, px, "
+            f"ROUND(ATAN(SQRT({_HORN_X} * {_HORN_X} + {_HORN_Y} * {_HORN_Y}))"
+            f" * {deg}, 6) AS slope_deg, "
+            f"ROUND(CASE WHEN {dx} = 0.0 AND {dy} = 0.0 THEN NULL "
+            f"ELSE {az} END, 6) AS aspect_az FROM w")
+
+
+def q_dem_terrain_indices(spark, sf_dir):
+    """gdaldem TRI (Wilson mean-|dz| and Riley sqrt-sum-sq), TPI, and
+    roughness (gdaldem_lib.cpp:2317-2390)."""
+    from gdal_spark.operators import dem as dem_op
+    nb, win = _dem_win(spark)
+    tri_w, tri_r, tpi, rough = dem_op.tri_tpi_roughness_cols(win)
+    return nb.select("py", "px",
+                     F.round(tri_w, 6).alias("tri_wilson"),
+                     F.round(tri_r, 6).alias("tri_riley"),
+                     F.round(tpi, 6).alias("tpi"),
+                     rough.alias("roughness"))
+
+
+def o_dem_terrain_indices():
+    others = [0, 1, 2, 3, 5, 6, 7, 8]
+    absd = " + ".join(f"ABS(win{k} - win4)" for k in others)
+    sq = " + ".join(f"(win{k} - win4) * (win{k} - win4)" for k in others)
+    s = " + ".join(f"win{k}" for k in others)
+    alls = ", ".join(f"win{k}" for k in range(9))
+    return (f"WITH {_o_dem_win_cte()} SELECT py, px, "
+            f"ROUND((0.0 + {absd}) * 0.125, 6) AS tri_wilson, "
+            f"ROUND(SQRT(0.0 + {sq}), 6) AS tri_riley, "
+            f"ROUND(win4 - ({s}) * 0.125, 6) AS tpi, "
+            f"GREATEST({alls}) - LEAST({alls}) AS roughness FROM w")
+
+
 REGISTRY: dict[str, tuple] = {
     "geocode": (q_geocode, o_geocode),
     "tile_assign": (q_tile_assign, o_tile_assign),
@@ -3600,6 +3745,10 @@ REGISTRY: dict[str, tuple] = {
     "token_count": (q_token_count, o_token_count),
     "quality": (q_quality, o_quality),
     "binary_features": (q_binary_features, o_binary_features),
+    "token_bpe": (q_token_bpe, o_token_bpe),
+    "dem_hillshade": (q_dem_hillshade, o_dem_hillshade),
+    "dem_slope_aspect": (q_dem_slope_aspect, o_dem_slope_aspect),
+    "dem_terrain_indices": (q_dem_terrain_indices, o_dem_terrain_indices),
     "ann_cosine": (q_ann_cosine, o_ann_cosine),
     "simhash_lsh": (q_simhash_lsh, o_simhash_lsh),
     "embed_neardup": (q_embed_neardup, o_embed_neardup),
