@@ -116,6 +116,54 @@ def aspect_col(win):
     return F.when((dx == 0.0) & (dy == 0.0), F.lit(None)).otherwise(az)
 
 
+#: color-relief ramp (elevation -> RGB), spanning the synthetic DEM's
+#: 0..118 value range. Literal table: both engines compile it to the
+#: same CASE chain, no lookup join needed for a bounded ramp.
+COLOR_RAMP = [(0.0, 0, 97, 71), (30.0, 16, 122, 47),
+              (60.0, 232, 215, 125), (90.0, 161, 67, 19),
+              (118.0, 255, 255, 255)]
+
+
+def color_relief_cols(v, ramp=COLOR_RAMP):
+    """gdaldem color-relief, COLOR_SELECTION_INTERPOLATE
+    (GDALColorReliefGetRGBA, apps/gdaldem_lib.cpp:1640-1804): below
+    first entry -> first color, above last -> last color, else linear
+    interpolation with the reference's int(0.5 + ...) truncation and
+    0..255 clamp. Returns (r, g, b) int columns."""
+    out = []
+    for ch in (1, 2, 3):
+        expr = F.lit(ramp[-1][ch])  # above last entry
+        # build the chain back-to-front so earlier intervals win
+        for (lo, *clo), (hi, *chi) in reversed(list(zip(ramp, ramp[1:]))):
+            ratio = (v - F.lit(lo)) / F.lit(hi - lo)
+            interp = (F.lit(float(clo[ch - 1]))
+                      + ratio * F.lit(float(chi[ch - 1] - clo[ch - 1])))
+            chan = F.least(F.greatest(
+                F.floor(F.lit(0.5) + interp), F.lit(0.0)), F.lit(255.0))
+            expr = F.when(v <= hi, chan.cast("int")).otherwise(expr)
+        expr = F.when(v <= ramp[0][0], F.lit(ramp[0][ch])).otherwise(expr)
+        out.append(expr)
+    return tuple(out)
+
+
+def color_relief_sql(v: str, ramp=COLOR_RAMP) -> list[str]:
+    """The same CASE chain as ANSI SQL text (one string per channel),
+    guaranteed operation-for-operation identical to color_relief_cols."""
+    out = []
+    for ch in (1, 2, 3):
+        branches = []
+        branches.append(f"WHEN {v} <= {ramp[0][0]!r} THEN {ramp[0][ch]}")
+        for (lo, *clo), (hi, *chi) in zip(ramp, ramp[1:]):
+            ratio = f"(({v} - {lo!r}) / {hi - lo!r})"
+            interp = (f"({float(clo[ch - 1])!r} + {ratio} * "
+                      f"{float(chi[ch - 1] - clo[ch - 1])!r})")
+            chan = f"LEAST(GREATEST(FLOOR(0.5 + {interp}), 0.0), 255.0)"
+            branches.append(f"WHEN {v} <= {hi!r} THEN CAST({chan} AS INTEGER)")
+        out.append("CASE " + " ".join(branches)
+                   + f" ELSE {ramp[-1][ch]} END")
+    return out
+
+
 def tri_tpi_roughness_cols(win):
     """TRI Wilson mean |dz| (:2317), TRI Riley sqrt-sum-squares (:2332),
     TPI center minus neighbor mean (:2352), roughness max-min (:2367)."""

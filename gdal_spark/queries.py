@@ -3718,6 +3718,29 @@ def o_dem_terrain_indices():
             f"GREATEST({alls}) - LEAST({alls}) AS roughness FROM w")
 
 
+def q_dem_color_relief(spark, sf_dir):
+    """gdaldem color-relief, interpolate mode (gdaldem_lib.cpp:1640):
+    per-pixel ramp interpolation with the reference's int(0.5+...)
+    truncation + clamp — a literal CASE chain, no join, no UDF."""
+    from gdal_spark.operators import dem as dem_op
+    d = dem_op.dem_df(spark)
+    r, g, b = dem_op.color_relief_cols(F.col("elev"))
+    return d.select("py", "px", "elev",
+                    r.alias("r"), g.alias("g"), b.alias("b"))
+
+
+def o_dem_color_relief():
+    from gdal_spark.operators.dem import (DEM_ELEV_SQL, DEM_H, DEM_W,
+                                          color_relief_sql)
+    r, g, b = color_relief_sql("elev")
+    return f"""WITH dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys
+)
+SELECT py, px, elev, {r} AS r, {g} AS g, {b} AS b FROM dem"""
+
+
 REGISTRY: dict[str, tuple] = {
     "geocode": (q_geocode, o_geocode),
     "tile_assign": (q_tile_assign, o_tile_assign),
@@ -3749,6 +3772,7 @@ REGISTRY: dict[str, tuple] = {
     "dem_hillshade": (q_dem_hillshade, o_dem_hillshade),
     "dem_slope_aspect": (q_dem_slope_aspect, o_dem_slope_aspect),
     "dem_terrain_indices": (q_dem_terrain_indices, o_dem_terrain_indices),
+    "dem_color_relief": (q_dem_color_relief, o_dem_color_relief),
     "ann_cosine": (q_ann_cosine, o_ann_cosine),
     "simhash_lsh": (q_simhash_lsh, o_simhash_lsh),
     "embed_neardup": (q_embed_neardup, o_embed_neardup),
