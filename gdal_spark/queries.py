@@ -2992,6 +2992,20 @@ def o_stream_rollup():
             "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1, 2")
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (content-hash key, watermark-bounded
+    state via dropDuplicatesWithinWatermark) — emits the distinct key
+    set, equal to batch SELECT DISTINCT under availableNow
+    (gdal_spark/streaming/events.py)."""
+    from gdal_spark.streaming.events import dedup_stream
+    return dedup_stream(spark, sf_dir)
+
+
+def o_stream_dedup():
+    return ("SELECT DISTINCT MD5(CONCAT_WS('|', event_type, props)) "
+            "AS content_hash FROM events")
+
+
 def q_topk_per_zone(spark, sf_dir):
     """Top-k per group (SURVEY §2.5 — the window machinery the
     reference reaches only via its SQLite dialect): 3 largest docs per
@@ -3832,6 +3846,7 @@ REGISTRY: dict[str, tuple] = {
     "simplify": (q_simplify, o_simplify),
     "make_valid": (q_make_valid, o_make_valid),
     "stream_sessions": (q_stream_sessions, o_stream_sessions),
+    "stream_dedup": (q_stream_dedup, o_stream_dedup),
     "s2_cells": (q_s2_cells, None),
     "h3_cells": (q_h3_cells, None),
     "pixel_functions": (q_pixel_functions, o_pixel_functions),

@@ -39,6 +39,41 @@ def utc_session(spark: SparkSession):
         spark.conf.set("spark.sql.session.timeZone", prior)
 
 
+def dedup_stream(spark: SparkSession, sf_dir: str,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    ``dedup_exact`` pipeline: content-hash key, first copy wins, state
+    bounded by the event-time watermark (dropDuplicatesWithinWatermark
+    keeps a key only until its watermark expires, so state does NOT
+    grow with stream length — the property that matters at a 10^12-row
+    ingest). Only the dedup keys are emitted, so the result is the
+    deterministic distinct key set regardless of arrival order."""
+    name = f"dedup_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_stream_ckpt_")
+    try:
+        with utc_session(spark):
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            src = (spark.readStream.schema(schema)
+                   .option("pathGlobFilter", "events.parquet")
+                   .parquet(sf_dir)
+                   .withColumn("ts", F.col("ts").cast("timestamp")))
+            deduped = (src
+                       .withColumn("content_hash",
+                                   F.md5(F.concat_ws("|", "event_type", "props")))
+                       .withWatermark("ts", watermark)
+                       .dropDuplicatesWithinWatermark(["content_hash"])
+                       .select("content_hash"))
+            q = (deduped.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def hourly_rollup_stream(spark: SparkSession, sf_dir: str,
                          watermark: str = "2 hours") -> DataFrame:
     """Run the hourly per-type rollup as a stream over the events
