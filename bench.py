@@ -275,8 +275,11 @@ def run_scaling() -> dict:
         f"'spark.eventLog.dir': 'file://{EVENTLOG_DIR}'}});"
         "spark.sparkContext.setLogLevel('ERROR');"
         f"n = spark.read.parquet('{staged}').count() * {REPLICATE};"
-        # warm-up pass (not timed)
-        f"_force(scaling_job(spark, '{SF_DIR}', {REPLICATE}, staged_dir='{staged}'));"
+        # warm-up pass (not timed): same plan, 1/8 the rows — compiles
+        # every codegen path and faults in the input at a fraction of
+        # the full-job cost, keeping the per-run subprocess short
+        # enough that the interleaved protocol fits a sandbox session
+        f"_force(scaling_job(spark, '{SF_DIR}', max({REPLICATE} // 8, 1), staged_dir='{staged}'));"
         "e0 = time.time() * 1000.0;"
         "t0 = time.monotonic();"
         f"_force(scaling_job(spark, '{SF_DIR}', {REPLICATE}, staged_dir='{staged}'));"

@@ -132,6 +132,29 @@ def o_tile_assign():
             f"{tx12} AS tx12, {ty12} AS ty12 FROM pages WHERE lat IS NOT NULL")
 
 
+def q_tile_counts_salted(spark, sf_dir):
+    """Per-tile page counts THROUGH the explicit two-phase salt
+    (operators/tiling.salted_agg) — the skew-handling path the north
+    rule mandates for hot cells (every TLD-centroid page of one country
+    burns a single z5 tile; at 10^12 rows such keys dwarf a reducer).
+    Results are exactly the unsalted GROUP BY, which is the oracle."""
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    base = tiling.assign_tiles(p, 5).select("z", "tx", "ty", "doc_id")
+    return tiling.salted_agg(
+        base, ["z", "tx", "ty"],
+        [F.count("*").alias("n_pages")],
+        merge_exprs=[F.sum("n_pages").alias("n_pages")],
+        salt_cols=["doc_id"],
+    ).select("z", "tx", "ty", "n_pages")
+
+
+def o_tile_counts_salted():
+    tx5, ty5 = sqlexpr.tile_sql("lat", "lon", 5)
+    return (f"WITH {sqlexpr.pages_cte()} "
+            f"SELECT 5 AS z, {tx5} AS tx, {ty5} AS ty, COUNT(*) AS n_pages "
+            f"FROM pages WHERE lat IS NOT NULL GROUP BY 1, 2, 3")
+
+
 _PIP_HITS_SQL = """
 hits AS (
   SELECT p.doc_id, e.zone_fid,
@@ -3771,6 +3794,7 @@ REGISTRY: dict[str, tuple] = {
     "rasterize_lines": (q_rasterize_lines, o_rasterize_lines),
     "rasterize_touched": (q_rasterize_touched, o_rasterize_touched),
     "tile_pyramid": (q_tile_pyramid, o_tile_pyramid),
+    "tile_counts_salted": (q_tile_counts_salted, o_tile_counts_salted),
     "select_where": (q_select_where, o_select_where),
     "summary": (q_summary, o_summary),
     "order_limit": (q_order_limit, o_order_limit),
