@@ -102,6 +102,8 @@ def run_single() -> dict:
     from gdal_spark.queries import points_df
     from gdal_spark.session import get_spark
 
+    from tools.memprobe import probe_gbps
+    gbps_before = round(probe_gbps(), 2)
     spark = get_spark(app="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     n_rows = points_df(spark, SF_DIR).count()
@@ -116,6 +118,10 @@ def run_single() -> dict:
         "sf": float(sf),
         "rows": n_rows,
         "cpus": CPUS,
+        # host memory bandwidth before/after (shared-VM health stamp;
+        # healthy ~12+ GB/s single-stream, co-tenant collapse <2 — see
+        # tools/memprobe.py; Spark wall times scale with this)
+        "host_gbps": [gbps_before, round(probe_gbps(), 2)],
     }
     # attach the most recent scaling-protocol result (written by
     # `python bench.py --scaling` → SCALING.json) so the per-round

@@ -31,6 +31,8 @@ Scale design (100 TB story):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -42,8 +44,18 @@ from gdal_spark.geo import geom as G
 from gdal_spark.geo import mercator as M
 
 
-def auto_cover_zoom(zones=ZONES, max_cells_per_zone: int = 131072) -> int:
+#: bbox-cell budget per zone for the cover zoom choice. Finer covers
+#: shrink the Python-refine boundary fraction (the per-row win grows
+#: with input size); coarser covers shrink the broadcast build (a
+#: per-query fixed cost). Tunable so the bench can pick the knee for a
+#: given input scale; output is IDENTICAL at any setting.
+COVER_CELLS = int(os.environ.get("SPARK_GRAFT_COVER_CELLS", "131072"))
+
+
+def auto_cover_zoom(zones=ZONES, max_cells_per_zone: int | None = None) -> int:
     """Highest zoom where every zone's bbox cover stays under the cap."""
+    if max_cells_per_zone is None:
+        max_cells_per_zone = COVER_CELLS
     best = 0
     for z in range(1, 19):
         ok = True
