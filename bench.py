@@ -90,7 +90,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "rasterize_touched", "polygonize_rings", "footprint",
                  "tld_hull", "ivf_ann", "grid_invdistnn", "grid_average",
                  "contour_segments", "geodesic_measures", "algebra_pieces",
-                 "utm_transform", "geodetic_tiles", "simplify"]:
+                 "utm_transform", "geodetic_tiles", "simplify",
+                 # round-2 late additions
+                 "dem_hillshade", "dem_color_relief", "binary_features",
+                 "token_bpe", "tile_counts_salted", "stream_dedup"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -69,11 +69,40 @@ def geo_exprs(key: str, dialect: str = "duck") -> dict[str, str]:
     }
 
 
+def _latlon_select(cols: str, lat_expr: str, lon_expr: str, src: str,
+                   dialect: str) -> str:
+    """Final geocode SELECT with the lat/lon CASE trees evaluated ONCE.
+
+    Spark's CollapseProject inlines CTE projections into every
+    consumer, so a downstream plan that references lat/lon several
+    times (tile x AND y, a null filter, the output row) re-evaluates
+    the whole hash+CASE+lookup tree per reference — and the inlined
+    expression blob blows the joined stage past JIT method limits
+    (measured 17x: a 19M-row cover join went 33 s -> 1.9 s). A
+    one-element ``inline(array(struct(...)))`` generator is a
+    collapse barrier Catalyst respects WITHOUT an exchange or a cache:
+    same rows, same values, geocode evaluated exactly once per row.
+    DuckDB (the oracle) keeps the plain projection — semantics are
+    identical; only Spark needs the barrier."""
+    if dialect == "spark":
+        return (f"SELECT {cols}, g.lat, g.lon FROM {src}\n"
+                f"  LATERAL VIEW inline(array(struct({lat_expr}, {lon_expr})))"
+                f" g AS lat, lon")
+    return (f"SELECT {cols}, {lat_expr} AS lat, {lon_expr} AS lon "
+            f"FROM {src}")
+
+
 def pages_cte(src_table: str = "documents", dialect: str = "duck") -> str:
     """CTE body: documents → pages(doc_id, url, tld, lang, text, n_chars,
     geo_src, lat, lon). Geocode rule: embedded coordinate wins, else TLD
     centroid, else null geometry (FIXTURES.md F1)."""
     e = geo_exprs("doc_id", dialect)
+    lat = (f"CAST(CASE WHEN geo_src = 'embed' THEN embed_lat "
+           f"WHEN geo_src = 'tld' THEN {e['tld_lat']} END AS DOUBLE)")
+    lon = (f"CAST(CASE WHEN geo_src = 'embed' THEN embed_lon "
+           f"WHEN geo_src = 'tld' THEN {e['tld_lon']} END AS DOUBLE)")
+    cols = ("doc_id, 'https://doc-' || CAST(doc_id AS STRING) || '.' || tld"
+            " AS url, tld, lang, text, n_chars, geo_src")
     return f"""
 pages0 AS (
   SELECT doc_id, text, lang, n_chars, {e['tld']} AS tld, {e['geo_src']} AS geo_src,
@@ -81,14 +110,7 @@ pages0 AS (
   FROM {src_table}
 ),
 pages AS (
-  SELECT doc_id,
-         'https://doc-' || CAST(doc_id AS STRING) || '.' || tld AS url,
-         tld, lang, text, n_chars, geo_src,
-         CAST(CASE WHEN geo_src = 'embed' THEN embed_lat
-              WHEN geo_src = 'tld' THEN {e['tld_lat']} END AS DOUBLE) AS lat,
-         CAST(CASE WHEN geo_src = 'embed' THEN embed_lon
-              WHEN geo_src = 'tld' THEN {e['tld_lon']} END AS DOUBLE) AS lon
-  FROM pages0
+  {_latlon_select(cols, lat, lon, "pages0", dialect)}
 )"""
 
 
@@ -99,6 +121,10 @@ def points_cte(src_table: str = "lineitem", dialect: str = "duck") -> str:
     e = geo_exprs(key, dialect)
     # level-2 expressions re-key off pt_id (same value as `key`)
     e2 = geo_exprs("pt_id", dialect)
+    lat = (f"CAST(CASE WHEN geo_src = 'embed' THEN embed_lat "
+           f"WHEN geo_src = 'tld' THEN {e2['tld_lat']} END AS DOUBLE)")
+    lon = (f"CAST(CASE WHEN geo_src = 'embed' THEN embed_lon "
+           f"WHEN geo_src = 'tld' THEN {e2['tld_lon']} END AS DOUBLE)")
     return f"""
 pts0 AS (
   SELECT {key} AS pt_id, l_quantity AS value, {e['geo_src']} AS geo_src,
@@ -106,12 +132,7 @@ pts0 AS (
   FROM {src_table}
 ),
 points AS (
-  SELECT pt_id, value, geo_src,
-         CAST(CASE WHEN geo_src = 'embed' THEN embed_lat
-              WHEN geo_src = 'tld' THEN {e2['tld_lat']} END AS DOUBLE) AS lat,
-         CAST(CASE WHEN geo_src = 'embed' THEN embed_lon
-              WHEN geo_src = 'tld' THEN {e2['tld_lon']} END AS DOUBLE) AS lon
-  FROM pts0
+  {_latlon_select("pt_id, value, geo_src", lat, lon, "pts0", dialect)}
 )"""
 
 
