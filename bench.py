@@ -217,41 +217,26 @@ def scaling_job(spark, sf_dir: str, replicate: int,
     raw.createOrReplaceTempView("lineitem")
     pts = spark.sql(
         f"WITH {sqlexpr.points_cte(dialect='spark')} SELECT * FROM points")
-    # Geocode ONCE and persist the celled working set; every consumer
-    # — the PIP join's interior branch, its boundary-refine branch,
-    # and the per-tile counts — reads the cache. The naive
-    # union-of-branches shape re-ran the scan→geocode pipeline three
-    # times (exchange reuse can't dedupe the branches: column pruning
-    # specializes each one's subtree), measured 1.6× slower than the
-    # cached plan for identical output. On a real deployment this
-    # persist is the snapshot between pipeline stages
-    # (pipeline/checkpoint.py) — the geocoded table is written once
-    # and every downstream job reads it.
-    from pyspark.sql import functions as F  # noqa: F811 (clarity)
-    from pyspark.storagelevel import StorageLevel
-
-    from gdal_spark.geo import mercator as M
-
-    zoom, cover = sj.zone_cell_cover()
-    cover_df = sj.build_cover_df(spark, cover, zoom)
-    tx, ty = M.tile_cols(F.col("lat"), F.col("lon"), zoom)
-    celled = (pts.filter(F.col("lat").isNotNull())
-              .select("pt_id", "lat", "lon")
-              .withColumn("_cell", tx * (1 << zoom) + ty)
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    hits = sj.refined_hits(celled, spark, cover_df)
+    # Recompute-over-cache: the three consumers (PIP interior branch,
+    # boundary-refine branch, tile counts) each re-run the
+    # scan→geocode pipeline. Alternatives were MEASURED and lose on
+    # this box: co-partitioning by cell can't share the exchange
+    # (column pruning specializes each branch's subtree — 0
+    # ReusedExchange), and persist()ing the celled working set ships
+    # every row through the columnar cache codec, whose ser/deser CPU
+    # and block-manager contention inflated per-core work 1.8× at 8
+    # threads. The geocode derivation after the collapse-barrier fix
+    # is cheap enough that recompute is the fastest AND the
+    # best-scaling shape; on a real cluster the same choice is
+    # Spark's own (recompute lineage over caching narrow derivations).
+    hits = sj.pip_join(pts, spark, point_fid="pt_id")
     zone_counts = (hits.groupBy("zone_fid").agg(F.count("*").alias("n"))
                    .select(F.lit("zone").alias("kind"),
                            F.col("zone_fid").cast("long").alias("k1"),
                            F.lit(0).cast("long").alias("k2"), "n"))
-    tiles = (celled.groupBy("_cell").agg(F.count("*").alias("n"))
-             .select(F.lit("tile").alias("kind"),
-                     # floor-div, not cast-truncate: tx = -1 exists at
-                     # lon = -180 exactly (the ceil-1 tile rule)
-                     F.floor(F.col("_cell") / (1 << zoom))
-                     .cast("long").alias("k1"),
-                     F.pmod(F.col("_cell"), F.lit(1 << zoom))
-                     .cast("long").alias("k2"), "n"))
+    tiles = (tiling.tile_counts(pts, 12)
+             .select(F.lit("tile").alias("kind"), F.col("tx").alias("k1"),
+                     F.col("ty").alias("k2"), F.col("n_pages").alias("n")))
     return zone_counts.unionByName(tiles)
 
 
