@@ -141,7 +141,7 @@ def run_single() -> dict:
     return result
 
 
-REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "1024"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "256"))
 
 # N vs 4N parallelism levels for the scaling-efficiency measurement.
 # 2 vs 8 (not 8 vs 32): this VM's memory bandwidth scales cleanly to
