@@ -3778,6 +3778,44 @@ def o_dem_color_relief():
 SELECT py, px, elev, {r} AS r, {g} AS g, {b} AS b FROM dem"""
 
 
+def q_raster_scale(spark, sf_dir):
+    """gdal_translate -scale / -exponent (VRTComplexSource::RasterIO,
+    frmts/vrt/vrtsources.cpp:4041-4055; scale/offset derivation
+    apps/gdal_translate_lib.cpp): linear stretch dst = src*scale+offset
+    with scale = (dmax-dmin)/(smax-smin), offset = -smin*scale+dmin;
+    power stretch dst = (dmax-dmin)*pow(clip01(pv), exponent)+dmin with
+    pv = (src-smin)/(smax-smin). Source min/max from the data
+    (ComputeRasterMinMax), joined back as a broadcast 1-row aggregate."""
+    from gdal_spark.operators import dem as dem_op
+    d = dem_op.dem_df(spark)
+    mm = d.agg(F.min("elev").alias("smin"), F.max("elev").alias("smax"))
+    j = d.crossJoin(F.broadcast(mm))
+    sc = (F.lit(255.0) - F.lit(0.0)) / (F.col("smax") - F.col("smin"))
+    lin = F.col("elev") * sc + (-F.col("smin") * sc + F.lit(0.0))
+    pv = (F.col("elev") - F.col("smin")) / (F.col("smax") - F.col("smin"))
+    pv = F.least(F.greatest(pv, F.lit(0.0)), F.lit(1.0))
+    expo = (F.lit(255.0) - F.lit(0.0)) * F.pow(pv, F.lit(0.75)) + F.lit(0.0)
+    return j.select("py", "px",
+                    F.round(lin, 6).alias("scaled_linear"),
+                    F.round(expo, 6).alias("scaled_pow"))
+
+
+def o_raster_scale():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    sc = "((255.0 - 0.0) / (smax - smin))"
+    pv = "LEAST(GREATEST(((elev - smin) / (smax - smin)), 0.0), 1.0)"
+    return f"""WITH dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys
+),
+mm AS (SELECT MIN(elev) AS smin, MAX(elev) AS smax FROM dem)
+SELECT py, px,
+  ROUND(elev * {sc} + (-(smin) * {sc} + 0.0), 6) AS scaled_linear,
+  ROUND((255.0 - 0.0) * POW({pv}, 0.75) + 0.0, 6) AS scaled_pow
+FROM dem CROSS JOIN mm"""
+
+
 REGISTRY: dict[str, tuple] = {
     "geocode": (q_geocode, o_geocode),
     "tile_assign": (q_tile_assign, o_tile_assign),
@@ -3811,6 +3849,7 @@ REGISTRY: dict[str, tuple] = {
     "dem_slope_aspect": (q_dem_slope_aspect, o_dem_slope_aspect),
     "dem_terrain_indices": (q_dem_terrain_indices, o_dem_terrain_indices),
     "dem_color_relief": (q_dem_color_relief, o_dem_color_relief),
+    "raster_scale": (q_raster_scale, o_raster_scale),
     "ann_cosine": (q_ann_cosine, o_ann_cosine),
     "simhash_lsh": (q_simhash_lsh, o_simhash_lsh),
     "embed_neardup": (q_embed_neardup, o_embed_neardup),
