@@ -107,6 +107,11 @@ def run_single() -> dict:
 
     from tools.memprobe import probe_gbps
     gbps_before = round(probe_gbps(), 2)
+    # cover-granularity knee for THIS input scale (sf0.1, 600k points):
+    # z10 cover (16384-cell budget) minimizes flagship wall — see
+    # spatial_join.cover_cells_budget. Identical output at any setting;
+    # larger inputs (the scaling job) keep the finer default.
+    os.environ.setdefault("SPARK_GRAFT_COVER_CELLS", "16384")
     spark = get_spark(app="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     n_rows = points_df(spark, SF_DIR).count()

@@ -44,18 +44,23 @@ from gdal_spark.geo import geom as G
 from gdal_spark.geo import mercator as M
 
 
-#: bbox-cell budget per zone for the cover zoom choice. Finer covers
-#: shrink the Python-refine boundary fraction (the per-row win grows
-#: with input size); coarser covers shrink the broadcast build (a
-#: per-query fixed cost). Tunable so the bench can pick the knee for a
-#: given input scale; output is IDENTICAL at any setting.
-COVER_CELLS = int(os.environ.get("SPARK_GRAFT_COVER_CELLS", "131072"))
+def cover_cells_budget() -> int:
+    """bbox-cell budget per zone for the cover zoom choice. Finer
+    covers shrink the Python-refine boundary fraction (the per-row win
+    grows with input size); coarser covers shrink the broadcast build
+    (a per-query fixed cost). Measured knee at sf0.1 (600k points):
+    16384 (z10) beats both 1024 (z8, 12.5 s — refine-bound) and 131072
+    (z12, 5.5 s — probe/build-bound) at 4.4 s flagship; at the scaling
+    job's 10^8-row inputs the finer default wins. Read per call so the
+    bench can set it per input scale; output is IDENTICAL at any
+    setting."""
+    return int(os.environ.get("SPARK_GRAFT_COVER_CELLS", "131072"))
 
 
 def auto_cover_zoom(zones=ZONES, max_cells_per_zone: int | None = None) -> int:
     """Highest zoom where every zone's bbox cover stays under the cap."""
     if max_cells_per_zone is None:
-        max_cells_per_zone = COVER_CELLS
+        max_cells_per_zone = cover_cells_budget()
     best = 0
     for z in range(1, 19):
         ok = True
