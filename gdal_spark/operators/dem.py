@@ -97,6 +97,53 @@ def hillshade_cols(win, az_deg: float = 315.0, alt_deg: float = 45.0,
     return F.when(cang254 <= 0.0, F.lit(1.0)).otherwise(cang254 + F.lit(1.0))
 
 
+def hillshade_combined_cols(win, az_deg: float = 315.0,
+                            alt_deg: float = 45.0):
+    """GDALHillshadeCombinedAlg (gdaldem_lib.cpp:1151-1181): oblique
+    shading multiplied by slope steepness —
+    cang = 1 - acos(shade) * atan(sqrt(slope)) / (pi^2/4). The acos
+    input is clamped to [-1, 1] on BOTH engines (the exact dot/norm is
+    <= 1; last-ulp rounding may exceed it and acos would NaN)."""
+    az, alt = math.radians(az_deg), math.radians(alt_deg)
+    x, y = _horn_xy(win)
+    s = x * x + y * y
+    inner = ((F.lit(math.sin(alt))
+              - (y * F.lit(math.cos(az) * math.cos(alt))
+                 - x * F.lit(math.sin(az) * math.cos(alt))))
+             / F.sqrt(F.lit(1.0) + s))
+    inner = F.least(F.greatest(inner, F.lit(-1.0)), F.lit(1.0))
+    inv = 1.0 / ((math.pi * math.pi) / 4.0)
+    cang = F.lit(1.0) - F.acos(inner) * F.atan(F.sqrt(s)) * F.lit(inv)
+    return F.when(cang <= 0.0, F.lit(1.0)) \
+            .otherwise(F.lit(1.0) + F.lit(254.0) * cang)
+
+
+def hillshade_multidirectional_cols(win, alt_deg: float = 45.0):
+    """GDALHillshadeMultiDirectionalAlg (gdaldem_lib.cpp:1260-1320,
+    USGS OF 92-422): four fixed azimuths (225/270/315/360) blended by
+    sin^2(aspect - az) weights. Constants fold the Horn 1/8 into the
+    gradient (this module's _horn_xy), exactly the reference's
+    z_factor fold."""
+    alt = math.radians(alt_deg)
+    s127 = 127.0 * math.sin(alt)
+    c225 = 127.0 * math.cos(math.radians(225.0)) * math.cos(alt)
+    ca = 127.0 * math.cos(alt)
+    x, y = _horn_xy(win)
+    xxyy = x * x + y * y
+    v225 = F.greatest(F.lit(s127) + (x - y) * F.lit(c225), F.lit(0.0))
+    v270 = F.greatest(F.lit(s127) - x * F.lit(ca), F.lit(0.0))
+    v315 = F.greatest(F.lit(s127) + (x + y) * F.lit(c225), F.lit(0.0))
+    v360 = F.greatest(F.lit(s127) - y * F.lit(ca), F.lit(0.0))
+    w225 = F.lit(0.5) * xxyy - x * y
+    w270 = x * x
+    w315 = xxyy - w225
+    w360 = y * y
+    cang127 = ((w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360)
+               / xxyy) / F.sqrt(F.lit(1.0) + xxyy)
+    return F.when(xxyy == 0.0, F.lit(1.0 + 254.0 * math.sin(alt))) \
+            .otherwise(F.lit(1.0) + cang127)
+
+
 def slope_deg_col(win):
     """GDALSlopeHornAlg, slopeFormat=degrees (gdaldem_lib.cpp:1365-1385)."""
     x, y = _horn_xy(win)

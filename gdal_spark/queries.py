@@ -3704,6 +3704,47 @@ def o_dem_hillshade():
             f"ELSE {expr} + 1.0 END, 6) AS shade FROM w")
 
 
+def q_dem_hillshade_variants(spark, sf_dir):
+    """gdaldem hillshade -combined and -multidirectional
+    (GDALHillshadeCombinedAlg :1151, GDALHillshadeMultiDirectionalAlg
+    :1260 — USGS OF 92-422 azimuth blend)."""
+    from gdal_spark.operators import dem as dem_op
+    nb, win = _dem_win(spark)
+    return nb.select(
+        "py", "px",
+        F.round(dem_op.hillshade_combined_cols(win), 6).alias("shade_combined"),
+        F.round(dem_op.hillshade_multidirectional_cols(win), 6).alias("shade_md"))
+
+
+def o_dem_hillshade_variants():
+    import math
+    az, alt = math.radians(315.0), math.radians(45.0)
+    X, Y = _HORN_X, _HORN_Y
+    s = f"({X} * {X} + {Y} * {Y})"
+    inner = (f"(({math.sin(alt)!r} - ({Y} * {math.cos(az) * math.cos(alt)!r}"
+             f" - {X} * {math.sin(az) * math.cos(alt)!r})) / SQRT(1.0 + {s}))")
+    inner = f"LEAST(GREATEST({inner}, -1.0), 1.0)"
+    inv = repr(1.0 / ((math.pi * math.pi) / 4.0))
+    cang = f"(1.0 - ACOS({inner}) * ATAN(SQRT({s})) * {inv})"
+    combined = f"CASE WHEN {cang} <= 0.0 THEN 1.0 ELSE 1.0 + 254.0 * {cang} END"
+    s127 = repr(127.0 * math.sin(alt))
+    c225 = repr(127.0 * math.cos(math.radians(225.0)) * math.cos(alt))
+    ca = repr(127.0 * math.cos(alt))
+    v225 = f"GREATEST({s127} + ({X} - {Y}) * {c225}, 0.0)"
+    v270 = f"GREATEST({s127} - {X} * {ca}, 0.0)"
+    v315 = f"GREATEST({s127} + ({X} + {Y}) * {c225}, 0.0)"
+    v360 = f"GREATEST({s127} - {Y} * {ca}, 0.0)"
+    w225 = f"(0.5 * {s} - {X} * {Y})"
+    w315 = f"({s} - {w225})"
+    num = (f"({w225} * {v225} + ({X} * {X}) * {v270} + {w315} * {v315}"
+           f" + ({Y} * {Y}) * {v360})")
+    md = (f"CASE WHEN {s} = 0.0 THEN {1.0 + 254.0 * math.sin(alt)!r} "
+          f"ELSE 1.0 + (({num} / {s}) / SQRT(1.0 + {s})) END")
+    return (f"WITH {_o_dem_win_cte()} SELECT py, px, "
+            f"ROUND({combined}, 6) AS shade_combined, "
+            f"ROUND({md}, 6) AS shade_md FROM w")
+
+
 def q_dem_slope_aspect(spark, sf_dir):
     """gdaldem slope (degrees, Horn) + aspect (azimuth, flat -> NULL)
     (gdaldem_lib.cpp:1365,1441)."""
@@ -3850,6 +3891,7 @@ REGISTRY: dict[str, tuple] = {
     "dem_terrain_indices": (q_dem_terrain_indices, o_dem_terrain_indices),
     "dem_color_relief": (q_dem_color_relief, o_dem_color_relief),
     "raster_scale": (q_raster_scale, o_raster_scale),
+    "dem_hillshade_variants": (q_dem_hillshade_variants, o_dem_hillshade_variants),
     "ann_cosine": (q_ann_cosine, o_ann_cosine),
     "simhash_lsh": (q_simhash_lsh, o_simhash_lsh),
     "embed_neardup": (q_embed_neardup, o_embed_neardup),
