@@ -93,7 +93,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "utm_transform", "geodetic_tiles", "simplify",
                  # round-2 late additions
                  "dem_hillshade", "dem_color_relief", "binary_features",
-                 "token_bpe", "tile_counts_salted", "stream_dedup"]:
+                 "token_bpe", "tile_counts_salted", "stream_dedup",
+                 "raster_scale", "dem_hillshade_variants"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
