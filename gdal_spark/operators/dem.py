@@ -211,6 +211,26 @@ def color_relief_sql(v: str, ramp=COLOR_RAMP) -> list[str]:
     return out
 
 
+def slope_deg_zt_col(win):
+    """GDALSlopeZevenbergenThorneAlg, degrees (gdaldem_lib.cpp:1390):
+    central differences only — atan(sqrt(dx^2+dy^2) * 0.5)."""
+    dx = win[3] - win[5]
+    dy = win[7] - win[1]
+    return (F.atan(F.sqrt(dx * dx + dy * dy) * F.lit(0.5))
+            * F.lit(180.0 / math.pi))
+
+
+def aspect_zt_col(win):
+    """GDALAspectAlg, ZEVENBERGEN_THORNE gradient (gdaldem_lib.cpp
+    :1495-1505): dx = w5-w3, dy = w7-w1, same azimuth fold as Horn."""
+    dx = win[5] - win[3]
+    dy = win[7] - win[1]
+    a = F.atan2(dy, -dx) * F.lit(180.0 / math.pi)
+    az = F.when(a > 90.0, F.lit(450.0) - a).otherwise(F.lit(90.0) - a)
+    az = F.when(az == 360.0, F.lit(0.0)).otherwise(az)
+    return F.when((dx == 0.0) & (dy == 0.0), F.lit(None)).otherwise(az)
+
+
 def tri_tpi_roughness_cols(win):
     """TRI Wilson mean |dz| (:2317), TRI Riley sqrt-sum-squares (:2332),
     TPI center minus neighbor mean (:2352), roughness max-min (:2367)."""

@@ -3770,6 +3770,33 @@ def o_dem_slope_aspect():
             f"ELSE {az} END, 6) AS aspect_az FROM w")
 
 
+def q_dem_slope_aspect_zt(spark, sf_dir):
+    """gdaldem slope/aspect with -alg ZevenbergenThorne (central
+    differences; gdaldem_lib.cpp:1390,1495)."""
+    from gdal_spark.operators import dem as dem_op
+    nb, win = _dem_win(spark)
+    return nb.select(
+        "py", "px",
+        F.round(dem_op.slope_deg_zt_col(win), 6).alias("slope_deg"),
+        F.round(dem_op.aspect_zt_col(win), 6).alias("aspect_az"))
+
+
+def o_dem_slope_aspect_zt():
+    deg = repr(180.0 / __import__("math").pi)
+    sdx = "(win3 - win5)"
+    sdy = "(win7 - win1)"
+    adx = "(win5 - win3)"
+    ady = "(win7 - win1)"
+    a = f"(ATAN2({ady}, -{adx}) * {deg})"
+    az = f"(CASE WHEN {a} > 90.0 THEN 450.0 - {a} ELSE 90.0 - {a} END)"
+    az = f"(CASE WHEN {az} = 360.0 THEN 0.0 ELSE {az} END)"
+    return (f"WITH {_o_dem_win_cte()} SELECT py, px, "
+            f"ROUND(ATAN(SQRT({sdx} * {sdx} + {sdy} * {sdy}) * 0.5)"
+            f" * {deg}, 6) AS slope_deg, "
+            f"ROUND(CASE WHEN {adx} = 0.0 AND {ady} = 0.0 THEN NULL "
+            f"ELSE {az} END, 6) AS aspect_az FROM w")
+
+
 def q_dem_terrain_indices(spark, sf_dir):
     """gdaldem TRI (Wilson mean-|dz| and Riley sqrt-sum-sq), TPI, and
     roughness (gdaldem_lib.cpp:2317-2390)."""
@@ -3888,6 +3915,7 @@ REGISTRY: dict[str, tuple] = {
     "token_bpe": (q_token_bpe, o_token_bpe),
     "dem_hillshade": (q_dem_hillshade, o_dem_hillshade),
     "dem_slope_aspect": (q_dem_slope_aspect, o_dem_slope_aspect),
+    "dem_slope_aspect_zt": (q_dem_slope_aspect_zt, o_dem_slope_aspect_zt),
     "dem_terrain_indices": (q_dem_terrain_indices, o_dem_terrain_indices),
     "dem_color_relief": (q_dem_color_relief, o_dem_color_relief),
     "raster_scale": (q_raster_scale, o_raster_scale),
