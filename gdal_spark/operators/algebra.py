@@ -319,7 +319,8 @@ def zone_predicates(spark: SparkSession) -> DataFrame:
     overlaps = has_int & ~within_a & ~contains_a
     equals_ab = within_a & contains_a
     return j.select(
-        "fid_a", "fid_b", F.round("ia", 9).alias("inter_area"),
+        "fid_a", "fid_b",
+        (F.round("ia", 9) + F.lit(0.0)).alias("inter_area"),
         intersects.cast("int").alias("intersects"),
         (~intersects).cast("int").alias("disjoint"),
         touches.cast("int").alias("touches"),
@@ -380,7 +381,7 @@ def zone_predicates_twin() -> list[tuple]:
             contains_a = abs(ia - areas[fb]) <= PRED_EPS
             intersects = has_int or ct
             out.append((
-                fa, fb, round(ia, 9),
+                fa, fb, round(ia, 9) + 0.0,
                 int(intersects), int(not intersects),
                 int((not has_int) and ct),
                 int(has_int and not within_a and not contains_a),

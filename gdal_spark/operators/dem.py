@@ -69,13 +69,19 @@ def neighbors9(dem: DataFrame, w: int = DEM_W, h: int = DEM_H) -> DataFrame:
     return scattered.groupBy("py", "px").agg(*aggs)
 
 
-def _horn_xy(win, z: float = 1.0, res: float = 1.0):
+def _horn_xy(win, z: float = 1.0, ewres: float = 1.0, nsres: float = -1.0):
     """Horn gradient (gdaldem_lib.cpp:852-858): x west-positive,
-    y north-positive, eight-neighbor weighted differences / (8*res)."""
+    y NORTH-positive for the default north-up raster. The reference
+    multiplies the south-minus-north sum by inv_nsres = 1/(gt[5]*yscale),
+    and gt[5] is NEGATIVE for every standard north-up geotransform —
+    hence the nsres=-1.0 default here (py grows south, slot 0 = NW).
+    Slope uses x^2+y^2 (sign-free) and aspect uses the raw sums, but all
+    hillshade variants are direction-sensitive: with a positive y-res
+    they would be N-S mirrored vs gdaldem (az=315 behaving like 225)."""
     x = (z * ((win[0] + win[3] + win[3] + win[6])
-              - (win[2] + win[5] + win[5] + win[8])) / (8.0 * res))
+              - (win[2] + win[5] + win[5] + win[8])) / (8.0 * ewres))
     y = (z * ((win[6] + win[7] + win[7] + win[8])
-              - (win[0] + win[1] + win[1] + win[2])) / (8.0 * res))
+              - (win[0] + win[1] + win[1] + win[2])) / (8.0 * nsres))
     return x, y
 
 

@@ -3678,7 +3678,10 @@ w AS (
 
 
 _HORN_X = "(1.0 * ((win0 + win3 + win3 + win6) - (win2 + win5 + win5 + win8)) / 8.0)"
-_HORN_Y = "(1.0 * ((win6 + win7 + win7 + win8) - (win0 + win1 + win1 + win2)) / 8.0)"
+# y divides by 8*nsres with nsres = -1 (north-up: gt[5] < 0) — matches
+# operators/dem._horn_xy; a positive denominator would N-S mirror all
+# hillshade variants vs gdaldem (az=315 behaving like az=225).
+_HORN_Y = "(1.0 * ((win6 + win7 + win7 + win8) - (win0 + win1 + win1 + win2)) / -8.0)"
 
 
 def q_dem_hillshade(spark, sf_dir):

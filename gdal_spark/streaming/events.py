@@ -46,8 +46,12 @@ def dedup_stream(spark: SparkSession, sf_dir: str,
     bounded by the event-time watermark (dropDuplicatesWithinWatermark
     keeps a key only until its watermark expires, so state does NOT
     grow with stream length — the property that matters at a 10^12-row
-    ingest). Only the dedup keys are emitted, so the result is the
-    deterministic distinct key set regardless of arrival order."""
+    ingest). Only the dedup keys are emitted. Equality with the batch
+    DISTINCT holds for THIS single-file availableNow replay because the
+    source drains in one micro-batch; in a multi-batch replay
+    (multi-file glob or maxFilesPerTrigger), duplicate keys whose event
+    times differ by more than the watermark are re-emitted — the
+    batch-equality claim is scoped to the single-batch case."""
     name = f"dedup_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="gdal_spark_stream_ckpt_")
     try:

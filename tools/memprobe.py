@@ -22,12 +22,21 @@ import numpy as np
 
 
 def probe_gbps(mb: int = 200, reps: int = 5) -> float:
-    """Single-stream read+write bandwidth in GB/s (numpy scale op)."""
+    """Single-stream read+write bandwidth in GB/s (numpy scale op).
+
+    The source buffer is written first: calloc-backed np.zeros pages all
+    map to the kernel's shared zero page until touched, so reading an
+    untouched buffer is cache-resident and the probe would mostly time
+    output-side page faults instead of the 2×nbytes stream it reports.
+    The output is preallocated and reused (np.multiply out=) so reps
+    measure steady-state read+write bandwidth, not allocator cost."""
     a = np.zeros(mb * 1_000_000 // 8)
+    a.fill(1.0)
+    b = np.empty_like(a)
     best = 0.0
     for _ in range(reps):
         t0 = time.monotonic()
-        _ = a * 1.000001
+        np.multiply(a, 1.000001, out=b)
         dt = time.monotonic() - t0
         best = max(best, 2 * a.nbytes / dt / 1e9)
     return best
