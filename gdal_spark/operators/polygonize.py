@@ -29,10 +29,11 @@ the final relabel join; the iterative merge works on O(perimeter)
 edges. This is exactly the cross-tile connected-component equivalence
 strategy SURVEY §2.9 prescribes.
 
-Sieve (alg/gdalsievefilter.cpp:640 semantics, simplified): components
-with fewer than `threshold` pixels are REMOVED (the reference merges
-them into their largest neighbor; the merge step is a follow-up join
-on the same adjacency edges — documented deviation, removal only).
+Sieve comes in both variants: ``sieve`` REMOVES components smaller
+than `threshold` (the simplified round-1 form, kept as documented),
+and ``sieve_merge`` implements the reference's actual semantics —
+merge small components into their largest neighbor with the
+biggest-neighbor chain walk (alg/gdalsievefilter.cpp:300-640).
 """
 
 from __future__ import annotations
@@ -43,10 +44,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def tile_local_labels(mask: DataFrame, width: int, tile: int = 32) -> DataFrame:
+def tile_local_labels(mask: DataFrame, width: int, tile: int = 32,
+                      value_col: str | None = None) -> DataFrame:
     """Per-tile union-find: (py, px) mask pixels → (py, px, label) where
     label = min global pixel id of the pixel's LOCAL (within-tile)
-    component."""
+    component. With ``value_col``, only same-VALUE neighbors union (the
+    multi-valued raster semantics of GDALSieveFilter / polygonize with
+    a value band: a component is a maximal 4-connected same-value
+    region) and the value column is carried through."""
 
     def _label(pdf_iter):
         # Concatenate the WHOLE partition before labeling: Arrow caps
@@ -64,6 +69,7 @@ def tile_local_labels(mask: DataFrame, width: int, tile: int = 32) -> DataFrame:
                 return
             ys = pdf["py"].to_numpy()
             xs = pdf["px"].to_numpy()
+            vs = pdf[value_col].to_numpy() if value_col else None
             pid = ys * width + xs
             index = {(int(y), int(x)): i for i, (y, x) in enumerate(zip(ys, xs))}
             parent = np.arange(len(pdf))
@@ -77,7 +83,7 @@ def tile_local_labels(mask: DataFrame, width: int, tile: int = 32) -> DataFrame:
             for i, (y, x) in enumerate(zip(ys, xs)):
                 for ny, nx in ((y + 1, x), (y, x + 1)):
                     j = index.get((int(ny), int(nx)))
-                    if j is not None:
+                    if j is not None and (vs is None or vs[i] == vs[j]):
                         ra, rb = find(i), find(int(j))
                         if ra != rb:
                             parent[ra] = rb
@@ -92,27 +98,38 @@ def tile_local_labels(mask: DataFrame, width: int, tile: int = 32) -> DataFrame:
                     seen[r] = int(pid[i])
             for i in range(len(pdf)):
                 lab[i] = seen[int(roots[i])]
-            yield pd.DataFrame({"py": ys, "px": xs, "label": lab})
+            out = {"py": ys, "px": xs, "label": lab}
+            if value_col:
+                out[value_col] = vs
+            yield pd.DataFrame(out)
 
+    schema = "py long, px long, label long" + (
+        f", {value_col} long" if value_col else "")
     tiled = mask.withColumn("_ty", (F.col("py") / tile).cast("long")) \
                 .withColumn("_tx", (F.col("px") / tile).cast("long"))
     return (tiled.repartition("_ty", "_tx")
-            .mapInPandas(_label, "py long, px long, label long"))
+            .mapInPandas(_label, schema))
 
 
-def border_edges(labels: DataFrame, tile: int = 32) -> DataFrame:
+def border_edges(labels: DataFrame, tile: int = 32,
+                 value_col: str | None = None) -> DataFrame:
     """(a, b) label equivalences for 4-adjacent pixels in DIFFERENT
-    tiles. Only border pixels join — O(perimeter) rows."""
+    tiles. Only border pixels join — O(perimeter) rows. With
+    ``value_col``, only same-value pairs are equivalences."""
     right = labels.filter(F.col("px") % tile == tile - 1)
     left = labels.filter(F.col("px") % tile == 0)
     down = labels.filter(F.col("py") % tile == tile - 1)
     up = labels.filter(F.col("py") % tile == 0)
+    same_v = (F.col(f"a.{value_col}") == F.col(f"b.{value_col}")) \
+        if value_col else F.lit(True)
     h = right.alias("a").join(
         left.alias("b"),
-        (F.col("a.py") == F.col("b.py")) & (F.col("a.px") + 1 == F.col("b.px")))
+        (F.col("a.py") == F.col("b.py")) & (F.col("a.px") + 1 == F.col("b.px"))
+        & same_v)
     v = down.alias("a").join(
         up.alias("b"),
-        (F.col("a.px") == F.col("b.px")) & (F.col("a.py") + 1 == F.col("b.py")))
+        (F.col("a.px") == F.col("b.px")) & (F.col("a.py") + 1 == F.col("b.py"))
+        & same_v)
     pairs = (h.select(F.col("a.label").alias("a"), F.col("b.label").alias("b"))
              .unionByName(v.select(F.col("a.label").alias("a"),
                                    F.col("b.label").alias("b"))))
@@ -165,10 +182,11 @@ def resolve_equivalences(labels: DataFrame, edges: DataFrame,
             return labels
         spark = labels.sparkSession
         mdf = spark.createDataFrame(remap, "l long, r long")
+        keep = [F.col(f"p.{c}") for c in labels.columns if c != "label"]
         return (labels.alias("p")
                 .join(F.broadcast(mdf.alias("m")),
                       F.col("p.label") == F.col("m.l"), "left")
-                .select("py", "px",
+                .select(*keep,
                         F.coalesce(F.col("m.r"), F.col("p.label")).alias("label")))
 
     spark = labels.sparkSession
@@ -207,20 +225,23 @@ def resolve_equivalences(labels: DataFrame, edges: DataFrame,
                .filter(F.col("a") != F.col("b")).distinct())
     if mapping is None:
         return labels
+    keep = [F.col(f"p.{c}") for c in labels.columns if c != "label"]
     return (labels.alias("p")
             .join(F.broadcast(mapping.alias("m")),
                   F.col("p.label") == F.col("m.l"), "left")
-            .select("py", "px",
+            .select(*keep,
                     F.coalesce(F.col("m.r"), F.col("p.label")).alias("label")))
 
 
-def polygonize(mask: DataFrame, width: int, tile: int = 32) -> DataFrame:
-    """mask(py, px) → per-pixel final labels (py, px, label)."""
+def polygonize(mask: DataFrame, width: int, tile: int = 32,
+               value_col: str | None = None) -> DataFrame:
+    """mask(py, px[, v]) → per-pixel final labels (py, px[, v], label).
+    With ``value_col``, components are maximal same-value regions."""
     # the tile pass feeds three consumers (border self-join ×2 sides +
     # final relabel); persist it so the upstream burn/geocode pipeline
     # runs once, not four times
-    local = tile_local_labels(mask, width, tile).persist()
-    edges = border_edges(local, tile)
+    local = tile_local_labels(mask, width, tile, value_col).persist()
+    edges = border_edges(local, tile, value_col)
     return resolve_equivalences(local, edges)
 
 
@@ -342,6 +363,128 @@ def footprint(labels: DataFrame, min_pixels: int = 2) -> DataFrame:
             .groupBy("label")
             .applyInPandas(_hull, "label long, n_hull_vertices int, "
                                   "hull_area double"))
+
+
+def adjacency_edges(labels: DataFrame) -> DataFrame:
+    """Directed label adjacency (a, b) for 4-adjacent pixels with
+    DIFFERENT final labels, both orientations. Two coordinate
+    equi-joins over the pixel table — the different-label pairs are
+    exactly the inter-component perimeter, so the output is
+    O(perimeter) even though the join input is the full table."""
+    r = labels.select("py", "px", "label")
+    h = r.alias("a").join(
+        r.alias("b"),
+        (F.col("a.py") == F.col("b.py")) & (F.col("a.px") + 1 == F.col("b.px")))
+    v = r.alias("a").join(
+        r.alias("b"),
+        (F.col("a.px") == F.col("b.px")) & (F.col("a.py") + 1 == F.col("b.py")))
+    pairs = (h.select(F.col("a.label").alias("a"), F.col("b.label").alias("b"))
+             .unionByName(v.select(F.col("a.label").alias("a"),
+                                   F.col("b.label").alias("b"))))
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.filter(F.col("a") != F.col("b")).distinct()
+
+
+def sieve_merge(labels: DataFrame, threshold: int, value_col: str = "v",
+                driver_poly_limit: int = 2_000_000,
+                max_rounds: int = 20) -> DataFrame:
+    """GDAL sieve filter, merge-into-largest-neighbor semantics
+    (alg/gdalsievefilter.cpp:300-640 "General Plan" steps 2-5):
+
+    1. every polygon (same-value 4-connected component, from
+       ``polygonize(value_col=...)``) gets its BIGGEST neighbor by
+       pixel count;
+    2. polygons smaller than ``threshold`` walk biggest-neighbor
+       pointers until the first polygon ≥ threshold (break on revisit
+       — a cycle of smalls stays unmerged, the reference's
+       nFailedMerges case; isolated smalls also stay);
+    3. pixel VALUES of successfully-chained small polygons are
+       rewritten to the final big polygon's value (the reference
+       rewrites the raster; it does not re-run the CCL).
+
+    Deviation (documented): the reference's biggest-neighbor tie-break
+    is raster-scan-order dependent (CompareNeighbour keeps the FIRST
+    encountered of equal-size neighbors, gdalsievefilter.cpp:81-130);
+    here ties break deterministically to the smallest neighbor label so
+    the result is engine-order-independent and oracle-replicable.
+
+    Scale shape: sizes/edges/pointer tables are all O(#components);
+    the walk runs driver-side under ``driver_poly_limit`` (mirroring
+    resolve_equivalences' hybrid — the reference itself does this walk
+    in one in-memory array) with a distributed pointer-doubling
+    fallback above it. Returns (py, px, value_col) — the rewritten
+    raster."""
+    labels = labels.persist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n")).persist()
+    # biggest neighbor per polygon: max size, tie -> smallest label
+    nb = (adjacency_edges(labels)
+          .join(sizes.select(F.col("label").alias("b"),
+                             F.col("n").alias("bn")), "b")
+          .groupBy("a")
+          .agg(F.min(F.struct((-F.col("bn")).alias("neg_n"),
+                              F.col("b").alias("b"))).alias("m"))
+          .select(F.col("a").alias("l"), F.col("m.b").alias("t")))
+    # out-edges for SMALL polygons only; polygons >= threshold are
+    # terminal (the reference sets anBigNeighbour = -1 for them)
+    small = sizes.filter(F.col("n") < threshold) \
+                 .select(F.col("label").alias("l"))
+    f = nb.join(small, "l")
+
+    n_small = f.count()
+    spark = labels.sparkSession
+    if n_small == 0:
+        remap = spark.createDataFrame([], "l long, t long")
+    elif n_small <= driver_poly_limit:
+        ptr = {r["l"]: r["t"] for r in f.collect()}
+        sz = {r["label"]: r["n"] for r in sizes.collect()}
+        out = []
+        for s in ptr:
+            # the walk can only visit small polygons (big ones hit the
+            # >= threshold break first), and every small polygon that
+            # is someone's biggest neighbor has neighbors of its own,
+            # so ptr.get is defined along the whole chain
+            seen = {s}
+            cur, tgt = s, None
+            while True:
+                cur = ptr.get(cur)
+                if cur is None:  # isolated small (no pointer at all)
+                    break
+                if sz[cur] >= threshold:
+                    tgt = cur
+                    break
+                if cur in seen:  # cycle of smalls -> failed merge
+                    break
+                seen.add(cur)
+            if tgt is not None:
+                out.append((s, tgt))
+        remap = spark.createDataFrame(out, "l long, t long") if out \
+            else spark.createDataFrame([], "l long, t long")
+    else:
+        # distributed pointer doubling: big polygons are absorbing
+        # (absent from f, so a chain stops advancing at its first big
+        # node); after k rounds every chain of length <= 2^k resolves.
+        cur = f
+        for _ in range(max_rounds):
+            cur = (cur.alias("x")
+                   .join(cur.alias("y"), F.col("x.t") == F.col("y.l"), "left")
+                   .select(F.col("x.l").alias("l"),
+                           F.coalesce(F.col("y.t"), F.col("x.t")).alias("t"))
+                   .localCheckpoint(eager=True))
+        big = sizes.filter(F.col("n") >= threshold) \
+                   .select(F.col("label").alias("t"))
+        remap = cur.join(big, "t").select("l", "t")
+
+    # value of each (big) polygon — values are uniform per label
+    vals = labels.groupBy("label").agg(F.min(value_col).alias("_tv"))
+    # no broadcast hint: the remap is O(#small components), unbounded
+    # on a pathological 10^12-px mask — AQE picks broadcast when small
+    vmap = (remap.join(vals.withColumnRenamed("label", "t"), "t")
+            .select(F.col("l").alias("label"), "_tv"))
+    return (labels.join(vmap, "label", "left")
+            .select("py", "px",
+                    F.coalesce(F.col("_tv"), F.col(value_col))
+                     .alias(value_col)))
 
 
 def sieve(labels: DataFrame, threshold: int) -> DataFrame:

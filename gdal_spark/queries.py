@@ -559,6 +559,78 @@ def o_sieve():
         "FROM lbl) SELECT py, px, label FROM sized WHERE n >= 3")
 
 
+SIEVE_MERGE_THR = 5  # polygons under 5 px merge into largest neighbor
+
+
+def q_sieve_merge(spark, sf_dir):
+    """Sieve filter, the reference's ACTUAL semantics (alg/
+    gdalsievefilter.cpp:300-640): same-value components smaller than
+    the threshold merge into their largest neighbor, chain-walking
+    small neighbors to the first big polygon. Input raster: the density
+    mask valued by class (3 = hotspot core c>=10, 2 = medium density);
+    off-mask pixels are nodata (excluded, exactly the reference's
+    GP_NODATA_MARKER polygons). Output = the rewritten value raster.
+    Ties on neighbor size break to the smallest label (deterministic;
+    the reference is scan-order dependent — documented deviation)."""
+    from gdal_spark.operators import polygonize as poly_op
+    pts = points_df(spark, sf_dir)
+    valued = (rast_op.burn_points(pts, PGRID_GT, PGRID_W, PGRID_H)
+              .filter(F.col("burn") >= PMASK_THR)
+              .select("py", "px",
+                      F.when(F.col("burn") >= PTARGET_THR, F.lit(3))
+                       .otherwise(F.lit(2)).cast("long").alias("v")))
+    labels = poly_op.polygonize(valued, PGRID_W, value_col="v")
+    return poly_op.sieve_merge(labels, SIEVE_MERGE_THR, "v")
+
+
+def o_sieve_merge():
+    thr = SIEVE_MERGE_THR
+    return f"""
+WITH RECURSIVE {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
+mask AS (SELECT py, px,
+                CAST(CASE WHEN c >= {PTARGET_THR!r} THEN 3 ELSE 2 END AS BIGINT) AS v,
+                py * {PGRID_W} + px AS pid
+         FROM burn WHERE c >= {PMASK_THR!r}),
+reach(py, px, v, l) AS (
+  SELECT py, px, v, pid FROM mask
+  UNION
+  SELECT m.py, m.px, m.v, r.l
+  FROM mask m JOIN reach r
+    ON (ABS(m.py - r.py) + ABS(m.px - r.px)) = 1 AND m.v = r.v
+),
+lbl AS (SELECT py, px, MIN(v) AS v, MIN(l) AS label FROM reach GROUP BY py, px),
+sz AS (SELECT label, COUNT(*) AS n FROM lbl GROUP BY label),
+adj AS (SELECT a.label AS a, b.label AS b
+        FROM lbl a JOIN lbl b
+          ON (ABS(a.py - b.py) + ABS(a.px - b.px)) = 1
+         AND a.label != b.label
+        GROUP BY 1, 2),
+bignb AS (SELECT a AS l, b AS t FROM (
+            SELECT adj.a, adj.b,
+                   ROW_NUMBER() OVER (PARTITION BY adj.a
+                                      ORDER BY s.n DESC, adj.b ASC) AS rn
+            FROM adj JOIN sz s ON s.label = adj.b) WHERE rn = 1),
+walk(src, cur, step) AS (
+  SELECT b.l, b.t, 1 FROM bignb b JOIN sz s ON s.label = b.l AND s.n < {thr}
+  UNION ALL
+  SELECT w.src, b.t, w.step + 1
+  FROM walk w
+  JOIN sz s ON s.label = w.cur AND s.n < {thr}
+  JOIN bignb b ON b.l = w.cur
+  WHERE w.step < 12
+),
+fin AS (SELECT src, cur AS t FROM (
+          SELECT w.src, w.cur,
+                 ROW_NUMBER() OVER (PARTITION BY w.src ORDER BY w.step) AS rn
+          FROM walk w JOIN sz s ON s.label = w.cur AND s.n >= {thr})
+        WHERE rn = 1),
+vals AS (SELECT label, MIN(v) AS v FROM lbl GROUP BY label)
+SELECT l.py, l.px, CAST(COALESCE(v2.v, l.v) AS BIGINT) AS v
+FROM lbl l
+LEFT JOIN fin f ON f.src = l.label
+LEFT JOIN vals v2 ON v2.label = f.t"""
+
+
 def q_proximity(spark, sf_dir):
     """Proximity raster (alg/gdalproximity.cpp): exact Euclidean
     distance to the nearest hotspot-core pixel, maxdist 8 px."""
@@ -3943,6 +4015,7 @@ REGISTRY: dict[str, tuple] = {
     "polygonize_rings": (q_polygonize_rings, o_polygonize_rings),
     "footprint": (q_footprint, o_footprint),
     "sieve": (q_sieve, o_sieve),
+    "sieve_merge": (q_sieve_merge, o_sieve_merge),
     "proximity": (q_proximity, o_proximity),
     "grid_metrics": (q_grid_metrics, o_grid_metrics),
     "grid_nearest": (q_grid_nearest, o_grid_nearest),
