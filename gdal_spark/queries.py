@@ -1423,7 +1423,12 @@ def q_warp_bilinear(spark, sf_dir):
         b = src.select(F.col("sy").alias(f"_{tap}_y"),
                        F.col("sx").alias(f"_{tap}_x"),
                        F.col("burn").alias(tap))
-        d = (d.join(F.broadcast(b),
+        # no broadcast hint on the SOURCE raster (here and in the 4/6-
+        # tap pipelines): at a 4096^2+ source, hint-forcing broadcast
+        # ships the big side once per tap; the join is a plain (sy,sx)
+        # equi-join — AQE picks broadcast when the source really is
+        # small (it is at this fixture scale, so plans are unchanged)
+        d = (d.join(b,
                     (F.col(syc) == F.col(f"_{tap}_y"))
                     & (F.col(sxc) == F.col(f"_{tap}_x")), "left")
              .drop(f"_{tap}_y", f"_{tap}_x")
@@ -1482,7 +1487,7 @@ def _warp_4tap(spark, sf_dir, xs, ys, env):
         b = src.select(F.col("sy").alias(f"_b{i}_y"),
                        F.col("sx").alias(f"_b{i}_x"),
                        F.col("burn").alias(f"hv{i}"))
-        h = (h.join(F.broadcast(b),
+        h = (h.join(b,
                     (F.col("sy") == F.col(f"_b{i}_y"))
                     & (F.col(sc) == F.col(f"_b{i}_x")), "left")
              .drop(f"_b{i}_y", f"_b{i}_x")
@@ -1600,7 +1605,7 @@ def q_warp_lanczos(spark, sf_dir):
         b = src.select(F.col("sy").alias(f"_b{i}_y"),
                        F.col("sx").alias(f"_b{i}_x"),
                        F.col("burn").alias(f"hv{i}"))
-        h = (h.join(F.broadcast(b),
+        h = (h.join(b,
                     (F.col("sy") == F.col(f"_b{i}_y"))
                     & (F.col(sc) == F.col(f"_b{i}_x")), "left")
              .drop(f"_b{i}_y", f"_b{i}_x")
@@ -1752,6 +1757,104 @@ SELECT k.dy, k.dx, COALESCE(CAST(b.c AS DOUBLE), 0.0) AS v
 FROM keepmask k LEFT JOIN burn b ON b.py = k.sy AND b.px = k.sx
 WHERE k.in_part = 1 AND k.in_hole = 0
   AND k.sx >= 0 AND k.sx < {ZRAST_W} AND k.sy >= 0 AND k.sy < {ZRAST_H}"""
+
+
+# Aggregate-kernel decimation: 40×40 → 16×16, factor r = 2.5 (dyadic:
+# edge fractions ∈ {.5, 1}, so every w·v term is exact in binary and
+# both engines' sums agree bit-for-bit in any fold order)
+WDEC_R, WDEC_W, WDEC_H = 2.5, 16, 16
+
+
+def _warp_dense_src(spark, sf_dir):
+    """The London page-density raster DENSIFIED to the full 40×40 grid
+    (v = 0 where no pages) — aggregate kernels average over the whole
+    window, so absent cells are real zeros, not missing pixels."""
+    src = _warp_src_burn(spark, sf_dir)
+    g = spark.range(ZRAST_H * ZRAST_W).select(
+        (F.col("id") / ZRAST_W).cast("long").alias("sy"),
+        (F.col("id") % ZRAST_W).alias("sx"))
+    return (g.join(src, ["sy", "sx"], "left")
+            .select("sy", "sx",
+                    F.coalesce(F.col("burn"), F.lit(0.0)).alias("v")))
+
+
+def q_warp_average(spark, sf_dir):
+    """gdalwarp -r average (GRA_Average, GWKAverageOrModeThread
+    alg/gdalwarpkernel.cpp:7940-8030): area-weighted mean decimation
+    40×40 → 16×16 — the forward-scatter + groupBy(dst) formulation
+    (operators/warp_agg.py)."""
+    from gdal_spark.operators import warp_agg
+    c = warp_agg.scatter_contributions(_warp_dense_src(spark, sf_dir),
+                                       WDEC_R)
+    return warp_agg.warp_average(c)
+
+
+def q_warp_mode(spark, sf_dir):
+    """gdalwarp -r mode with MODE_TIES=MIN (GRA_Mode,
+    alg/gdalwarpkernel.cpp:8120-8165): most-covered value per window,
+    ties to the smallest value."""
+    from gdal_spark.operators import warp_agg
+    c = warp_agg.scatter_contributions(_warp_dense_src(spark, sf_dir),
+                                       WDEC_R)
+    return warp_agg.warp_mode(c)
+
+
+def q_warp_sum_rms(spark, sf_dir):
+    """gdalwarp -r sum / rms / min / max in one gate (GRA_Sum
+    sum-preserving GWKSumPreservingThread :8685; GRA_RMS :8034;
+    GRA_Min/Max :8177): all four kernels over the same scattered
+    contribution table."""
+    from gdal_spark.operators import warp_agg
+    c = warp_agg.scatter_contributions(_warp_dense_src(spark, sf_dir),
+                                       WDEC_R).persist()
+    s = warp_agg.warp_sum(c).withColumnRenamed("v", "v_sum")
+    r = warp_agg.warp_rms(c).withColumnRenamed("v", "v_rms")
+    mm = warp_agg.warp_minmax(c)
+    return s.join(r, ["dy", "dx"]).join(mm, ["dy", "dx"])
+
+
+def _wdec_contrib_sql():
+    r = "2.5"
+    return f"""
+{_burn_cte_sql()},
+g AS (SELECT CAST(r1.range AS BIGINT) AS sy, CAST(r2.range AS BIGINT) AS sx
+      FROM range({ZRAST_H}) r1, range({ZRAST_W}) r2),
+srcv AS (SELECT g.sy, g.sx, CAST(COALESCE(b.c, 0) AS DOUBLE) AS v
+         FROM g LEFT JOIN burn b ON b.py = g.sy AND b.px = g.sx),
+d AS (SELECT CAST(r1.range AS BIGINT) AS dy, CAST(r2.range AS BIGINT) AS dx
+      FROM range({WDEC_H}) r1, range({WDEC_W}) r2),
+contrib AS (
+  SELECT d.dy, d.dx, s.v,
+         (LEAST(CAST(s.sx + 1 AS DOUBLE), (d.dx + 1) * {r})
+          - GREATEST(CAST(s.sx AS DOUBLE), d.dx * {r}))
+       * (LEAST(CAST(s.sy + 1 AS DOUBLE), (d.dy + 1) * {r})
+          - GREATEST(CAST(s.sy AS DOUBLE), d.dy * {r})) AS w
+  FROM d JOIN srcv s
+    ON s.sx < (d.dx + 1) * {r} AND s.sx + 1 > d.dx * {r}
+   AND s.sy < (d.dy + 1) * {r} AND s.sy + 1 > d.dy * {r}
+)"""
+
+
+def o_warp_average():
+    return _wdec_contrib_sql() + """
+SELECT dy, dx, SUM(w * v) / SUM(w) AS v FROM contrib GROUP BY dy, dx"""
+
+
+def o_warp_mode():
+    return _wdec_contrib_sql() + """
+, cnt AS (SELECT dy, dx, v, SUM(w) AS cnt FROM contrib GROUP BY 1, 2, 3)
+SELECT dy, dx, v FROM (
+  SELECT dy, dx, v,
+         ROW_NUMBER() OVER (PARTITION BY dy, dx
+                            ORDER BY cnt DESC, v ASC) AS rn
+  FROM cnt) WHERE rn = 1"""
+
+
+def o_warp_sum_rms():
+    return _wdec_contrib_sql() + """
+SELECT dy, dx, SUM(w * v) AS v_sum, SQRT(SUM(w * v * v) / SUM(w)) AS v_rms,
+       MIN(v) AS vmin, MAX(v) AS vmax
+FROM contrib GROUP BY dy, dx"""
 
 
 HIST_BUCKETS, HIST_MIN, HIST_WIDTH = 16, 0.0, 1.0
@@ -4036,6 +4139,9 @@ REGISTRY: dict[str, tuple] = {
     "warp_cubicspline": (q_warp_cubicspline, o_warp_cubicspline),
     "warp_lanczos": (q_warp_lanczos, o_warp_lanczos),
     "warp_cutline": (q_warp_cutline, o_warp_cutline),
+    "warp_average": (q_warp_average, o_warp_average),
+    "warp_mode": (q_warp_mode, o_warp_mode),
+    "warp_sum_rms": (q_warp_sum_rms, o_warp_sum_rms),
     "raster_histogram": (q_raster_histogram, o_raster_histogram),
     "stream_rollup": (q_stream_rollup, o_stream_rollup),
     "contour_cells": (q_contour_cells, o_contour_cells),
