@@ -56,3 +56,32 @@ def test_degenerate_inputs():
                                 np.array([0.0, 1.0, 2.0]),
                                 np.array([1.0, 2.0, 3.0]))
     assert len(tri) == 0
+
+
+def test_flood_kernel_equals_bruteforce():
+    from gdal_spark.operators.delaunay import delaunay_flood_np
+    rng = np.random.RandomState(11)
+    for n in (5, 30, 120):
+        x, y = rng.rand(n) * 10, rng.rand(n) * 7
+        v = rng.rand(n)
+        pid = np.arange(1, n + 1, dtype=np.int64)
+        bf = delaunay_triangles_np(pid, x, y, v)
+        bw = delaunay_flood_np(pid, x, y, v)
+        key = lambda df: sorted(map(tuple, df[["ia", "ib", "ic"]].values))
+        assert key(bw) == key(bf)
+
+
+def test_tiled_equals_single_group(spark):
+    from gdal_spark.operators.delaunay import (triangulate,
+                                               triangulate_single)
+    rng = np.random.RandomState(23)
+    n = 150
+    rows = [(int(i + 1), float(rng.rand()), float(rng.rand() * 20),
+             float(rng.rand() * 9)) for i in range(n)]
+    pts = spark.createDataFrame(
+        rows, "pt_id long, value double, x double, y double")
+    key = lambda df: sorted((r["ia"], r["ib"], r["ic"])
+                            for r in df.select("ia", "ib", "ic").collect())
+    got = key(triangulate(pts, tiles_x=4, tiles_y=2))
+    want = key(triangulate_single(pts))
+    assert got == want and len(want) > n
