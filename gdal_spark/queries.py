@@ -1759,6 +1759,104 @@ WHERE k.in_part = 1 AND k.in_hole = 0
   AND k.sx >= 0 AND k.sx < {ZRAST_W} AND k.sy >= 0 AND k.sy < {ZRAST_H}"""
 
 
+def _zw_cov_rows():
+    """Coverage rows for the weighted-zonal zones (driver-side call of
+    the SAME kernel the executor UDF runs — identical floats). Zone
+    parts (convex decomposition) sum to the outer ring's coverage;
+    holes subtract."""
+    from gdal_spark.operators import zonal_weighted as zw
+    parts = {z["zone_fid"]: z["parts"] for z in ZONES}
+    holes = {z["zone_fid"]: z["holes"] for z in ZONES}
+    out = []
+    for fid in ZRAST_ZONES:
+        for pid, ci, cx, cy in zw.coverage_rows(
+                parts[fid], holes[fid], ZRAST_GT, ZRAST_W, ZRAST_H):
+            out.append((fid, pid, ci, cx, cy))
+    return out
+
+
+def q_zonal_weighted(spark, sf_dir):
+    """Weighted zonal statistics (alg/zonal.cpp:640-830,
+    alg/raster_stats.h:116-270): EXACT partial-pixel coverage
+    fractions (Sutherland-Hodgman pixel clip), a deterministic dyadic
+    weight raster w = ((px*3 + py*5) mod 8)/8, page-density values —
+    coverage-weighted count/sum/mean/variance/stdev, the ci·wi-weighted
+    twins, weighted_frac, and first-in-scan-order min/max with their
+    pixel-center locations (operators/zonal_weighted.py)."""
+    import pandas as pd
+
+    from gdal_spark.operators import zonal_weighted as zw
+    parts = {z["zone_fid"]: z["parts"] for z in ZONES}
+    holes = {z["zone_fid"]: z["holes"] for z in ZONES}
+    zdf = spark.createDataFrame([(z,) for z in ZRAST_ZONES], "zone_fid int")
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            for fid in pdf["zone_fid"]:
+                rows = zw.coverage_rows(parts[int(fid)], holes[int(fid)],
+                                        ZRAST_GT, ZRAST_W, ZRAST_H)
+                yield pd.DataFrame(
+                    {"zone_fid": int(fid),
+                     "pid": [r[0] for r in rows],
+                     "ci": [r[1] for r in rows],
+                     "cx": [r[2] for r in rows],
+                     "cy": [r[3] for r in rows]})
+
+    cov = zdf.repartition(len(ZRAST_ZONES), "zone_fid").mapInPandas(
+        gen, "zone_fid int, pid long, ci double, cx double, cy double")
+    src = _warp_src_burn(spark, sf_dir).select(
+        (F.col("sy") * ZRAST_W + F.col("sx")).alias("pid"),
+        F.col("burn").alias("xi"))
+    rows = (cov.join(src, "pid", "left")
+            .withColumn("xi", F.coalesce(F.col("xi"), F.lit(0.0)))
+            .withColumn("wi", ((F.expr("pid % 40") * F.lit(3)
+                                + F.expr("pid div 40") * F.lit(5)) % F.lit(8)
+                               ).cast("double") / F.lit(8.0)))
+    return zw.weighted_stats(rows)
+
+
+def o_zonal_weighted():
+    vals = ", ".join(
+        f"({fid}, {pid}, {sqlexpr.dlit(ci)}, {sqlexpr.dlit(cx)}, {sqlexpr.dlit(cy)})"
+        for fid, pid, ci, cx, cy in _zw_cov_rows())
+    return f"""
+{_burn_cte_sql()},
+cov AS (SELECT * FROM (VALUES {vals}) AS t(zone_fid, pid, ci, cx, cy)),
+r AS (SELECT c.zone_fid, CAST(c.pid AS BIGINT) AS pid, c.ci, c.cx, c.cy,
+             CAST(COALESCE(b.c, 0) AS DOUBLE) AS xi,
+             CAST(((c.pid % 40) * 3 + (c.pid // 40) * 5) % 8 AS DOUBLE)
+               / 8.0 AS wi
+      FROM cov c LEFT JOIN burn b ON b.py * {ZRAST_W} + b.px = c.pid),
+folded AS (SELECT zone_fid,
+    list_reduce(list(ci ORDER BY pid), (a, b) -> a + b) AS cnt,
+    list_reduce(list(xi * ci ORDER BY pid), (a, b) -> a + b) AS zsum,
+    list_reduce(list(ci * wi ORDER BY pid), (a, b) -> a + b) AS wcnt,
+    list_reduce(list(xi * (ci * wi) ORDER BY pid), (a, b) -> a + b) AS wsum,
+    list_reduce(list((xi * xi) * ci ORDER BY pid), (a, b) -> a + b) AS x2,
+    list_reduce(list((xi * xi) * (ci * wi) ORDER BY pid), (a, b) -> a + b) AS wx2
+  FROM r GROUP BY zone_fid),
+mn AS (SELECT zone_fid, xi, cx, cy FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY zone_fid
+                                      ORDER BY xi ASC, pid ASC) AS rn
+         FROM r) WHERE rn = 1),
+mx AS (SELECT zone_fid, xi, cx, cy FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY zone_fid
+                                      ORDER BY xi DESC, pid ASC) AS rn
+         FROM r) WHERE rn = 1)
+SELECT f.zone_fid, f.cnt, f.zsum, f.zsum / f.cnt AS mean,
+       f.wcnt, f.wsum, f.wsum / f.wcnt AS wmean,
+       f.wsum / f.zsum AS wfrac,
+       GREATEST(f.x2 / f.cnt - (f.zsum / f.cnt) * (f.zsum / f.cnt), 0.0) AS variance,
+       SQRT(GREATEST(f.x2 / f.cnt - (f.zsum / f.cnt) * (f.zsum / f.cnt), 0.0)) AS stdev,
+       GREATEST(f.wx2 / f.wcnt - (f.wsum / f.wcnt) * (f.wsum / f.wcnt), 0.0) AS wvariance,
+       SQRT(GREATEST(f.wx2 / f.wcnt - (f.wsum / f.wcnt) * (f.wsum / f.wcnt), 0.0)) AS wstdev,
+       mn.xi AS vmin, mn.cx AS min_cx, mn.cy AS min_cy,
+       mx.xi AS vmax, mx.cx AS max_cx, mx.cy AS max_cy
+FROM folded f
+JOIN mn ON mn.zone_fid = f.zone_fid
+JOIN mx ON mx.zone_fid = f.zone_fid"""
+
+
 # Aggregate-kernel decimation: 40×40 → 16×16, factor r = 2.5 (dyadic:
 # edge fractions ∈ {.5, 1}, so every w·v term is exact in binary and
 # both engines' sums agree bit-for-bit in any fold order)
@@ -4113,6 +4211,7 @@ REGISTRY: dict[str, tuple] = {
     "sym_difference": (q_sym_difference, o_sym_difference),
     "dissolve": (q_dissolve, o_dissolve),
     "zonal_majority": (q_zonal_majority, o_zonal_majority),
+    "zonal_weighted": (q_zonal_weighted, o_zonal_weighted),
     "hilbert_sort": (q_hilbert_sort, o_hilbert_sort),
     "polygonize": (q_polygonize, o_polygonize),
     "polygonize_rings": (q_polygonize_rings, o_polygonize_rings),
