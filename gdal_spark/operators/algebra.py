@@ -388,3 +388,213 @@ def zone_predicates_twin() -> list[tuple]:
                 int(contains_a), int(within_a),
                 int(within_a and contains_a), 0))
     return out
+
+
+# ------------------------------------------------------------------------
+# GEOMETRIC DISSOLVE (apps/gdalalg_vector_dissolve.cpp:53-120): group
+# features by a key and UNION the geometries per group. The reference
+# unions with GEOS; here the union AREA comes from inclusion–exclusion
+# over the signed convex-piece decomposition (1_Z = Σ sign_p·1_p, so
+# |∪Z| = Σ|Zi| − Σ|Zi∩Zj| + Σ|Zi∩Zj∩Zk| − …, every intersection a
+# convex×convex Sutherland–Hodgman clip), and the dissolved
+# multipolygon's PART COUNT from connected components of the
+# intersects-or-touches graph. Expansion depth 3 — sufficient whenever
+# no four input bboxes mutually overlap (asserted in the twin; the
+# fixture's deepest overlap stack is 2).
+# ------------------------------------------------------------------------
+
+#: dissolve attribute (region name): groups the fixture's overlap
+#: stack (7 ⊂ 0), partial overlaps (1/9 London, 2/8 Tokyo) and the
+#: shared-edge touch pair (4/6 — zero intersection area but one
+#: dissolved part), plus two singletons
+DISSOLVE_KEYS = {0: "nyc", 7: "nyc", 1: "london", 9: "london",
+                 2: "tokyo", 8: "tokyo", 4: "france", 6: "france",
+                 3: "saopaulo", 5: "ocean"}
+
+
+def dissolve_key_of_fid() -> dict[int, str]:
+    return dict(DISSOLVE_KEYS)
+
+
+def _union_term_rows() -> list[tuple]:
+    """Inclusion–exclusion TERM rows, driver-side (fixture geometry —
+    the same kernels the executor runs; generates the oracle VALUES):
+    (key, ord_idx, term) where term = coeff·signs·clip_area, rows
+    ordered by the unique (order, fids, piece ids) sort key that BOTH
+    engines fold in."""
+    import numpy as np
+
+    from gdal_spark.geo.geom import clip_convex, ring_signed_area
+
+    keys = dissolve_key_of_fid()
+    rows = convex_pieces_rows()
+    by_fid: dict[int, list] = {}
+    for fid, pid, sign, flat, xmin, ymin, xmax, ymax in rows:
+        by_fid.setdefault(fid, []).append(
+            (pid, sign, np.asarray(flat, dtype=np.float64).reshape(-1, 2),
+             (xmin, ymin, xmax, ymax)))
+
+    def bbox_overlap(a, b):
+        return (a[0] <= b[2] and a[2] >= b[0]
+                and a[1] <= b[3] and a[3] >= b[1])
+
+    terms: list[tuple] = []  # (key, sortkey tuple, term)
+    fids = sorted(by_fid)
+    for fa in fids:
+        for pa, sa, ra, _ in by_fid[fa]:
+            a = ring_signed_area(ra)
+            terms.append((keys[fa], (1, fa, 0, 0, pa, 0, 0),
+                          float(sa) * a))
+    for i, fa in enumerate(fids):
+        for fb in fids[i + 1:]:
+            if keys[fa] != keys[fb]:
+                continue
+            for pa, sa, ra, ba in by_fid[fa]:
+                for pb, sb, rb, bb in by_fid[fb]:
+                    if not bbox_overlap(ba, bb):
+                        continue
+                    area = ring_signed_area(clip_convex(ra, rb))
+                    terms.append((keys[fa], (2, fa, fb, 0, pa, pb, 0),
+                                  -1.0 * (float(sa * sb) * area)))
+    for i, fa in enumerate(fids):
+        for j, fb in enumerate(fids[i + 1:], i + 1):
+            if keys[fa] != keys[fb]:
+                continue
+            for fc in fids[j + 1:]:
+                if keys[fc] != keys[fa]:
+                    continue
+                for pa, sa, ra, ba in by_fid[fa]:
+                    for pb, sb, rb, bb in by_fid[fb]:
+                        if not bbox_overlap(ba, bb):
+                            continue
+                        for pc, sc, rc, bc in by_fid[fc]:
+                            if not (bbox_overlap(ba, bc)
+                                    and bbox_overlap(bb, bc)):
+                                continue
+                            piece = clip_convex(ra, rb)
+                            area = (ring_signed_area(clip_convex(piece, rc))
+                                    if len(piece) >= 3 else 0.0)
+                            terms.append(
+                                (keys[fa], (3, fa, fb, fc, pa, pb, pc),
+                                 float(sa * sb * sc) * area))
+    terms.sort(key=lambda t: (t[0], t[1]))
+    out = []
+    idx: dict[str, int] = {}
+    for key, _, term in terms:
+        i = idx.get(key, 0)
+        out.append((key, i, float(term)))
+        idx[key] = i + 1
+    return out
+
+
+def dissolve_geometric(spark: SparkSession) -> DataFrame:
+    """Per dissolve key: n_features, n_parts (connected components of
+    the intersects-or-touches graph — the dissolved multipolygon's
+    part count), union_area (inclusion–exclusion, ordered fold).
+
+    Distributed shape: term rows are feature-pair-bounded (the same
+    mapInPandas clip kernel as intersection_pieces at data scale —
+    here the terms table is built once from the fixture constants,
+    exactly like zone_predicates); the per-key fold is
+    sort_array + F.aggregate; the component labels run a min-label
+    propagation over the edge DataFrame (diameter-bounded rounds)."""
+    from gdal_spark.fixtures import ZONES
+
+    keys = dissolve_key_of_fid()
+    terms = spark.createDataFrame(_union_term_rows(),
+                                  "key string, ord int, term double") \
+        .repartition(1)
+    folded = (terms.groupBy("key")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("ord", "term"))).alias("xs")))
+    area = F.aggregate(F.col("xs"), F.lit(0.0), lambda a, x: a + x["term"])
+
+    z = spark.createDataFrame(
+        [(z_["zone_fid"], keys[z_["zone_fid"]]) for z_ in ZONES],
+        "fid int, key string").repartition(1)
+    nfeat = z.groupBy("key").agg(F.count("*").alias("n_features"))
+
+    # intersects-or-touches edges within a key
+    inter = intersection_pieces(spark).select("fid_a", "fid_b", "inter_area")
+    contact = edge_contact(spark)
+    e = (z.alias("za").join(z.alias("zb"),
+                            (F.col("za.key") == F.col("zb.key"))
+                            & (F.col("za.fid") < F.col("zb.fid")))
+         .select(F.col("za.key").alias("key"),
+                 F.col("za.fid").alias("fid_a"),
+                 F.col("zb.fid").alias("fid_b"))
+         .join(inter, ["fid_a", "fid_b"], "left")
+         .join(contact, ["fid_a", "fid_b"], "left")
+         .filter((F.coalesce(F.col("inter_area"), F.lit(0.0)) > PRED_EPS)
+                 | (F.coalesce(F.col("contact"), F.lit(0)) == 1))
+         .select("fid_a", "fid_b"))
+    # min-label propagation, diameter-bounded rounds (≤ #features)
+    lab = z.select("key", "fid", F.col("fid").alias("label"))
+    sym = e.unionByName(e.select(F.col("fid_b").alias("fid_a"),
+                                 F.col("fid_a").alias("fid_b")))
+    for _ in range(4):
+        nb = (lab.alias("l")
+              .join(sym.alias("s"), F.col("l.fid") == F.col("s.fid_a"))
+              .select(F.col("s.fid_b").alias("fid"),
+                      F.col("l.label").alias("nlabel")))
+        lab = (lab.alias("l")
+               .join(nb.groupBy("fid").agg(F.min("nlabel").alias("nl")),
+                     "fid", "left")
+               .select("key", "fid",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("nl"), F.col("label")))
+                        .alias("label")))
+    nparts = lab.groupBy("key").agg(
+        F.count_distinct("label").alias("n_parts"))
+    return (nfeat.join(nparts, "key")
+            .join(folded.select("key", area.alias("union_area")), "key")
+            .select("key", "n_features", "n_parts", "union_area"))
+
+
+def dissolve_edges_twin() -> list[tuple[int, int]]:
+    """Driver-side intersects-or-touches edges between same-key zones
+    (the twin of dissolve_geometric's edge DataFrame): intersection
+    area > PRED_EPS, or any boundary-edge contact (the same CLRS
+    segment test zone_predicates_twin uses)."""
+    from gdal_spark.fixtures import zone_ring_edge_rows
+
+    keys = dissolve_key_of_fid()
+    inter = {(fa, fb): area
+             for fa, fb, n, area in intersection_pieces_twin()}
+    edges: dict[int, list] = {}
+    for zf, rid, e, x1, y1, x2, y2 in zone_ring_edge_rows():
+        edges.setdefault(zf, []).append((x1, y1, x2, y2))
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    def on_seg(ax, ay, bx, by, px, py):
+        return (min(ax, bx) <= px <= max(ax, bx)
+                and min(ay, by) <= py <= max(ay, by))
+
+    def seg_int(p, q):
+        px1, py1, px2, py2 = p
+        qx1, qy1, qx2, qy2 = q
+        d1 = cross(qx1, qy1, qx2, qy2, px1, py1)
+        d2 = cross(qx1, qy1, qx2, qy2, px2, py2)
+        d3 = cross(px1, py1, px2, py2, qx1, qy1)
+        d4 = cross(px1, py1, px2, py2, qx2, qy2)
+        if (((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
+                and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0))):
+            return True
+        return ((d1 == 0 and on_seg(qx1, qy1, qx2, qy2, px1, py1))
+                or (d2 == 0 and on_seg(qx1, qy1, qx2, qy2, px2, py2))
+                or (d3 == 0 and on_seg(px1, py1, px2, py2, qx1, qy1))
+                or (d4 == 0 and on_seg(px1, py1, px2, py2, qx2, qy2)))
+
+    fids = sorted(keys)
+    out = []
+    for i, fa in enumerate(fids):
+        for fb in fids[i + 1:]:
+            if keys[fa] != keys[fb]:
+                continue
+            hit = inter.get((fa, fb), 0.0) > PRED_EPS or any(
+                seg_int(p, q) for p in edges[fa] for q in edges[fb])
+            if hit:
+                out.append((fa, fb))
+    return out

@@ -559,6 +559,50 @@ def o_sieve():
         "FROM lbl) SELECT py, px, label FROM sized WHERE n >= 3")
 
 
+def q_dissolve_geom(spark, sf_dir):
+    """GEOMETRIC dissolve (apps/gdalalg_vector_dissolve.cpp:53-120):
+    group zones by a region attribute and UNION the geometries — union
+    AREA via inclusion–exclusion over the signed convex-piece
+    decomposition (each intersection a Sutherland–Hodgman clip), part
+    count via connected components of the intersects-or-touches graph
+    (a shared-edge pair dissolves into ONE part with zero overlap
+    area). Complements the attribute-only `dissolve` gate
+    (operators/algebra.dissolve_geometric)."""
+    from gdal_spark.operators import algebra
+    return algebra.dissolve_geometric(spark)
+
+
+def o_dissolve_geom():
+    from gdal_spark.operators.algebra import (_union_term_rows,
+                                              dissolve_edges_twin,
+                                              dissolve_key_of_fid)
+    terms = ", ".join(f"('{k}', {i}, {sqlexpr.dlit(t)})"
+                      for k, i, t in _union_term_rows())
+    zk = ", ".join(f"({fid}, '{k}')"
+                   for fid, k in sorted(dissolve_key_of_fid().items()))
+    ev = ", ".join(f"({a}, {b})" for a, b in dissolve_edges_twin())
+    return f"""
+WITH RECURSIVE
+terms AS (SELECT * FROM (VALUES {terms}) AS t(key, ord, term)),
+zk AS (SELECT * FROM (VALUES {zk}) AS t(fid, key)),
+e AS (SELECT * FROM (VALUES {ev}) AS t(a, b)),
+reach(fid, l) AS (
+  SELECT fid, fid FROM zk
+  UNION
+  SELECT CASE WHEN e.a = r.fid THEN e.b ELSE e.a END, r.l
+  FROM reach r JOIN e ON e.a = r.fid OR e.b = r.fid
+),
+lbl AS (SELECT fid, MIN(l) AS label FROM reach GROUP BY fid),
+parts AS (SELECT zk.key, COUNT(DISTINCT lbl.label) AS n_parts
+          FROM zk JOIN lbl ON lbl.fid = zk.fid GROUP BY zk.key),
+nf AS (SELECT key, COUNT(*) AS n_features FROM zk GROUP BY key),
+fold AS (SELECT key, list_reduce(list(term ORDER BY ord),
+                                 (x, y) -> x + y) AS union_area
+         FROM terms GROUP BY key)
+SELECT nf.key, nf.n_features, parts.n_parts, fold.union_area
+FROM nf JOIN parts ON parts.key = nf.key JOIN fold ON fold.key = nf.key"""
+
+
 SIEVE_MERGE_THR = 5  # polygons under 5 px merge into largest neighbor
 
 
@@ -4210,6 +4254,7 @@ REGISTRY: dict[str, tuple] = {
     "algebra_update": (q_algebra_update, o_algebra_update),
     "sym_difference": (q_sym_difference, o_sym_difference),
     "dissolve": (q_dissolve, o_dissolve),
+    "dissolve_geom": (q_dissolve_geom, o_dissolve_geom),
     "zonal_majority": (q_zonal_majority, o_zonal_majority),
     "zonal_weighted": (q_zonal_weighted, o_zonal_weighted),
     "hilbert_sort": (q_hilbert_sort, o_hilbert_sort),

@@ -91,3 +91,24 @@ def test_spark_matches_twin(spark):
     for k in want:
         assert got[k][0] == want[k][0]
         assert got[k][1] == want[k][1]  # bit-exact fold
+
+
+def test_dissolve_geometric_semantics(spark):
+    from gdal_spark.fixtures import ZONES, zone_area
+    from gdal_spark.operators.algebra import dissolve_geometric
+    rows = {r["key"]: r for r in dissolve_geometric(spark).collect()}
+    area = {z["zone_fid"]: zone_area(z) for z in ZONES}
+    # contained pair: union == container's area exactly
+    assert rows["nyc"]["n_parts"] == 1
+    assert rows["nyc"]["union_area"] == area[0]
+    # shared-edge pair: zero overlap, one dissolved part, additive area
+    assert rows["france"]["n_parts"] == 1
+    assert abs(rows["france"]["union_area"] - (area[4] + area[6])) < 1e-9
+    # partial overlaps: one part, union strictly between max and sum
+    for key, a, b in (("london", 1, 9), ("tokyo", 2, 8)):
+        r = rows[key]
+        assert r["n_parts"] == 1 and r["n_features"] == 2
+        assert max(area[a], area[b]) < r["union_area"] < area[a] + area[b]
+    # singletons
+    assert rows["saopaulo"]["n_parts"] == 1
+    assert rows["ocean"]["n_features"] == 1
