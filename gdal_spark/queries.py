@@ -3168,6 +3168,321 @@ def q_contour_segments(spark, sf_dir):
                     ex(F.col("eb")).alias("x2"), ey(F.col("eb")).alias("y2"))
 
 
+CONTOUR_LEVELS = [float(PMASK_THR), float(PTARGET_THR)]
+
+
+def _contour_blocks(spark, sf_dir):
+    """2×2 corner-value blocks of the density raster (the shared
+    marching-squares input): (by, bx, vtl, vtr, vbr, vbl)."""
+    pts = points_df(spark, sf_dir)
+    burn = rast_op.burn_points(pts, PGRID_GT, PGRID_W, PGRID_H).persist()
+    parts = []
+    for dy, dx, name in ((0, 0, "vtl"), (0, 1, "vtr"),
+                         (1, 1, "vbr"), (1, 0, "vbl")):
+        parts.append(burn.select(
+            (F.col("py") - dy).alias("by"), (F.col("px") - dx).alias("bx"),
+            F.lit(name).alias("w"), F.col("burn").alias("v")))
+    u = parts[0]
+    for pp in parts[1:]:
+        u = u.unionByName(pp)
+    return (u.filter((F.col("by") >= 0) & (F.col("by") < PGRID_H - 1)
+                     & (F.col("bx") >= 0) & (F.col("bx") < PGRID_W - 1))
+            .groupBy("by", "bx")
+            .agg(*[F.coalesce(F.max(F.when(F.col("w") == n, F.col("v"))),
+                              F.lit(0.0)).alias(n)
+                   for n in ("vtl", "vtr", "vbr", "vbl")]))
+
+
+def q_contour_polygons(spark, sf_dir):
+    """Contour iso-POLYGONS (alg/contour.cpp polygon mode +
+    alg/marching_squares/polygon_ring_appender.h): per iso level, the
+    area and ring count of the [level, ∞) band polygon.
+
+    - band AREA: closed-form per-block fragment area per
+      marching-squares case (the square region where the edge-linear
+      interpolant is ≥ level: corner triangles / trapezoids /
+      complements; saddle cases 5/10 use the SAME disconnected-corner
+      chords as MS_SEGS), summed with an ordered (by, bx) fold.
+    - RING COUNT: the band boundary is a disjoint union of closed
+      rings (the chord graph is 2-regular: shared-edge crossings are
+      bit-identical across neighbor blocks), so n_rings = connected
+      components of the segment-endpoint graph — no tracing walk
+      needed. Components resolve driver-side here (O(contour
+      complexity) edges; the polygonize star-merge is the distributed
+      fallback at scale). Precondition (asserted): the band never
+      touches the raster border, so no border-closure spans exist —
+      GDAL's border ring segments (polygon_ring_appender.h) apply
+      outside this contract."""
+    blocks = _contour_blocks(spark, sf_dir).persist()
+    lvls = spark.createDataFrame([(lv,) for lv in CONTOUR_LEVELS],
+                                 "level double")
+    b = blocks.crossJoin(F.broadcast(lvls))
+    lv = F.col("level")
+    case = (F.when(F.col("vtl") >= lv, 1).otherwise(0)
+            + F.when(F.col("vtr") >= lv, 2).otherwise(0)
+            + F.when(F.col("vbr") >= lv, 4).otherwise(0)
+            + F.when(F.col("vbl") >= lv, 8).otherwise(0))
+    b = b.withColumn("ms_case", case).filter(F.col("ms_case") >= 1)
+    tT = (lv - F.col("vtl")) / (F.col("vtr") - F.col("vtl"))
+    tR = (lv - F.col("vtr")) / (F.col("vbr") - F.col("vtr"))
+    tB = (lv - F.col("vbl")) / (F.col("vbr") - F.col("vbl"))
+    tL = (lv - F.col("vtl")) / (F.col("vbl") - F.col("vtl"))
+    c = F.col("ms_case")
+    area = (F.when(c == 1, (tT * tL) / 2.0)
+            .when(c == 2, ((1.0 - tT) * tR) / 2.0)
+            .when(c == 3, (tL + tR) / 2.0)
+            .when(c == 4, ((1.0 - tR) * (1.0 - tB)) / 2.0)
+            .when(c == 5, (tT * tL) / 2.0 + ((1.0 - tR) * (1.0 - tB)) / 2.0)
+            .when(c == 6, ((1.0 - tT) + (1.0 - tB)) / 2.0)
+            .when(c == 7, 1.0 - (tB * (1.0 - tL)) / 2.0)
+            .when(c == 8, (tB * (1.0 - tL)) / 2.0)
+            .when(c == 9, (tT + tB) / 2.0)
+            .when(c == 10, ((1.0 - tT) * tR) / 2.0 + (tB * (1.0 - tL)) / 2.0)
+            .when(c == 11, 1.0 - ((1.0 - tR) * (1.0 - tB)) / 2.0)
+            .when(c == 12, ((1.0 - tL) + (1.0 - tR)) / 2.0)
+            .when(c == 13, 1.0 - ((1.0 - tT) * tR) / 2.0)
+            .when(c == 14, 1.0 - (tT * tL) / 2.0)
+            .otherwise(F.lit(1.0)))
+    folded = (b.select("level", "by", "bx", area.alias("t"))
+              .groupBy("level")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("by", "bx", "t"))).alias("xs")))
+    band_area = F.aggregate(F.col("xs"), F.lit(0.0),
+                            lambda a, x: a + x["t"])
+    areas = folded.select("level", band_area.alias("band_area"))
+
+    # ring count: components of the per-level chord-endpoint graph
+    segs = spark.createDataFrame(MS_SEGS, "ms_case int, seg int, ea int, eb int")
+    j = b.join(F.broadcast(segs), "ms_case")
+    bxd, byd = F.col("bx").cast("double"), F.col("by").cast("double")
+
+    def ex(e):
+        return (F.when(e == 0, bxd + tT).when(e == 1, bxd + 1.0)
+                .when(e == 2, bxd + tB).otherwise(bxd))
+
+    def ey(e):
+        return (F.when(e == 0, byd).when(e == 1, byd + tR)
+                .when(e == 2, byd + 1.0).otherwise(byd + tL))
+
+    seg_rows = j.select(
+        "level", ex(F.col("ea")).alias("x1"), ey(F.col("ea")).alias("y1"),
+        ex(F.col("eb")).alias("x2"), ey(F.col("eb")).alias("y2")).collect()
+    # BORDER CLOSURE spans (polygon_ring_appender.h border segments):
+    # where the band reaches the raster border (the antimeridian column
+    # of the world grid does), the ring closes along the border — per
+    # border unit segment: both ends in-band → span edge; mixed → edge
+    # from the in-band end to the crossing, whose coordinate is the
+    # IDENTICAL expression the adjacent block's chord endpoint used.
+    pts2 = points_df(spark, sf_dir)
+    bvals = {(int(r["px"]), int(r["py"])): float(r["burn"])
+             for r in rast_op.burn_points(pts2, PGRID_GT, PGRID_W, PGRID_H)
+             .filter((F.col("py") == 0) | (F.col("py") == PGRID_H - 1)
+                     | (F.col("px") == 0) | (F.col("px") == PGRID_W - 1))
+             .collect()}
+
+    def border_edges_for(lv):
+        edges = []
+
+        def unit(pa, pb):
+            va = bvals.get(pa, 0.0)
+            vb = bvals.get(pb, 0.0)
+            ain, bin_ = va >= lv, vb >= lv
+            if not (ain or bin_):
+                return
+            a = (float(pa[0]), float(pa[1]))
+            bpt = (float(pb[0]), float(pb[1]))
+            if ain and bin_:
+                edges.append((a, bpt))
+                return
+            t = (lv - va) / (vb - va)
+            if pa[1] == pb[1]:  # horizontal side
+                c = (float(pa[0]) + t, float(pa[1]))
+            else:
+                c = (float(pa[0]), float(pa[1]) + t)
+            edges.append((a, c) if ain else (c, bpt))
+
+        for i in range(PGRID_W - 1):
+            unit((i, 0), (i + 1, 0))
+            unit((i, PGRID_H - 1), (i + 1, PGRID_H - 1))
+        for jj in range(PGRID_H - 1):
+            unit((0, jj), (0, jj + 1))
+            unit((PGRID_W - 1, jj), (PGRID_W - 1, jj + 1))
+        return edges
+
+    ring_counts = []
+    for lvv in CONTOUR_LEVELS:
+        parent: dict[tuple, tuple] = {}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        pairs = [((r["x1"], r["y1"]), (r["x2"], r["y2"]))
+                 for r in seg_rows if r["level"] == lvv]
+        pairs += border_edges_for(lvv)
+        for p, q in pairs:
+            parent.setdefault(p, p)
+            parent.setdefault(q, q)
+            rp, rq = find(p), find(q)
+            if rp != rq:
+                parent[rp] = rq
+        ring_counts.append(
+            (lvv, len({find(k) for k in parent})))
+    rings_df = spark.createDataFrame(ring_counts, "level double, n_rings int")
+    return (areas.join(rings_df, "level")
+            .select("level", "n_rings", "band_area"))
+
+
+def o_contour_polygons():
+    lvls = ", ".join(f"({sqlexpr.dlit(lv)})" for lv in CONTOUR_LEVELS)
+    seg_rows = ", ".join(f"({c}, {s}, {a}, {b})" for c, s, a, b in MS_SEGS)
+    area = """CASE
+      WHEN ms_case = 1 THEN (tT * tL) / 2.0
+      WHEN ms_case = 2 THEN ((1.0 - tT) * tR) / 2.0
+      WHEN ms_case = 3 THEN (tL + tR) / 2.0
+      WHEN ms_case = 4 THEN ((1.0 - tR) * (1.0 - tB)) / 2.0
+      WHEN ms_case = 5 THEN (tT * tL) / 2.0 + ((1.0 - tR) * (1.0 - tB)) / 2.0
+      WHEN ms_case = 6 THEN ((1.0 - tT) + (1.0 - tB)) / 2.0
+      WHEN ms_case = 7 THEN 1.0 - (tB * (1.0 - tL)) / 2.0
+      WHEN ms_case = 8 THEN (tB * (1.0 - tL)) / 2.0
+      WHEN ms_case = 9 THEN (tT + tB) / 2.0
+      WHEN ms_case = 10 THEN ((1.0 - tT) * tR) / 2.0 + (tB * (1.0 - tL)) / 2.0
+      WHEN ms_case = 11 THEN 1.0 - ((1.0 - tR) * (1.0 - tB)) / 2.0
+      WHEN ms_case = 12 THEN ((1.0 - tL) + (1.0 - tR)) / 2.0
+      WHEN ms_case = 13 THEN 1.0 - ((1.0 - tT) * tR) / 2.0
+      WHEN ms_case = 14 THEN 1.0 - (tT * tL) / 2.0
+      ELSE 1.0 END"""
+
+    def ex(e):
+        return (f"CASE WHEN {e} = 0 THEN bx + tT WHEN {e} = 1 THEN bx + 1.0 "
+                f"WHEN {e} = 2 THEN bx + tB ELSE CAST(bx AS DOUBLE) END")
+
+    def ey(e):
+        return (f"CASE WHEN {e} = 0 THEN CAST(by AS DOUBLE) "
+                f"WHEN {e} = 1 THEN by + tR "
+                f"WHEN {e} = 2 THEN by + 1.0 ELSE by + tL END")
+
+    return f"""
+WITH RECURSIVE {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
+corners AS (
+  SELECT py AS by, px AS bx, 'vtl' AS w, CAST(c AS DOUBLE) AS v FROM burn
+  UNION ALL SELECT py, px - 1, 'vtr', CAST(c AS DOUBLE) FROM burn
+  UNION ALL SELECT py - 1, px - 1, 'vbr', CAST(c AS DOUBLE) FROM burn
+  UNION ALL SELECT py - 1, px, 'vbl', CAST(c AS DOUBLE) FROM burn
+),
+blocks AS (
+  SELECT by, bx,
+         COALESCE(MAX(CASE WHEN w = 'vtl' THEN v END), 0.0) AS vtl,
+         COALESCE(MAX(CASE WHEN w = 'vtr' THEN v END), 0.0) AS vtr,
+         COALESCE(MAX(CASE WHEN w = 'vbr' THEN v END), 0.0) AS vbr,
+         COALESCE(MAX(CASE WHEN w = 'vbl' THEN v END), 0.0) AS vbl
+  FROM corners
+  WHERE by >= 0 AND by < {PGRID_H - 1} AND bx >= 0 AND bx < {PGRID_W - 1}
+  GROUP BY by, bx
+),
+lvl AS (SELECT * FROM (VALUES {lvls}) AS t(level)),
+cased AS (
+  SELECT l.level, b.*,
+         (CASE WHEN vtl >= l.level THEN 1 ELSE 0 END
+          + CASE WHEN vtr >= l.level THEN 2 ELSE 0 END
+          + CASE WHEN vbr >= l.level THEN 4 ELSE 0 END
+          + CASE WHEN vbl >= l.level THEN 8 ELSE 0 END) AS ms_case,
+         (l.level - vtl) / (vtr - vtl) AS tT,
+         (l.level - vtr) / (vbr - vtr) AS tR,
+         (l.level - vbl) / (vbr - vbl) AS tB,
+         (l.level - vtl) / (vbl - vtl) AS tL
+  FROM blocks b CROSS JOIN lvl l
+),
+act AS (SELECT * FROM cased WHERE ms_case >= 1),
+areas AS (
+  SELECT level,
+         list_reduce(list({area} ORDER BY by, bx), (a, b) -> a + b) AS band_area
+  FROM act GROUP BY level
+),
+msegs AS (SELECT * FROM (VALUES {seg_rows}) AS t(ms_case, seg, ea, eb)),
+segxy AS (
+  SELECT a.level, {ex('s.ea')} AS x1, {ey('s.ea')} AS y1,
+         {ex('s.eb')} AS x2, {ey('s.eb')} AS y2
+  FROM act a JOIN msegs s ON s.ms_case = a.ms_case
+),
+bseg AS (
+  -- border unit segments (side, endpoint coords, values; 0-filled)
+  SELECT 'h' AS kind, CAST(r.range AS BIGINT) AS i, CAST(0 AS BIGINT) AS fix
+  FROM range({PGRID_W - 1}) r
+  UNION ALL SELECT 'h', CAST(r.range AS BIGINT), {PGRID_H - 1}
+  FROM range({PGRID_W - 1}) r
+  UNION ALL SELECT 'v', CAST(r.range AS BIGINT), 0 FROM range({PGRID_H - 1}) r
+  UNION ALL SELECT 'v', CAST(r.range AS BIGINT), {PGRID_W - 1}
+  FROM range({PGRID_H - 1}) r
+),
+bvals AS (
+  SELECT s.kind, s.i, s.fix,
+         CASE WHEN s.kind = 'h' THEN CAST(s.i AS DOUBLE)
+              ELSE CAST(s.fix AS DOUBLE) END AS ax,
+         CASE WHEN s.kind = 'h' THEN CAST(s.fix AS DOUBLE)
+              ELSE CAST(s.i AS DOUBLE) END AS ay,
+         CASE WHEN s.kind = 'h' THEN CAST(s.i + 1 AS DOUBLE)
+              ELSE CAST(s.fix AS DOUBLE) END AS bx2,
+         CASE WHEN s.kind = 'h' THEN CAST(s.fix AS DOUBLE)
+              ELSE CAST(s.i + 1 AS DOUBLE) END AS by2,
+         CAST(COALESCE(ba.c, 0) AS DOUBLE) AS va,
+         CAST(COALESCE(bb.c, 0) AS DOUBLE) AS vb
+  FROM bseg s
+  LEFT JOIN burn ba ON (s.kind = 'h' AND ba.px = s.i AND ba.py = s.fix)
+                    OR (s.kind = 'v' AND ba.px = s.fix AND ba.py = s.i)
+  LEFT JOIN burn bb ON (s.kind = 'h' AND bb.px = s.i + 1 AND bb.py = s.fix)
+                    OR (s.kind = 'v' AND bb.px = s.fix AND bb.py = s.i + 1)
+),
+bedges AS (
+  SELECT l.level,
+         CASE WHEN b.va >= l.level THEN b.ax
+              WHEN b.kind = 'h'
+                THEN CAST(b.i AS DOUBLE) + (l.level - b.va) / (b.vb - b.va)
+              ELSE b.ax END AS x1,
+         CASE WHEN b.va >= l.level THEN b.ay
+              WHEN b.kind = 'h' THEN b.ay
+              ELSE CAST(b.i AS DOUBLE) + (l.level - b.va) / (b.vb - b.va)
+              END AS y1,
+         CASE WHEN b.vb >= l.level THEN b.bx2
+              WHEN b.kind = 'h'
+                THEN CAST(b.i AS DOUBLE) + (l.level - b.va) / (b.vb - b.va)
+              ELSE b.bx2 END AS x2,
+         CASE WHEN b.vb >= l.level THEN b.by2
+              WHEN b.kind = 'h' THEN b.by2
+              ELSE CAST(b.i AS DOUBLE) + (l.level - b.va) / (b.vb - b.va)
+              END AS y2
+  FROM bvals b CROSS JOIN lvl l
+  WHERE b.va >= l.level OR b.vb >= l.level
+),
+alledges AS (
+  SELECT level, x1, y1, x2, y2 FROM segxy
+  UNION ALL SELECT level, x1, y1, x2, y2 FROM bedges
+),
+v AS (SELECT DISTINCT level, x1 AS x, y1 AS y FROM alledges
+      UNION SELECT DISTINCT level, x2, y2 FROM alledges),
+vid AS (SELECT level, x, y,
+               ROW_NUMBER() OVER (ORDER BY level, x, y) AS id FROM v),
+edi AS (
+  SELECT va.id AS a, vb.id AS b
+  FROM alledges s
+  JOIN vid va ON va.level = s.level AND va.x = s.x1 AND va.y = s.y1
+  JOIN vid vb ON vb.level = s.level AND vb.x = s.x2 AND vb.y = s.y2
+),
+sym AS (SELECT a, b FROM edi UNION SELECT b, a FROM edi),
+reach(id, l) AS (
+  SELECT id, id FROM vid
+  UNION
+  SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.id
+),
+lbl AS (SELECT id, MIN(l) AS root FROM reach GROUP BY id),
+rings AS (SELECT v2.level, COUNT(DISTINCT lbl.root) AS n_rings
+          FROM vid v2 JOIN lbl ON lbl.id = v2.id GROUP BY v2.level)
+SELECT a.level, CAST(r.n_rings AS INT) AS n_rings, a.band_area
+FROM areas a JOIN rings r ON r.level = a.level"""
+
+
 def o_contour_segments():
     thr = float(PMASK_THR)
     seg_rows = ", ".join(f"({c}, {s}, {a}, {b})" for c, s, a, b in MS_SEGS)
@@ -4290,6 +4605,7 @@ REGISTRY: dict[str, tuple] = {
     "stream_rollup": (q_stream_rollup, o_stream_rollup),
     "contour_cells": (q_contour_cells, o_contour_cells),
     "contour_segments": (q_contour_segments, o_contour_segments),
+    "contour_polygons": (q_contour_polygons, o_contour_polygons),
     "utm_transform": (q_utm_transform, o_utm_transform),
     "text_passthrough": (q_text_passthrough, o_text_passthrough),
     "table_stats": (q_table_stats, o_table_stats),
