@@ -10,11 +10,14 @@ derivation is expressible in ANSI SQL for the DuckDB oracle:
   min-reduced as strings, so MinHash signatures are bit-identical
   across engines with no integer-conversion portability issues.
 
-The language-ID profile weights are deterministic MD5-derived values —
-a synthetic stand-in for real per-language n-gram frequency profiles
-(the corpus here shares one vocabulary across langs, so no real profile
-separates them). The pipeline SHAPE is the real one: tokenize →
-explode → broadcast profile join → per-doc score agg → argmax.
+The language-ID profiles are REAL common-function-word frequency
+tables (public-domain stopword/frequency knowledge, integer rank
+weights — the classic stopword language identifier): tokenize →
+explode → broadcast profile join → per-(doc, lang) score → argmax.
+The synthetic fixture corpus shares one English-ish vocabulary across
+its `lang` labels, so the gate exercises determinism and the plan;
+tests/test_langid.py proves real sentences in en/fr/es/de classify
+correctly.
 """
 
 from __future__ import annotations
@@ -72,44 +75,77 @@ def fingerprint_col(n_bottom: int = 4):
                     1, n_bottom))
 
 
+#: REAL per-language common-function-word profiles: (lang, token,
+#: weight). Weights are integer frequency ranks from public-domain
+#: word-frequency knowledge (the most frequent function words of each
+#: language — 'zh' uses pinyin romanizations, the whitespace-token
+#: analog). This is the classic stopword language identifier; cross-
+#: language token collisions (fr/es/zh 'de', en/fr 'on', …) are normal
+#: and resolved by the per-doc score sum.
+LANG_PROFILES: list[tuple[str, str, int]] = [
+    ("en", t, w) for t, w in [
+        ("the", 7), ("of", 6), ("and", 6), ("to", 5), ("in", 5),
+        ("is", 4), ("that", 4), ("it", 4), ("was", 4), ("for", 4),
+        ("on", 3), ("are", 3), ("with", 3), ("as", 3), ("they", 3),
+        ("at", 3), ("be", 3), ("this", 3), ("have", 3), ("from", 3),
+        ("not", 2), ("but", 2), ("what", 2), ("all", 2), ("were", 2),
+        ("when", 2), ("your", 2), ("can", 2), ("there", 2), ("an", 2)]
+] + [
+    ("fr", t, w) for t, w in [
+        ("le", 7), ("de", 7), ("la", 6), ("et", 6), ("les", 5),
+        ("des", 5), ("un", 5), ("une", 5), ("que", 5), ("du", 4),
+        ("est", 4), ("pas", 4), ("qui", 4), ("dans", 4), ("pour", 4),
+        ("il", 4), ("ne", 4), ("ce", 3), ("elle", 3), ("se", 3),
+        ("sur", 3), ("avec", 3), ("son", 3), ("au", 3), ("plus", 3),
+        ("par", 3), ("mais", 3), ("nous", 3), ("vous", 3), ("sont", 3)]
+] + [
+    ("es", t, w) for t, w in [
+        ("de", 7), ("el", 7), ("la", 6), ("que", 6), ("y", 6),
+        ("en", 5), ("a", 5), ("los", 4), ("del", 4), ("se", 4),
+        ("las", 4), ("por", 4), ("un", 4), ("para", 4), ("con", 4),
+        ("no", 4), ("una", 4), ("su", 3), ("al", 3), ("lo", 3),
+        ("como", 3), ("mas", 3), ("pero", 3), ("sus", 2), ("le", 2),
+        ("ya", 2), ("o", 2), ("este", 2), ("si", 2), ("porque", 2)]
+] + [
+    ("de", t, w) for t, w in [
+        ("der", 7), ("die", 7), ("und", 6), ("in", 5), ("das", 5),
+        ("den", 4), ("von", 4), ("zu", 4), ("mit", 4), ("des", 4),
+        ("ist", 4), ("nicht", 4), ("ein", 4), ("eine", 4), ("sie", 4),
+        ("sich", 3), ("auf", 3), ("im", 3), ("dem", 3), ("als", 3),
+        ("auch", 3), ("es", 3), ("an", 3), ("er", 3), ("werden", 2),
+        ("aus", 2), ("hat", 2), ("dass", 2), ("nach", 2), ("wird", 2)]
+] + [
+    ("zh", t, w) for t, w in [
+        ("de", 7), ("shi", 5), ("bu", 4), ("le", 4), ("zhe", 3),
+        ("wo", 3), ("ni", 3), ("ta", 3), ("zai", 3), ("you", 3),
+        ("ge", 3), ("he", 2), ("ye", 2), ("dou", 2), ("hen", 2),
+        ("ma", 2), ("na", 2), ("men", 2), ("hao", 2), ("zhong", 2)]
+]
+
+
 def lang_profile_rows() -> list[tuple]:
-    """Deterministic (lang, token, weight) profile table built from the
-    corpus vocabulary at call time is NOT needed — weights derive from
-    the (lang, token) pair itself, so the profile is a pure function we
-    can also express in oracle SQL. Kept here for documentation; the
-    engine computes weights inline via `lang_weight_col`."""
-    raise NotImplementedError("weights are computed inline; see lang_weight_col")
-
-
-def lang_weight_col(lang: str, token_col):
-    """Synthetic profile weight for (lang, token): ASCII codes of the
-    first 4 hex chars of md5('<lang>|<token>') summed — identical in
-    Spark and DuckDB (both md5s are lowercase hex; ascii/substring
-    agree)."""
-    h = F.md5(F.concat(F.lit(f"{lang}|"), token_col))
-    return sum(F.ascii(F.substring(h, i + 1, 1)) for i in range(4))
+    """(lang, token, weight) — the real broadcast profile table."""
+    return list(LANG_PROFILES)
 
 
 def langid(df: DataFrame, id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
-    """Predict a language per doc: argmax over per-lang token-profile
-    scores (sum of profile weights over token OCCURRENCES), ties broken
-    by lang ascending. Returns (id_col, pred_lang, score)."""
-    toks = (df.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("t")))
-    scored = toks.select(
-        id_col,
-        *[lang_weight_col(lang, F.col("t")).alias(f"w_{lang}") for lang in LANGS])
-    agg = scored.groupBy(id_col).agg(
-        *[F.sum(f"w_{lang}").alias(f"s_{lang}") for lang in LANGS])
-    # unpivot → argmax with lang-asc tie-break
-    stacked = agg.select(
-        id_col, F.explode(F.array(*[
-            F.struct(F.lit(lang).alias("lang"),
-                     F.col(f"s_{lang}").cast("long").alias("score"))
-            for lang in LANGS])).alias("ls"))
+    """Predict a language per doc: tokenize → broadcast profile join →
+    per-(doc, lang) score (sum of weights over token OCCURRENCES) →
+    argmax, ties broken by lang ascending. Docs matching no profile
+    token emit no row (undetermined). Returns (id_col, pred_lang,
+    score). At 10^12 docs this is scan → explode → broadcast-hash join
+    → partial-aggregated shuffle on doc id — no Python anywhere."""
+    spark = df.sparkSession
+    prof = spark.createDataFrame(lang_profile_rows(),
+                                 "lang string, t string, w int")
+    toks = df.select(id_col,
+                     F.explode(tokens_col(F.col(text_col))).alias("t"))
+    scored = (toks.join(F.broadcast(prof), "t")
+              .groupBy(id_col, "lang")
+              .agg(F.sum("w").cast("long").alias("score")))
     w = Window.partitionBy(id_col).orderBy(
-        F.col("ls.score").desc(), F.col("ls.lang").asc())
-    return (stacked.withColumn("_rn", F.row_number().over(w))
+        F.col("score").desc(), F.col("lang").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select(id_col, F.col("ls.lang").alias("pred_lang"),
-                    F.col("ls.score").alias("score")))
+            .select(id_col, F.col("lang").alias("pred_lang"), "score"))

@@ -3983,31 +3983,29 @@ WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.8"""
 
 
 def q_langid(spark, sf_dir):
-    """Language-ID pipeline: tokenize → per-lang profile score → argmax
-    (functions/text.langid; deterministic profile weights)."""
+    """Language-ID: tokenize → REAL common-word frequency profile
+    (broadcast join) → per-(doc, lang) score → argmax
+    (functions/text.langid; tests/test_langid.py proves real en/fr/
+    es/de sentences classify correctly)."""
     from gdal_spark.functions import text as T_
     df = docs_df(spark, sf_dir)
     return T_.langid(df)
 
 
 def o_langid():
-    from gdal_spark.functions.text import LANGS
-    def wsum(lang):
-        h = f"md5('{lang}|' || t)"
-        return " + ".join(f"ascii(substr({h}, {i + 1}, 1))" for i in range(4))
-    sums = ", ".join(
-        f"CAST(SUM({wsum(lang)}) AS BIGINT) AS s_{lang}" for lang in LANGS)
-    unpiv = " UNION ALL ".join(
-        f"SELECT doc_id, '{lang}' AS lang, s_{lang} AS score FROM sc"
-        for lang in LANGS)
+    from gdal_spark.functions.text import lang_profile_rows
+    vals = ", ".join(f"('{lang}', '{tok}', {w})"
+                     for lang, tok, w in lang_profile_rows())
     return f"""
 WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
               FROM documents),
-sc AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id),
-up AS ({unpiv}),
+prof AS (SELECT * FROM (VALUES {vals}) AS p(lang, tok, w)),
+sc AS (SELECT toks.doc_id, prof.lang, CAST(SUM(prof.w) AS BIGINT) AS score
+       FROM toks JOIN prof ON prof.tok = toks.t
+       GROUP BY toks.doc_id, prof.lang),
 r AS (SELECT doc_id, lang, score,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
-      FROM up)
+      FROM sc)
 SELECT doc_id, lang AS pred_lang, score FROM r WHERE rn = 1"""
 
 
