@@ -94,7 +94,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  # round-2 late additions
                  "dem_hillshade", "dem_color_relief", "binary_features",
                  "token_bpe", "tile_counts_salted", "stream_dedup",
-                 "raster_scale", "dem_hillshade_variants"]:
+                 "raster_scale", "dem_hillshade_variants",
+                 # round-3 additions
+                 "sieve_merge", "warp_average", "warp_mode", "warp_sum_rms",
+                 "zonal_weighted", "dissolve_geom", "contour_polygons",
+                 "grid_linear", "delaunay_tri", "langid"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
