@@ -339,6 +339,103 @@ def trace_rings(labels: DataFrame) -> DataFrame:
                 "n_pixels long")
 
 
+def trace_rings_distributed(labels: DataFrame, width: int) -> DataFrame:
+    """Fully-distributed twin of ``trace_rings`` — same output, NO
+    per-component Python walk (the round-2 scale concern: a continent-
+    sized component was one giant task).
+
+    The tracer's successor rule is LOCAL: at each corner vertex the
+    next directed boundary edge is chosen by right-most-turn preference
+    alone (_trace_component). So the walk is unnecessary:
+
+    1. boundary directed edges (interior-left convention) from 4
+       shifted self-joins — O(perimeter) rows;
+    2. successor per edge = the out-edge at its end vertex with min
+       turn priority (rot-right < straight < rot-left) — one equi-join
+       + window;
+    3. the successor function is a permutation of the edge set, so
+       rings = CYCLES = connected components of (edge, successor)
+       pairs — resolved by the same hybrid union-find as polygonize;
+    4. n_vertices = #(edge, successor) pairs with a direction change
+       (exactly the collinear-collapse rule); perimeter = #edges.
+
+    Pinch points split correctly because the turn preference pairs the
+    in/out edges at degree-4 corners exactly as the walk does."""
+    # persist: the 4 side anti-joins consume `labels` twice each — an
+    # unpersisted input re-runs the whole upstream CCL pipeline 8×
+    # (measured 43 s vs 12 s at sf0.01)
+    labels = labels.persist()
+    # directed boundary edges: side exposed iff 4-neighbor differs/absent
+    nb = labels.select(F.col("py").alias("ny"), F.col("px").alias("nx"),
+                       F.col("label").alias("nlabel"))
+    sides = [
+        # (ndy, ndx, start-vertex exprs, dir_idx): dirs 0=(1,0) 1=(0,1)
+        # 2=(-1,0) 3=(0,-1); start per the interior-left convention
+        (-1, 0, F.col("px"), F.col("py"), 0),            # top    -> east
+        (0, 1, F.col("px") + 1, F.col("py"), 1),          # right  -> south
+        (1, 0, F.col("px") + 1, F.col("py") + 1, 2),      # bottom -> west
+        (0, -1, F.col("px"), F.col("py") + 1, 3),         # left   -> north
+    ]
+    parts = []
+    for ndy, ndx, sx, sy, didx in sides:
+        e = (labels.join(
+                nb, (F.col("ny") == F.col("py") + ndy)
+                & (F.col("nx") == F.col("px") + ndx)
+                & (F.col("nlabel") == F.col("label")), "left_anti")
+             .select("label", sx.alias("sx"), sy.alias("sy"),
+                     F.lit(didx).alias("d")))
+        parts.append(e)
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    # unique long id per directed edge: vertex coords <= width+1
+    stride = width + 2
+    eid = (F.col("sy") * stride + F.col("sx")) * 4 + F.col("d")
+    dxc = F.when(F.col("d") == 0, 1).when(F.col("d") == 2, -1).otherwise(0)
+    dyc = F.when(F.col("d") == 1, 1).when(F.col("d") == 3, -1).otherwise(0)
+    edges = (edges.withColumn("eid", eid)
+             .withColumn("ex", F.col("sx") + dxc)
+             .withColumn("ey", F.col("sy") + dyc)
+             .persist())
+    s = edges.select(F.col("label").alias("s_label"),
+                     F.col("sx").alias("ssx"), F.col("sy").alias("ssy"),
+                     F.col("d").alias("sd"), F.col("eid").alias("sid"))
+    cand = edges.join(
+        s, (F.col("s_label") == F.col("label"))
+        & (F.col("ssx") == F.col("ex")) & (F.col("ssy") == F.col("ey")))
+    prio = (F.when(F.col("sd") == (F.col("d") + 1) % 4, 0)
+            .when(F.col("sd") == F.col("d"), 1)
+            .when(F.col("sd") == (F.col("d") + 3) % 4, 2)
+            .otherwise(3))
+    from pyspark.sql import Window
+    w = Window.partitionBy("eid").orderBy(prio)
+    succ = (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("label", "eid", "d", F.col("sid").alias("succ"),
+                    F.col("sd").alias("succ_d"))
+            .persist())
+    # cycles of the successor permutation via the hybrid union-find
+    # (resolve_equivalences relabels `label` -> root and preserves the
+    # other columns, so carry the edge id through as `orig`)
+    pairs = succ.select(F.col("eid").alias("a"), F.col("succ").alias("b"))
+    roots = resolve_equivalences(
+        succ.select(F.col("eid").alias("orig"),
+                    F.col("eid").alias("label")),
+        pairs).select(F.col("orig").alias("eid"),
+                      F.col("label").alias("cycle_root"))
+    per_comp = (succ.join(roots, "eid")
+                .groupBy("label")
+                .agg(F.count_distinct("cycle_root").alias("n_rings"),
+                     F.sum(F.when(F.col("succ_d") != F.col("d"), 1)
+                           .otherwise(0)).alias("n_vertices"),
+                     F.count("*").alias("perimeter")))
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_pixels"))
+    return (per_comp.join(sizes, "label")
+            .select("label", F.col("n_rings").cast("int"),
+                    F.col("n_vertices").cast("long"),
+                    F.col("perimeter").cast("long"), "n_pixels"))
+
+
 def footprint(labels: DataFrame, min_pixels: int = 2) -> DataFrame:
     """Footprint (apps/gdal_footprint_lib.cpp: valid-data outline with
     -convex-hull): per component the convex hull of its pixel centers →

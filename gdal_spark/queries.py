@@ -470,13 +470,18 @@ def q_polygonize_rings(spark, sf_dir):
     """Polygonize RING TRACING (alg/polygonize_polygonizer.cpp): trace
     each component's boundary into closed vertex rings (interior-left
     directed unit edges chained by right-most-turn preference; pinch
-    points split). Gate payload = per component the traced vertex
-    count, boundary length, and pixel count — the oracle recomputes
-    n_vertices INDEPENDENTLY from 2×2 corner masks and perimeter from
-    adjacency counts, so a tracing bug cannot hash-match."""
+    points split). Round 3: the FULLY-DISTRIBUTED tracer — the turn
+    rule is local, so rings are cycles of a per-edge successor
+    function (no per-component Python walk; a continent-sized
+    component is O(perimeter) rows, not one giant task;
+    trace_rings_distributed, pytest-equal to the walk). Gate payload =
+    per component the traced vertex count, boundary length, and pixel
+    count — the oracle recomputes n_vertices INDEPENDENTLY from 2×2
+    corner masks and perimeter from adjacency counts, so a tracing bug
+    cannot hash-match."""
     from gdal_spark.operators import polygonize as poly_op
     labels = poly_op.polygonize(_mask_df(spark, sf_dir, PMASK_THR), PGRID_W)
-    return (poly_op.trace_rings(labels)
+    return (poly_op.trace_rings_distributed(labels, PGRID_W)
             .select("label", "n_vertices", "perimeter", "n_pixels"))
 
 

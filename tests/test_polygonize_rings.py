@@ -55,3 +55,32 @@ def test_hull_kernel_collinear():
     h = convex_hull(np.array([0, 1, 2, 3]), np.array([0, 1, 2, 3]))
     assert len(h) == 2
     assert abs(ring_signed_area(h)) == 0.0
+
+
+def test_distributed_rings_equal_walk(spark):
+    """trace_rings_distributed ≡ trace_rings on a pinch + hole + multi
+    component fixture AND on the real density mask."""
+    from gdal_spark.operators.polygonize import (polygonize, trace_rings,
+                                                 trace_rings_distributed)
+    # synthetic: a 5x5 ring with a hole, a diagonal pinch pair, a dot
+    cells = ([(y, x) for y in range(5) for x in range(5)
+              if not (1 <= y <= 3 and 1 <= x <= 3)]      # ring w/ hole
+             + [(7, 7), (8, 8), (7, 8)]                   # pinch-ish L
+             + [(10, 0)])                                 # single pixel
+    df = spark.createDataFrame(cells, "py long, px long")
+    labels = polygonize(df, 16, tile=4)
+    key = lambda rows: sorted((r["label"], r["n_rings"], r["n_vertices"],
+                               r["perimeter"], r["n_pixels"]) for r in rows)
+    assert key(trace_rings_distributed(labels, 16).collect()) \
+        == key(trace_rings(labels).collect())
+
+
+def test_distributed_rings_on_density_mask(spark):
+    from gdal_spark.operators.polygonize import (polygonize, trace_rings,
+                                                 trace_rings_distributed)
+    from gdal_spark.queries import PGRID_W, _mask_df, PMASK_THR
+    labels = polygonize(_mask_df(spark, "/root/testdata/sf0.001",
+                                 PMASK_THR), PGRID_W).persist()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(trace_rings_distributed(labels, PGRID_W).collect()) \
+        == key(trace_rings(labels).collect())
