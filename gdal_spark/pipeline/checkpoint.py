@@ -115,3 +115,71 @@ class SnapshotStore:
                               "rows": m["metrics"]["rows"]})
                 frontier.extend(i["stage"] for i in m["inputs"])
         return chain
+
+
+class VersionedTable(SnapshotStore):
+    """ogr2ogr access-mode analog over the snapshot store
+    (apps/ogr2ogr_lib.cpp ACCESS_APPEND / -upsert via UpsertFeature,
+    :98-330): a named table whose every write produces a NEW immutable
+    snapshot version with the prior version recorded as lineage —
+    the Iceberg append/merge snapshot semantics.
+
+    - ``write(df, mode="overwrite")``  — new table state = df
+    - ``write(df, mode="append")``     — prior rows ∪ df
+    - ``write(df, mode="upsert", key=...)`` — prior rows whose key
+      appears in df are REPLACED by df's rows (ogr2ogr -upsert),
+      the rest kept; df rows with fresh keys are inserts.
+
+    Reads always resolve the latest complete version; time travel via
+    ``read(version=N)``."""
+
+    def _vpath(self, table: str, version: int) -> str:
+        return os.path.join(self.base, f"{table}__v{version}")
+
+    def read(self, spark: SparkSession, table: str,
+             version: int | None = None) -> DataFrame:
+        m = self.manifest(table)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot for table {table}")
+        v = m["version"] if version is None else version
+        return spark.read.parquet(self._vpath(table, v))
+
+    def write(self, spark: SparkSession, table: str, df: DataFrame,
+              mode: str = "overwrite", key: str | None = None) -> dict:
+        m = self.manifest(table)
+        if m is not None and mode != "overwrite":
+            cur = self.read(spark, table)
+            if mode == "append":
+                out = cur.unionByName(df)
+            elif mode == "upsert":
+                if not key:
+                    raise ValueError("upsert requires a key column")
+                out = (cur.join(df.select(key).distinct(), key, "left_anti")
+                       .unionByName(df))
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+            version = m["version"] + 1
+        else:
+            out = df
+            version = (m["version"] + 1) if m else 1
+        path = self._vpath(table, version)
+        out.write.mode("overwrite").parquet(path)
+        written = spark.read.parquet(path)
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex,
+            "stage": table,
+            "status": "complete",
+            "version": version,
+            "mode": mode,
+            "created_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "inputs": ([{"stage": table,
+                         "snapshot_id": m["snapshot_id"]}] if m else []),
+            "metrics": {"rows": written.count(),
+                        "upsert_key": key},
+            "schema": written.schema.jsonValue(),
+        }
+        tmp = self._manifest_path(table) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+        return manifest

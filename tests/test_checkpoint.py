@@ -56,3 +56,28 @@ def test_incomplete_stage_recomputed(spark, tmp_path):
 
     df = store.run_stage(spark, "s", make)
     assert calls["n"] == 1 and df.count() == 7
+
+
+def test_versioned_append_upsert(spark, tmp_path):
+    from gdal_spark.pipeline.checkpoint import VersionedTable
+    vt = VersionedTable(str(tmp_path / "vt"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    m1 = vt.write(spark, "t", base)
+    assert m1["version"] == 1 and m1["metrics"]["rows"] == 3
+    # -append: rows accumulate, duplicates allowed (OGR append)
+    m2 = vt.write(spark, "t",
+                  spark.createDataFrame([(3, "c2"), (4, "d")],
+                                        "k long, v string"),
+                  mode="append")
+    assert m2["version"] == 2 and m2["metrics"]["rows"] == 5
+    # -upsert: matching keys replaced, fresh keys inserted
+    m3 = vt.write(spark, "t",
+                  spark.createDataFrame([(3, "C"), (5, "e")],
+                                        "k long, v string"),
+                  mode="upsert", key="k")
+    got = {(r["k"], r["v"]) for r in vt.read(spark, "t").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "C"), (4, "d"), (5, "e")}
+    assert m3["inputs"][0]["snapshot_id"] == m2["snapshot_id"]  # lineage
+    # time travel to version 1
+    assert vt.read(spark, "t", version=1).count() == 3
