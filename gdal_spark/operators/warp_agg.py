@@ -119,3 +119,16 @@ def warp_mode(contrib: DataFrame) -> DataFrame:
             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
                                 F.col("v").alias("v"))).alias("m"))
             .select("dy", "dx", F.col("m.v").alias("v")))
+
+
+def warp_quantile(contrib: DataFrame, quants: dict) -> DataFrame:
+    """GRA_Med / GRA_Q1 / GRA_Q3 (gdalwarpkernel.cpp:8294-8341): sort
+    the window's values (unweighted — every window pixel once), pick
+    index ceil(q·n − 1) with NO interpolation. quants: {col: q}."""
+    g = contrib.groupBy("dy", "dx").agg(
+        F.sort_array(F.collect_list("v")).alias("vs"))
+    cols = []
+    for name, q in quants.items():
+        idx = F.ceil(F.lit(q) * F.size("vs") - 1).cast("int")
+        cols.append(F.element_at("vs", idx + 1).alias(name))
+    return g.select("dy", "dx", *cols)

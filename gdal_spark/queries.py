@@ -2028,6 +2028,29 @@ SELECT ga.oy, ga.ox, ga.v_gauss, rm.v_rms
 FROM ga JOIN rm ON rm.oy = ga.oy AND rm.ox = ga.ox"""
 
 
+def q_warp_quantiles(spark, sf_dir):
+    """gdalwarp -r med / q1 / q3 (GRA_Med/Q1/Q3,
+    alg/gdalwarpkernel.cpp:8294-8341): per-window sorted-value pick at
+    index ceil(q*n - 1), no interpolation, unweighted — over the same
+    scattered contribution windows as the other aggregate kernels."""
+    from gdal_spark.operators import warp_agg
+    c = warp_agg.scatter_contributions(_warp_dense_src(spark, sf_dir),
+                                       WDEC_R)
+    return warp_agg.warp_quantile(
+        c, {"v_q1": 0.25, "v_med": 0.5, "v_q3": 0.75})
+
+
+def o_warp_quantiles():
+    def pick(q):
+        return (f"l[CAST(CEIL({q} * len(l) - 1) AS INT) + 1]")
+    return _wdec_contrib_sql() + f"""
+, folded AS (SELECT dy, dx, list(v ORDER BY v) AS l
+             FROM contrib GROUP BY dy, dx)
+SELECT dy, dx, {pick(0.25)} AS v_q1, {pick(0.5)} AS v_med,
+       {pick(0.75)} AS v_q3
+FROM folded"""
+
+
 def _wdec_contrib_sql():
     r = "2.5"
     return f"""
@@ -4750,6 +4773,7 @@ REGISTRY: dict[str, tuple] = {
     "warp_average": (q_warp_average, o_warp_average),
     "warp_mode": (q_warp_mode, o_warp_mode),
     "warp_sum_rms": (q_warp_sum_rms, o_warp_sum_rms),
+    "warp_quantiles": (q_warp_quantiles, o_warp_quantiles),
     "zonal_weighted": (q_zonal_weighted, o_zonal_weighted),
     "dissolve_geom": (q_dissolve_geom, o_dissolve_geom),
     "contour_polygons": (q_contour_polygons, o_contour_polygons),
