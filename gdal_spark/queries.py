@@ -2962,6 +2962,101 @@ def _buffer_angle_rows():
             for k in range(BUFFER_SEGS)]
 
 
+BUFFER_POLY_R = 0.15  # polygon buffer distance (degrees, fixture scale)
+
+
+def _poly_buffer_rows():
+    """Buffered-ring construction rows for every CONVEX zone part
+    (driver-side trig, the GEOS buffer-builder pattern): positive
+    round-join buffer of a convex CCW ring = offset edges + vertex arc
+    fans, each fan subdivided into ceil(span/step) equal chords with
+    step = 2π/BUFFER_SEGS (quadrant-segment semantics). Returns
+    (zone_fid, part_id, seq, bx, by, ck, sk): engines compute the
+    vertex as (bx + r·ck, by + r·sk)."""
+    import math as _m
+
+    from gdal_spark.fixtures import ZONES
+    step = 2.0 * _m.pi / BUFFER_SEGS
+    out = []
+    for z in ZONES:
+        for pid, ring in enumerate(z["parts"]):
+            pts = [(float(x), float(y)) for x, y in ring]
+            # signed area; ensure CCW so outward normal = rot-right of
+            # the edge direction rotated -90° → (dy, -dx)... for CCW
+            # (math orientation) outward normal of edge d is
+            # (d.y, -d.x) normalized
+            s = sum(pts[i][0] * pts[(i + 1) % len(pts)][1]
+                    - pts[(i + 1) % len(pts)][0] * pts[i][1]
+                    for i in range(len(pts)))
+            if s < 0:
+                pts = pts[::-1]
+            n = len(pts)
+            normals = []
+            for i in range(n):
+                x1, y1 = pts[i]
+                x2, y2 = pts[(i + 1) % n]
+                ln = _m.hypot(x2 - x1, y2 - y1)
+                normals.append(((y2 - y1) / ln, -(x2 - x1) / ln))
+            seq = 0
+            for i in range(n):
+                vi = pts[i]
+                vj = pts[(i + 1) % n]
+                nx, ny = normals[i]
+                out.append((z["zone_fid"], pid, seq, vi[0], vi[1], nx, ny))
+                seq += 1
+                out.append((z["zone_fid"], pid, seq, vj[0], vj[1], nx, ny))
+                seq += 1
+                # fan at vj from normals[i] to normals[i+1]
+                a0 = _m.atan2(ny, nx)
+                nx2, ny2 = normals[(i + 1) % n]
+                a1 = _m.atan2(ny2, nx2)
+                span = a1 - a0
+                while span <= 0:  # CCW ring turns clockwise in angle?
+                    span += 2.0 * _m.pi
+                if span >= 2.0 * _m.pi - 1e-12:
+                    span = 0.0
+                m = max(1, _m.ceil(span / step)) if span > 0 else 0
+                for j in range(1, m):
+                    a = a0 + span * j / m
+                    out.append((z["zone_fid"], pid, seq, vj[0], vj[1],
+                                _m.cos(a), _m.sin(a)))
+                    seq += 1
+    return out
+
+
+def q_buffer_polygons(spark, sf_dir):
+    """ST_Buffer on POLYGONS (OGRGeometry::Buffer,
+    ogr/ogr_geometry.h:568 — positive distance, CAP/JOIN_ROUND with
+    quadrant segments): per convex zone part the buffered ring =
+    offset edges + round vertex fans. The ring construction (unit
+    normals + fan angles) is driver-side trig injected as literals —
+    the GEOS buffer builder precomputes its unit circle identically —
+    while the per-vertex coordinate arithmetic runs in-engine, the
+    buffer_points pattern generalized from discs to polygons."""
+    rows = spark.createDataFrame(
+        _poly_buffer_rows(),
+        "zone_fid int, part_id int, seq int, bx double, by double, "
+        "ck double, sk double")
+    r = F.lit(float(BUFFER_POLY_R))
+    return rows.select(
+        "zone_fid", "part_id", "seq",
+        (F.col("bx") + r * F.col("ck")).alias("vx"),
+        (F.col("by") + r * F.col("sk")).alias("vy"))
+
+
+def o_buffer_polygons():
+    vals = ", ".join(
+        f"({zf}, {pid}, {seq}, {sqlexpr.dlit(bx)}, {sqlexpr.dlit(by)}, "
+        f"{sqlexpr.dlit(ck)}, {sqlexpr.dlit(sk)})"
+        for zf, pid, seq, bx, by, ck, sk in _poly_buffer_rows())
+    rl = sqlexpr.dlit(float(BUFFER_POLY_R))
+    return f"""
+WITH rows_ AS (SELECT * FROM (VALUES {vals})
+               AS t(zone_fid, part_id, seq, bx, by, ck, sk))
+SELECT zone_fid, part_id, seq, bx + {rl} * ck AS vx, by + {rl} * sk AS vy
+FROM rows_"""
+
+
 def q_buffer_points(spark, sf_dir):
     """ST_Buffer on points (OGRGeometry::Buffer, ogr/ogr_geometry.h:559;
     apps/gdalalg_vector_buffer.cpp): K-segment polygonal disc around
@@ -4822,6 +4917,7 @@ REGISTRY: dict[str, tuple] = {
     "hstore_get": (q_hstore_get, o_hstore_get),
     "geodetic_tiles": (q_geodetic_tiles, o_geodetic_tiles),
     "buffer_points": (q_buffer_points, o_buffer_points),
+    "buffer_polygons": (q_buffer_polygons, o_buffer_polygons),
     "tld_hull": (q_tld_hull, o_tld_hull),
     "simplify": (q_simplify, o_simplify),
     # --- below: local-gate + pytest verified (driver window full)
