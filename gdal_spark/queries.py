@@ -4172,23 +4172,45 @@ def o_token_bpe():
 
 
 def q_quality(spark, sf_dir):
-    """Quality scoring: punctuation/digit/space ratios (rounded to 6)."""
+    """Quality scoring: punctuation/digit ratios + STOPWORD ratio (the
+    classic web-text quality signal — C4/Gopher-style filters), the
+    stopword set being the REAL English profile tokens
+    (functions/text.LANG_PROFILES). All codegen'd column math: the
+    stopword test is a higher-order array filter over a 30-entry
+    literal set, no join, no UDF. Rounded to 6."""
+    from gdal_spark.functions.text import LANG_PROFILES, tokens_col
+    sw = F.array(*[F.lit(t) for lang, t, w in LANG_PROFILES
+                   if lang == "en"])
     df = docs_df(spark, sf_dir)
     n = F.length("text").cast("double")
     digits = (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))).cast("double")
     punct = (F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).cast("double")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return df.filter(F.length("text") > 0).select(
         "doc_id",
         F.round(digits / n, 6).alias("digit_ratio"),
-        F.round(punct / n, 6).alias("punct_ratio"))
+        F.round(punct / n, 6).alias("punct_ratio"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(n_sw.cast("double") / n_tok.cast("double"), 6)
+         .alias("stopword_ratio"))
 
 
 def o_quality():
+    from gdal_spark.functions.text import LANG_PROFILES
+    sw = ", ".join(f"'{t}'" for lang, t, w in LANG_PROFILES
+                   if lang == "en")
     n = "CAST(LENGTH(text) AS DOUBLE)"
     d = "CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)"
     p = "CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS DOUBLE)"
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     return (f"SELECT doc_id, ROUND({d} / {n}, 6) AS digit_ratio, "
-            f"ROUND({p} / {n}, 6) AS punct_ratio FROM documents WHERE LENGTH(text) > 0")
+            f"ROUND({p} / {n}, 6) AS punct_ratio, "
+            f"CAST(len({toks}) AS BIGINT) AS n_tokens, "
+            f"ROUND(CAST(len(list_filter({toks}, t -> t IN ({sw}))) AS DOUBLE)"
+            f" / CAST(len({toks}) AS DOUBLE), 6) AS stopword_ratio "
+            f"FROM documents WHERE LENGTH(text) > 0")
 
 
 def q_binary_features(spark, sf_dir):
