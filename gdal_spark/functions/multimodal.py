@@ -111,3 +111,44 @@ def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
         F.struct(F.col("media_meta.kind").alias("kind"),
                  F.lit(width).alias("width"), F.lit(height).alias("height"),
                  F.col("media_meta.sample_rate").alias("sample_rate")))
+
+
+def frame_sample(media_df: DataFrame, frame_bytes: int = 16,
+                 every_k: int = 4) -> DataFrame:
+    """FRAME-SAMPLE plumbing over an opaque video-like payload: treat
+    the binary as a sequence of fixed-size frames (frame_bytes from the
+    typed metadata in a real deployment), keep every k-th frame, emit
+    (doc_id, frame_idx, frame_md5). Codec-free and exact: the sampling
+    IS byte slicing, the per-frame digest is md5 over the slice — all
+    JVM column math (substring over binary + md5), no Python at all,
+    so a 10^12-frame sampling job is scan → explode → codegen'd hash.
+
+    The real-codec variant swaps the digest for decode_frame(...) in a
+    mapInPandas stage with the identical (doc_id, frame_idx, payload)
+    batch shape."""
+    n_frames = F.floor(F.length("media") / F.lit(frame_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+    return (media_df.filter(n_frames >= 1)
+            .select("doc_id", F.explode(idx).alias("frame_idx"),
+                    F.col("media"))
+            .select("doc_id", "frame_idx",
+                    F.md5(F.substring(
+                        F.col("media"),
+                        (F.col("frame_idx") * frame_bytes + 1).cast("int"),
+                        frame_bytes)).alias("frame_md5")))
+
+
+def resize_meta(media_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """RESIZE plumbing: the metadata/schema transform of a resize stage
+    (scale factors + output dims from the typed media_meta), with the
+    pixel kernel left to the codec-backed deployment (decode_image).
+    Exercises the struct-rewrite shape the real stage uses."""
+    sx = F.lit(float(out_w)) / F.col("media_meta.width").cast("double")
+    sy = F.lit(float(out_h)) / F.col("media_meta.height").cast("double")
+    return media_df.select(
+        "doc_id", "media",
+        F.struct(F.col("media_meta.kind").alias("kind"),
+                 F.lit(out_w).alias("width"), F.lit(out_h).alias("height"),
+                 F.col("media_meta.sample_rate").alias("sample_rate"))
+        .alias("media_meta"),
+        F.round(sx, 6).alias("scale_x"), F.round(sy, 6).alias("scale_y"))

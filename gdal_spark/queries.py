@@ -4213,6 +4213,36 @@ def o_quality():
             f"FROM documents WHERE LENGTH(text) > 0")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal FRAME-SAMPLE (functions/multimodal.frame_sample):
+    every 4th 16-byte frame of the opaque payload, per-frame md5 —
+    byte-exact, codec-free, all JVM column math (binary substring +
+    md5); the real-codec decode drops into the same batch shape."""
+    from gdal_spark.functions import multimodal as MM
+    df = docs_df(spark, sf_dir)
+    return MM.frame_sample(MM.attach_fake_media(df))
+
+
+def o_frame_sample():
+    # DuckDB has no BLOB substring; the fixture text is pure ASCII
+    # (asserted: octet_length == length over sf0.01/sf0.1), so VARCHAR
+    # character slicing == byte slicing and md5(varchar) == md5 of the
+    # same UTF-8 bytes Spark hashes on the binary side.
+    fb, k = 16, 4
+    return f"""
+WITH f AS (SELECT doc_id, text AS media,
+                  CAST(FLOOR(CAST(LENGTH(text) AS DOUBLE) / {fb}) AS INT)
+                    AS n_frames
+           FROM documents),
+idx AS (SELECT f.doc_id, f.media,
+               CAST(UNNEST(generate_series(0, f.n_frames - 1, {k})) AS INT)
+                 AS frame_idx
+        FROM f WHERE f.n_frames >= 1)
+SELECT doc_id, frame_idx,
+       md5(SUBSTRING(media, frame_idx * {fb} + 1, {fb})) AS frame_md5
+FROM idx"""
+
+
 def q_binary_features(spark, sf_dir):
     """Multimodal byte-feature extraction over opaque binary payloads
     (functions/multimodal.byte_features): Arrow-batched mapInPandas
@@ -4979,6 +5009,7 @@ REGISTRY: dict[str, tuple] = {
     "token_count": (q_token_count, o_token_count),
     "quality": (q_quality, o_quality),
     "binary_features": (q_binary_features, o_binary_features),
+    "frame_sample": (q_frame_sample, o_frame_sample),
     "token_bpe": (q_token_bpe, o_token_bpe),
     "dem_hillshade": (q_dem_hillshade, o_dem_hillshade),
     "dem_slope_aspect": (q_dem_slope_aspect, o_dem_slope_aspect),
