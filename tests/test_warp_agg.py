@@ -56,3 +56,22 @@ def test_mode_ties_min(spark):
     c = warp_agg.scatter_contributions(src, 2.0)
     got = warp_agg.warp_mode(c).collect()
     assert len(got) == 1 and got[0]["v"] == 3.0
+
+
+def test_scatter_weight_tiling_property(spark):
+    """Property: for any decimation factor, every source pixel's
+    contribution weights tile its unit footprint (sum == 1 within
+    float eps; exactly 1 for dyadic factors)."""
+    import math
+    for r, exact in ((2.5, True), (2.0, True), (1.25, True),
+                     (3.0, False), (1.7, False), (5.3, False)):
+        src = spark.range(40).select(
+            (F.col("id") / 8).cast("long").alias("sy"),
+            (F.col("id") % 8).alias("sx"),
+            F.col("id").cast("double").alias("v"))
+        c = warp_agg.scatter_contributions(src, r)
+        for row in c.groupBy("v").agg(F.sum("w").alias("tw")).collect():
+            if exact:
+                assert row["tw"] == 1.0, (r, row)
+            else:
+                assert math.isclose(row["tw"], 1.0, rel_tol=1e-12), (r, row)
