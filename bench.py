@@ -98,7 +98,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  # round-3 additions
                  "sieve_merge", "warp_average", "warp_mode", "warp_sum_rms",
                  "zonal_weighted", "dissolve_geom", "contour_polygons",
-                 "grid_linear", "delaunay_tri", "langid"]:
+                 "grid_linear", "delaunay_tri", "langid",
+                 "warp_quantiles", "overview_gauss_rms", "buffer_polygons",
+                 "frame_sample", "polar_stereo", "ogr2ogr_compose",
+                 "quality", "ngram_jaccard"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -4376,6 +4376,33 @@ FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
 WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.8"""
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup: word-3-gram shingles, bottom-1
+    minhash blocking, exact Jaccard on candidates only
+    (operators/dedup.ngram_jaccard_pairs) — the fourth dedup flavor
+    (exact / minhash-LSH / simhash / embedding-IVF / n-gram Jaccard)."""
+    from gdal_spark.operators import dedup as dedup_op
+    df = docs_df(spark, sf_dir)
+    return dedup_op.ngram_jaccard_pairs(df)
+
+
+def o_ngram_jaccard():
+    return f"""
+WITH {_DUCK_SH3},
+blk AS (SELECT doc_id, MIN(md5(s)) AS bkey FROM sh GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM blk a JOIN blk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS c
+          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS j
+FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.5"""
+
+
 def q_langid(spark, sf_dir):
     """Language-ID: tokenize → REAL common-word frequency profile
     (broadcast join) → per-(doc, lang) score → argmax
@@ -5022,6 +5049,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_lsh": (q_simhash_lsh, o_simhash_lsh),
     "embed_neardup": (q_embed_neardup, o_embed_neardup),
     "minhash_lsh": (q_minhash_lsh, o_minhash_lsh),
+    "ngram_jaccard": (q_ngram_jaccard, o_ngram_jaccard),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
