@@ -3057,6 +3057,78 @@ SELECT zone_fid, part_id, seq, bx + {rl} * ck AS vx, by + {rl} * sk AS vy
 FROM rows_"""
 
 
+BUFFER_LINE_R = 0.08  # line buffer distance (degrees, fixture scale)
+
+
+def _cap_angle_rows():
+    """(k, cos a_k, sin a_k) for a_k = -pi/2 + pi*k/m, k = 0..m, with
+    m = BUFFER_SEGS/2 — the unit semicircle end-cap fan of a round-cap
+    segment buffer at quadrant-segment granularity. k=0 / k=m are the
+    right/left offset-rectangle corners."""
+    import math as _m
+    m = BUFFER_SEGS // 2
+    return [(k, _m.cos(-_m.pi / 2.0 + _m.pi * k / m),
+             _m.sin(-_m.pi / 2.0 + _m.pi * k / m)) for k in range(m + 1)]
+
+
+def q_buffer_lines(spark, sf_dir):
+    """ST_Buffer on LINESTRINGS (OGRGeometry::Buffer,
+    ogr/ogr_geometry.h:568 — CAP_ROUND/JOIN_ROUND, quadrant segments):
+    per ring edge the round-cap capsule (stadium) construction
+    vertices — two semicircle end-cap fans whose k=0/k=m chords are the
+    offset-rectangle corners. GEOS builds a line buffer as the union of
+    exactly these per-segment capsules; the union/dissolve stage is
+    dissolve_geom's machinery. Unlike buffer_points/buffer_polygons
+    there is NO per-feature driver work: only the fixed unit semicircle
+    is injected — segment direction, rotation and offsets are pure
+    column math, so the construction scales to billions of road
+    segments."""
+    edges = _ring_edges_df(spark)
+    ang = spark.createDataFrame(_cap_angle_rows(),
+                                "k int, ck double, sk double")
+    ep = spark.createDataFrame([(0, -1.0), (1, 1.0)],
+                               "endpt int, sgn double")
+    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    ln = F.sqrt(dx * dx + dy * dy)
+    u = edges.select("zone_fid", "ring_id", "edge",
+                     "x1", "y1", "x2", "y2",
+                     (dx / ln).alias("ux"), (dy / ln).alias("uy"))
+    r = F.lit(float(BUFFER_LINE_R))
+    px = F.when(F.col("endpt") == 1, F.col("x2")).otherwise(F.col("x1"))
+    py = F.when(F.col("endpt") == 1, F.col("y2")).otherwise(F.col("y1"))
+    # cap vertex direction = rot(sgn*u, a_k): driver-free rotation of
+    # the (negated at the start cap) unit direction by the fan angle
+    rx = ((F.col("sgn") * F.col("ux")) * F.col("ck")
+          - (F.col("sgn") * F.col("uy")) * F.col("sk"))
+    ry = ((F.col("sgn") * F.col("ux")) * F.col("sk")
+          + (F.col("sgn") * F.col("uy")) * F.col("ck"))
+    return (u.crossJoin(F.broadcast(ep)).crossJoin(F.broadcast(ang))
+            .select("zone_fid", "ring_id", "edge", "endpt", "k",
+                    (px + r * rx).alias("vx"),
+                    (py + r * ry).alias("vy")))
+
+
+def o_buffer_lines():
+    from gdal_spark.fixtures import zone_ring_edges_sql
+    arows = ", ".join(f"({k}, {sqlexpr.dlit(c)}, {sqlexpr.dlit(s)})"
+                      for k, c, s in _cap_angle_rows())
+    rl = sqlexpr.dlit(float(BUFFER_LINE_R))
+    return f"""
+WITH redges AS (SELECT * FROM {zone_ring_edges_sql()}),
+ang AS (SELECT * FROM (VALUES {arows}) AS t(k, ck, sk)),
+ep AS (SELECT * FROM (VALUES (0, -1.0), (1, 1.0)) AS t(endpt, sgn)),
+u AS (SELECT zone_fid, ring_id, edge, x1, y1, x2, y2,
+        (x2 - x1) / SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS ux,
+        (y2 - y1) / SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS uy
+      FROM redges)
+SELECT zone_fid, ring_id, edge, endpt, k,
+       (CASE WHEN endpt = 1 THEN x2 ELSE x1 END)
+         + {rl} * ((sgn * ux) * ck - (sgn * uy) * sk) AS vx,
+       (CASE WHEN endpt = 1 THEN y2 ELSE y1 END)
+         + {rl} * ((sgn * ux) * sk + (sgn * uy) * ck) AS vy
+FROM u CROSS JOIN ep CROSS JOIN ang"""
+
+
 def q_buffer_points(spark, sf_dir):
     """ST_Buffer on points (OGRGeometry::Buffer, ogr/ogr_geometry.h:559;
     apps/gdalalg_vector_buffer.cpp): K-segment polygonal disc around
@@ -5050,6 +5122,7 @@ REGISTRY: dict[str, tuple] = {
     "embed_neardup": (q_embed_neardup, o_embed_neardup),
     "minhash_lsh": (q_minhash_lsh, o_minhash_lsh),
     "ngram_jaccard": (q_ngram_jaccard, o_ngram_jaccard),
+    "buffer_lines": (q_buffer_lines, o_buffer_lines),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
