@@ -4448,6 +4448,86 @@ FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
 WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.8"""
 
 
+FILL_MAXDIST = 6
+#: fill fixture holes: scattered periodic nodata + one solid 8x7 block
+#: (same expression in both engines; positive ints so % agrees)
+FILL_VALID_SQL = ("NOT ((px * 13 + py * 7) % 11 < 2 "
+                  "OR (px BETWEEN 20 AND 27 AND py BETWEEN 30 AND 36))")
+
+
+def q_fillnodata(spark, sf_dir):
+    """GDALFillNodata (alg/rasterfill.cpp, gdal_fillnodata utility):
+    4-quadrant conic nearest search + inverse-distance weighting over
+    the DEM fixture with deterministic holes (operators/fillnodata.py
+    — window-function column propagation + bounded offset join instead
+    of the reference's serial scanline passes)."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.fillnodata import fillnodata
+    g = dem_op.dem_df(spark).selectExpr(
+        "py", "px", "elev AS val", FILL_VALID_SQL + " AS valid")
+    return fillnodata(g, FILL_MAXDIST)
+
+
+def o_fillnodata():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    D = FILL_MAXDIST
+    wcols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN quad = {q} THEN "
+        f"1.0 / SQRT(CAST(dist2 AS DOUBLE)) END), 0.0) AS w{q}"
+        for q in range(4))
+    wvcols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN quad = {q} THEN "
+        f"v * (1.0 / SQRT(CAST(dist2 AS DOUBLE))) END), 0.0) AS wv{q}"
+        for q in range(4))
+    return f"""
+WITH g AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS val, {FILL_VALID_SQL} AS valid
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys
+),
+s AS (
+  SELECT py, px, valid,
+    LAST_VALUE(CASE WHEN valid THEN py END IGNORE NULLS) OVER wt AS top_y,
+    LAST_VALUE(CASE WHEN valid THEN val END IGNORE NULLS) OVER wt AS top_v,
+    FIRST_VALUE(CASE WHEN valid THEN py END IGNORE NULLS) OVER wb AS bot_y,
+    FIRST_VALUE(CASE WHEN valid THEN val END IGNORE NULLS) OVER wb AS bot_v
+  FROM g
+  WINDOW wt AS (PARTITION BY px ORDER BY py
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wb AS (PARTITION BY px ORDER BY py
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+cand AS (
+  SELECT n.py, n.px, o.d, s.top_y, s.top_v, s.bot_y, s.bot_v
+  FROM g n
+  CROSS JOIN (SELECT UNNEST(RANGE(-{D}, {D + 1})) AS d) o
+  JOIN s ON s.px = n.px + o.d AND s.py = n.py
+  WHERE NOT n.valid
+),
+quads AS (
+  SELECT py, px, d, CASE WHEN d <= 0 THEN 0 ELSE 2 END AS quad,
+         d * d + (py - top_y) * (py - top_y) AS dist2, top_v AS v
+  FROM cand WHERE top_y IS NOT NULL
+  UNION ALL
+  SELECT py, px, d, CASE WHEN d <= 0 THEN 1 ELSE 3 END,
+         d * d + (bot_y - py) * (bot_y - py), bot_v
+  FROM cand WHERE bot_y IS NOT NULL
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY py, px, quad
+                                 ORDER BY dist2, ABS(d)) AS rn
+    FROM quads)
+  WHERE rn = 1 AND dist2 <= {D * D}
+),
+piv AS (SELECT py, px, {wcols}, {wvcols}, COUNT(*) AS nq
+        FROM best GROUP BY py, px)
+SELECT py, px,
+       ROUND((wv0 + wv1 + wv2 + wv3) / (w0 + w1 + w2 + w3), 6) AS fill,
+       CAST(nq AS INT) AS nq
+FROM piv"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup: word-3-gram shingles, bottom-1
     minhash blocking, exact Jaccard on candidates only
@@ -5123,6 +5203,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_lsh": (q_minhash_lsh, o_minhash_lsh),
     "ngram_jaccard": (q_ngram_jaccard, o_ngram_jaccard),
     "buffer_lines": (q_buffer_lines, o_buffer_lines),
+    "fillnodata": (q_fillnodata, o_fillnodata),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),

@@ -1,0 +1,76 @@
+"""fillnodata vs a direct per-pixel transliteration of the reference
+search (alg/rasterfill.cpp): per quadrant the Euclidean-closest valid
+pixel (top quads include the current row, left quads the own column;
+scan-order tie-break = min (dist^2, |dx|)), IDW with weight 1/dist,
+accepted while dist <= maxdist. The brute force scans ALL valid pixels
+per quadrant — independent of both the operator's window/join shape
+and the DuckDB oracle's formulation."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gdal_spark.operators.dem import DEM_H, DEM_W
+
+SF = "/root/testdata/sf0.001"
+D = 6
+
+
+def _fixture():
+    px, py = np.meshgrid(np.arange(DEM_W), np.arange(DEM_H))
+    elev = ((px * 31 + py * 17) % 101 + ((px * py) % 7) * 3).astype(float)
+    holes = ((px * 13 + py * 7) % 11 < 2) | (
+        (px >= 20) & (px <= 27) & (py >= 30) & (py <= 36))
+    return elev, ~holes
+
+
+def _brute(elev, valid):
+    vy, vx = np.nonzero(valid)
+    out = {}
+    for py in range(DEM_H):
+        for px in range(DEM_W):
+            if valid[py, px]:
+                continue
+            best = {}  # quad -> (dist2, absdx, value)
+            for y, x in zip(vy, vx):
+                dx, dy = int(x) - px, int(y) - py
+                quad = (0 if dy <= 0 else 1) + (0 if dx <= 0 else 2)
+                key = (dx * dx + dy * dy, abs(dx))
+                if quad not in best or key < best[quad][:2]:
+                    best[quad] = (*key, elev[y, x])
+            ws = vs = 0.0
+            nq = 0
+            for quad in (0, 1, 2, 3):
+                if quad in best and best[quad][0] <= D * D:
+                    w = 1.0 / math.sqrt(best[quad][0])
+                    ws += w
+                    vs += best[quad][2] * w
+                    nq += 1
+            if nq:
+                out[(py, px)] = (round(vs / ws, 6), nq)
+    return out
+
+
+def test_fill_matches_reference_brute_force(spark):
+    from gdal_spark.queries import q_fillnodata
+
+    elev, valid = _fixture()
+    expect = _brute(elev, valid)
+    got = {(r.py, r.px): (r.fill, r.nq)
+           for r in q_fillnodata(spark, SF).collect()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][1] == expect[k][1], k
+        assert got[k][0] == pytest.approx(expect[k][0], abs=1e-9), k
+
+
+def test_block_interior_filled_from_all_quadrants(spark):
+    from gdal_spark.queries import q_fillnodata
+
+    rows = {(r.py, r.px): r for r in q_fillnodata(spark, SF).collect()}
+    center = rows[(33, 23)]
+    assert center.nq == 4
+    elev, _ = _fixture()
+    lo, hi = elev.min(), elev.max()
+    assert lo <= center.fill <= hi
