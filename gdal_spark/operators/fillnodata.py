@@ -115,3 +115,48 @@ def fillnodata(grid: DataFrame, maxdist: int) -> DataFrame:
     den = F.col("w0") + F.col("w1") + F.col("w2") + F.col("w3")
     return piv.select("py", "px", F.round(num / den, 6).alias("fill"),
                       F.col("nq").cast("int").alias("nq"))
+
+
+def smooth3x3(t: DataFrame, iterations: int) -> DataFrame:
+    """The reference's post-fill smoothing passes (GDALMultiFilter /
+    GDALFilterLine, rasterfill.cpp:41-130,140-316): each iteration
+    replaces every INTERPOLATED pixel (fmask) by the plain average of
+    the 3x3 window pixels that are valid-or-interpolated (tmask),
+    including itself; original valid pixels never change. One
+    scatter-pivot shuffle per iteration (9-slot explode — the
+    neighbors9 idiom), summed in the reference's fixed scan order
+    (prev row x-1,x,x+1 / current / next) for cross-engine
+    bit-reproducibility.
+
+    t: (py, px, val, tmask, fmask) — val may be null on never-filled
+    nodata pixels (tmask false); they neither update nor contribute.
+    Returns the same shape with val smoothed."""
+    # slot numbered from the RECEIVING pixel's view (source at relative
+    # (-dy, -dx)): slot 0..8 = prev row x-1,x,x+1 / current / next —
+    # the reference's scan order, so the pivoted sum replays it
+    slots = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),
+                 F.lit((1 - dy) * 3 + (1 - dx)).alias("slot"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    for _ in range(iterations):
+        nb = (t.filter(F.col("tmask"))
+              .select("py", "px", "val", F.explode(slots).alias("s"))
+              .select((F.col("py") + F.col("s.dy")).alias("py"),
+                      (F.col("px") + F.col("s.dx")).alias("px"),
+                      F.col("s.slot").alias("slot"), "val"))
+        piv = nb.groupBy("py", "px").agg(
+            *[F.max(F.when(F.col("slot") == k, F.col("val"))).alias(f"n{k}")
+              for k in range(9)])
+        num = None
+        cnt = None
+        for k in range(9):
+            term = F.coalesce(F.col(f"n{k}"), F.lit(0.0))
+            hit = F.when(F.col(f"n{k}").isNotNull(), 1).otherwise(0)
+            num = term if num is None else num + term
+            cnt = hit if cnt is None else cnt + hit
+        t = (t.join(piv, ["py", "px"], "left")
+             .select("py", "px",
+                     F.when(F.col("fmask"), num / cnt)
+                     .otherwise(F.col("val")).alias("val"),
+                     "tmask", "fmask"))
+    return t

@@ -4468,7 +4468,10 @@ def q_fillnodata(spark, sf_dir):
     return fillnodata(g, FILL_MAXDIST)
 
 
-def o_fillnodata():
+def _fill_ctes():
+    """Shared DuckDB CTE chain for the FillNodata oracles: dense grid
+    with holes -> column propagation -> bounded offset candidates ->
+    per-quadrant argmin -> IDW pivot (fillres = (py, px, fill, nq))."""
     from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
     D = FILL_MAXDIST
     wcols = ", ".join(
@@ -4479,8 +4482,7 @@ def o_fillnodata():
         f"COALESCE(MAX(CASE WHEN quad = {q} THEN "
         f"v * (1.0 / SQRT(CAST(dist2 AS DOUBLE))) END), 0.0) AS wv{q}"
         for q in range(4))
-    return f"""
-WITH g AS (
+    return f"""g AS (
   SELECT px, py, {DEM_ELEV_SQL} AS val, {FILL_VALID_SQL} AS valid
   FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
   CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys
@@ -4521,11 +4523,77 @@ best AS (
   WHERE rn = 1 AND dist2 <= {D * D}
 ),
 piv AS (SELECT py, px, {wcols}, {wvcols}, COUNT(*) AS nq
-        FROM best GROUP BY py, px)
-SELECT py, px,
-       ROUND((wv0 + wv1 + wv2 + wv3) / (w0 + w1 + w2 + w3), 6) AS fill,
-       CAST(nq AS INT) AS nq
-FROM piv"""
+        FROM best GROUP BY py, px),
+fillres AS (
+  SELECT py, px,
+         ROUND((wv0 + wv1 + wv2 + wv3) / (w0 + w1 + w2 + w3), 6) AS fill,
+         CAST(nq AS INT) AS nq
+  FROM piv)"""
+
+
+def o_fillnodata():
+    return f"WITH {_fill_ctes()} SELECT py, px, fill, nq FROM fillres"
+
+
+FILL_SMOOTH_ITERS = 2
+
+
+def q_fillnodata_smooth(spark, sf_dir):
+    """GDALFillNodata with smoothing iterations (GDALMultiFilter,
+    alg/rasterfill.cpp:140-316): the 4-quadrant IDW fill followed by
+    {FILL_SMOOTH_ITERS} passes of the reference's 3x3 average filter —
+    interpolated pixels re-averaged over valid-or-interpolated
+    neighbors in scan order, valid pixels untouched
+    (operators/fillnodata.smooth3x3, one shuffle per pass)."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.fillnodata import fillnodata, smooth3x3
+    g = dem_op.dem_df(spark).selectExpr(
+        "py", "px", "elev AS val", FILL_VALID_SQL + " AS valid")
+    f = fillnodata(g, FILL_MAXDIST)
+    t0 = (g.join(f.select("py", "px", "fill"), ["py", "px"], "left")
+          .select("py", "px",
+                  F.when(F.col("valid"), F.col("val"))
+                  .otherwise(F.col("fill")).alias("val"),
+                  (F.col("valid") | F.col("fill").isNotNull()).alias("tmask"),
+                  (~F.col("valid")
+                   & F.col("fill").isNotNull()).alias("fmask")))
+    t = smooth3x3(t0, FILL_SMOOTH_ITERS)
+    return (t.filter(F.col("fmask"))
+            .select("py", "px", F.round("val", 6).alias("sval")))
+
+
+def o_fillnodata_smooth():
+    def smooth_cte(src, dst):
+        joins = "\n".join(
+            f"  LEFT JOIN {src} n{k} ON n{k}.py = c.py + ({k // 3 - 1}) "
+            f"AND n{k}.px = c.px + ({k % 3 - 1}) AND n{k}.tmask"
+            for k in range(9))
+        num = " + ".join(f"COALESCE(n{k}.val, 0.0)" for k in range(9))
+        cnt = " + ".join(
+            f"(CASE WHEN n{k}.val IS NOT NULL THEN 1 ELSE 0 END)"
+            for k in range(9))
+        return f"""{dst} AS (
+  SELECT c.py, c.px,
+         CASE WHEN c.fmask THEN ({num}) / ({cnt}) ELSE c.val END AS val,
+         c.tmask, c.fmask
+  FROM {src} c
+{joins}
+)"""
+
+    iters = ",\n".join(smooth_cte(f"t{i}", f"t{i + 1}")
+                       for i in range(FILL_SMOOTH_ITERS))
+    return f"""
+WITH {_fill_ctes()},
+t0 AS (
+  SELECT g.py, g.px,
+         CASE WHEN g.valid THEN g.val ELSE f.fill END AS val,
+         (g.valid OR f.fill IS NOT NULL) AS tmask,
+         ((NOT g.valid) AND f.fill IS NOT NULL) AS fmask
+  FROM g LEFT JOIN fillres f ON f.py = g.py AND f.px = g.px
+),
+{iters}
+SELECT py, px, ROUND(val, 6) AS sval
+FROM t{FILL_SMOOTH_ITERS} WHERE fmask"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -5204,6 +5272,7 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard": (q_ngram_jaccard, o_ngram_jaccard),
     "buffer_lines": (q_buffer_lines, o_buffer_lines),
     "fillnodata": (q_fillnodata, o_fillnodata),
+    "fillnodata_smooth": (q_fillnodata_smooth, o_fillnodata_smooth),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),

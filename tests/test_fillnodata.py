@@ -65,6 +65,39 @@ def test_fill_matches_reference_brute_force(spark):
         assert got[k][0] == pytest.approx(expect[k][0], abs=1e-9), k
 
 
+def test_smooth_matches_reference_filter(spark):
+    """2 iterations of GDALFilterLine semantics, replayed in numpy:
+    interpolated pixels -> 3x3 average over valid-or-interpolated
+    neighbors (incl. self); valid pixels never change."""
+    from gdal_spark.queries import (FILL_SMOOTH_ITERS, q_fillnodata,
+                                    q_fillnodata_smooth)
+
+    elev, valid = _fixture()
+    val = np.where(valid, elev, np.nan)
+    fmask = np.zeros_like(valid)
+    for r in q_fillnodata(spark, SF).collect():
+        val[r.py, r.px] = r.fill
+        fmask[r.py, r.px] = True
+    tmask = valid | fmask
+    for _ in range(FILL_SMOOTH_ITERS):
+        out = val.copy()
+        for py, px in zip(*np.nonzero(fmask)):
+            s = c = 0.0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    y, x = py + dy, px + dx
+                    if 0 <= y < DEM_H and 0 <= x < DEM_W and tmask[y, x]:
+                        s += val[y, x]
+                        c += 1
+            out[py, px] = s / c
+        val = out
+    got = {(r.py, r.px): r.sval
+           for r in q_fillnodata_smooth(spark, SF).collect()}
+    assert set(got) == set(map(tuple, np.argwhere(fmask)))
+    for (py, px), sval in got.items():
+        assert sval == pytest.approx(val[py, px], abs=1e-6), (py, px)
+
+
 def test_block_interior_filled_from_all_quadrants(spark):
     from gdal_spark.queries import q_fillnodata
 
