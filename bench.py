@@ -102,7 +102,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "warp_quantiles", "overview_gauss_rms", "buffer_polygons",
                  "frame_sample", "polar_stereo", "ogr2ogr_compose",
                  "quality", "ngram_jaccard", "buffer_lines", "fillnodata",
-                 "fillnodata_smooth"]:
+                 "fillnodata_smooth", "line_of_sight"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -4596,6 +4596,99 @@ SELECT py, px, ROUND(val, 6) AS sval
 FROM t{FILL_SMOOTH_ITERS} WHERE fmask"""
 
 
+def _los_pairs():
+    """Deterministic observer/target pairs over the DEM fixture —
+    diagonal, vertical, horizontal and same-point lines; z offsets
+    straddle the terrain (incl. exactly-at-terrain, visible per the
+    reference's z >= terrain rule)."""
+    def terr(x, y):
+        return float((x * 31 + y * 17) % 101 + ((x * y) % 7) * 3)
+
+    rows = []
+    for p in range(60):
+        xa, ya = (p * 17 + 3) % 64, (p * 29 + 5) % 64
+        xb, yb = (p * 23 + 41) % 64, (p * 13 + 11) % 64
+        if 50 <= p <= 53:
+            xb = xa                     # vertical sight line
+        elif 54 <= p <= 57:
+            yb = ya                     # horizontal sight line
+        elif p >= 58:
+            xb, yb = xa, ya             # same point
+        za = terr(xa, ya) + (p % 7) - (1.0 if p % 13 == 0 else 0.0)
+        zb = terr(xb, yb) + ((p * 3) % 9) - 1.0
+        rows.append((p, xa, ya, float(za), xb, yb, float(zb)))
+    return rows
+
+
+def q_line_of_sight(spark, sf_dir):
+    """GDALIsLineOfSightVisible (alg/los.cpp): batch LOS checks over
+    the DEM fixture — closed-form Bresenham explode + DEM equi-join +
+    first-failure fold (operators/los.py; the closed form is verified
+    against the reference loop exhaustively in tests/test_los.py)."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.los import line_of_sight
+    pairs = spark.createDataFrame(
+        _los_pairs(),
+        "pair_id int, xa int, ya int, za double, xb int, yb int, zb double")
+    return line_of_sight(pairs, dem_op.dem_df(spark))
+
+
+def o_line_of_sight():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    prow = ", ".join(
+        f"({p}, {xa}, {ya}, {sqlexpr.dlit(za)}, {xb}, {yb}, "
+        f"{sqlexpr.dlit(zb)})"
+        for p, xa, ya, za, xb, yb, zb in _los_pairs())
+    return f"""
+WITH dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys
+),
+pairs AS (SELECT * FROM (VALUES {prow})
+          AS t(pair_id, xa, ya, za, xb, yb, zb)),
+p AS (SELECT *, ABS(xb - xa) AS dx, ABS(yb - ya) AS dy,
+        CASE WHEN xb >= xa THEN 1 ELSE -1 END AS incx,
+        CASE WHEN yb >= ya THEN 1 ELSE -1 END AS incy,
+        GREATEST(ABS(xb - xa), ABS(yb - ya)) AS n
+      FROM pairs),
+c0 AS (SELECT p.*, UNNEST(RANGE(0, p.n + 1)) AS i FROM p),
+cells AS (SELECT *,
+    CASE WHEN dx >= dy THEN xa + i * incx
+         ELSE xa + incx * CAST(FLOOR((2 * i * dx + dy) / (2 * dy)) AS INT)
+    END AS x,
+    CASE WHEN dx >= dy THEN ya + CASE WHEN dx > 0
+           THEN incy * CAST(FLOOR((2 * i * dy + dx) / (2 * dx)) AS INT)
+           ELSE 0 END
+         ELSE ya + i * incy
+    END AS y
+  FROM c0),
+cz AS (SELECT cells.*, dem.elev,
+         za + (CASE
+           WHEN xa = xb AND ya = yb THEN 0.0
+           WHEN xa = xb THEN CAST(y - ya AS DOUBLE) / CAST(yb - ya AS DOUBLE)
+           WHEN ya = yb THEN CAST(x - xa AS DOUBLE) / CAST(xb - xa AS DOUBLE)
+           ELSE SQRT((CAST(x - xa AS DOUBLE) * CAST(x - xa AS DOUBLE)
+                      + CAST(y - ya AS DOUBLE) * CAST(y - ya AS DOUBLE))
+                     / (CAST(xb - xa AS DOUBLE) * CAST(xb - xa AS DOUBLE)
+                        + CAST(yb - ya AS DOUBLE) * CAST(yb - ya AS DOUBLE)))
+         END) * (zb - za) AS z
+       FROM cells JOIN dem ON dem.px = cells.x AND dem.py = cells.y),
+wf AS (SELECT pair_id, MIN_BY(x, i) AS fx, MIN_BY(y, i) AS fy
+       FROM cz WHERE z < elev GROUP BY pair_id),
+ends AS (SELECT p.pair_id, p.xa, p.ya, p.xb, p.yb,
+           (za < da.elev) AS a_fail, (zb < db.elev) AS b_fail
+         FROM p JOIN dem da ON da.px = p.xa AND da.py = p.ya
+                JOIN dem db ON db.px = p.xb AND db.py = p.yb)
+SELECT e.pair_id,
+  NOT (a_fail OR b_fail OR wf.pair_id IS NOT NULL) AS visible,
+  CAST(CASE WHEN a_fail THEN xa WHEN b_fail THEN xb
+            WHEN wf.pair_id IS NOT NULL THEN wf.fx ELSE -1 END AS INT) AS ix,
+  CAST(CASE WHEN a_fail THEN ya WHEN b_fail THEN yb
+            WHEN wf.pair_id IS NOT NULL THEN wf.fy ELSE -1 END AS INT) AS iy
+FROM ends e LEFT JOIN wf ON wf.pair_id = e.pair_id"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup: word-3-gram shingles, bottom-1
     minhash blocking, exact Jaccard on candidates only
@@ -5273,6 +5366,7 @@ REGISTRY: dict[str, tuple] = {
     "buffer_lines": (q_buffer_lines, o_buffer_lines),
     "fillnodata": (q_fillnodata, o_fillnodata),
     "fillnodata_smooth": (q_fillnodata_smooth, o_fillnodata_smooth),
+    "line_of_sight": (q_line_of_sight, o_line_of_sight),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
