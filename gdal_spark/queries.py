@@ -5251,6 +5251,150 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- Median-cut PCT (GDALComputeMedianCutPCT, alg/gdalmediancut.cpp) ---
+
+MC_W, MC_H = 96, 96
+MC_COLORS = 16
+# Deterministic synthetic RGB image shared by both engines: coarse
+# 16-pixel blocks (structured clusters so median cut makes non-trivial
+# splits) plus a small per-pixel texture term. FLOOR(x/16.0) is exact
+# for these small non-negative ints in both Spark and DuckDB.
+MC_R_SQL = ("CAST((CAST(FLOOR(px / 16.0) AS INT) * 37 "
+            "+ (px * py) % 11) % 256 AS INT)")
+MC_G_SQL = ("CAST((CAST(FLOOR(py / 16.0) AS INT) * 53 "
+            "+ (px * 7 + py) % 13) % 256 AS INT)")
+MC_B_SQL = ("CAST((CAST(FLOOR((px + py) / 16.0) AS INT) * 29 "
+            "+ (px + py * 3) % 7) % 256 AS INT)")
+
+
+def _mc_rgb_df(spark):
+    return spark.range(MC_W * MC_H).select(
+        (F.col("id") % MC_W).cast("int").alias("px"),
+        (F.col("id") / MC_W).cast("int").alias("py"),
+    ).selectExpr("px", "py", MC_R_SQL + " AS r", MC_G_SQL + " AS g",
+                 MC_B_SQL + " AS b")
+
+
+def q_median_cut(spark, sf_dir):
+    """GDALComputeMedianCutPCT + GDALDitherRGB2PCT's assignment step
+    (alg/gdalmediancut.cpp:419-660, Heckbert median cut): build the
+    5-bit color histogram (ONE bounded shuffle — ≤32768 rows collected
+    regardless of pixel count, same contract as the reference which
+    never re-reads pixels after the histogram), run the split loop
+    driver-side over that histogram, then assign every pixel to its
+    palette color by a broadcast range-join of the ≤MC_COLORS disjoint
+    shrunk boxes. Output: per-color palette entry + pixel count."""
+    from gdal_spark.operators.mediancut import (assign_pct,
+                                                compute_median_cut_pct)
+    rgb = _mc_rgb_df(spark)
+    boxes, palette = compute_median_cut_pct(rgb, MC_COLORS)
+    pal = spark.createDataFrame(palette, "color_id int, pr int, pg int, pb int")
+    counts = (assign_pct(rgb, boxes)
+              .groupBy("color_id").agg(F.count("*").alias("n_pix")))
+    return (counts.join(F.broadcast(pal), "color_id")
+            .select("color_id", "pr", "pg", "pb",
+                    F.col("n_pix").cast("long").alias("n_pix"))
+            .orderBy("color_id"))
+
+
+def _median_cut_twin():
+    """Independent pure-Python median-cut twin for the oracle: same
+    reference semantics (alg/gdalmediancut.cpp) re-derived over a
+    sparse dict histogram instead of the operator's dense numpy cube —
+    distinct code path, shared only the published algorithm. Returns
+    the final box list [(rmin,rmax,gmin,gmax,bmin,bmax,total)] in
+    reference usedboxes order."""
+    hist: dict = {}
+    for py in range(MC_H):
+        for px in range(MC_W):
+            r = (int(px // 16) * 37 + (px * py) % 11) % 256
+            g = (int(py // 16) * 53 + (px * 7 + py) % 13) % 256
+            b = (int((px + py) // 16) * 29 + (px + py * 3) % 7) % 256
+            key = (r >> 3, g >> 3, b >> 3)
+            hist[key] = hist.get(key, 0) + 1
+
+    def shrink(box):
+        cells = [k for k in hist
+                 if box[0] <= k[0] <= box[1] and box[2] <= k[1] <= box[3]
+                 and box[4] <= k[2] <= box[5]]
+        if not cells:
+            return box
+        return [min(c[0] for c in cells), max(c[0] for c in cells),
+                min(c[1] for c in cells), max(c[1] for c in cells),
+                min(c[2] for c in cells), max(c[2] for c in cells), box[6]]
+
+    first = shrink([0, 31, 0, 31, 0, 31, sum(hist.values())])
+    used = [first]
+    for _ in range(MC_COLORS - 1):
+        cand_i = None
+        for i, bx in enumerate(used):
+            splittable = bx[1] > bx[0] or bx[3] > bx[2] or bx[5] > bx[4]
+            if splittable and (cand_i is None or bx[6] > used[cand_i][6]):
+                cand_i = i
+        if cand_i is None:
+            break
+        bx = used[cand_i]
+        exts = (bx[1] - bx[0], bx[3] - bx[2], bx[5] - bx[4])
+        if exts[0] >= exts[1] and exts[0] >= exts[2]:
+            axis = 0
+        elif exts[1] >= exts[2]:
+            axis = 1
+        else:
+            axis = 2
+        lo, hi = bx[2 * axis], bx[2 * axis + 1]
+        h1 = [0] * (hi - lo + 1)
+        for k, n in hist.items():
+            if bx[0] <= k[0] <= bx[1] and bx[2] <= k[1] <= bx[3] \
+                    and bx[4] <= k[2] <= bx[5]:
+                h1[k[axis] - lo] += n
+        s, i = 0, lo
+        while i <= hi:
+            s += h1[i - lo]
+            if s >= bx[6] // 2:
+                break
+            i += 1
+        if i == lo:
+            i += 1
+        new_total = sum(h1[:i - lo])
+        new = list(bx)
+        new[2 * axis + 1] = i - 1
+        new[6] = new_total
+        old = list(bx)
+        old[2 * axis] = i
+        old[6] = bx[6] - new_total
+        used[cand_i] = shrink(old)
+        used.insert(0, shrink(new))
+    return [tuple(b) for b in used]
+
+
+def o_median_cut():
+    boxes = _median_cut_twin()
+    vals = ", ".join(
+        f"({i}, {b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]}, {b[5]})"
+        for i, b in enumerate(boxes))
+    return f"""WITH img AS (
+  SELECT px, py, {MC_R_SQL} AS r, {MC_G_SQL} AS g, {MC_B_SQL} AS b
+  FROM (SELECT UNNEST(RANGE(0, {MC_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {MC_H})) AS py) ys
+),
+boxes(color_id, rmin, rmax, gmin, gmax, bmin, bmax) AS (VALUES {vals}),
+coded AS (SELECT CAST(FLOOR(r / 8.0) AS INT) AS r5,
+                 CAST(FLOOR(g / 8.0) AS INT) AS g5,
+                 CAST(FLOOR(b / 8.0) AS INT) AS b5 FROM img),
+asg AS (SELECT bx.color_id FROM coded c JOIN boxes bx
+        ON c.r5 BETWEEN bx.rmin AND bx.rmax
+       AND c.g5 BETWEEN bx.gmin AND bx.gmax
+       AND c.b5 BETWEEN bx.bmin AND bx.bmax)
+SELECT b.color_id,
+       CAST((b.rmin + b.rmax) * 4 AS INT) AS pr,
+       CAST((b.gmin + b.gmax) * 4 AS INT) AS pg,
+       CAST((b.bmin + b.bmax) * 4 AS INT) AS pb,
+       COUNT(*) AS n_pix
+FROM asg a JOIN boxes b ON b.color_id = a.color_id
+GROUP BY b.color_id, b.rmin, b.rmax, b.gmin, b.gmax, b.bmin, b.bmax
+ORDER BY b.color_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -5367,6 +5511,7 @@ REGISTRY: dict[str, tuple] = {
     "fillnodata": (q_fillnodata, o_fillnodata),
     "fillnodata_smooth": (q_fillnodata_smooth, o_fillnodata_smooth),
     "line_of_sight": (q_line_of_sight, o_line_of_sight),
+    "median_cut": (q_median_cut, o_median_cut),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
