@@ -4633,20 +4633,18 @@ def q_line_of_sight(spark, sf_dir):
     return line_of_sight(pairs, dem_op.dem_df(spark))
 
 
-def o_line_of_sight():
+def _los_oracle_sql(pairs_cte: str) -> str:
+    """Shared DuckDB LOS oracle body (the los.cpp walk + fold twin):
+    ``pairs_cte`` must yield (pair_id, xa, ya, za, xb, yb, zb).
+    Returns the full query SELECTing (pair_id, visible, ix, iy)."""
     from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
-    prow = ", ".join(
-        f"({p}, {xa}, {ya}, {sqlexpr.dlit(za)}, {xb}, {yb}, "
-        f"{sqlexpr.dlit(zb)})"
-        for p, xa, ya, za, xb, yb, zb in _los_pairs())
     return f"""
 WITH dem AS (
   SELECT px, py, {DEM_ELEV_SQL} AS elev
   FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
   CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys
 ),
-pairs AS (SELECT * FROM (VALUES {prow})
-          AS t(pair_id, xa, ya, za, xb, yb, zb)),
+pairs AS ({pairs_cte}),
 p AS (SELECT *, ABS(xb - xa) AS dx, ABS(yb - ya) AS dy,
         CASE WHEN xb >= xa THEN 1 ELSE -1 END AS incx,
         CASE WHEN yb >= ya THEN 1 ELSE -1 END AS incy,
@@ -4687,6 +4685,84 @@ SELECT e.pair_id,
   CAST(CASE WHEN a_fail THEN ya WHEN b_fail THEN yb
             WHEN wf.pair_id IS NOT NULL THEN wf.fy ELSE -1 END AS INT) AS iy
 FROM ends e LEFT JOIN wf ON wf.pair_id = e.pair_id"""
+
+
+def o_line_of_sight():
+    prow = ", ".join(
+        f"({p}, {xa}, {ya}, {sqlexpr.dlit(za)}, {xb}, {yb}, "
+        f"{sqlexpr.dlit(zb)})"
+        for p, xa, ya, za, xb, yb, zb in _los_pairs())
+    return _los_oracle_sql(
+        f"SELECT * FROM (VALUES {prow}) "
+        "AS t(pair_id, xa, ya, za, xb, yb, zb)")
+
+
+# --- Viewshed (gdal_viewshed, alg/viewshed/) ---
+
+VS_OX, VS_OY = 22, 17          # observer cell
+VS_OZ, VS_TZ = 60.0, 0.0       # height above terrain: observer / target
+# (the mod-101 fixture terrain is noise-jagged; 60 above it yields a
+# non-vacuous 564-visible / 2006-hidden mask at radius 34)
+VS_MAXD = 34                   # visibility radius in cells
+
+
+def q_viewshed(spark, sf_dir):
+    """gdal_viewshed (alg/viewshed/viewshed_executor.cpp): visibility
+    of every DEM cell within VS_MAXD of an observer VS_OZ above the
+    terrain.
+
+    Physical strategy deviates deliberately from the reference: GDAL
+    runs the Wang et al. (2000) ring recurrence — each ring's blocking
+    height interpolated from the previous ring
+    (viewshed_executor.cpp:61-130 CalcHeightLine/Diagonal/Edge) — an
+    O(R^2) but inherently SERIAL wavefront from the observer outward.
+    The Spark-first form is the exact R3 method: one independent
+    sight-line per cell through the los.cpp Bresenham walk
+    (operators/los.py — closed-form explode + pixel-key equi-join, no
+    recurrence), which parallelizes over every cell and is exact where
+    Wang is an approximation serial machines use for speed. O(R) rows
+    per cell, all column math; the DEM join is a plain shuffle
+    equi-join on (py, px) — at continent scale each ray only touches
+    O(R) pixels, never the whole raster. Out-of-radius cells are
+    omitted (the reference writes them as a distinct out-of-range
+    value)."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.los import line_of_sight
+
+    dem = dem_op.dem_df(spark)
+    oelev = float((VS_OX * 31 + VS_OY * 17) % 101
+                  + ((VS_OX * VS_OY) % 7) * 3)
+    dx = F.col("px") - F.lit(VS_OX)
+    dy = F.col("py") - F.lit(VS_OY)
+    pairs = (dem.filter(dx * dx + dy * dy <= F.lit(VS_MAXD * VS_MAXD))
+             .select((F.col("py") * dem_op.DEM_W + F.col("px"))
+                     .cast("int").alias("pair_id"),
+                     F.lit(VS_OX).alias("xa"), F.lit(VS_OY).alias("ya"),
+                     F.lit(oelev + VS_OZ).alias("za"),
+                     F.col("px").alias("xb"), F.col("py").alias("yb"),
+                     (F.col("elev") + F.lit(VS_TZ)).alias("zb")))
+    los = line_of_sight(pairs, dem)
+    return (los.select(
+        (F.col("pair_id") / dem_op.DEM_W).cast("int").alias("py"),
+        (F.col("pair_id") % dem_op.DEM_W).cast("int").alias("px"),
+        F.col("visible").cast("int").alias("visible"))
+        .orderBy("py", "px"))
+
+
+def o_viewshed():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_W
+    oelev = float((VS_OX * 31 + VS_OY * 17) % 101
+                  + ((VS_OX * VS_OY) % 7) * 3)
+    pairs = f"""SELECT py * {DEM_W} + px AS pair_id,
+  {VS_OX} AS xa, {VS_OY} AS ya, {sqlexpr.dlit(oelev + VS_OZ)} AS za,
+  px AS xb, py AS yb, ({DEM_ELEV_SQL}) + {sqlexpr.dlit(VS_TZ)} AS zb
+FROM dem
+WHERE (px - {VS_OX}) * (px - {VS_OX})
+      + (py - {VS_OY}) * (py - {VS_OY}) <= {VS_MAXD * VS_MAXD}"""
+    return f"""SELECT CAST(FLOOR(pair_id / {DEM_W}) AS INT) AS py,
+       CAST(pair_id % {DEM_W} AS INT) AS px,
+       CAST(visible AS INT) AS visible
+FROM ({_los_oracle_sql(pairs)})"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -5512,6 +5588,7 @@ REGISTRY: dict[str, tuple] = {
     "fillnodata_smooth": (q_fillnodata_smooth, o_fillnodata_smooth),
     "line_of_sight": (q_line_of_sight, o_line_of_sight),
     "median_cut": (q_median_cut, o_median_cut),
+    "viewshed": (q_viewshed, o_viewshed),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
