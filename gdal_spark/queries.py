@@ -5327,6 +5327,96 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- Pansharpen (GDALPansharpenOperation, alg/gdalpansharpen.cpp) ---
+
+PS_RATIO = 4
+PS_MSW, PS_MSH = 16, 16           # multispectral extent (pan = 64x64)
+PS_NBANDS = 3
+PS_PAN_SQL = ("CAST((px * 13 + py * 7) % 97 "
+              "+ ((px + py) % 5) * 2 AS DOUBLE)")
+PS_MS_SQL = ("CAST((mx * 17 + my * 23 + band * 41) % 89 + 10 AS DOUBLE)")
+
+
+def q_pansharpen(spark, sf_dir):
+    """Weighted-Brovey pansharpening (GDALPansharpenOperation,
+    alg/gdalpansharpen.cpp WeightedBrovey3 :592-630; default spectral
+    upsampling GRIORA_Cubic :58, default weights 1/nBands): 3 MS bands
+    at 16x16 cubically upsampled 4x to the 64x64 pan grid, then
+    ms * pan / sum(w*ms) per band. All column math; the cubic taps are
+    an R-phase broadcast literal map (operators/pansharpen.py) and
+    every float fold is fixed-order (tap/band pivots) for bit-exact
+    oracle parity."""
+    from gdal_spark.operators.pansharpen import (upsample_cubic,
+                                                 weighted_brovey)
+    ms = spark.range(PS_NBANDS * PS_MSW * PS_MSH).select(
+        (F.col("id") / (PS_MSW * PS_MSH)).cast("int").alias("band"),
+        ((F.col("id") / PS_MSW) % PS_MSH).cast("int").alias("my"),
+        (F.col("id") % PS_MSW).cast("int").alias("mx"),
+    ).selectExpr("band", "my", "mx", PS_MS_SQL + " AS val")
+    pan = spark.range(PS_MSW * PS_RATIO * PS_MSH * PS_RATIO).select(
+        (F.col("id") / (PS_MSW * PS_RATIO)).cast("int").alias("py"),
+        (F.col("id") % (PS_MSW * PS_RATIO)).cast("int").alias("px"),
+    ).selectExpr("py", "px", PS_PAN_SQL + " AS pan")
+    up = upsample_cubic(ms, PS_RATIO, PS_MSW, PS_MSH)
+    out = weighted_brovey(pan, up, [1.0 / PS_NBANDS] * PS_NBANDS)
+    return out.select("band", "py", "px",
+                      F.round(F.col("sharp"), 6).alias("sharp"))
+
+
+def o_pansharpen():
+    from gdal_spark.operators.pansharpen import phase_map
+    pm = ", ".join(
+        "(" + ", ".join([str(r[0])] + [str(o) for o in r[1:5]]
+                        + [sqlexpr.dlit(w) for w in r[5:]]) + ")"
+        for r in phase_map(PS_RATIO))
+    w = sqlexpr.dlit(1.0 / PS_NBANDS)
+
+    def tap_union(grid, qcol, ext):
+        return " UNION ALL ".join(
+            f"SELECT oc, {k} AS k, LEAST(GREATEST({qcol} + o{k}, 0), "
+            f"{ext - 1}) AS tc, w{k} AS w FROM {grid} JOIN pm USING (p)"
+            for k in range(4))
+
+    fold4 = ("(COALESCE(t0, 0.0) + COALESCE(t1, 0.0) "
+             "+ COALESCE(t2, 0.0) + COALESCE(t3, 0.0))")
+    tmax = ", ".join(f"MAX(CASE WHEN k = {k} THEN wv END) AS t{k}"
+                     for k in range(4))
+    return f"""WITH pm(p, o0, o1, o2, o3, w0, w1, w2, w3) AS (VALUES {pm}),
+ms AS (SELECT band, my, mx, {PS_MS_SQL} AS val
+  FROM (SELECT UNNEST(RANGE(0, {PS_NBANDS})) AS band) bs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {PS_MSH})) AS my) ys
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {PS_MSW})) AS mx) xs),
+pan AS (SELECT py, px, {PS_PAN_SQL} AS pan
+  FROM (SELECT UNNEST(RANGE(0, {PS_MSH * PS_RATIO})) AS py) ys
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {PS_MSW * PS_RATIO})) AS px) xs),
+gx AS (SELECT CAST(oc AS INT) AS oc, CAST(oc % {PS_RATIO} AS INT) AS p,
+              CAST(FLOOR(oc / {PS_RATIO}.0) AS INT) AS q
+       FROM (SELECT UNNEST(RANGE(0, {PS_MSW * PS_RATIO})) AS oc)),
+exx AS ({tap_union('gx', 'q', PS_MSW)}),
+hj AS (SELECT band, my, e.oc AS px, e.k, e.w * m.val AS wv
+       FROM ms m JOIN exx e ON e.tc = m.mx),
+h AS (SELECT band, my, px, {fold4} AS val FROM
+      (SELECT band, my, px, {tmax} FROM hj GROUP BY band, my, px)),
+gy AS (SELECT CAST(oc AS INT) AS oc, CAST(oc % {PS_RATIO} AS INT) AS p,
+              CAST(FLOOR(oc / {PS_RATIO}.0) AS INT) AS q
+       FROM (SELECT UNNEST(RANGE(0, {PS_MSH * PS_RATIO})) AS oc)),
+exy AS ({tap_union('gy', 'q', PS_MSH)}),
+vj AS (SELECT band, px, e.oc AS py, e.k, e.w * h.val AS wv
+       FROM h JOIN exy e ON e.tc = h.my),
+up AS (SELECT band, py, px, {fold4} AS val FROM
+       (SELECT band, py, px, {tmax} FROM vj GROUP BY band, py, px)),
+pp AS (SELECT py, px,
+         {w} * MAX(CASE WHEN band = 0 THEN val END)
+         + {w} * MAX(CASE WHEN band = 1 THEN val END)
+         + {w} * MAX(CASE WHEN band = 2 THEN val END) AS pseudo
+       FROM up GROUP BY py, px)
+SELECT u.band, u.py, u.px,
+  ROUND(CASE WHEN pp.pseudo <> 0.0
+             THEN u.val * pan.pan / pp.pseudo ELSE 0.0 END, 6) AS sharp
+FROM up u JOIN pp ON pp.py = u.py AND pp.px = u.px
+JOIN pan ON pan.py = u.py AND pan.px = u.px"""
+
+
 # --- Median-cut PCT (GDALComputeMedianCutPCT, alg/gdalmediancut.cpp) ---
 
 MC_W, MC_H = 96, 96
@@ -5589,6 +5679,7 @@ REGISTRY: dict[str, tuple] = {
     "line_of_sight": (q_line_of_sight, o_line_of_sight),
     "median_cut": (q_median_cut, o_median_cut),
     "viewshed": (q_viewshed, o_viewshed),
+    "pansharpen": (q_pansharpen, o_pansharpen),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
