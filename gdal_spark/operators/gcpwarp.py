@@ -1,0 +1,197 @@
+"""GCP-based georeferencing transforms: polynomial and thin-plate
+spline.
+
+Reference: alg/gdal_crs.cpp (GDALCreateGCPTransformer — order 1/2/3
+least-squares polynomial on control points; term order table
+:885-922, normal equations calcls :832-870, coordinates centered at
+the GCP means :687) and alg/thinplatespline.cpp (VizGeorefSpline2D —
+basis U = d2 * log(d2) :175-182, (n+3)-equation system with affine
+rows :551-583, evaluation coef[0] + coef[1]*dx + coef[2]*dy + sum
+:get_point VIZ_GEOREF_SPLINE_FULL).
+
+Distributed shape: the FIT is a tiny dense solve over the GCP list —
+GCP counts are small by construction (the reference also holds them
+all in memory), so the solve is driver-side pure Python with a FIXED
+summation order (same trained-literal contract as the IVF codebook:
+deterministic, bounded, reproducible in the oracle). The APPLY is the
+100-TB side: coefficients become literals in a pure column expression
+evaluated per input row — no shuffle, no Python, whole-stage codegen.
+Were GCPs ever huge, the normal-equation entries are plain map-side
+aggregates; only the k x k solve is inherently driver-sized."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+# gdal_crs.cpp term order: exponent pairs (i_e, j_n) for terms 1..10
+POLY_TERMS = {
+    1: [(0, 0), (1, 0), (0, 1)],
+    2: [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2)],
+    3: [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2),
+        (3, 0), (2, 1), (1, 2), (0, 3)],
+}
+
+
+def _gauss_solve(a: list[list[float]], bs: list[list[float]]):
+    """Gaussian elimination with partial pivoting over copies; solves
+    a x = b for each b in bs. Pure Python, deterministic."""
+    n = len(a)
+    m = [row[:] + [b[i] for b in bs] for i, row in enumerate(a)]
+    w = n + len(bs)
+    for col in range(n):
+        piv = max(range(col, n), key=lambda r: abs(m[r][col]))
+        if abs(m[piv][col]) == 0.0:
+            raise ValueError("singular system")
+        m[col], m[piv] = m[piv], m[col]
+        for r in range(col + 1, n):
+            f = m[r][col] / m[col][col]
+            for c in range(col, w):
+                m[r][c] -= f * m[col][c]
+    outs = []
+    for k in range(len(bs)):
+        x = [0.0] * n
+        for r in range(n - 1, -1, -1):
+            s = m[r][n + k]
+            for c in range(r + 1, n):
+                s -= m[r][c] * x[c]
+            x[r] = s / m[r][r]
+        outs.append(x)
+    return outs
+
+
+def _terms(e: float, n: float, order: int) -> list[float]:
+    return [e ** i * n ** j for i, j in POLY_TERMS[order]]
+
+
+def fit_polynomial(gcps: list[tuple], order: int) -> dict:
+    """gcps = [(px, py, E, N)] -> {'xm','ym','ce','cn'}: least-squares
+    coefficients in gdal_crs term order, source coords centered at
+    their means (calccoef gdal_crs.cpp:720-779)."""
+    npts = len(gcps)
+    xm = sum(g[0] for g in gcps) / npts
+    ym = sum(g[1] for g in gcps) / npts
+    nt = len(POLY_TERMS[order])
+    mat = [[0.0] * nt for _ in range(nt)]
+    be = [0.0] * nt
+    bn = [0.0] * nt
+    for px, py, ge, gn in gcps:
+        t = _terms(px - xm, py - ym, order)
+        for i in range(nt):
+            for j in range(nt):
+                mat[i][j] += t[i] * t[j]
+            be[i] += ge * t[i]
+            bn[i] += gn * t[i]
+    ce, cn = _gauss_solve(mat, [be, bn])
+    return {"xm": xm, "ym": ym, "ce": ce, "cn": cn}
+
+
+def poly_apply_cols(fit: dict, order: int, xcol, ycol):
+    """Fixed-order polynomial evaluation as Spark Columns (E, N)."""
+    e = xcol - F.lit(fit["xm"])
+    n = ycol - F.lit(fit["ym"])
+
+    def tcol(i, j):
+        c = F.lit(1.0)
+        for _ in range(i):
+            c = c * e
+        for _ in range(j):
+            c = c * n
+        return c
+
+    def total(coefs):
+        terms = [F.lit(c) * tcol(i, j)
+                 for c, (i, j) in zip(coefs, POLY_TERMS[order])]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return total(fit["ce"]), total(fit["cn"])
+
+
+def poly_apply_sql(fit: dict, order: int, xexpr: str, yexpr: str, dlit):
+    """The identical evaluation as SQL text (DuckDB oracle twin)."""
+    e = f"(({xexpr}) - {dlit(fit['xm'])})"
+    n = f"(({yexpr}) - {dlit(fit['ym'])})"
+
+    def tsql(i, j):
+        s = "1.0"
+        for _ in range(i):
+            s = f"({s} * {e})"
+        for _ in range(j):
+            s = f"({s} * {n})"
+        return s
+
+    def total(coefs):
+        parts = [f"({dlit(c)} * {tsql(i, j)})"
+                 for c, (i, j) in zip(coefs, POLY_TERMS[order])]
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"({out} + {p})"
+        return out
+
+    return total(fit["ce"]), total(fit["cn"])
+
+
+def fit_tps(gcps: list[tuple]) -> dict:
+    """gcps = [(px, py, E, N)] -> thin-plate-spline coefficients
+    (thinplatespline.cpp solve :540-612): unknowns [a0, ax, ay,
+    c_0..c_{n-1}] for each target var, source coords centered."""
+    npts = len(gcps)
+    xm = sum(g[0] for g in gcps) / npts
+    ym = sum(g[1] for g in gcps) / npts
+    xs = [g[0] - xm for g in gcps]
+    ys = [g[1] - ym for g in gcps]
+    neq = npts + 3
+    a = [[0.0] * neq for _ in range(neq)]
+    for c in range(npts):
+        a[0][c + 3] = 1.0
+        a[1][c + 3] = xs[c]
+        a[2][c + 3] = ys[c]
+        a[c + 3][0] = 1.0
+        a[c + 3][1] = xs[c]
+        a[c + 3][2] = ys[c]
+    for r in range(npts):
+        for c in range(npts):
+            d2 = (xs[r] - xs[c]) ** 2 + (ys[r] - ys[c]) ** 2
+            a[r + 3][c + 3] = d2 * math.log(d2) if d2 != 0.0 else 0.0
+    be = [0.0] * 3 + [g[2] for g in gcps]
+    bn = [0.0] * 3 + [g[3] for g in gcps]
+    ce, cn = _gauss_solve(a, [be, bn])
+    return {"xm": xm, "ym": ym, "xs": xs, "ys": ys, "ce": ce, "cn": cn}
+
+
+def tps_apply_cols(fit: dict, xcol, ycol):
+    """TPS evaluation as Spark Columns (E, N), fixed GCP order."""
+    dx = xcol - F.lit(fit["xm"])
+    dy = ycol - F.lit(fit["ym"])
+
+    def total(coefs):
+        out = F.lit(coefs[0]) + F.lit(coefs[1]) * dx + F.lit(coefs[2]) * dy
+        for r, (xr, yr) in enumerate(zip(fit["xs"], fit["ys"])):
+            d2 = (dx - F.lit(xr)) * (dx - F.lit(xr)) \
+                + (dy - F.lit(yr)) * (dy - F.lit(yr))
+            u = F.when(d2 != 0.0, d2 * F.log(d2)).otherwise(F.lit(0.0))
+            out = out + F.lit(coefs[r + 3]) * u
+        return out
+
+    return total(fit["ce"]), total(fit["cn"])
+
+
+def tps_apply_sql(fit: dict, xexpr: str, yexpr: str, dlit):
+    dx = f"(({xexpr}) - {dlit(fit['xm'])})"
+    dy = f"(({yexpr}) - {dlit(fit['ym'])})"
+
+    def total(coefs):
+        out = (f"(({dlit(coefs[0])} + ({dlit(coefs[1])} * {dx})) "
+               f"+ ({dlit(coefs[2])} * {dy}))")
+        for r, (xr, yr) in enumerate(zip(fit["xs"], fit["ys"])):
+            d2 = (f"((({dx} - {dlit(xr)}) * ({dx} - {dlit(xr)})) "
+                  f"+ (({dy} - {dlit(yr)}) * ({dy} - {dlit(yr)})))")
+            u = f"(CASE WHEN {d2} <> 0.0 THEN {d2} * LN({d2}) ELSE 0.0 END)"
+            out = f"({out} + ({dlit(coefs[r + 3])} * {u}))"
+        return out
+
+    return total(fit["ce"]), total(fit["cn"])

@@ -5327,6 +5327,90 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- GCP transforms: polynomial + thin-plate spline ---
+
+GCP_ORDER = 2
+
+
+def _gcp_fixture():
+    """18 deterministic control points: pixel (col,row) -> geo (E,N)
+    from a known quadratic plus small deterministic residuals, so the
+    order-2 least-squares fit is overdetermined and non-trivial."""
+    rows = []
+    for i in range(18):
+        col = (i * 13 + 5) % 64
+        row = (i * 19 + 7) % 64
+        r1 = ((i * 7) % 5 - 2) * 0.01
+        r2 = ((i * 11) % 7 - 3) * 0.01
+        e = (100.0 + 0.5 * col + 0.03 * row + 0.0012 * col * row
+             + 0.0004 * col * col + r1)
+        n = (200.0 - 0.4 * row + 0.02 * col - 0.0009 * row * row
+             + 0.0003 * col * row + r2)
+        rows.append((float(col), float(row), e, n))
+    return rows
+
+
+def q_gcp_polywarp(spark, sf_dir):
+    """GCP polynomial transform (GDALCreateGCPTransformer,
+    alg/gdal_crs.cpp): order-2 least-squares fit over 18 control
+    points (driver-side bounded solve, calccoef/calcls twin in
+    operators/gcpwarp.py), then the forward pixel->geo polynomial
+    applied to every DEM-grid pixel as pure fixed-order column math
+    (whole-stage codegen; no shuffle, no Python per row)."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.gcpwarp import fit_polynomial, poly_apply_cols
+    fit = fit_polynomial(_gcp_fixture(), GCP_ORDER)
+    ec, nc = poly_apply_cols(fit, GCP_ORDER,
+                             F.col("px").cast("double"),
+                             F.col("py").cast("double"))
+    return (dem_op.dem_df(spark)
+            .select("py", "px", F.round(ec, 6).alias("geo_e"),
+                    F.round(nc, 6).alias("geo_n"))
+            .orderBy("py", "px"))
+
+
+def o_gcp_polywarp():
+    from gdal_spark.operators.dem import DEM_H, DEM_W
+    from gdal_spark.operators.gcpwarp import fit_polynomial, poly_apply_sql
+    fit = fit_polynomial(_gcp_fixture(), GCP_ORDER)
+    esql, nsql = poly_apply_sql(fit, GCP_ORDER,
+                                "CAST(px AS DOUBLE)",
+                                "CAST(py AS DOUBLE)", sqlexpr.dlit)
+    return f"""SELECT py, px, ROUND({esql}, 6) AS geo_e,
+       ROUND({nsql}, 6) AS geo_n
+FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys"""
+
+
+def q_tps_warp(spark, sf_dir):
+    """Thin-plate-spline GCP transform (VizGeorefSpline2D,
+    alg/thinplatespline.cpp: U = d2*log(d2) basis, (n+3)-equation
+    solve with affine rows, evaluation c0 + cx*dx + cy*dy + sum):
+    12-point fit driver-side, exact-interpolation apply as fixed-order
+    column math with the GCPs inlined as literals."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.gcpwarp import fit_tps, tps_apply_cols
+    fit = fit_tps(_gcp_fixture()[:12])
+    ec, nc = tps_apply_cols(fit, F.col("px").cast("double"),
+                            F.col("py").cast("double"))
+    return (dem_op.dem_df(spark)
+            .select("py", "px", F.round(ec, 6).alias("geo_e"),
+                    F.round(nc, 6).alias("geo_n"))
+            .orderBy("py", "px"))
+
+
+def o_tps_warp():
+    from gdal_spark.operators.dem import DEM_H, DEM_W
+    from gdal_spark.operators.gcpwarp import fit_tps, tps_apply_sql
+    fit = fit_tps(_gcp_fixture()[:12])
+    esql, nsql = tps_apply_sql(fit, "CAST(px AS DOUBLE)",
+                               "CAST(py AS DOUBLE)", sqlexpr.dlit)
+    return f"""SELECT py, px, ROUND({esql}, 6) AS geo_e,
+       ROUND({nsql}, 6) AS geo_n
+FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys"""
+
+
 # --- Pansharpen (GDALPansharpenOperation, alg/gdalpansharpen.cpp) ---
 
 PS_RATIO = 4
@@ -5680,6 +5764,8 @@ REGISTRY: dict[str, tuple] = {
     "median_cut": (q_median_cut, o_median_cut),
     "viewshed": (q_viewshed, o_viewshed),
     "pansharpen": (q_pansharpen, o_pansharpen),
+    "gcp_polywarp": (q_gcp_polywarp, o_gcp_polywarp),
+    "tps_warp": (q_tps_warp, o_tps_warp),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
     "ivf_ann": (q_ivf_ann, o_ivf_ann),
