@@ -5327,6 +5327,78 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- nearblack (apps/nearblack_lib.cpp) ---
+
+NB_W, NB_H = 64, 64
+NB_DIST = 15   # reference default nNearDist
+# Fixture: bright interior, a ragged near-black collar of varying
+# width on all four edges, plus isolated interior near-black pixels
+# that must NOT be masked (they are not on an edge-connected run).
+NB_VAL_SQL = f"""CASE
+  WHEN px < (py * 3) % 6 OR px >= {NB_W} - (py * 5) % 7
+    OR py < (px * 7) % 5 OR py >= {NB_H} - (px * 11) % 6
+  THEN CAST((px + py) % 12 AS DOUBLE)
+  WHEN (px * 7 + py * 11) % 61 = 0 AND px > 8 AND py > 8 THEN 3.0
+  ELSE CAST(50 + (px * 13 + py * 29) % 200 AS DOUBLE) END"""
+
+
+def q_nearblack(spark, sf_dir):
+    """nearblack -nb 0 (apps/nearblack_lib.cpp ProcessLine): mask the
+    near-black (<= nNearDist) collar runs reaching in from each edge —
+    per row from the left and right (:645-720), per column from the
+    top and the bottom-up second pass (:540-636) — and replace them
+    with 0. With nMaxNonBlack=0 the four serial scans are exactly four
+    edge-prefix runs, so the whole tool becomes: per-row and
+    per-column MIN/MAX of the first non-near-black coordinate (two
+    map-side-combined groupBys) + a mask expression. No iteration, no
+    Python; at 10^12 pixels the row/col stats tables have W+H rows.
+    The nMaxNonBlack>0 grey-area tolerance is not implemented
+    (documented deviation). Isolated interior near-black pixels stay
+    unmasked, as in the reference (runs, not a flood fill)."""
+    img = spark.range(NB_W * NB_H).select(
+        (F.col("id") / NB_W).cast("int").alias("py"),
+        (F.col("id") % NB_W).cast("int").alias("px"),
+    ).selectExpr("py", "px", NB_VAL_SQL + " AS val")
+    nb = F.col("val") <= NB_DIST
+    nonb = img.filter(~nb)
+    rows = nonb.groupBy("py").agg(F.min("px").alias("minl"),
+                                  F.max("px").alias("maxr"))
+    cols = nonb.groupBy("px").agg(F.min("py").alias("mint"),
+                                  F.max("py").alias("maxb"))
+    j = (img.join(rows, "py", "left").join(cols, "px", "left")
+         .select("py", "px", "val",
+                 F.coalesce(F.col("minl"), F.lit(NB_W)).alias("minl"),
+                 F.coalesce(F.col("maxr"), F.lit(-1)).alias("maxr"),
+                 F.coalesce(F.col("mint"), F.lit(NB_H)).alias("mint"),
+                 F.coalesce(F.col("maxb"), F.lit(-1)).alias("maxb")))
+    masked = ((F.col("px") < F.col("minl")) | (F.col("px") > F.col("maxr"))
+              | (F.col("py") < F.col("mint")) | (F.col("py") > F.col("maxb")))
+    return (j.select("py", "px", masked.cast("int").alias("masked"),
+                     F.when(masked, F.lit(0.0)).otherwise(F.col("val"))
+                     .alias("out_val"))
+            .orderBy("py", "px"))
+
+
+def o_nearblack():
+    return f"""WITH img AS (
+  SELECT py, px, {NB_VAL_SQL} AS val
+  FROM (SELECT UNNEST(RANGE(0, {NB_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {NB_H})) AS py) ys),
+r AS (SELECT py, MIN(px) AS minl, MAX(px) AS maxr FROM img
+      WHERE val > {NB_DIST} GROUP BY py),
+c AS (SELECT px, MIN(py) AS mint, MAX(py) AS maxb FROM img
+      WHERE val > {NB_DIST} GROUP BY px),
+j AS (SELECT i.py, i.px, i.val,
+        COALESCE(r.minl, {NB_W}) AS minl, COALESCE(r.maxr, -1) AS maxr,
+        COALESCE(c.mint, {NB_H}) AS mint, COALESCE(c.maxb, -1) AS maxb
+      FROM img i LEFT JOIN r ON r.py = i.py LEFT JOIN c ON c.px = i.px)
+SELECT py, px,
+  CAST(px < minl OR px > maxr OR py < mint OR py > maxb AS INT) AS masked,
+  CASE WHEN px < minl OR px > maxr OR py < mint OR py > maxb
+       THEN 0.0 ELSE val END AS out_val
+FROM j"""
+
+
 # --- GCP transforms: polynomial + thin-plate spline ---
 
 GCP_ORDER = 2
@@ -5765,6 +5837,7 @@ REGISTRY: dict[str, tuple] = {
     "viewshed": (q_viewshed, o_viewshed),
     "pansharpen": (q_pansharpen, o_pansharpen),
     "gcp_polywarp": (q_gcp_polywarp, o_gcp_polywarp),
+    "nearblack": (q_nearblack, o_nearblack),
     "tps_warp": (q_tps_warp, o_tps_warp),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
