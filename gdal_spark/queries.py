@@ -5327,6 +5327,115 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- raster neighbors / focal statistics (gdalalg_raster_neighbors,
+# --- VRTKernelFilteredSource, frmts/vrt/vrtfilters.cpp:485-700) ---
+
+
+def _nbr_exprs(dialect: str) -> dict:
+    """Focal 3x3 expressions over win0..win8 (reference scan order =
+    dy outer, dx inner), shared text for Spark selectExpr and DuckDB:
+    mean/sum/min/max; POPULATION stddev (vrtfilters.cpp:652-655
+    sqrt(M2/n)); median = lower-middle/average-of-middles
+    (:657-680, 9 values -> the 5th sorted); mode = FIRST value to
+    reach the max count in scan order (:624-632 strictly-greater
+    test). Only the sorted-list indexing differs per engine."""
+    w = [f"win{k}" for k in range(9)]
+    sumc = w[0]
+    for t in w[1:]:
+        sumc = f"({sumc} + {t})"
+    mean = f"({sumc} / 9.0)"
+    sq = f"(({w[0]} - {mean}) * ({w[0]} - {mean}))"
+    for t in w[1:]:
+        sq = f"({sq} + (({t} - {mean}) * ({t} - {mean})))"
+    stddev = f"SQRT({sq} / 9.0)"
+    ws = ", ".join(w)
+    if dialect == "spark":
+        median = f"element_at(array_sort(array({ws})), 5)"
+    else:
+        median = f"list_sort([{ws}])[5]"
+    # mode over the 4-level quantized band: first-to-reach-max wins
+    q = [f"(CAST(win{k} AS INT) % 4)" for k in range(9)]
+
+    def count_terms(j, upto):
+        terms = [f"(CASE WHEN {q[k]} = {q[j]} THEN 1 ELSE 0 END)"
+                 for k in range(upto)]
+        s = terms[0]
+        for t in terms[1:]:
+            s = f"({s} + {t})"
+        return s
+
+    cnts = [count_terms(j, 9) for j in range(9)]
+    rcs = [count_terms(j, j + 1) for j in range(9)]
+    cmax = f"GREATEST({', '.join(cnts)})"
+    mode = "CASE " + " ".join(
+        f"WHEN {rcs[j]} = {cmax} THEN {q[j]}" for j in range(9)) + " END"
+    return {"f_mean": f"ROUND({mean}, 6)", "f_sum": sumc,
+            "f_min": f"LEAST({ws})", "f_max": f"GREATEST({ws})",
+            "f_stddev": f"ROUND({stddev}, 6)", "f_median": median,
+            "f_mode": mode}
+
+
+def q_raster_neighbors(spark, sf_dir):
+    """gdal raster neighbors (gdalalg_raster_neighbors.cpp;
+    kernel loop VRTKernelFilteredSource::FilterData,
+    frmts/vrt/vrtfilters.cpp:485-700): all seven methods — mean, sum,
+    min, max, stddev (population), median, mode (first-to-reach tie
+    rule) — over the 3x3 neighborhood of every interior DEM pixel.
+    One scatter-pivot shuffle materializes the window once
+    (operators/dem.neighbors9); all seven statistics are then pure
+    column expressions over the pivot — at 10^12 pixels that is one
+    shuffle total, not seven. The sum / quantized values / per-value
+    counts / max-count stages are staged through inline(array(struct))
+    collapse barriers (sqlexpr._latlon_select rationale) so Catalyst
+    evaluates each shared subtree once instead of re-inlining the
+    9-term trees into every one of the ~30 consumers."""
+    from gdal_spark.operators import dem as dem_op
+    nb = dem_op.neighbors9(dem_op.dem_df(spark))
+    w = [f"win{k}" for k in range(9)]
+    ws = ", ".join(w)
+    sumc = w[0]
+    for t in w[1:]:
+        sumc = f"({sumc} + {t})"
+    qs = ", ".join(f"(CAST(win{k} AS INT) % 4) AS q{k}" for k in range(9))
+    d1 = nb.select("py", "px", *w,
+                   F.expr(f"inline(array(struct({sumc} AS s9, {qs})))"))
+
+    def cnt(j, upto):
+        terms = [f"(CASE WHEN q{k} = q{j} THEN 1 ELSE 0 END)"
+                 for k in range(upto)]
+        s = terms[0]
+        for t in terms[1:]:
+            s = f"({s} + {t})"
+        return s
+
+    cs = ", ".join(f"{cnt(j, 9)} AS c{j}" for j in range(9))
+    rs = ", ".join(f"{cnt(j, j + 1)} AS r{j}" for j in range(9))
+    d2 = d1.select("py", "px", *w, "s9", *[f"q{k}" for k in range(9)],
+                   F.expr(f"inline(array(struct({cs}, {rs})))"))
+    cmax = "GREATEST(" + ", ".join(f"c{j}" for j in range(9)) + ")"
+    d3 = d2.select("*", F.expr(f"{cmax}").alias("cmx"))
+    m = "(s9 / 9.0)"
+    sq = f"((win0 - {m}) * (win0 - {m}))"
+    for t in w[1:]:
+        sq = f"({sq} + (({t} - {m}) * ({t} - {m})))"
+    mode = "CASE " + " ".join(
+        f"WHEN r{j} = cmx THEN q{j}" for j in range(9)) + " END"
+    return (d3.selectExpr(
+        "py", "px",
+        f"ROUND({m}, 6) AS f_mean", "s9 AS f_sum",
+        f"LEAST({ws}) AS f_min", f"GREATEST({ws}) AS f_max",
+        f"ROUND(SQRT({sq} / 9.0), 6) AS f_stddev",
+        f"element_at(array_sort(array({ws})), 5) AS f_median",
+        f"{mode} AS f_mode")
+        .orderBy("py", "px"))
+
+
+def o_raster_neighbors():
+    e = _nbr_exprs("duck")
+    cols = ", ".join(f"{x} AS {n}" for n, x in e.items())
+    return f"WITH {_o_dem_win_cte()} SELECT py, px, {cols} FROM w"
+
+
 # --- nearblack (apps/nearblack_lib.cpp) ---
 
 NB_W, NB_H = 64, 64
@@ -5838,6 +5947,7 @@ REGISTRY: dict[str, tuple] = {
     "pansharpen": (q_pansharpen, o_pansharpen),
     "gcp_polywarp": (q_gcp_polywarp, o_gcp_polywarp),
     "nearblack": (q_nearblack, o_nearblack),
+    "raster_neighbors": (q_raster_neighbors, o_raster_neighbors),
     "tps_warp": (q_tps_warp, o_tps_warp),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
