@@ -5327,6 +5327,44 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- raster reclassify (gdalalg_raster_reclassify, vrtreclassifier) ---
+
+RECLASS_MAPPING = ("[0,20)=10; 90=99; [20,45]=20; (45,80]=30; "
+                   "NO_DATA=255; DEFAULT=PASS_THROUGH")
+RECLASS_NODATA = 118.0   # max of the DEM fixture's value range
+
+
+def q_reclassify(spark, sf_dir):
+    """gdal raster reclassify (apps/gdalalg_raster_reclassify.cpp,
+    gdal::Reclassifier frmts/vrt/vrtreclassifier.cpp): the GDAL
+    mapping text — constants, open/closed intervals (open endpoints
+    nextafter-nudged, Parse :~200), NO_DATA on either side, DEFAULT /
+    PASS_THROUGH — parsed once (operators/reclassify.py) and compiled
+    to ONE literal CASE chain over the DEM: a map-only scan with no
+    join or shuffle at any scale."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.reclassify import (parse_mapping,
+                                                 reclassify_case_sql)
+    m = parse_mapping(RECLASS_MAPPING, nodata=RECLASS_NODATA)
+    case = reclassify_case_sql(m, "elev", nodata=RECLASS_NODATA)
+    return (dem_op.dem_df(spark)
+            .selectExpr("py", "px", f"{case} AS class")
+            .orderBy("py", "px"))
+
+
+def o_reclassify():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    from gdal_spark.operators.reclassify import (parse_mapping,
+                                                 reclassify_case_sql)
+    m = parse_mapping(RECLASS_MAPPING, nodata=RECLASS_NODATA)
+    case = reclassify_case_sql(m, "elev", nodata=RECLASS_NODATA)
+    return f"""WITH dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys)
+SELECT py, px, {case} AS class FROM dem"""
+
+
 # --- raster neighbors / focal statistics (gdalalg_raster_neighbors,
 # --- VRTKernelFilteredSource, frmts/vrt/vrtfilters.cpp:485-700) ---
 
@@ -5948,6 +5986,7 @@ REGISTRY: dict[str, tuple] = {
     "gcp_polywarp": (q_gcp_polywarp, o_gcp_polywarp),
     "nearblack": (q_nearblack, o_nearblack),
     "raster_neighbors": (q_raster_neighbors, o_raster_neighbors),
+    "reclassify": (q_reclassify, o_reclassify),
     "tps_warp": (q_tps_warp, o_tps_warp),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
