@@ -5327,6 +5327,108 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- raster blend (gdalalg_raster_blend.cpp, Porter-Duff byte math) ---
+
+BLEND_W, BLEND_H = 64, 64
+BLEND_OPACITY = 200
+
+
+def _blend_exprs() -> dict:
+    """Exact-integer blend expressions shared verbatim by Spark SQL
+    and DuckDB (only FLOOR/LEAST/GREATEST/CASE — hash-stable).
+
+    Reference: apps/gdalalg_raster_blend.cpp *_Generic kernels:
+    MulScale255(a,b) = (a*b + 255)/256 (:183), DivScale255(a,b) =
+    a==0 ? 0 : b==0 ? 255 : (a*255)/b (:229-247),
+    ProcessAlphaChannels (:199-224: overlay alpha scaled by opacity,
+    Da' = Sa + Da - Sa.Da), PremultiplyChannels (:255-275, skipped
+    when A == 255), and the per-mode Mapserver component formulas:
+    multiply Dca' = Sca.Dca + Sca(1-Da) + Dca(1-Sa) (:890-927),
+    screen Dca' = Sca + Dca - Sca.Dca (:964-976), darken/lighten
+    min/max(Sca.Da, Dca.Sa) + Sca(1-Da) + Dca(1-Sa) (:1179-1326).
+    The SSE-optimized SRC_OVER path uses a reciprocal table with
+    different rounding (:1756-1765) and is not replicated
+    (documented deviation)."""
+    def mul(a, b):
+        return f"CAST(FLOOR((({a}) * ({b}) + 255) / 256.0) AS INT)"
+
+    def div255(a, b):
+        # the trailing % 256 is the reference's release-mode GByte
+        # cast: ceil-rounded numerators can exceed the denominator by
+        # a few counts and DivScale255 'just casts' (:234 warning)
+        return (f"(CASE WHEN ({a}) = 0 THEN 0 WHEN ({b}) = 0 THEN 255 "
+                f"ELSE CAST(FLOOR((({a}) * 255) / CAST(({b}) AS DOUBLE)) "
+                f"AS INT) % 256 END)")
+
+    base = {"b_r": "(px * 3 + py * 5) % 256", "b_g": "(px * 7 + py * 2) % 256",
+            "b_b": "(px + py * 11) % 256", "b_a": "255 - (px + py) % 128",
+            "o_r": "(px * 13 + py) % 256", "o_g": "(px * 5 + py * 7) % 256",
+            "o_b": "(px * 11 + py * 3) % 256", "o_a": "(px * py) % 256"}
+    oa = mul("o_a", BLEND_OPACITY)
+    fa = f"(({oa}) + b_a - {mul(oa, 'b_a')})"
+    pre = {}
+    for c in "rgb":
+        pre[f"p_{c}"] = (f"(CASE WHEN b_a = 255 THEN b_{c} "
+                         f"ELSE {mul(f'b_{c}', 'b_a')} END)")
+        pre[f"po_{c}"] = (f"(CASE WHEN ({oa}) = 255 THEN o_{c} "
+                          f"ELSE {mul(f'o_{c}', oa)} END)")
+    modes = {}
+    for c in "rgb":
+        C, OC = f"p_{c}", f"po_{c}"
+        inv_o = f"(255 - fin_a_src)"    # 255 - Sa (overlay alpha)
+        inv_b = "(255 - b_a)"
+        modes[f"mul_{c}"] = div255(
+            f"({mul(C, OC)} + {mul(C, inv_o)} + {mul(OC, inv_b)})", "fin_a")
+        modes[f"scr_{c}"] = div255(f"({C} + {OC} - {mul(C, OC)})", "fin_a")
+        modes[f"drk_{c}"] = div255(
+            f"(LEAST({mul(OC, 'b_a')}, {mul(C, 'fin_a_src')}) "
+            f"+ {mul(C, inv_o)} + {mul(OC, inv_b)})", "fin_a")
+        modes[f"lgt_{c}"] = div255(
+            f"(GREATEST({mul(OC, 'b_a')}, {mul(C, 'fin_a_src')}) "
+            f"+ {mul(C, inv_o)} + {mul(OC, inv_b)})", "fin_a")
+    return {"base": base, "oa": oa, "fa": fa, "pre": pre, "modes": modes}
+
+
+def q_raster_blend(spark, sf_dir):
+    """gdal raster blend (apps/gdalalg_raster_blend.cpp): multiply /
+    screen / darken / lighten composition of an RGBA overlay (opacity
+    {BLEND_OPACITY}) onto an RGBA base, exact byte arithmetic per the
+    reference's *_Generic kernels (_blend_exprs docstring cites the
+    lines). Pure integer column math staged through collapse barriers;
+    a 10^12-pixel blend is a zip of two scans with zero shuffles (here
+    both layers derive from one coordinate grid)."""
+    e = _blend_exprs()
+    grid = spark.range(BLEND_W * BLEND_H).select(
+        (F.col("id") / BLEND_W).cast("int").alias("py"),
+        (F.col("id") % BLEND_W).cast("int").alias("px"))
+    lay = ", ".join(f"CAST({x} AS INT) AS {n}" for n, x in e["base"].items())
+    d1 = grid.select("py", "px", F.expr(f"inline(array(struct({lay})))"))
+    alph = (f"CAST({e['oa']} AS INT) AS fin_a_src, "
+            f"CAST({e['fa']} AS INT) AS fin_a, "
+            + ", ".join(f"CAST({x} AS INT) AS {n}"
+                        for n, x in e["pre"].items()))
+    d2 = d1.select("*", F.expr(f"inline(array(struct({alph})))"))
+    return (d2.selectExpr("py", "px", "fin_a",
+                          *[f"{x} AS {n}" for n, x in e["modes"].items()])
+            .orderBy("py", "px"))
+
+
+def o_raster_blend():
+    e = _blend_exprs()
+    lay = ", ".join(f"CAST({x} AS INT) AS {n}" for n, x in e["base"].items())
+    alph = (f"CAST({e['oa']} AS INT) AS fin_a_src, "
+            f"CAST({e['fa']} AS INT) AS fin_a, "
+            + ", ".join(f"CAST({x} AS INT) AS {n}"
+                        for n, x in e["pre"].items()))
+    modes = ", ".join(f"{x} AS {n}" for n, x in e["modes"].items())
+    return f"""WITH g AS (
+  SELECT py, px FROM (SELECT UNNEST(RANGE(0, {BLEND_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {BLEND_H})) AS py) ys),
+lay AS (SELECT py, px, {lay} FROM g),
+pre AS (SELECT *, {alph} FROM lay)
+SELECT py, px, fin_a, {modes} FROM pre"""
+
+
 # --- raster reclassify (gdalalg_raster_reclassify, vrtreclassifier) ---
 
 RECLASS_MAPPING = ("[0,20)=10; 90=99; [20,45]=20; (45,80]=30; "
@@ -5987,6 +6089,7 @@ REGISTRY: dict[str, tuple] = {
     "nearblack": (q_nearblack, o_nearblack),
     "raster_neighbors": (q_raster_neighbors, o_raster_neighbors),
     "reclassify": (q_reclassify, o_reclassify),
+    "raster_blend": (q_raster_blend, o_raster_blend),
     "tps_warp": (q_tps_warp, o_tps_warp),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
