@@ -5327,6 +5327,118 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- linear referencing (apps/ogrlineref.cpp) ---
+
+LREF_STEP = 0.7
+
+
+def _lref_edges_sql() -> str:
+    """Ring edges as a VALUES CTE + per-segment cumulative arclength
+    (ordered window sum — identical fold order in both engines)."""
+    from gdal_spark.fixtures import zone_ring_edge_rows
+    vals = ", ".join(
+        f"({z}, {r}, {e}, {sqlexpr.dlit(x1)}, {sqlexpr.dlit(y1)}, "
+        f"{sqlexpr.dlit(x2)}, {sqlexpr.dlit(y2)})"
+        for z, r, e, x1, y1, x2, y2 in zone_ring_edge_rows())
+    return f"""edges(zone_fid, ring_id, edge, x1, y1, x2, y2) AS
+  (VALUES {vals}),
+seg AS (
+  SELECT *, SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seglen,
+    COALESCE(SUM(SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)))
+      OVER (PARTITION BY zone_fid, ring_id ORDER BY edge
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum0
+  FROM edges)"""
+
+
+def q_lineref_stations(spark, sf_dir):
+    """ogrlineref -create (apps/ogrlineref.cpp CreatePartsFromLineString
+    :444+, point-at-distance = OGRLineString::Value,
+    ogr/ogrlinestring.cpp): emit reference stations every LREF_STEP
+    units of arclength along each zone ring. Distributed shape:
+    segment cumulative lengths by one ordered window over (line,
+    vertex order); stations exploded from per-line totals; station ->
+    segment is a range join on the line key — per-line work is
+    O(stations + vertices), lines partition freely at 10^12 scale."""
+    sql = f"""WITH {_lref_edges_sql()},
+tot AS (SELECT zone_fid, ring_id, SUM(seglen) AS total
+        FROM seg GROUP BY zone_fid, ring_id),
+st AS (SELECT zone_fid, ring_id,
+              CAST(i AS INT) AS station, i * {LREF_STEP} AS m
+       FROM tot
+       LATERAL VIEW explode(sequence(0,
+         CAST(FLOOR(total / {LREF_STEP}) AS INT))) t AS i)
+SELECT s.zone_fid, s.ring_id, st.station,
+  ROUND(s.x1 + ((st.m - s.cum0) / s.seglen) * (s.x2 - s.x1), 6) AS x,
+  ROUND(s.y1 + ((st.m - s.cum0) / s.seglen) * (s.y2 - s.y1), 6) AS y
+FROM st JOIN seg s
+  ON s.zone_fid = st.zone_fid AND s.ring_id = st.ring_id
+ AND st.m >= s.cum0 AND st.m < s.cum0 + s.seglen
+ORDER BY s.zone_fid, s.ring_id, st.station"""
+    return spark.sql(sql)
+
+
+def o_lineref_stations():
+    return f"""WITH {_lref_edges_sql()},
+tot AS (SELECT zone_fid, ring_id, SUM(seglen) AS total
+        FROM seg GROUP BY zone_fid, ring_id),
+st AS (SELECT zone_fid, ring_id, CAST(station AS INT) AS station,
+              station * {LREF_STEP} AS m FROM (
+        SELECT zone_fid, ring_id,
+          UNNEST(RANGE(0, CAST(FLOOR(total / {LREF_STEP}) AS BIGINT) + 1))
+            AS station
+        FROM tot))
+SELECT s.zone_fid, s.ring_id, st.station,
+  ROUND(s.x1 + ((st.m - s.cum0) / s.seglen) * (s.x2 - s.x1), 6) AS x,
+  ROUND(s.y1 + ((st.m - s.cum0) / s.seglen) * (s.y2 - s.y1), 6) AS y
+FROM st JOIN seg s
+  ON s.zone_fid = st.zone_fid AND s.ring_id = st.ring_id
+ AND st.m >= s.cum0 AND st.m < s.cum0 + s.seglen"""
+
+
+_LREF_PTS_SQL = """pts AS (
+  SELECT zone_fid * 1000 + ring_id * 100 + edge AS pid,
+    (x1 + x2) / 2.0 + 0.17 * ((zone_fid * 7 + edge) % 5 - 2) AS qx,
+    (y1 + y2) / 2.0 + 0.13 * ((zone_fid * 3 + edge) % 7 - 3) AS qy
+  FROM edges)"""
+
+_LREF_PROJ_SQL = """cand AS (
+  SELECT p.pid, s.zone_fid, s.ring_id, s.edge,
+    LEAST(GREATEST(((p.qx - s.x1) * (s.x2 - s.x1)
+                    + (p.qy - s.y1) * (s.y2 - s.y1))
+                   / (s.seglen * s.seglen), 0.0), 1.0) AS t,
+    s.cum0, s.seglen, s.x1, s.y1, s.x2, s.y2, p.qx, p.qy
+  FROM pts p CROSS JOIN seg s),
+scored AS (
+  SELECT pid, zone_fid, ring_id, edge, cum0 + t * seglen AS pos,
+    (qx - (x1 + t * (x2 - x1))) * (qx - (x1 + t * (x2 - x1)))
+    + (qy - (y1 + t * (y2 - y1))) * (qy - (y1 + t * (y2 - y1))) AS d2
+  FROM cand),
+best AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+      ORDER BY d2, zone_fid, ring_id, edge) AS rn FROM scored)
+  WHERE rn = 1)
+SELECT pid, zone_fid, ring_id, ROUND(pos, 6) AS pos,
+       ROUND(SQRT(d2), 6) AS dist
+FROM best"""
+
+
+def q_lineref_project(spark, sf_dir):
+    """ogrlineref point projection (apps/ogrlineref.cpp Project
+    :424-436 = OGRLineString::Project, GEOS project twin): arclength
+    position + distance of the closest point on any zone ring for a
+    deterministic query-point set. Distributed shape: per-segment
+    clamp-projection (pure column math) + ROW_NUMBER argmin per point;
+    the segment side is broadcast-sized here — at scale the join is
+    pruned by line key / spatial cell exactly like pip_join's cover."""
+    return spark.sql(
+        f"WITH {_lref_edges_sql()},\n{_LREF_PTS_SQL},\n{_LREF_PROJ_SQL}")
+
+
+def o_lineref_project():
+    return (f"WITH {_lref_edges_sql()},\n{_LREF_PTS_SQL},"
+            f"\n{_LREF_PROJ_SQL}")
+
+
 # --- raster blend (gdalalg_raster_blend.cpp, Porter-Duff byte math) ---
 
 BLEND_W, BLEND_H = 64, 64
@@ -6090,6 +6202,8 @@ REGISTRY: dict[str, tuple] = {
     "raster_neighbors": (q_raster_neighbors, o_raster_neighbors),
     "reclassify": (q_reclassify, o_reclassify),
     "raster_blend": (q_raster_blend, o_raster_blend),
+    "lineref_stations": (q_lineref_stations, o_lineref_stations),
+    "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
     "langid": (q_langid, o_langid),
     "fingerprint": (q_fingerprint, o_fingerprint),
