@@ -102,7 +102,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "warp_quantiles", "overview_gauss_rms", "buffer_polygons",
                  "frame_sample", "polar_stereo", "ogr2ogr_compose",
                  "quality", "ngram_jaccard", "buffer_lines", "fillnodata",
-                 "fillnodata_smooth", "line_of_sight"]:
+                 "fillnodata_smooth", "line_of_sight",
+                 # round-3 late additions
+                 "median_cut", "viewshed", "pansharpen", "gcp_polywarp",
+                 "tps_warp", "nearblack", "raster_neighbors", "reclassify",
+                 "raster_blend", "blend_hsv", "lineref_stations", "lineref_project"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -5327,6 +5327,78 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- hsv-value blend (gdalalg_raster_blend.cpp hsv path) ---
+
+
+def q_blend_hsv(spark, sf_dir):
+    """gdal raster blend --operator hsv-value
+    (apps/gdalalg_raster_blend.cpp rgb_to_hs :398-446, hsv_to_rgb
+    :482-496, patch_value_line :636: replace the base RGB's HSV value
+    channel with the overlay's gray band — the hsv_merge.py
+    algorithm). Branch order preserved exactly (maxc==b first, then
+    maxc==g; negative-hue wrap; p/q/t round-half-up then truncate).
+    Deviation: the reference computes h/s in float32; both engines
+    here use float64 (identical text both sides — gate-exact), and
+    tests/test_blend_hsv.py proves the float64 form stays within 1
+    count of a float32 transliteration. Pure column math, zero
+    shuffles."""
+    grid = spark.range(BLEND_W * BLEND_H).select(
+        (F.col("id") / BLEND_W).cast("int").alias("py"),
+        (F.col("id") % BLEND_W).cast("int").alias("px"))
+    return (grid.selectExpr("py", "px",
+                            *_hsv_sel_exprs())
+            .orderBy("py", "px"))
+
+
+def _hsv_sel_exprs() -> list:
+    """Shared Spark/DuckDB SELECT expressions for the hsv-value blend
+    over the raster_blend fixture layers (base RGB + overlay R as the
+    gray value band)."""
+    r, g, b = ("((px * 3 + py * 5) % 256)", "((px * 7 + py * 2) % 256)",
+               "((px + py * 11) % 256)")
+    v = "((px * 13 + py) % 256)"     # overlay gray band
+    # all float literals carry an e0 exponent: bare decimals parse as
+    # DECIMAL in Spark SQL (and DuckDB) — fixtures.dlit rationale
+    minc = f"LEAST({r}, {g}, {b})"
+    maxc = f"GREATEST({r}, {g}, {b})"
+    d = f"({maxc} - {minc})"
+    s = f"({d} / CAST(GREATEST(1, {maxc}) AS DOUBLE))"
+    m6 = f"(CASE WHEN {d} = 0 THEN 1.0e0 ELSE 6.0e0 * {d} END)"
+    tmp = f"(({g} - {b}) / {m6})"
+    h = (f"(CASE WHEN {maxc} = {b} THEN 4.0e0 / 6.0e0 + ({r} - {g}) / {m6} "
+         f"WHEN {maxc} = {g} THEN 2.0e0 / 6.0e0 + ({b} - {r}) / {m6} "
+         f"ELSE CASE WHEN {tmp} < 0.0e0 THEN {tmp} + 1.0e0 "
+         f"ELSE {tmp} END END)")
+    i = f"CAST(FLOOR(6.0e0 * hh) AS INT)"
+    f_ = "(6.0e0 * hh - CAST(FLOOR(6.0e0 * hh) AS INT))"
+    p = f"CAST(FLOOR({v} * (1.0e0 - ss) + 0.5e0) AS INT)"
+    q = f"CAST(FLOOR({v} * (1.0e0 - ss * {f_}) + 0.5e0) AS INT)"
+    t = f"CAST(FLOOR({v} * (1.0e0 - ss * (1.0e0 - {f_})) + 0.5e0) AS INT)"
+
+    def choose(a0, a1, a2, a3, a4, a5):
+        return (f"(CASE {i} WHEN 0 THEN {a0} WHEN 1 THEN {a1} "
+                f"WHEN 2 THEN {a2} WHEN 3 THEN {a3} WHEN 4 THEN {a4} "
+                f"ELSE {a5} END)")
+
+    # hh/ss staged as plain aliases is fine for DuckDB; for Spark the
+    # caller passes these through selectExpr where hh/ss must be
+    # inlined — so inline them here (both engines identical text)
+    out_r = choose(v, q, p, p, t, v).replace("hh", f"({h})") \
+        .replace("ss", f"({s})")
+    out_g = choose(t, v, v, q, p, p).replace("hh", f"({h})") \
+        .replace("ss", f"({s})")
+    out_b = choose(p, p, t, v, v, q).replace("hh", f"({h})") \
+        .replace("ss", f"({s})")
+    return [f"{out_r} AS out_r", f"{out_g} AS out_g", f"{out_b} AS out_b"]
+
+
+def o_blend_hsv():
+    sel = ", ".join(_hsv_sel_exprs())
+    return f"""SELECT py, px, {sel}
+FROM (SELECT UNNEST(RANGE(0, {BLEND_W})) AS px) xs
+CROSS JOIN (SELECT UNNEST(RANGE(0, {BLEND_H})) AS py) ys"""
+
+
 # --- linear referencing (apps/ogrlineref.cpp) ---
 
 LREF_STEP = 0.7
@@ -6202,6 +6274,7 @@ REGISTRY: dict[str, tuple] = {
     "raster_neighbors": (q_raster_neighbors, o_raster_neighbors),
     "reclassify": (q_reclassify, o_reclassify),
     "raster_blend": (q_raster_blend, o_raster_blend),
+    "blend_hsv": (q_blend_hsv, o_blend_hsv),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
