@@ -106,7 +106,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  # round-3 late additions
                  "median_cut", "viewshed", "pansharpen", "gcp_polywarp",
                  "tps_warp", "nearblack", "raster_neighbors", "reclassify",
-                 "raster_blend", "blend_hsv", "lineref_stations", "lineref_project"]:
+                 "raster_blend", "blend_hsv", "lineref_stations", "lineref_project",
+                 "rpc_transform"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

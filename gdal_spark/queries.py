@@ -5327,6 +5327,78 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- RPC forward transform (alg/gdal_rpc.cpp) ---
+
+
+def _rpc_fixture() -> dict:
+    """A plausible deterministic RPC00B set: identity-dominant linear
+    terms plus small higher-order perturbations; denominators lead
+    with 1.0 as real RPCs do. Normalized inputs stay within [-1, 1]."""
+    def tail(seed, scale):
+        return [((seed * (i + 3) * 7919) % 11 - 5) * scale
+                for i in range(16)]
+    return {
+        "long_off": 44.0, "long_scale": 0.25,
+        "lat_off": 31.5, "lat_scale": 0.20,
+        "height_off": 500.0, "height_scale": 400.0,
+        "samp_off": 6000.5, "samp_scale": 6200.0,
+        "line_off": 5200.5, "line_scale": 5400.0,
+        "samp_num": [0.004, 1.01, -0.02, 0.0008] + tail(1, 1e-4),
+        "samp_den": [1.0, 0.0003, -0.0002, 0.00005] + tail(2, 1e-6),
+        "line_num": [-0.003, 0.015, -1.02, 0.0011] + tail(3, 1e-4),
+        "line_den": [1.0, -0.0004, 0.00025, 0.00004] + tail(4, 1e-6),
+    }
+
+
+def q_rpc_transform(spark, sf_dir):
+    """RPC forward transform (GDALRPCTransformer, alg/gdal_rpc.cpp):
+    geographic (long, lat, height) -> image (pixel, line) through the
+    RPC00B rational cubics — normalization, the 20-term basis in
+    reference order (:196-216), RPCEvaluate's even/odd split sums
+    (:337-350) and the +0.5 center-to-corner shift (:463-467), all as
+    literal column math (operators/rpc.py). Map-only at any scale; the
+    20 monomials are staged through one collapse barrier so the four
+    polynomials share them."""
+    from gdal_spark.operators import rpc as rpc_op
+    r = _rpc_fixture()
+    lon = "CAST(44.0e0 - 0.22e0 + (px / 63.0e0) * 0.44e0 AS DOUBLE)"
+    lat = "CAST(31.5e0 - 0.18e0 + (py / 63.0e0) * 0.36e0 AS DOUBLE)"
+    hgt = "CAST(500.0e0 + ((px * py) % 7 - 3) * 100.0e0 AS DOUBLE)"
+    n = rpc_op.normalize_sql(r, lon, lat, hgt)
+    grid = spark.range(64 * 64).select(
+        (F.col("id") / 64).cast("int").alias("py"),
+        (F.col("id") % 64).cast("int").alias("px"))
+    d1 = grid.select("py", "px", F.expr(
+        f"inline(array(struct({n['pn']} AS pn, {n['ln']} AS ln, "
+        f"{n['hn']} AS hn)))"))
+    ts = ", ".join(f"{rpc_op.term_sql(k)} AS t{k}" for k in range(20))
+    d2 = d1.select("py", "px", F.expr(f"inline(array(struct({ts})))"))
+    pxe, lne = rpc_op.transform_sql(r)
+    return (d2.selectExpr("py", "px",
+                          f"ROUND({pxe}, 6) AS pixel",
+                          f"ROUND({lne}, 6) AS line")
+            .orderBy("py", "px"))
+
+
+def o_rpc_transform():
+    from gdal_spark.operators import rpc as rpc_op
+    r = _rpc_fixture()
+    lon = "CAST(44.0e0 - 0.22e0 + (px / 63.0e0) * 0.44e0 AS DOUBLE)"
+    lat = "CAST(31.5e0 - 0.18e0 + (py / 63.0e0) * 0.36e0 AS DOUBLE)"
+    hgt = "CAST(500.0e0 + ((px * py) % 7 - 3) * 100.0e0 AS DOUBLE)"
+    n = rpc_op.normalize_sql(r, lon, lat, hgt)
+    ts = ", ".join(f"{rpc_op.term_sql(k)} AS t{k}" for k in range(20))
+    pxe, lne = rpc_op.transform_sql(r)
+    return f"""WITH g AS (
+  SELECT py, px FROM (SELECT UNNEST(RANGE(0, 64)) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS py) ys),
+nrm AS (SELECT py, px, {n['pn']} AS pn, {n['ln']} AS ln, {n['hn']} AS hn
+        FROM g),
+trm AS (SELECT py, px, {ts} FROM nrm)
+SELECT py, px, ROUND({pxe}, 6) AS pixel, ROUND({lne}, 6) AS line
+FROM trm"""
+
+
 # --- hsv-value blend (gdalalg_raster_blend.cpp hsv path) ---
 
 
@@ -6275,6 +6347,7 @@ REGISTRY: dict[str, tuple] = {
     "reclassify": (q_reclassify, o_reclassify),
     "raster_blend": (q_raster_blend, o_raster_blend),
     "blend_hsv": (q_blend_hsv, o_blend_hsv),
+    "rpc_transform": (q_rpc_transform, o_rpc_transform),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
