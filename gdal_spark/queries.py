@@ -5327,6 +5327,74 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- histogram equalization (apps/gdalenhance.cpp -equalize) ---
+
+HEQ_W, HEQ_H = 64, 64
+# skewed-dark byte band: u^2 >> 8 over a uniform u — exact int math
+HEQ_U_SQL = "((px * 53 + py * 29) % 256)"
+HEQ_V_SQL = f"CAST(FLOOR(({HEQ_U_SQL} * {HEQ_U_SQL}) / 256.0) AS INT)"
+
+
+def q_hist_equalize(spark, sf_dir):
+    """gdalenhance -equalize (apps/gdalenhance.cpp
+    ComputeEqualizationLUTs + EnhancerCallback): byte-band histogram
+    equalization — default 256-bin histogram with the extreme bins
+    zeroed (:ComputeEqualizationLUTs 'zero out extremes'), cumulative
+    histogram cum[i] = before + hist[i]/2, LUT[i] = clamp(cum[i]*256 /
+    total), pixel -> LUT[value] (for byte data dfBin reduces to the
+    value itself). ENTIRELY engine-side: histogram = map-side-combined
+    groupBy (<=256 rows), cumulative = one ordered window over that
+    bounded relation, apply = broadcast LUT join — a 10^12-pixel
+    equalize is two scans and zero driver traffic (the reference
+    collects the histogram into driver memory)."""
+    from pyspark.sql import Window
+    img = spark.range(HEQ_W * HEQ_H).select(
+        (F.col("id") / HEQ_W).cast("int").alias("py"),
+        (F.col("id") % HEQ_W).cast("int").alias("px"),
+    ).selectExpr("py", "px", HEQ_V_SQL + " AS v")
+    hist = (img.groupBy("v").agg(F.count("*").alias("cnt"))
+            .withColumn("cnt", F.when((F.col("v") == 0)
+                                      | (F.col("v") == 255), F.lit(0))
+                        .otherwise(F.col("cnt"))))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "v",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0))
+         + (F.col("cnt") / 2).cast("long")).alias("cum"),
+        F.sum("cnt").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("total"))
+    lut = cum.select(
+        "v", F.least(F.lit(255), F.greatest(F.lit(0),
+            (F.col("cum") * 256 / F.col("total")).cast("int")))
+        .cast("int").alias("eq"))
+    return (img.join(F.broadcast(lut), "v")
+            .select("py", "px", F.col("v").alias("val"), "eq")
+            .orderBy("py", "px"))
+
+
+def o_hist_equalize():
+    return f"""WITH img AS (
+  SELECT py, px, {HEQ_V_SQL} AS v
+  FROM (SELECT UNNEST(RANGE(0, {HEQ_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {HEQ_H})) AS py) ys),
+hist AS (SELECT v, CASE WHEN v = 0 OR v = 255 THEN 0
+                        ELSE COUNT(*) END AS cnt
+         FROM img GROUP BY v),
+cum AS (SELECT v,
+          COALESCE(SUM(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + CAST(FLOOR(cnt / 2.0) AS BIGINT) AS cum,
+          SUM(cnt) OVER () AS total
+        FROM hist),
+lut AS (SELECT v, CAST(LEAST(255, GREATEST(0,
+          CAST(FLOOR(cum * 256 / CAST(total AS DOUBLE)) AS INT))) AS INT)
+          AS eq
+        FROM cum)
+SELECT i.py, i.px, i.v AS val, l.eq
+FROM img i JOIN lut l ON l.v = i.v"""
+
+
 # --- RPC forward transform (alg/gdal_rpc.cpp) ---
 
 
@@ -6348,6 +6416,7 @@ REGISTRY: dict[str, tuple] = {
     "raster_blend": (q_raster_blend, o_raster_blend),
     "blend_hsv": (q_blend_hsv, o_blend_hsv),
     "rpc_transform": (q_rpc_transform, o_rpc_transform),
+    "hist_equalize": (q_hist_equalize, o_hist_equalize),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
