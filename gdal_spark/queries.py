@@ -5327,6 +5327,92 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- cumulative viewshed (alg/viewshed/cumulative.cpp) ---
+
+VSC_SPACING = 16   # observer grid spacing (cumulative.cpp:66-67)
+
+
+def q_viewshed_cumulative(spark, sf_dir):
+    """gdal_viewshed -mode cumulative (alg/viewshed/cumulative.cpp):
+    observers every VSC_SPACING cells from (0,0) (:66-67), per-cell
+    sum of visibility over all observers (:87-104 rollup), output
+    rescaled to spread over 8 bits (:199 scale-to-max). Same R3
+    strategy as `viewshed` — all observer/cell sight lines are one
+    batch LOS table (operators/los.py); observers only add a constant
+    factor to the embarrassingly-parallel ray set, so the cumulative
+    mode distributes exactly as the single-observer one."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.los import line_of_sight
+    from pyspark.sql import Window
+
+    W = dem_op.DEM_W
+    dem = dem_op.dem_df(spark)
+    obs = spark.sql(f"""
+      SELECT CAST(oy / {VSC_SPACING} AS INT) * 4
+             + CAST(ox / {VSC_SPACING} AS INT) AS oi, ox, oy,
+             CAST((ox * 31 + oy * 17) % 101
+                  + ((ox * oy) % 7) * 3 + {VS_OZ} AS DOUBLE) AS oz
+      FROM (SELECT explode(sequence(0, {W - 1}, {VSC_SPACING})) AS ox)
+      CROSS JOIN (SELECT explode(sequence(0, {W - 1}, {VSC_SPACING})) AS oy)
+    """)
+    dx = F.col("px") - F.col("ox")
+    dy = F.col("py") - F.col("oy")
+    pairs = (dem.crossJoin(F.broadcast(obs))
+             .filter(dx * dx + dy * dy <= F.lit(VS_MAXD * VS_MAXD))
+             .select((F.col("oi") * (W * W) + F.col("py") * W
+                      + F.col("px")).cast("long").alias("pair_id"),
+                     F.col("ox").alias("xa"), F.col("oy").alias("ya"),
+                     F.col("oz").alias("za"),
+                     F.col("px").alias("xb"), F.col("py").alias("yb"),
+                     (F.col("elev") + F.lit(VS_TZ)).alias("zb")))
+    los = line_of_sight(pairs, dem)
+    vis = (los.filter("visible")
+           .select(((F.col("pair_id") % (W * W)) / W).cast("int").alias("py"),
+                   (F.col("pair_id") % W).cast("int").alias("px"))
+           .groupBy("py", "px").agg(F.count("*").alias("n_vis")))
+    grid = dem.select("py", "px")
+    full = (grid.join(vis, ["py", "px"], "left")
+            .select("py", "px",
+                    F.coalesce(F.col("n_vis"), F.lit(0)).cast("int")
+                    .alias("n_vis")))
+    mx = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (full.select("py", "px", "n_vis",
+                        (F.col("n_vis") * 255 / F.max("n_vis").over(mx))
+                        .cast("int").alias("scaled"))
+            .orderBy("py", "px"))
+
+
+def o_viewshed_cumulative():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_W
+    W = DEM_W
+    oelev = DEM_ELEV_SQL.replace("px", "ox").replace("py", "oy")
+    pairs = f"""SELECT (CAST(FLOOR(oy / {VSC_SPACING}) AS BIGINT) * 4
+         + CAST(FLOOR(ox / {VSC_SPACING}) AS BIGINT)) * {W * W}
+         + py * {W} + px AS pair_id,
+       ox AS xa, oy AS ya, ({oelev}) + {sqlexpr.dlit(VS_OZ)} AS za,
+       px AS xb, py AS yb, ({DEM_ELEV_SQL}) + {sqlexpr.dlit(VS_TZ)} AS zb
+FROM dem
+CROSS JOIN (SELECT UNNEST(RANGE(0, {W}, {VSC_SPACING})) AS ox) oxs
+CROSS JOIN (SELECT UNNEST(RANGE(0, {W}, {VSC_SPACING})) AS oy) oys
+WHERE (px - ox) * (px - ox) + (py - oy) * (py - oy)
+      <= {VS_MAXD * VS_MAXD}"""
+    return f"""WITH base AS ({_los_oracle_sql(pairs)}),
+vis AS (SELECT CAST(FLOOR((pair_id % {W * W}) / {W}) AS INT) AS py,
+               CAST(pair_id % {W} AS INT) AS px, COUNT(*) AS n_vis
+        FROM base WHERE visible GROUP BY 1, 2),
+grid AS (SELECT py, px
+  FROM (SELECT UNNEST(RANGE(0, {W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {W})) AS py) ys),
+filled AS (SELECT g.py, g.px,
+           CAST(COALESCE(v.n_vis, 0) AS INT) AS n_vis
+         FROM grid g LEFT JOIN vis v ON v.py = g.py AND v.px = g.px)
+SELECT py, px, n_vis,
+  CAST(FLOOR(n_vis * 255 / CAST(MAX(n_vis) OVER () AS DOUBLE)) AS INT)
+    AS scaled
+FROM filled"""
+
+
 # --- histogram equalization (apps/gdalenhance.cpp -equalize) ---
 
 HEQ_W, HEQ_H = 64, 64
@@ -6417,6 +6503,7 @@ REGISTRY: dict[str, tuple] = {
     "blend_hsv": (q_blend_hsv, o_blend_hsv),
     "rpc_transform": (q_rpc_transform, o_rpc_transform),
     "hist_equalize": (q_hist_equalize, o_hist_equalize),
+    "viewshed_cumulative": (q_viewshed_cumulative, o_viewshed_cumulative),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
