@@ -107,7 +107,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "median_cut", "viewshed", "pansharpen", "gcp_polywarp",
                  "tps_warp", "nearblack", "raster_neighbors", "reclassify",
                  "raster_blend", "blend_hsv", "lineref_stations", "lineref_project",
-                 "rpc_transform", "hist_equalize", "viewshed_cumulative"]:
+                 "rpc_transform", "hist_equalize", "viewshed_cumulative",
+                 "line_dedup"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

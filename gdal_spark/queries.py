@@ -5327,6 +5327,94 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- corpus-level span dedup (C4-style line dedup; beyond reference) ---
+
+SPAN_WORDS = 10          # span = 10 consecutive words
+SPAN_SEEDS = 40          # doc_id < SPAN_SEEDS get an exact-copy twin
+SPAN_DUP_OFFSET = 200_000
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level exact span dedup — the C4 / deduplicate-text-
+    datasets cleaning step: split every document into consecutive
+    {SPAN_WORDS}-word spans, keep only the FIRST occurrence of each
+    span corpus-wide (order = (doc_id, span_idx)), and reassemble the
+    surviving text per document.
+
+    The raw synthetic corpus has no cross-doc duplicate spans (random
+    word streams), which would make the removal path vacuous — so both
+    engines first augment it with exact-copy twins (doc_id <
+    {SPAN_SEEDS} copied to doc_id + {SPAN_DUP_OFFSET}), whose every
+    span then loses to the original and is removed (same seeded-twin
+    discipline as simhash_lsh).
+
+    Distributed shape: ONE shuffle partitioned by span text for the
+    first-occurrence window rank, one groupBy(doc) with an ordered
+    in-group fold for reassembly. At 100 TB the span partitioning is
+    the standard suffix-array-free exact-dedup plan; per-span group
+    size is bounded by that span's duplicate count."""
+    from pyspark.sql import Window
+    docs = docs_df(spark, sf_dir).select("doc_id", "text")
+    twins = (docs.filter(F.col("doc_id") < SPAN_SEEDS)
+             .select((F.col("doc_id") + SPAN_DUP_OFFSET).alias("doc_id"),
+                     "text"))
+    corpus = docs.unionByName(twins)
+    words = corpus.select("doc_id", F.split("text", " ").alias("w"))
+    spans = (words.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.ceil(F.size("w") / SPAN_WORDS).cast("int") - 1))
+        .alias("span_idx"), "w")
+        .select("doc_id", "span_idx",
+                F.array_join(F.slice(
+                    "w", F.col("span_idx") * SPAN_WORDS + 1, SPAN_WORDS),
+                    " ").alias("span")))
+    rn = F.row_number().over(
+        Window.partitionBy("span").orderBy("doc_id", "span_idx"))
+    kept = spans.withColumn("rn", rn).filter("rn = 1")
+    out = (kept.groupBy("doc_id")
+           .agg(F.count("*").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("span_idx", "span"))),
+                        lambda s: s["span"]), " ").alias("new_text")))
+    n_in = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (n_in.join(out, "doc_id", "left")
+            .select("doc_id", "n_spans",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.md5(F.coalesce("new_text", F.lit(""))).alias("sig"))
+            .orderBy("doc_id"))
+
+
+def o_line_dedup():
+    return f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SPAN_DUP_OFFSET}, text FROM documents
+  WHERE doc_id < {SPAN_SEEDS}),
+words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM corpus),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS span_idx,
+    ARRAY_TO_STRING(w[i * {SPAN_WORDS} + 1 : (i + 1) * {SPAN_WORDS}], ' ')
+      AS span
+  FROM (SELECT doc_id, w,
+          UNNEST(RANGE(0, CAST(CEIL(LEN(w) / {SPAN_WORDS}.0) AS BIGINT)))
+            AS i
+        FROM words)),
+kept AS (SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY span
+            ORDER BY doc_id, span_idx) AS rn FROM spans) WHERE rn = 1),
+outp AS (SELECT doc_id, COUNT(*) AS n_kept,
+           STRING_AGG(span, ' ' ORDER BY span_idx) AS new_text
+         FROM kept GROUP BY doc_id),
+n_in AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+SELECT n.doc_id, n.n_spans, COALESCE(o.n_kept, 0) AS n_kept,
+       MD5(COALESCE(o.new_text, '')) AS sig
+FROM n_in n LEFT JOIN outp o ON o.doc_id = n.doc_id"""
+
+
 # --- cumulative viewshed (alg/viewshed/cumulative.cpp) ---
 
 VSC_SPACING = 16   # observer grid spacing (cumulative.cpp:66-67)
@@ -6504,6 +6592,7 @@ REGISTRY: dict[str, tuple] = {
     "rpc_transform": (q_rpc_transform, o_rpc_transform),
     "hist_equalize": (q_hist_equalize, o_hist_equalize),
     "viewshed_cumulative": (q_viewshed_cumulative, o_viewshed_cumulative),
+    "line_dedup": (q_line_dedup, o_line_dedup),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
