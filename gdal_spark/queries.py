@@ -5327,6 +5327,100 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- URL canonicalization (webtext pipeline; beyond reference) ---
+
+URL_SYNTH_SQL = """CASE doc_id % 5
+  WHEN 0 THEN 'HTTP://Example.COM:80/Docs/' || CAST(doc_id AS STRING)
+              || '#section2'
+  WHEN 1 THEN 'https://WWW.Site.ORG:443/a/b?utm_source=feed&id='
+              || CAST(doc_id AS STRING) || '&z=9&a=1'
+  WHEN 2 THEN 'http://Host.NET:8080/p?b=2&a=1&utm_campaign=x'
+  WHEN 3 THEN 'https://cdn.example.com/x/y'
+  ELSE 'HTTPS://Example.Com/Docs/' || CAST(doc_id % 7 AS STRING)
+       || '?utm_medium=a'
+END"""
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization — the standard webtext-crawl dedup
+    normalizer (RFC 3986 syntax normalization + tracking-param strip):
+    lowercase scheme and host, drop the default port (:80 http / :443
+    https; other ports kept), drop the fragment, remove utm_* query
+    params, sort the surviving params, rebuild. Emits the canonical
+    URL and the count of documents sharing it (canonical-duplicate
+    group size). Pure string/array column math — a 10^12-row URL
+    table canonicalizes map-only; the group count is one hash
+    aggregation on the canonical key."""
+    from pyspark.sql import Window
+    docs = docs_df(spark, sf_dir).selectExpr(
+        "doc_id", URL_SYNTH_SQL + " AS url")
+    nofrag = F.regexp_replace("url", "#.*", "")
+    d = docs.select("doc_id", "url", nofrag.alias("nf"))
+    d = d.select(
+        "doc_id", "url",
+        F.lower(F.regexp_extract("nf", "^([a-zA-Z]+)://", 1)).alias("scheme"),
+        F.regexp_replace("nf", "^[a-zA-Z]+://", "").alias("rest"))
+    d = d.select(
+        "doc_id", "url", "scheme",
+        F.lower(F.regexp_extract("rest", "^([^/?]+)", 1)).alias("hostport"),
+        F.regexp_replace("rest", "^[^/?]+", "").alias("pathq"))
+    host = (F.when(F.col("scheme") == "http",
+                   F.regexp_replace("hostport", ":80$", ""))
+            .when(F.col("scheme") == "https",
+                  F.regexp_replace("hostport", ":443$", ""))
+            .otherwise(F.col("hostport")))
+    path = F.regexp_extract("pathq", "^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract("pathq", "\\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != "")))
+    qs = F.array_join(params, "&")
+    canon = F.concat(
+        F.col("scheme"), F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))
+    out = d.select("doc_id", "url", canon.alias("canon"))
+    n = F.count("*").over(Window.partitionBy("canon"))
+    return (out.select("doc_id", "canon", n.cast("int").alias("n_same"))
+            .orderBy("doc_id"))
+
+
+def o_url_canonical():
+    return f"""WITH docs AS (
+  SELECT doc_id, {URL_SYNTH_SQL} AS url FROM documents),
+s1 AS (SELECT doc_id, url, REGEXP_REPLACE(url, '#.*', '') AS nf FROM docs),
+s2 AS (SELECT doc_id, url,
+         LOWER(REGEXP_EXTRACT(nf, '^([a-zA-Z]+)://', 1)) AS scheme,
+         REGEXP_REPLACE(nf, '^[a-zA-Z]+://', '') AS rest
+       FROM s1),
+s3 AS (SELECT doc_id, url, scheme,
+         LOWER(REGEXP_EXTRACT(rest, '^([^/?]+)', 1)) AS hostport,
+         REGEXP_REPLACE(rest, '^[^/?]+', '') AS pathq
+       FROM s2),
+s4 AS (SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http'
+              THEN REGEXP_REPLACE(hostport, ':80$', '')
+              WHEN scheme = 'https'
+              THEN REGEXP_REPLACE(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         CASE WHEN REGEXP_EXTRACT(pathq, '^([^?]*)', 1) = '' THEN '/'
+              ELSE REGEXP_EXTRACT(pathq, '^([^?]*)', 1) END AS path,
+         REGEXP_EXTRACT(pathq, '\\?(.*)$', 1) AS query
+       FROM s3),
+s5 AS (SELECT doc_id, url, scheme, host, path,
+         ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+           STRING_SPLIT(query, '&'),
+           p -> NOT STARTS_WITH(p, 'utm_') AND p <> '')), '&') AS qs
+       FROM s4),
+canon AS (SELECT doc_id,
+            scheme || '://' || host || path
+            || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon
+          FROM s5)
+SELECT doc_id, canon,
+       CAST(COUNT(*) OVER (PARTITION BY canon) AS INT) AS n_same
+FROM canon"""
+
+
 # --- corpus-level span dedup (C4-style line dedup; beyond reference) ---
 
 SPAN_WORDS = 10          # span = 10 consecutive words
@@ -6593,6 +6687,7 @@ REGISTRY: dict[str, tuple] = {
     "hist_equalize": (q_hist_equalize, o_hist_equalize),
     "viewshed_cumulative": (q_viewshed_cumulative, o_viewshed_cumulative),
     "line_dedup": (q_line_dedup, o_line_dedup),
+    "url_canonical": (q_url_canonical, o_url_canonical),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
