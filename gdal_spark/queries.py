@@ -5327,6 +5327,132 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- raster stack / update / pixel-info (gdalalg_raster_stack.cpp,
+# --- gdalalg_raster_update.cpp, gdallocationinfo / pixel_info) ---
+
+
+def q_raster_stack(spark, sf_dir):
+    """gdal raster stack (apps/gdalalg_raster_stack.cpp; gdalbuildvrt
+    -separate): co-registered inputs become bands of one dataset. Here
+    the sparse page-burn raster joins two dense synthetic bands on the
+    shared 40x40 grid — a full-grid left join per extra band; missing
+    sparse cells stay NULL exactly as a VRT band with no source reads
+    nodata. One shuffle per band at any scale (or zero with
+    co-partitioned inputs)."""
+    grid = spark.range(ZRAST_W * ZRAST_H).select(
+        (F.col("id") / ZRAST_W).cast("int").alias("py"),
+        (F.col("id") % ZRAST_W).cast("int").alias("px"))
+    b1 = _warp_src_burn(spark, sf_dir).select(
+        F.col("sy").alias("py"), F.col("sx").alias("px"),
+        F.col("burn").alias("band1"))
+    b2 = grid.selectExpr("py", "px",
+                         "CAST((px * 7 + py * 13) % 50 AS DOUBLE) AS band2")
+    b3 = grid.selectExpr("py", "px",
+                         "CAST((px + py * py) % 31 AS DOUBLE) AS band3")
+    return (grid.join(b1, ["py", "px"], "left")
+            .join(b2, ["py", "px"]).join(b3, ["py", "px"])
+            .orderBy("py", "px"))
+
+
+def o_raster_stack():
+    return f"""{_burn_cte_sql()},
+grid AS (SELECT py, px
+  FROM (SELECT UNNEST(RANGE(0, {ZRAST_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {ZRAST_H})) AS py) ys)
+SELECT g.py, g.px, CAST(b.c AS DOUBLE) AS band1,
+       CAST((g.px * 7 + g.py * 13) % 50 AS DOUBLE) AS band2,
+       CAST((g.px + g.py * g.py) % 31 AS DOUBLE) AS band3
+FROM grid g LEFT JOIN burn b ON b.py = g.py AND b.px = g.px"""
+
+
+UPD_X0, UPD_Y0, UPD_X1, UPD_Y1 = 8, 10, 30, 28   # update sub-window
+
+
+def q_raster_update(spark, sf_dir):
+    """gdal raster update (apps/gdalalg_raster_update.cpp): write an
+    update raster onto an existing base in-place over the update's
+    extent. Base = dense synthetic band; update = the sparse page-burn
+    raster clipped to a sub-window. Cells in the window take the
+    update value (sparse burn misses = 0 burn, as a dense update
+    raster would carry); outside the window the base survives. One
+    left join — no read-modify-write cycle, the merge IS the plan."""
+    grid = spark.range(ZRAST_W * ZRAST_H).select(
+        (F.col("id") / ZRAST_W).cast("int").alias("py"),
+        (F.col("id") % ZRAST_W).cast("int").alias("px"),
+    ).selectExpr("py", "px",
+                 "CAST((px * 11 + py * 3) % 77 AS DOUBLE) AS base")
+    upd = (_warp_src_burn(spark, sf_dir)
+           .select(F.col("sy").alias("py"), F.col("sx").alias("px"),
+                   F.col("burn").alias("upd")))
+    in_win = ((F.col("px") >= UPD_X0) & (F.col("px") < UPD_X1)
+              & (F.col("py") >= UPD_Y0) & (F.col("py") < UPD_Y1))
+    return (grid.join(upd, ["py", "px"], "left")
+            .select("py", "px",
+                    F.when(in_win, F.coalesce(F.col("upd"), F.lit(0.0)))
+                    .otherwise(F.col("base")).alias("val"))
+            .orderBy("py", "px"))
+
+
+def o_raster_update():
+    return f"""{_burn_cte_sql()},
+grid AS (SELECT py, px, CAST((px * 11 + py * 3) % 77 AS DOUBLE) AS base
+  FROM (SELECT UNNEST(RANGE(0, {ZRAST_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {ZRAST_H})) AS py) ys)
+SELECT g.py, g.px,
+  CASE WHEN g.px >= {UPD_X0} AND g.px < {UPD_X1}
+        AND g.py >= {UPD_Y0} AND g.py < {UPD_Y1}
+       THEN COALESCE(CAST(b.c AS DOUBLE), 0.0) ELSE g.base END AS val
+FROM grid g LEFT JOIN burn b ON b.py = g.py AND b.px = g.px"""
+
+
+def q_pixel_info(spark, sf_dir):
+    """gdallocationinfo / gdal raster pixel-info
+    (apps/gdallocationinfo.cpp, gdalalg_raster_pixel_info.cpp):
+    georeferenced query points -> pixel/line via the inverse
+    geotransform (floor((x-gt0)/gt1), floor((y-gt3)/gt5)) + the band
+    value at that cell; points outside the raster report
+    in_raster=false with NULL value. A broadcast-sized point list
+    joins the raster on the pixel key — at 10^12 pixels this is the
+    point-lookup plan (partition-pruned by pixel key)."""
+    g = ZRAST_GT
+    qpts = spark.range(40).selectExpr(
+        "CAST(id AS INT) AS q_id",
+        f"{g[0]} + ((id * 13) % 50 - 4.7) * {g[1]} AS qx",
+        f"{g[3]} + ((id * 7) % 48 - 3.9) * ({g[5]}) AS qy")
+    px = F.floor((F.col("qx") - g[0]) / g[1]).cast("int")
+    py = F.floor((F.col("qy") - g[3]) / g[5]).cast("int")
+    pts = qpts.select("q_id", px.alias("px"), py.alias("py"))
+    burn = _warp_src_burn(spark, sf_dir).select(
+        F.col("sy").alias("py"), F.col("sx").alias("px"), "burn")
+    inr = ((F.col("px") >= 0) & (F.col("px") < ZRAST_W)
+           & (F.col("py") >= 0) & (F.col("py") < ZRAST_H))
+    return (pts.join(burn, ["py", "px"], "left")
+            .select("q_id", "px", "py", inr.alias("in_raster"),
+                    F.when(inr, F.coalesce(F.col("burn"), F.lit(0.0)))
+                    .alias("val"))
+            .orderBy("q_id"))
+
+
+def o_pixel_info():
+    g = ZRAST_GT
+    return f"""{_burn_cte_sql()},
+qpts AS (SELECT CAST(i AS INT) AS q_id,
+           {g[0]} + ((i * 13) % 50 - 4.7) * {g[1]} AS qx,
+           {g[3]} + ((i * 7) % 48 - 3.9) * ({g[5]}) AS qy
+         FROM (SELECT UNNEST(RANGE(0, 40)) AS i)),
+pts AS (SELECT q_id,
+          CAST(FLOOR((qx - ({g[0]})) / {g[1]}) AS INT) AS px,
+          CAST(FLOOR((qy - ({g[3]})) / ({g[5]})) AS INT) AS py
+        FROM qpts)
+SELECT p.q_id, p.px, p.py,
+  (p.px >= 0 AND p.px < {ZRAST_W} AND p.py >= 0 AND p.py < {ZRAST_H})
+    AS in_raster,
+  CASE WHEN p.px >= 0 AND p.px < {ZRAST_W}
+        AND p.py >= 0 AND p.py < {ZRAST_H}
+       THEN COALESCE(CAST(b.c AS DOUBLE), 0.0) END AS val
+FROM pts p LEFT JOIN burn b ON b.py = p.py AND b.px = p.px"""
+
+
 # --- URL canonicalization (webtext pipeline; beyond reference) ---
 
 URL_SYNTH_SQL = """CASE doc_id % 5
@@ -6688,6 +6814,9 @@ REGISTRY: dict[str, tuple] = {
     "viewshed_cumulative": (q_viewshed_cumulative, o_viewshed_cumulative),
     "line_dedup": (q_line_dedup, o_line_dedup),
     "url_canonical": (q_url_canonical, o_url_canonical),
+    "raster_stack": (q_raster_stack, o_raster_stack),
+    "raster_update": (q_raster_update, o_raster_update),
+    "pixel_info": (q_pixel_info, o_pixel_info),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
