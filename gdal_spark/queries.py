@@ -5327,6 +5327,104 @@ SELECT py, px,
 FROM dem CROSS JOIN mm"""
 
 
+# --- vector geometry validity check (gdalalg_vector_check_geometry) ---
+
+
+def _check_geom_points() -> list[tuple]:
+    """Ring point lists: the 11 zone rings (valid) + 5 crafted invalid
+    geometries — bowtie crossing, boundary touch, repeated point,
+    unclosed ring, too-few points. Integer coords on the crafted ones
+    keep every orientation predicate exact."""
+    from gdal_spark.fixtures import zone_ring_edge_rows
+    rows = []
+    by_ring: dict = {}
+    for z, r, e, x1, y1, x2, y2 in zone_ring_edge_rows():
+        by_ring.setdefault((z, r), []).append((e, x1, y1, x2, y2))
+    for gi, ((z, r), segs) in enumerate(sorted(by_ring.items())):
+        segs.sort()
+        for i, (_, x1, y1, x2, y2) in enumerate(segs):
+            rows.append((gi, i, x1, y1))
+        rows.append((gi, len(segs), segs[0][1], segs[0][2]))  # close
+    crafted = {
+        100: [(0, 0), (4, 4), (4, 0), (0, 4), (0, 0)],          # bowtie
+        101: [(0, 0), (4, 0), (4, 4), (2, 0), (0, 4), (0, 0)],  # touch
+        102: [(0, 0), (2, 0), (2, 0), (2, 2), (0, 2), (0, 0)],  # repeat
+        103: [(0, 0), (3, 0), (3, 3), (0, 3)],                  # open
+        104: [(0, 0), (1, 1), (0, 0)],                          # too few
+    }
+    for gid, pts in crafted.items():
+        for i, (x, y) in enumerate(pts):
+            rows.append((gid, i, float(x), float(y)))
+    return rows
+
+
+def _check_geom_sql() -> str:
+    """Shared Spark/DuckDB validity-check body over ring point lists.
+
+    Reference: gdal vector check-geometry
+    (apps/gdalalg_vector_check_geometry.cpp — GEOS IsValidDetail):
+    per-geometry OGC validity with a reason. Implemented subset, in
+    the reference's effective priority: 'too few points' (< 4 incl.
+    closure), 'ring not closed', 'repeated point' (consecutive
+    duplicates), 'self-intersection' (any non-adjacent segment pair
+    intersecting — proper crossing, endpoint touch, or collinear
+    overlap, the OGC ring-simplicity rule). Distributed shape: the
+    pair test joins a ring's segments only against the same ring
+    (partition by geometry id); at web scale each geometry's O(n^2)
+    pair set is further prunable by the segment bbox cell — the
+    standard plan, noted not needed at this fixture size."""
+    vals = ", ".join(f"({g}, {i}, {sqlexpr.dlit(x)}, {sqlexpr.dlit(y)})"
+                     for g, i, x, y in _check_geom_points())
+    return f"""pts(gid, seq, x, y) AS (VALUES {vals}),
+np AS (SELECT gid, COUNT(*) AS n,
+         MIN(CASE WHEN seq = 0 THEN x END) AS fx,
+         MIN(CASE WHEN seq = 0 THEN y END) AS fy,
+         MIN_BY(x, -seq) AS lx, MIN_BY(y, -seq) AS ly
+       FROM pts GROUP BY gid),
+seg AS (SELECT a.gid, a.seq AS i, a.x AS ax, a.y AS ay,
+               b.x AS bx, b.y AS by
+        FROM pts a JOIN pts b ON b.gid = a.gid AND b.seq = a.seq + 1),
+nseg AS (SELECT gid, COUNT(*) AS ns FROM seg GROUP BY gid),
+rep AS (SELECT gid, COUNT(*) AS n_rep FROM seg
+        WHERE ax = bx AND ay = by GROUP BY gid),
+xp AS (
+  SELECT s.gid, COUNT(*) AS n_x FROM seg s
+  JOIN seg t ON t.gid = s.gid AND s.i < t.i AND t.i <> s.i + 1
+  JOIN nseg k ON k.gid = s.gid
+  WHERE NOT (s.i = 0 AND t.i = k.ns - 1)
+    AND GREATEST(s.ax, s.bx) >= LEAST(t.ax, t.bx)
+    AND GREATEST(t.ax, t.bx) >= LEAST(s.ax, s.bx)
+    AND GREATEST(s.ay, s.by) >= LEAST(t.ay, t.by)
+    AND GREATEST(t.ay, t.by) >= LEAST(s.ay, s.by)
+    AND ((s.bx - s.ax) * (t.ay - s.ay) - (s.by - s.ay) * (t.ax - s.ax))
+      * ((s.bx - s.ax) * (t.by - s.ay) - (s.by - s.ay) * (t.bx - s.ax))
+        <= 0
+    AND ((t.bx - t.ax) * (s.ay - t.ay) - (t.by - t.ay) * (s.ax - t.ax))
+      * ((t.bx - t.ax) * (s.by - t.ay) - (t.by - t.ay) * (s.bx - t.ax))
+        <= 0
+  GROUP BY s.gid)
+SELECT n.gid,
+  CASE WHEN n.n < 4 THEN 'too few points'
+       WHEN n.fx <> n.lx OR n.fy <> n.ly THEN 'ring not closed'
+       WHEN COALESCE(r.n_rep, 0) > 0 THEN 'repeated point'
+       WHEN COALESCE(x.n_x, 0) > 0 THEN 'self-intersection'
+       ELSE 'valid' END AS reason,
+  (n.n >= 4 AND n.fx = n.lx AND n.fy = n.ly
+   AND COALESCE(r.n_rep, 0) = 0 AND COALESCE(x.n_x, 0) = 0) AS valid
+FROM np n
+LEFT JOIN rep r ON r.gid = n.gid
+LEFT JOIN xp x ON x.gid = n.gid
+ORDER BY n.gid"""
+
+
+def q_check_geometry(spark, sf_dir):
+    return spark.sql("WITH " + _check_geom_sql())
+
+
+def o_check_geometry():
+    return "WITH " + _check_geom_sql()
+
+
 # --- raster stack / update / pixel-info (gdalalg_raster_stack.cpp,
 # --- gdalalg_raster_update.cpp, gdallocationinfo / pixel_info) ---
 
@@ -6817,6 +6915,7 @@ REGISTRY: dict[str, tuple] = {
     "raster_stack": (q_raster_stack, o_raster_stack),
     "raster_update": (q_raster_update, o_raster_update),
     "pixel_info": (q_pixel_info, o_pixel_info),
+    "check_geometry": (q_check_geometry, o_check_geometry),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
