@@ -109,7 +109,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "raster_blend", "blend_hsv", "lineref_stations", "lineref_project",
                  "rpc_transform", "hist_equalize", "viewshed_cumulative",
                  "line_dedup", "url_canonical",
-                 "raster_stack", "raster_update", "pixel_info", "check_geometry"]:
+                 "raster_stack", "raster_update", "pixel_info", "check_geometry",
+                 "dem_hillshade_igor"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -5147,6 +5147,58 @@ def o_dem_hillshade():
             f"ELSE {expr} + 1.0 END, 6) AS shade FROM w")
 
 
+def _igor_shade_sql() -> str:
+    """gdaldem hillshade -igor (GDALHillshadeIgorAlg,
+    apps/gdaldem_lib.cpp:947-1013) over win0..win8, shared Spark /
+    DuckDB text: Horn gradients scaled by inv_ewres=1 / inv_nsres=-1
+    (north-up fixture), slope = atan(|grad| * z/8) in degrees, aspect
+    = atan2(dy, -dx) on the UNSCALED sums, aspectStrength = 1 -
+    diff(aspect, 3pi/2 - az)/pi with 2pi angle normalization
+    (:926-944), shade = 255*(1 - slopeStrength*aspectStrength).
+    Deviation: float64 both engines (reference float32), same
+    discipline as blend_hsv."""
+    import math
+    dx = ("(((win0 + win3 + win3 + win6) - (win2 + win5 + win5 + win8))"
+          " * 1.0e0)")
+    dy = ("(((win6 + win7 + win7 + win8) - (win0 + win1 + win1 + win2))"
+          " * -1.0e0)")
+    zf = 1.0 / 8.0
+    slope_deg = (f"(ATAN(SQRT({dx} * {dx} + {dy} * {dy}) "
+                 f"* {sqlexpr.dlit(zf)}) * {sqlexpr.dlit(180.0 / math.pi)})")
+    dxa = "((win2 + win5 + win5 + win8) - (win0 + win3 + win3 + win6))"
+    dy2 = "((win6 + win7 + win7 + win8) - (win0 + win1 + win1 + win2))"
+    aspect = f"ATAN2({dy2}, -({dxa}))"
+    # NormalizeAngle(aspect, 2pi): fmod then wrap negatives
+    two_pi = sqlexpr.dlit(2.0 * math.pi)
+    na = (f"(CASE WHEN ({aspect}) % {two_pi} < 0.0e0 "
+          f"THEN {two_pi} + ({aspect}) % {two_pi} "
+          f"ELSE ({aspect}) % {two_pi} END)")
+    # angle2 = NormalizeAngle(3pi/2 - az, 2pi), az = 315 deg — constant
+    a2 = (1.5 * math.pi - math.radians(315.0)) % (2.0 * math.pi)
+    diff = f"ABS({na} - {sqlexpr.dlit(a2)})"
+    adiff = (f"(CASE WHEN {diff} > {sqlexpr.dlit(math.pi)} "
+             f"THEN {two_pi} - {diff} ELSE {diff} END)")
+    strength = (f"(({slope_deg}) * {sqlexpr.dlit(1.0 / 90.0)}) "
+                f"* (1.0e0 - ({adiff}) * {sqlexpr.dlit(1.0 / math.pi)})")
+    return f"ROUND(255.0e0 * (1.0e0 - {strength}), 6)"
+
+
+def q_dem_hillshade_igor(spark, sf_dir):
+    """gdaldem hillshade -igor (apps/gdaldem_lib.cpp:947-1013 — slope-
+    and aspect-strength shadowing) over the DEM fixture; see
+    _igor_shade_sql for the kernel citation. Same one-shuffle
+    scatter-pivot window as every gdaldem operator here."""
+    from gdal_spark.operators import dem as dem_op
+    nb = dem_op.neighbors9(dem_op.dem_df(spark))
+    return (nb.selectExpr("py", "px", _igor_shade_sql() + " AS shade")
+            .orderBy("py", "px"))
+
+
+def o_dem_hillshade_igor():
+    return (f"WITH {_o_dem_win_cte()} "
+            f"SELECT py, px, {_igor_shade_sql()} AS shade FROM w")
+
+
 def q_dem_hillshade_variants(spark, sf_dir):
     """gdaldem hillshade -combined and -multidirectional
     (GDALHillshadeCombinedAlg :1151, GDALHillshadeMultiDirectionalAlg
@@ -6916,6 +6968,7 @@ REGISTRY: dict[str, tuple] = {
     "raster_update": (q_raster_update, o_raster_update),
     "pixel_info": (q_pixel_info, o_pixel_info),
     "check_geometry": (q_check_geometry, o_check_geometry),
+    "dem_hillshade_igor": (q_dem_hillshade_igor, o_dem_hillshade_igor),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
