@@ -4061,6 +4061,31 @@ def o_stream_rollup():
             "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1, 2")
 
 
+def q_stream_geofence(spark, sf_dir):
+    """Streaming geofence alerts: stream-static non-equi broadcast
+    join (point-in-circle) + watermarked hourly counts per fence —
+    gdal_spark/streaming/events.geofence_stream. availableNow replay
+    makes the drained result equal the batch GROUP BY (exact
+    oracle)."""
+    from gdal_spark.streaming.events import geofence_stream
+    return geofence_stream(spark, sf_dir)
+
+
+def o_stream_geofence():
+    from gdal_spark.streaming.events import (GEOFENCE_LAT_SQL,
+                                             GEOFENCE_LON_SQL, GEOFENCES)
+    vals = ", ".join(f"({i}, {sqlexpr.dlit(la)}, {sqlexpr.dlit(lo)}, "
+                     f"{sqlexpr.dlit(r)})" for i, la, lo, r in GEOFENCES)
+    return f"""WITH f(fence_id, flat, flon, r) AS (VALUES {vals}),
+ev AS (SELECT event_id, ts, value, {GEOFENCE_LAT_SQL} AS lat,
+              {GEOFENCE_LON_SQL} AS lon FROM events)
+SELECT DATE_TRUNC('hour', e.ts) AS hour, CAST(f.fence_id AS INT) AS fence_id,
+       COUNT(*) AS n, ROUND(SUM(e.value), 4) AS sum_value
+FROM ev e JOIN f ON (e.lat - f.flat) * (e.lat - f.flat)
+                  + (e.lon - f.flon) * (e.lon - f.flon) <= f.r * f.r
+GROUP BY 1, 2"""
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (content-hash key, watermark-bounded
     state via dropDuplicatesWithinWatermark) — emits the distinct key
@@ -6969,6 +6994,7 @@ REGISTRY: dict[str, tuple] = {
     "pixel_info": (q_pixel_info, o_pixel_info),
     "check_geometry": (q_check_geometry, o_check_geometry),
     "dem_hillshade_igor": (q_dem_hillshade_igor, o_dem_hillshade_igor),
+    "stream_geofence": (q_stream_geofence, o_stream_geofence),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),

@@ -117,3 +117,65 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str,
                     .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# deterministic event coordinates + circular fences for the geofence
+# stream: formulas shared verbatim with the DuckDB oracle
+GEOFENCE_LAT_SQL = "(((event_id * 37) % 1200) / 10.0 - 60.0)"
+GEOFENCE_LON_SQL = "(((event_id * 91) % 3600) / 10.0 - 180.0)"
+GEOFENCES = [  # (fence_id, lat, lon, radius_deg) — planar circles
+    (0, 40.7, -74.0, 12.0),
+    (1, 51.5, -0.12, 10.0),
+    (2, 35.68, 139.69, 14.0),
+    (3, -23.55, -46.63, 11.0),
+    (4, 48.85, 2.35, 8.0),
+]
+
+
+def geofence_stream(spark: SparkSession, sf_dir: str,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming geofence alerts — the canonical spatial streaming op
+    the reference's batch-only model cannot express: an event stream
+    with derived coordinates, a stream-static NON-EQUI join against a
+    broadcast fence table (point-in-circle), then watermarked hourly
+    tumbling counts per fence. An event inside two overlapping fences
+    alerts in both. With availableNow + complete mode the drained
+    result equals the batch GROUP BY (exact DuckDB oracle); the
+    watermark bounds state for the unbounded-ingest case."""
+    name = f"geofence_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_stream_ckpt_")
+    try:
+        with utc_session(spark):
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            src = (spark.readStream.schema(schema)
+                   .option("pathGlobFilter", "events.parquet")
+                   .parquet(sf_dir)
+                   .withColumn("ts", F.col("ts").cast("timestamp"))
+                   .selectExpr("event_id", "ts", "value",
+                               GEOFENCE_LAT_SQL + " AS lat",
+                               GEOFENCE_LON_SQL + " AS lon"))
+            fences = spark.createDataFrame(
+                GEOFENCES, "fence_id int, flat double, flon double, r double")
+            d2 = ((F.col("lat") - F.col("flat"))
+                  * (F.col("lat") - F.col("flat"))
+                  + (F.col("lon") - F.col("flon"))
+                  * (F.col("lon") - F.col("flon")))
+            hits = src.join(F.broadcast(fences), d2 <= F.col("r") * F.col("r"))
+            agg = (hits.withWatermark("ts", watermark)
+                   .groupBy(F.window("ts", "1 hour").alias("w"),
+                            F.col("fence_id"))
+                   .agg(F.count("*").alias("n"),
+                        F.round(F.sum("value"), 4).alias("sum_value")))
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("complete")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            return (spark.table(name)
+                    .select(F.col("w.start").cast("timestamp_ntz")
+                            .alias("hour"),
+                            "fence_id", "n", "sum_value")
+                    .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
