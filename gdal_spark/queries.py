@@ -6715,6 +6715,31 @@ FROM up u JOIN pp ON pp.py = u.py AND pp.px = u.px
 JOIN pan ON pan.py = u.py AND pan.px = u.px"""
 
 
+# --- Dither RGB -> PCT (GDALDitherRGB2PCT, alg/gdaldither.cpp) ---
+
+DITHER_STRIP_H = 24
+
+
+def q_dither(spark, sf_dir):
+    """GDALDitherRGB2PCT (alg/gdaldither.cpp): error-diffusion dither
+    of the median-cut fixture image onto its 16-color palette — the
+    exact reference kernel (L1 nearest color, GDAL's e/6 diffusion
+    weights with C truncation) run per horizontal strip in parallel
+    (operators/dither.py; error zeroed at strip seams — documented
+    deviation, the one reference op with a strictly serial whole-image
+    order). No SQL oracle (2-D error recurrence is not
+    SQL-expressible) — rows-only driver check; the exact-kernel pytest
+    (tests/test_dither.py) transliteration is the correctness
+    anchor."""
+    from gdal_spark.operators.dither import dither_rgb_to_pct
+    from gdal_spark.operators.mediancut import compute_median_cut_pct
+    rgb = _mc_rgb_df(spark)
+    _, palette = compute_median_cut_pct(rgb, MC_COLORS)
+    pal = [(p[1], p[2], p[3]) for p in palette]
+    return (dither_rgb_to_pct(rgb, pal, DITHER_STRIP_H, MC_W)
+            .orderBy("py", "px"))
+
+
 # --- Median-cut PCT (GDALComputeMedianCutPCT, alg/gdalmediancut.cpp) ---
 
 MC_W, MC_H = 96, 96
@@ -6995,6 +7020,7 @@ REGISTRY: dict[str, tuple] = {
     "check_geometry": (q_check_geometry, o_check_geometry),
     "dem_hillshade_igor": (q_dem_hillshade_igor, o_dem_hillshade_igor),
     "stream_geofence": (q_stream_geofence, o_stream_geofence),
+    "dither": (q_dither, None),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
