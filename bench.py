@@ -110,7 +110,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "rpc_transform", "hist_equalize", "viewshed_cumulative",
                  "line_dedup", "url_canonical",
                  "raster_stack", "raster_update", "pixel_info", "check_geometry",
-                 "dem_hillshade_igor", "stream_geofence", "dither"]:
+                 "dem_hillshade_igor", "stream_geofence", "dither",
+                 "grid_metrics_avg"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

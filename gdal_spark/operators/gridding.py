@@ -125,3 +125,47 @@ def grid_invdist(cand: DataFrame, id_col: str = "pt_id",
     return folded.select(
         "cy", "cx", F.size("it").alias("n"),
         F.round(swv / sw, 6).alias("v"))
+
+
+def grid_metrics_avg(cand: DataFrame, cand_pts: DataFrame,
+                     id_col: str = "pt_id") -> DataFrame:
+    """Data metrics part 2 (alg/gdalgrid.cpp:2088-2310):
+    range = max - min distance; average_distance = mean distance to
+    the cell center (GDALGridDataMetricAverageDistance :2125-2232);
+    average_distance_pts = mean pairwise distance between in-radius
+    points, INCLUDING self-pairs, per the reference's quadtree path
+    (GDALGridDataMetricAverageDistancePts — inner loop `for j = k`, so
+    n = C(m,2) + m; the set of j>=k pairs is visit-order-free).
+    ``cand_pts`` may use a smaller radius: the O(k^2) pair join is the
+    genuine reference cost — at scale the hot-cell pair set IS the
+    work, so the radius bounds k (documented; the reference pays the
+    same quadratic serially). All float folds ordered by point id for
+    cross-engine bit-exactness."""
+    items = F.array_sort(F.collect_list(F.struct(
+        F.col(id_col).alias("pid"), F.col("d").alias("dd"))))
+    base = cand.groupBy("cy", "cx").agg(
+        items.alias("it"),
+        F.round(F.max("d") - F.min("d"), 6).alias("range_d"))
+    sd = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["dd"])
+    base = base.select(
+        "cy", "cx", F.size("it").alias("n"), "range_d",
+        F.round(sd / F.size("it").cast("double"), 6).alias("avg_d"))
+
+    a = cand_pts.select("cy", "cx", F.col(id_col).alias("pa"),
+                        F.col("lon").alias("xa"), F.col("lat").alias("ya"))
+    b = cand_pts.select("cy", "cx", F.col(id_col).alias("pb"),
+                        F.col("lon").alias("xb"), F.col("lat").alias("yb"))
+    pd_ = (a.join(b, ["cy", "cx"]).filter(F.col("pa") <= F.col("pb"))
+           .select("cy", "cx", "pa", "pb",
+                   F.sqrt((F.col("xb") - F.col("xa"))
+                          * (F.col("xb") - F.col("xa"))
+                          + (F.col("yb") - F.col("ya"))
+                          * (F.col("yb") - F.col("ya"))).alias("pdist")))
+    pit = F.array_sort(F.collect_list(F.struct(
+        F.col("pa"), F.col("pb"), F.col("pdist").alias("dd"))))
+    pairs = pd_.groupBy("cy", "cx").agg(pit.alias("it"))
+    sp = F.aggregate(F.col("it"), F.lit(0.0), lambda acc, x: acc + x["dd"])
+    pairs = pairs.select(
+        "cy", "cx", F.size("it").alias("n_pairs"),
+        F.round(sp / F.size("it").cast("double"), 6).alias("avg_d_pts"))
+    return base.join(pairs, ["cy", "cx"], "left")

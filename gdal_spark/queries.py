@@ -744,6 +744,75 @@ def q_grid_metrics(spark, sf_dir):
     return gridding.grid_metrics(_egrid_cand(spark, sf_dir))
 
 
+AVGPTS_RADIUS = 0.25
+
+
+def _egrid_cand_r(spark, sf_dir, radius):
+    from gdal_spark.operators import gridding
+    pts = points_df(spark, sf_dir)
+    g = EGRID
+    return gridding.scatter_to_cells(
+        pts, g["x0"], g["y0"], g["dx"], g["dy"], g["nx"], g["ny"], radius)
+
+
+def q_grid_metrics_avg(spark, sf_dir):
+    """gdal_grid data metrics part 2: range, average_distance (to cell
+    center, alg/gdalgrid.cpp:2125-2232) at the 1-deg radius, and
+    average_distance_pts (mean pairwise distance INCLUDING self-pairs,
+    the reference quadtree path's `for j = k` loop :2088+) at a 0.25-
+    deg radius — the O(k^2) pair join is the reference's own cost; the
+    smaller radius bounds the hot-cell k (4045 candidates -> 102M
+    pairs at 1 deg, measured). Ordered folds throughout
+    (operators/gridding.grid_metrics_avg)."""
+    from gdal_spark.operators import gridding
+    return gridding.grid_metrics_avg(
+        _egrid_cand(spark, sf_dir),
+        _egrid_cand_r(spark, sf_dir, AVGPTS_RADIUS))
+
+
+def o_grid_metrics_avg():
+    g = dict(EGRID)
+    g["radius"] = AVGPTS_RADIUS
+    # dedicated small-radius candidate CTE carrying lon/lat: pt_id is
+    # NOT unique in the points table, so a re-join by pt_id would
+    # fan out the pair set — coordinates must ride along
+    small = """cand2 AS (
+  SELECT c.cy, c.cx, p.pt_id, p.lon, p.lat
+  FROM points p JOIN ctr c
+    ON p.lat IS NOT NULL
+   AND p.lon BETWEEN c.ctr_x - {radius!r} AND c.ctr_x + {radius!r}
+   AND p.lat BETWEEN c.ctr_y - {radius!r} AND c.ctr_y + {radius!r}
+  WHERE SQRT((p.lon - c.ctr_x) * (p.lon - c.ctr_x)
+             + (p.lat - c.ctr_y) * (p.lat - c.ctr_y)) <= {radius!r}
+)""".format(**g)
+    return f"""
+WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()}, {small},
+base AS (
+  SELECT cy, cx, COUNT(*) AS n,
+         ROUND(MAX(d) - MIN(d), 6) AS range_d,
+         list(d ORDER BY pt_id, d) AS ds
+  FROM cand GROUP BY cy, cx),
+b2 AS (SELECT cy, cx, CAST(n AS INT) AS n, range_d,
+         ROUND(list_reduce(ds, (a, b) -> a + b) / CAST(n AS DOUBLE), 6)
+           AS avg_d
+       FROM base),
+pr AS (
+  SELECT a.cy, a.cx, a.pt_id AS pa, b.pt_id AS pb,
+    SQRT((b.lon - a.lon) * (b.lon - a.lon)
+         + (b.lat - a.lat) * (b.lat - a.lat)) AS pdist
+  FROM cand2 a JOIN cand2 b
+    ON b.cy = a.cy AND b.cx = a.cx AND a.pt_id <= b.pt_id),
+pf AS (SELECT cy, cx, COUNT(*) AS n_pairs,
+         list(pdist ORDER BY pa, pb, pdist) AS ds
+       FROM pr GROUP BY cy, cx),
+p2 AS (SELECT cy, cx, CAST(n_pairs AS INT) AS n_pairs,
+         ROUND(list_reduce(ds, (a, b) -> a + b)
+               / CAST(n_pairs AS DOUBLE), 6) AS avg_d_pts
+       FROM pf)
+SELECT b.cy, b.cx, b.n, b.range_d, b.avg_d, p.n_pairs, p.avg_d_pts
+FROM b2 b LEFT JOIN p2 p ON p.cy = b.cy AND p.cx = b.cx"""
+
+
 def o_grid_metrics():
     return (f"WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()} "
             "SELECT cy, cx, COUNT(*) AS n, ROUND(MIN(d), 6) AS min_d, "
@@ -7021,6 +7090,7 @@ REGISTRY: dict[str, tuple] = {
     "dem_hillshade_igor": (q_dem_hillshade_igor, o_dem_hillshade_igor),
     "stream_geofence": (q_stream_geofence, o_stream_geofence),
     "dither": (q_dither, None),
+    "grid_metrics_avg": (q_grid_metrics_avg, o_grid_metrics_avg),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
