@@ -4519,13 +4519,15 @@ sh AS (SELECT DISTINCT doc_id,
        FROM toks)"""
 
 
-def o_minhash_lsh():
+def _minhash_pairs_ctes() -> str:
+    """Shared DuckDB CTE chain ending in verified near-dup pairs
+    ``mpairs(id_a, id_b, j)`` (Jaccard >= 0.8) — used by o_minhash_lsh
+    and o_dedup_clusters."""
     mins = ", ".join(f"MIN(md5('{p}:' || s)) AS h{p}" for p in range(8))
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bkey FROM sig"
         for b in range(4))
-    return f"""
-WITH {_DUCK_SH3},
+    return f"""{_DUCK_SH3},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4535,11 +4537,77 @@ sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS c
           FROM cand c JOIN sh a ON a.doc_id = c.id_a
           JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-          GROUP BY 1, 2)
-SELECT i.id_a, i.id_b,
-       ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS j
-FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
-WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.8"""
+          GROUP BY 1, 2),
+mpairs AS (
+  SELECT i.id_a, i.id_b,
+         ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS j
+  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+  JOIN sz sb ON sb.doc_id = i.id_b
+  WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.8)"""
+
+
+def o_minhash_lsh():
+    return (f"WITH {_minhash_pairs_ctes()} "
+            "SELECT id_a, id_b, j FROM mpairs")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution — the step after pair generation in
+    every dedup pipeline (keep one representative per duplicate
+    cluster): connected components over the verified MinHash-LSH pairs
+    by iterative min-label propagation (each round: every node takes
+    the min label among itself and its neighbors — O(diameter) rounds
+    of one shuffle join each, the standard large-graph CC plan; the
+    polygonize star-merge union-find is the alternative for
+    deep-diameter graphs). Emits (doc_id, rep, cluster_size) for every
+    clustered document; rep = min doc_id in the component (the kept
+    copy)."""
+    from gdal_spark.operators import dedup as dedup_op
+    pairs = (dedup_op.minhash_lsh_pairs(docs_df(spark, sf_dir))
+             .select("id_a", "id_b"))
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"))))
+    edges = edges.localCheckpoint(eager=True)
+    lbl = (edges.select(F.col("src").alias("node")).distinct()
+           .select("node", F.col("node").alias("lbl")))
+    for _ in range(32):          # >= diameter bound for any fixture
+        nbr = (edges.join(lbl, edges.src == lbl.node)
+               .groupBy(F.col("dst").alias("node2"))
+               .agg(F.min("lbl").alias("nlbl")))
+        new = (lbl.join(nbr, lbl.node == nbr.node2, "left")
+               .select("node",
+                       F.least("lbl", F.coalesce("nlbl", "lbl"))
+                       .alias("lbl"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(lbl.alias("o"), "node")
+                   .filter("n.lbl <> o.lbl").count())
+        lbl = new
+        if changed == 0:
+            break
+    size = lbl.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (lbl.join(size, "lbl")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("lbl").alias("rep"), "cluster_size")
+            .orderBy("doc_id"))
+
+
+def o_dedup_clusters():
+    return f"""WITH {_minhash_pairs_ctes()},
+e AS (SELECT id_a AS src, id_b AS dst FROM mpairs
+      UNION SELECT id_b, id_a FROM mpairs),
+r AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT reach.src, e.dst FROM reach JOIN e ON e.src = reach.dst)
+  SELECT * FROM reach),
+lbl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+        FROM r GROUP BY src),
+csz AS (SELECT rep, COUNT(*) AS cluster_size FROM lbl GROUP BY rep)
+SELECT l.doc_id, l.rep, csz.cluster_size
+FROM lbl l JOIN csz ON csz.rep = l.rep"""
 
 
 FILL_MAXDIST = 6
@@ -7091,6 +7159,7 @@ REGISTRY: dict[str, tuple] = {
     "stream_geofence": (q_stream_geofence, o_stream_geofence),
     "dither": (q_dither, None),
     "grid_metrics_avg": (q_grid_metrics_avg, o_grid_metrics_avg),
+    "dedup_clusters": (q_dedup_clusters, o_dedup_clusters),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
