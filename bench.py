@@ -111,7 +111,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "line_dedup", "url_canonical",
                  "raster_stack", "raster_update", "pixel_info", "check_geometry",
                  "dem_hillshade_igor", "stream_geofence", "dither",
-                 "grid_metrics_avg", "dedup_clusters", "pq_ann"]:
+                 "grid_metrics_avg", "dedup_clusters", "pq_ann", "gopher_quality"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

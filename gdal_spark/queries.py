@@ -4337,6 +4337,80 @@ def o_token_bpe():
             "FROM documents")
 
 
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3.0, 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_STOPWORDS = ['the', 'a', 'of', 'and']
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1, public paper —
+    the standard LLM-corpus document filter): word count in
+    [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in
+    [{GOPHER_MWL_LO}, {GOPHER_MWL_HI}], >= {GOPHER_MIN_STOPWORDS}
+    distinct stopwords present (the paper's 8-word list swapped for
+    GOPHER_STOPWORDS because the synthetic vocabulary contains only
+    'the'/'a'/'line' of it — same rule shape, non-vacuous split),
+    >= {GOPHER_MIN_ALPHA_RATIO:.0%} of words containing an alphabetic
+    character. (The line-level rules — bullet/ellipsis ratios — need
+    line structure the fixture lacks; documented subset.) Emits one
+    flag per rule + the keep verdict. Pure higher-order array column
+    math, map-only at any scale."""
+    sw = GOPHER_STOPWORDS
+    df = docs_df(spark, sf_dir)
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    nw = F.size(words)
+    mwl = (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+           .cast("double") / nw)
+    nsw = F.size(F.array_intersect(
+        words, F.array(*[F.lit(t) for t in sw])))
+    alpha = (F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+             .cast("double") / nw)
+    d = df.select(
+        "doc_id", nw.alias("n_words"), F.round(mwl, 6).alias("mean_wl"),
+        nsw.alias("n_stop"), F.round(alpha, 6).alias("alpha_ratio"))
+    ok_n = ((F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS))
+    ok_m = ((F.col("mean_wl") >= GOPHER_MWL_LO)
+            & (F.col("mean_wl") <= GOPHER_MWL_HI))
+    ok_s = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    ok_a = F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO
+    return (d.select("doc_id", "n_words", "mean_wl", "n_stop",
+                     "alpha_ratio",
+                     ok_n.cast("int").alias("ok_words"),
+                     ok_m.cast("int").alias("ok_mwl"),
+                     ok_s.cast("int").alias("ok_stop"),
+                     ok_a.cast("int").alias("ok_alpha"),
+                     (ok_n & ok_m & ok_s & ok_a).cast("int").alias("keep"))
+            .orderBy("doc_id"))
+
+
+def o_gopher_quality():
+    sw = ", ".join(f"'{t}'" for t in GOPHER_STOPWORDS)
+    okn = f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})"
+    okm = f"(mean_wl >= {GOPHER_MWL_LO} AND mean_wl <= {GOPHER_MWL_HI})"
+    oks = f"(n_stop >= {GOPHER_MIN_STOPWORDS})"
+    oka = f"(alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO})"
+    return f"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+  FROM documents),
+d AS (SELECT doc_id, LEN(ws) AS n_words,
+        ROUND(CAST(list_reduce(list_transform(ws, x -> LENGTH(x)),
+                               (a, b) -> a + b) AS DOUBLE) / LEN(ws), 6)
+          AS mean_wl,
+        LEN(list_intersect(ws, [{sw}])) AS n_stop,
+        ROUND(CAST(LEN(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                   AS DOUBLE) / LEN(ws), 6) AS alpha_ratio
+      FROM w)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_wl,
+       CAST(n_stop AS INT) AS n_stop, alpha_ratio,
+       CAST({okn} AS INT) AS ok_words, CAST({okm} AS INT) AS ok_mwl,
+       CAST({oks} AS INT) AS ok_stop, CAST({oka} AS INT) AS ok_alpha,
+       CAST({okn} AND {okm} AND {oks} AND {oka} AS INT) AS keep
+FROM d"""
+
+
 def q_quality(spark, sf_dir):
     """Quality scoring: punctuation/digit ratios + STOPWORD ratio (the
     classic web-text quality signal — C4/Gopher-style filters), the
@@ -7258,6 +7332,7 @@ REGISTRY: dict[str, tuple] = {
     "grid_metrics_avg": (q_grid_metrics_avg, o_grid_metrics_avg),
     "dedup_clusters": (q_dedup_clusters, o_dedup_clusters),
     "pq_ann": (q_pq_ann, o_pq_ann),
+    "gopher_quality": (q_gopher_quality, o_gopher_quality),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
