@@ -4411,6 +4411,113 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_wl,
 FROM d"""
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher REPETITION signals (Rae et al. 2021 §A1.1, the other half
+    of the paper's document filter next to q_gopher_quality's rules):
+    per document, the fraction of characters covered by the most common
+    word 2-gram and 3-gram, and the fraction of 5-gram characters that
+    sit inside DUPLICATED 5-grams. Exact definitions (mirrored by the
+    oracle): top-n frac = count(top gram) * len(top gram) / len(text);
+    dup-5 frac = sum(len(g)*count(g) for count(g)>=2) over the total
+    5-gram character mass; ties on count break to the lexicographically
+    smallest gram. The Spark side is PURE per-row array math — grams via
+    `transform(sequence(...))`, the modal gram via a sorted-run
+    `aggregate` fold — so the operator is map-only at any corpus size
+    (no explode, no shuffle; the oracle deliberately uses the opposite
+    relational unnest+window formulation, making the check independent).
+    Docs shorter than 5 words are excluded on both sides."""
+    df = docs_df(spark, sf_dir).withColumn(
+        "ws", F.expr(r"split(trim(lower(text)), '\\s+')"))
+    df = df.filter(F.expr("size(ws) >= 5"))
+
+    def grams(n):
+        parts = " , ' ', ".join(
+            f"element_at(ws, i + {k})" for k in range(n))
+        return (f"transform(sequence(1, size(ws) - {n - 1}), "
+                f"i -> concat({parts}))")
+
+    # sorted-run fold: first strictly-larger run wins, so the first
+    # (= smallest) gram among equal-count maxima is kept
+    def top_gram(n):
+        return f"""aggregate(array_sort({grams(n)}),
+  named_struct('prev', '', 'run', 0L, 'best', 0L, 'bestg', ''),
+  (s, g) -> named_struct(
+    'prev', g,
+    'run', CASE WHEN g = s.prev THEN s.run + 1L ELSE 1L END,
+    'best', CASE WHEN (CASE WHEN g = s.prev THEN s.run + 1L ELSE 1L END)
+                      > s.best
+            THEN (CASE WHEN g = s.prev THEN s.run + 1L ELSE 1L END)
+            ELSE s.best END,
+    'bestg', CASE WHEN (CASE WHEN g = s.prev THEN s.run + 1L ELSE 1L END)
+                       > s.best
+             THEN g ELSE s.bestg END),
+  s -> named_struct('cnt', s.best, 'g', s.bestg))"""
+
+    dup5 = """CASE WHEN size(s5) = 0 THEN 0.0D ELSE
+  CAST(aggregate(sequence(1, size(s5)), 0L, (a, i) -> a +
+    CASE WHEN (i > 1 AND element_at(s5, i) = element_at(s5, i - 1))
+           OR (i < size(s5) AND element_at(s5, i) = element_at(s5, i + 1))
+    THEN length(element_at(s5, i)) ELSE 0L END) AS DOUBLE)
+  / aggregate(s5, 0L, (a, g) -> a + length(g)) END"""
+    return (df
+            .withColumn("t2", F.expr(top_gram(2)))
+            .withColumn("t3", F.expr(top_gram(3)))
+            .withColumn("s5", F.expr(f"array_sort({grams(5)})"))
+            .select(
+                "doc_id",
+                F.expr("t2.g").alias("top2_gram"),
+                F.round(F.expr(
+                    "t2.cnt * length(t2.g) / length(text)"), 6)
+                 .alias("top2_frac"),
+                F.round(F.expr(
+                    "t3.cnt * length(t3.g) / length(text)"), 6)
+                 .alias("top3_frac"),
+                F.round(F.expr(dup5), 6).alias("dup5_frac"))
+            .orderBy("doc_id"))
+
+
+def o_gopher_repetition():
+    def cte(n):
+        parts = " || ' ' || ".join(f"ws[i + {k}]" for k in range(n))
+        return f"""g{n} AS (
+  SELECT doc_id, nc, unnest(list_transform(range(1, len(ws) - {n - 2}),
+                                           i -> {parts})) AS g
+  FROM f),
+c{n} AS (SELECT doc_id, nc, g, COUNT(*) AS cnt FROM g{n}
+         GROUP BY doc_id, nc, g)"""
+    return f"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+         LENGTH(text) AS nc
+  FROM documents),
+f AS (SELECT * FROM w WHERE len(ws) >= 5),
+{cte(2)},
+{cte(3)},
+{cte(5)},
+t2 AS (SELECT doc_id, g, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, g ASC) AS rn,
+         nc
+       FROM c2),
+t3 AS (SELECT doc_id, g, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, g ASC) AS rn,
+         nc
+       FROM c3),
+d5 AS (SELECT doc_id,
+         ROUND(CAST(SUM(CASE WHEN cnt >= 2 THEN LENGTH(g) * cnt
+                             ELSE 0 END) AS DOUBLE)
+               / SUM(LENGTH(g) * cnt), 6) AS dup5_frac
+       FROM c5 GROUP BY doc_id)
+SELECT t2.doc_id, t2.g AS top2_gram,
+       ROUND(CAST(t2.cnt * LENGTH(t2.g) AS DOUBLE) / t2.nc, 6)
+         AS top2_frac,
+       ROUND(CAST(t3.cnt * LENGTH(t3.g) AS DOUBLE) / t3.nc, 6)
+         AS top3_frac,
+       d5.dup5_frac
+FROM t2 JOIN t3 USING (doc_id) JOIN d5 USING (doc_id)
+WHERE t2.rn = 1 AND t3.rn = 1"""
+
+
 def q_quality(spark, sf_dir):
     """Quality scoring: punctuation/digit ratios + STOPWORD ratio (the
     classic web-text quality signal — C4/Gopher-style filters), the
@@ -7333,6 +7440,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, o_dedup_clusters),
     "pq_ann": (q_pq_ann, o_pq_ann),
     "gopher_quality": (q_gopher_quality, o_gopher_quality),
+    "gopher_repetition": (q_gopher_repetition, o_gopher_repetition),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
