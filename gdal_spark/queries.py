@@ -4518,6 +4518,59 @@ FROM t2 JOIN t3 USING (doc_id) JOIN d5 USING (doc_id)
 WHERE t2.rn = 1 AND t3.rn = 1"""
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Per-document mean unigram log-probability under a LM trained on
+    the corpus itself — the CCNet/KenLM-style fluency signal used to
+    bucket web text by quality (Wenzek et al. 2020, public paper),
+    reduced to its unigram core so the score is exactly computable by
+    both engines. score(d) = mean_t ln(cnt(t)/total) computed as
+    (sum_t ln cnt(t) - n*ln total)/n with the per-doc sum folded in
+    POSITION ORDER (sort_array of (pos,cnt) structs), so float
+    summation order is deterministic and engine-independent. Scale
+    shape: the vocabulary is one map-side-combined groupBy (Zipf-small
+    result, broadcast back); per-doc state is one sorted struct list;
+    a single shuffle on doc_id."""
+    df = docs_df(spark, sf_dir)
+    toks = F.expr(r"split(trim(lower(text)), '\\s+')")
+    d = df.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    vocab = d.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    j = (d.join(F.broadcast(vocab), "tok")
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("n_tokens"),
+               F.sort_array(F.collect_list(F.struct("pos", "cnt")))
+                .alias("cs"))
+          .crossJoin(F.broadcast(total)))
+    sum_log = F.expr("aggregate(cs, CAST(0.0 AS DOUBLE), "
+                     "(a, c) -> a + ln(CAST(c.cnt AS DOUBLE)))")
+    mean_lp = ((sum_log
+                - F.col("n_tokens") * F.log(F.col("total").cast("double")))
+               / F.col("n_tokens"))
+    return (j.select("doc_id", "n_tokens",
+                     F.round(mean_lp, 6).alias("mean_logprob"))
+            .orderBy("doc_id"))
+
+
+def o_unigram_logprob():
+    return r"""WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         unnest(range(1, len(regexp_split_to_array(trim(lower(text)),
+                                                   '\s+')) + 1)) AS pos
+  FROM documents),
+v AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM v),
+d AS (SELECT t.doc_id, list(v.cnt ORDER BY t.pos) AS cs
+      FROM t JOIN v USING (tok) GROUP BY t.doc_id)
+SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_tokens,
+       ROUND((list_reduce(list_transform(cs,
+                                         c -> ln(CAST(c AS DOUBLE))),
+                          (a, b) -> a + b)
+              - len(cs) * ln(CAST(total AS DOUBLE))) / len(cs), 6)
+         AS mean_logprob
+FROM d, tot"""
+
+
 def q_quality(spark, sf_dir):
     """Quality scoring: punctuation/digit ratios + STOPWORD ratio (the
     classic web-text quality signal — C4/Gopher-style filters), the
@@ -7441,6 +7494,7 @@ REGISTRY: dict[str, tuple] = {
     "pq_ann": (q_pq_ann, o_pq_ann),
     "gopher_quality": (q_gopher_quality, o_gopher_quality),
     "gopher_repetition": (q_gopher_repetition, o_gopher_repetition),
+    "unigram_logprob": (q_unigram_logprob, o_unigram_logprob),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
