@@ -4518,6 +4518,78 @@ FROM t2 JOIN t3 USING (doc_id) JOIN d5 USING (doc_id)
 WHERE t2.rn = 1 AND t3.rn = 1"""
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction — the standard pre-training scrub (emails, IPv4
+    addresses, phone numbers → typed placeholder tokens), the exact
+    regex-class pass every public web-corpus pipeline ships (e.g. the
+    BigScience/ROOTS and Dolma preprocessing stages). The synthetic
+    fixture is PII-free, so both engines first APPEND deterministic
+    doc_id-derived PII to a subset of documents (the seeded-twin idiom
+    from simhash_lsh — makes the redaction non-vacuous and the counts
+    exactly checkable). Patterns kept in the Java∩RE2 common subset so
+    Spark and DuckDB compile them identically. Map-only column math at
+    any scale: three regexp_extract_all counts + three chained
+    regexp_replace, no shuffle."""
+    df = docs_df(spark, sf_dir)
+    aug = ("concat(text,"
+           " CASE WHEN doc_id % 5 = 0 THEN concat(' contact user',"
+           "   CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+           " CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.',"
+           "   CAST(doc_id % 256 AS STRING), '.',"
+           "   CAST((doc_id * 7) % 256 AS STRING), '.',"
+           "   CAST((doc_id * 13) % 256 AS STRING)) ELSE '' END,"
+           " CASE WHEN doc_id % 11 = 0 THEN concat(' call +1-555-',"
+           "   lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',"
+           "   lpad(CAST((doc_id * 3) % 10000 AS STRING), 4, '0'))"
+           " ELSE '' END)")
+    em = r"[a-z0-9.]+@[a-z0-9]+\.[a-z]+"
+    ip = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    ph = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    d = df.select("doc_id", F.expr(aug).alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", ph, "[PHONE]"), em, "[EMAIL]"),
+        ip, "[IP]")
+    return (d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(em), F.lit(0)))
+         .alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(ip), F.lit(0)))
+         .alias("n_ip"),
+        F.size(F.regexp_extract_all("t", F.lit(ph), F.lit(0)))
+         .alias("n_phone"),
+        F.md5(red).alias("redact_md5"))
+        .orderBy("doc_id"))
+
+
+def o_pii_redact():
+    em = r"[a-z0-9.]+@[a-z0-9]+\.[a-z]+"
+    ip = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    ph = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    return f"""WITH a AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-'
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{em}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{ip}')) AS INT) AS n_ip,
+  CAST(len(regexp_extract_all(t, '{ph}')) AS INT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '{ph}', '[PHONE]', 'g'),
+      '{em}', '[EMAIL]', 'g'),
+      '{ip}', '[IP]', 'g')) AS redact_md5
+FROM a"""
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Per-document mean unigram log-probability under a LM trained on
     the corpus itself — the CCNet/KenLM-style fluency signal used to
@@ -7495,6 +7567,7 @@ REGISTRY: dict[str, tuple] = {
     "gopher_quality": (q_gopher_quality, o_gopher_quality),
     "gopher_repetition": (q_gopher_repetition, o_gopher_repetition),
     "unigram_logprob": (q_unigram_logprob, o_unigram_logprob),
+    "pii_redact": (q_pii_redact, o_pii_redact),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
