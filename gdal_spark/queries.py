@@ -7424,6 +7424,81 @@ GROUP BY b.color_id, b.rmin, b.rmax, b.gmin, b.gmax, b.bmin, b.bmax
 ORDER BY b.color_id"""
 
 
+def q_pct2rgb(spark, sf_dir):
+    """pct2rgb (swig/python/gdal-utils pct2rgb.py; color-table expansion
+    of a paletted band, the inverse of rgb2pct/median-cut): the paletted
+    band is median_cut's per-pixel color_id assignment, the color table
+    its palette; expansion is a BROADCAST join palette-index → (r,g,b)
+    — exactly the reference's LUT pass, one map-only stage over pixels.
+    Emits per-pixel expanded rgb rows; the oracle re-derives palette AND
+    assignment from the independent pure-Python median-cut twin."""
+    from gdal_spark.operators.mediancut import (assign_pct,
+                                                compute_median_cut_pct)
+    rgb = _mc_rgb_df(spark)
+    boxes, palette = compute_median_cut_pct(rgb, MC_COLORS)
+    pal = spark.createDataFrame(palette,
+                                "color_id int, pr int, pg int, pb int")
+    return (assign_pct(rgb, boxes)
+            .join(F.broadcast(pal), "color_id")
+            .select(F.col("py").cast("long").alias("py"),
+                    F.col("px").cast("long").alias("px"),
+                    "pr", "pg", "pb")
+            .orderBy("py", "px"))
+
+
+def o_pct2rgb():
+    boxes = _median_cut_twin()
+    vals = ", ".join(
+        f"({i}, {b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]}, {b[5]})"
+        for i, b in enumerate(boxes))
+    return f"""WITH img AS (
+  SELECT px, py, {MC_R_SQL} AS r, {MC_G_SQL} AS g, {MC_B_SQL} AS b
+  FROM (SELECT UNNEST(RANGE(0, {MC_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {MC_H})) AS py) ys
+),
+boxes(color_id, rmin, rmax, gmin, gmax, bmin, bmax) AS (VALUES {vals}),
+coded AS (SELECT px, py, CAST(FLOOR(r / 8.0) AS INT) AS r5,
+                 CAST(FLOOR(g / 8.0) AS INT) AS g5,
+                 CAST(FLOOR(b / 8.0) AS INT) AS b5 FROM img)
+SELECT CAST(c.py AS BIGINT) AS py, CAST(c.px AS BIGINT) AS px,
+       CAST((bx.rmin + bx.rmax) * 4 AS INT) AS pr,
+       CAST((bx.gmin + bx.gmax) * 4 AS INT) AS pg,
+       CAST((bx.bmin + bx.bmax) * 4 AS INT) AS pb
+FROM coded c JOIN boxes bx
+  ON c.r5 BETWEEN bx.rmin AND bx.rmax
+ AND c.g5 BETWEEN bx.gmin AND bx.gmax
+ AND c.b5 BETWEEN bx.bmin AND bx.bmax"""
+
+
+def q_rasterize_invert(spark, sf_dir):
+    """gdal_rasterize -i (invert: burn every pixel NOT covered by any
+    input polygon — apps/gdal_rasterize_lib.cpp's bInvertRast path,
+    which rasterizes the geometry union and flips the mask). Spark
+    shape: the full pixel grid (a range cross join, no data scan) LEFT
+    ANTI-joined against the scanline-burned cover of all zones — the
+    anti-join IS the mask flip, shuffle-free on the grid side at scale
+    (burned cover is the small relation, broadcast). Emits uncovered
+    (py,px) with the burn value."""
+    burned = q_rasterize_zones(spark, sf_dir).select("py", "px").distinct()
+    grid = (spark.range(ZRAST_H).select(F.col("id").alias("py"))
+            .crossJoin(spark.range(ZRAST_W).select(F.col("id").alias("px"))))
+    return (grid.join(F.broadcast(burned), ["py", "px"], "left_anti")
+            .select("py", "px", F.lit(1).alias("burn"))
+            .orderBy("py", "px"))
+
+
+def o_rasterize_invert():
+    inner = o_rasterize_zones()
+    return f"""WITH burned AS ({inner}),
+grid AS (SELECT CAST(r1.range AS BIGINT) AS py,
+                CAST(r2.range AS BIGINT) AS px
+         FROM range({ZRAST_H}) r1, range({ZRAST_W}) r2)
+SELECT g.py, g.px, 1 AS burn
+FROM grid g
+WHERE NOT EXISTS (SELECT 1 FROM burned b
+                  WHERE b.py = g.py AND b.px = g.px)"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -7568,6 +7643,8 @@ REGISTRY: dict[str, tuple] = {
     "gopher_repetition": (q_gopher_repetition, o_gopher_repetition),
     "unigram_logprob": (q_unigram_logprob, o_unigram_logprob),
     "pii_redact": (q_pii_redact, o_pii_redact),
+    "pct2rgb": (q_pct2rgb, o_pct2rgb),
+    "rasterize_invert": (q_rasterize_invert, o_rasterize_invert),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
