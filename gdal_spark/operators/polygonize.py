@@ -45,13 +45,16 @@ from pyspark.sql import functions as F
 
 
 def tile_local_labels(mask: DataFrame, width: int, tile: int = 32,
-                      value_col: str | None = None) -> DataFrame:
+                      value_col: str | None = None,
+                      connect8: bool = False) -> DataFrame:
     """Per-tile union-find: (py, px) mask pixels → (py, px, label) where
     label = min global pixel id of the pixel's LOCAL (within-tile)
     component. With ``value_col``, only same-VALUE neighbors union (the
     multi-valued raster semantics of GDALSieveFilter / polygonize with
     a value band: a component is a maximal 4-connected same-value
-    region) and the value column is carried through."""
+    region) and the value column is carried through. ``connect8`` adds
+    the two forward diagonals (GDALPolygonize's 8CONNECTED=8 option,
+    alg/polygonize.cpp nConnectedness)."""
 
     def _label(pdf_iter):
         # Concatenate the WHOLE partition before labeling: Arrow caps
@@ -80,8 +83,11 @@ def tile_local_labels(mask: DataFrame, width: int, tile: int = 32,
                     a = parent[a]
                 return a
 
+            offs = ((1, 0), (0, 1), (1, 1), (1, -1)) if connect8 \
+                else ((1, 0), (0, 1))
             for i, (y, x) in enumerate(zip(ys, xs)):
-                for ny, nx in ((y + 1, x), (y, x + 1)):
+                for dy, dx in offs:
+                    ny, nx = y + dy, x + dx
                     j = index.get((int(ny), int(nx)))
                     if j is not None and (vs is None or vs[i] == vs[j]):
                         ra, rb = find(i), find(int(j))
@@ -112,10 +118,12 @@ def tile_local_labels(mask: DataFrame, width: int, tile: int = 32,
 
 
 def border_edges(labels: DataFrame, tile: int = 32,
-                 value_col: str | None = None) -> DataFrame:
+                 value_col: str | None = None,
+                 connect8: bool = False) -> DataFrame:
     """(a, b) label equivalences for 4-adjacent pixels in DIFFERENT
     tiles. Only border pixels join — O(perimeter) rows. With
-    ``value_col``, only same-value pairs are equivalences."""
+    ``value_col``, only same-value pairs are equivalences; ``connect8``
+    adds the cross-tile diagonal equivalences."""
     right = labels.filter(F.col("px") % tile == tile - 1)
     left = labels.filter(F.col("px") % tile == 0)
     down = labels.filter(F.col("py") % tile == tile - 1)
@@ -133,6 +141,20 @@ def border_edges(labels: DataFrame, tile: int = 32,
     pairs = (h.select(F.col("a.label").alias("a"), F.col("b.label").alias("b"))
              .unionByName(v.select(F.col("a.label").alias("a"),
                                    F.col("b.label").alias("b"))))
+    if connect8:
+        # diagonal pairs can straddle a tile edge only if both pixels
+        # sit on some tile border line — still O(perimeter) join input.
+        border = labels.filter(
+            (F.col("px") % tile == 0) | (F.col("px") % tile == tile - 1)
+            | (F.col("py") % tile == 0) | (F.col("py") % tile == tile - 1))
+        for ddx in (1, -1):
+            d = border.alias("a").join(
+                border.alias("b"),
+                (F.col("a.py") + 1 == F.col("b.py"))
+                & (F.col("a.px") + ddx == F.col("b.px")) & same_v)
+            pairs = pairs.unionByName(
+                d.select(F.col("a.label").alias("a"),
+                         F.col("b.label").alias("b")))
     return pairs.filter(F.col("a") != F.col("b")).distinct()
 
 
@@ -234,14 +256,18 @@ def resolve_equivalences(labels: DataFrame, edges: DataFrame,
 
 
 def polygonize(mask: DataFrame, width: int, tile: int = 32,
-               value_col: str | None = None) -> DataFrame:
+               value_col: str | None = None,
+               connect8: bool = False) -> DataFrame:
     """mask(py, px[, v]) → per-pixel final labels (py, px[, v], label).
-    With ``value_col``, components are maximal same-value regions."""
+    With ``value_col``, components are maximal same-value regions;
+    ``connect8`` switches to 8-connectedness (GDALPolygonize's
+    8CONNECTED=8 / gdal_sieve -8 option)."""
     # the tile pass feeds three consumers (border self-join ×2 sides +
     # final relabel); persist it so the upstream burn/geocode pipeline
     # runs once, not four times
-    local = tile_local_labels(mask, width, tile, value_col).persist()
-    edges = border_edges(local, tile, value_col)
+    local = tile_local_labels(mask, width, tile, value_col,
+                              connect8).persist()
+    edges = border_edges(local, tile, value_col, connect8)
     return resolve_equivalences(local, edges)
 
 

@@ -443,9 +443,13 @@ def q_polygonize(spark, sf_dir):
     return poly_op.components(labels)
 
 
-def _ccl_oracle_sql(extra: str = "") -> str:
+def _ccl_oracle_sql(extra: str = "", conn8: bool = False) -> str:
     """Recursive-CTE connected components over the same mask (the
-    oracle's independent formulation: min label reachable by 4-paths)."""
+    oracle's independent formulation: min label reachable by 4-paths,
+    or 8-paths with ``conn8``)."""
+    adj = ("(ABS(m.py - r.py) <= 1 AND ABS(m.px - r.px) <= 1 "
+           "AND NOT (m.py = r.py AND m.px = r.px))") if conn8 \
+        else "(ABS(m.py - r.py) + ABS(m.px - r.px)) = 1"
     return f"""
 WITH RECURSIVE {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
 mask AS (SELECT py, px, py * {PGRID_W} + px AS pid FROM burn WHERE c >= {PMASK_THR!r}),
@@ -454,7 +458,7 @@ reach(py, px, l) AS (
   UNION
   SELECT m.py, m.px, r.l
   FROM mask m JOIN reach r
-    ON (ABS(m.py - r.py) + ABS(m.px - r.px)) = 1
+    ON {adj}
 ),
 lbl AS (SELECT py, px, MIN(l) AS label FROM reach GROUP BY py, px)
 {extra}"""
@@ -464,6 +468,27 @@ def o_polygonize():
     return _ccl_oracle_sql(
         "SELECT label, COUNT(*) AS n_pixels, MIN(py) AS ymin, MIN(px) AS xmin, "
         "MAX(py) AS ymax, MAX(px) AS xmax FROM lbl GROUP BY label")
+
+
+def q_polygonize_8conn(spark, sf_dir):
+    """Polygonize with 8-CONNECTEDNESS (GDALPolygonize's 8CONNECTED=8
+    layer creation option, alg/polygonize.cpp nConnectedness=8):
+    diagonal-touching same-value pixels join one component. Same
+    distributed CCL as q_polygonize — the tile union-find gains the two
+    forward diagonals and the border pass the cross-tile diagonal
+    equivalences (operators/polygonize.py connect8), so the scale shape
+    is unchanged (O(perimeter) border join, hybrid star-merge)."""
+    from gdal_spark.operators import polygonize as poly_op
+    labels = poly_op.polygonize(_mask_df(spark, sf_dir, PMASK_THR),
+                                PGRID_W, connect8=True)
+    return poly_op.components(labels)
+
+
+def o_polygonize_8conn():
+    return _ccl_oracle_sql(
+        "SELECT label, COUNT(*) AS n_pixels, MIN(py) AS ymin, MIN(px) AS xmin, "
+        "MAX(py) AS ymax, MAX(px) AS xmax FROM lbl GROUP BY label",
+        conn8=True)
 
 
 def q_polygonize_rings(spark, sf_dir):
@@ -7645,6 +7670,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_redact": (q_pii_redact, o_pii_redact),
     "pct2rgb": (q_pct2rgb, o_pct2rgb),
     "rasterize_invert": (q_rasterize_invert, o_rasterize_invert),
+    "polygonize_8conn": (q_polygonize_8conn, o_polygonize_8conn),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
