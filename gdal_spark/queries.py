@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from gdal_spark import sqlexpr
 from gdal_spark.fixtures import (
     KNN_QUERIES, ZONES, idlink_values_sql, knn_queries_sql,
-    zone_part_edges_sql, zones_values_sql,
+    zone_part_edges_sql, zone_ring_edges_sql, zones_values_sql,
 )
 from gdal_spark.operators import knn as knn_op
 from gdal_spark.operators import rasterize as rast_op
@@ -2878,6 +2878,141 @@ def _gazetteer():
         glat = sum(p[1] for p in ring) / len(ring)
         gaz.append((z["zone_fid"], float(glat), float(glon)))
     return gaz
+
+
+def q_point_on_surface(spark, sf_dir):
+    """OGRGeometry::PointOnSurface (ogr/ogr_geometry.h:432; GEOS
+    InteriorPointArea semantics): a point guaranteed INSIDE the
+    polygon — scan the horizontal bisector y* = (ymin+ymax)/2 of the
+    zone envelope, collect its edge crossings over ALL rings (holes
+    included, so even–odd pairing yields interior intervals), and take
+    the midpoint of the WIDEST interval (ties → leftmost, mirrored in
+    the oracle's ORDER BY width DESC, lo ASC). GEOS's vertex-avoidance
+    nudge is unnecessary here (no fixture vertex sits on a bisector —
+    asserted by the half-open crossing rule being unambiguous). Pure
+    ordered-fold column math; per-zone state is one sorted crossing
+    list, so the operator is one map-side-combined groupBy at scale."""
+    e = _ring_edges_df(spark)
+    env = e.groupBy("zone_fid").agg(
+        ((F.min(F.least("y1", "y2")) + F.max(F.greatest("y1", "y2")))
+         * F.lit(0.5)).alias("ys"))
+    j = e.join(F.broadcast(env), "zone_fid")
+    crossing = ((F.col("y1") <= F.col("ys")) & (F.col("ys") < F.col("y2"))) \
+        | ((F.col("y2") <= F.col("ys")) & (F.col("ys") < F.col("y1")))
+    xc = (F.col("x1") + (F.col("ys") - F.col("y1"))
+          * (F.col("x2") - F.col("x1")) / (F.col("y2") - F.col("y1")))
+    per = (j.filter(crossing)
+           .select("zone_fid", "ys", xc.alias("xc"))
+           .groupBy("zone_fid", "ys")
+           .agg(F.array_sort(F.collect_list("xc")).alias("cs")))
+    widest = F.expr("""aggregate(sequence(1, size(cs) DIV 2),
+  named_struct('w', CAST(-1.0 AS DOUBLE), 'lo', CAST(0.0 AS DOUBLE),
+               'hi', CAST(0.0 AS DOUBLE)),
+  (s, i) -> CASE WHEN element_at(cs, CAST(2*i AS INT))
+                   - element_at(cs, CAST(2*i - 1 AS INT)) > s.w
+    THEN named_struct('w', element_at(cs, CAST(2*i AS INT))
+                           - element_at(cs, CAST(2*i - 1 AS INT)),
+                      'lo', element_at(cs, CAST(2*i - 1 AS INT)),
+                      'hi', element_at(cs, CAST(2*i AS INT)))
+    ELSE s END)""")
+    return (per.withColumn("b", widest)
+            .select("zone_fid",
+                    F.round((F.col("b.lo") + F.col("b.hi")) * 0.5, 9)
+                     .alias("posx"),
+                    F.round("ys", 9).alias("posy"),
+                    F.round("b.w", 9).alias("interval_w"))
+            .orderBy("zone_fid"))
+
+
+def o_point_on_surface():
+    return f"""WITH e AS (SELECT * FROM {zone_ring_edges_sql()}),
+env AS (SELECT zone_fid,
+          (MIN(LEAST(y1, y2)) + MAX(GREATEST(y1, y2))) * 0.5 AS ys
+        FROM e GROUP BY zone_fid),
+x AS (SELECT e.zone_fid, env.ys,
+        x1 + (env.ys - y1) * (x2 - x1) / (y2 - y1) AS xc
+      FROM e JOIN env ON env.zone_fid = e.zone_fid
+      WHERE (y1 <= env.ys AND env.ys < y2)
+         OR (y2 <= env.ys AND env.ys < y1)),
+r AS (SELECT zone_fid, ys, xc,
+        ROW_NUMBER() OVER (PARTITION BY zone_fid ORDER BY xc) AS rn
+      FROM x),
+iv AS (SELECT a.zone_fid, a.ys, a.xc AS lo, b.xc AS hi, b.xc - a.xc AS w
+       FROM r a JOIN r b ON b.zone_fid = a.zone_fid AND b.rn = a.rn + 1
+       WHERE a.rn % 2 = 1),
+best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY zone_fid
+                   ORDER BY w DESC, lo ASC) AS k FROM iv)
+SELECT zone_fid, ROUND((lo + hi) * 0.5, 9) AS posx, ROUND(ys, 9) AS posy,
+       ROUND(w, 9) AS interval_w
+FROM best WHERE k = 1"""
+
+
+def q_oriented_envelope(spark, sf_dir):
+    """Minimum rotated rectangle / oriented envelope (GEOS
+    MinimumRotatedRectangle, surfaced by OGR as GetOrientedEnvelope;
+    the rotating-calipers result): the minimum-area bounding rectangle
+    is aligned to a convex-hull edge, and every bounding rectangle
+    aligned to ANY polygon edge contains the hull-edge optimum's
+    direction set — so min over all outer-ring edge orientations IS the
+    MRR, with no explicit hull stage (the calipers walk is the at-scale
+    refinement if rings were huge). Per (zone, edge): project every
+    outer-ring vertex onto the unit edge frame, extents → area; argmin
+    by (area, edge) via Spark's min(struct(...)) == the oracle's
+    ROW_NUMBER tie-break. Identical expression order both engines →
+    bit-stable under round(9)."""
+    e = (_ring_edges_df(spark).filter(F.col("ring_id") == 0)
+         .select("zone_fid", "edge", "x1", "y1", "x2", "y2"))
+    ln = F.sqrt((F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+                + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1")))
+    e = e.select("zone_fid", "edge", "x1", "y1",
+                 ((F.col("x2") - F.col("x1")) / ln).alias("ex"),
+                 ((F.col("y2") - F.col("y1")) / ln).alias("ey"))
+    p = (_ring_edges_df(spark).filter(F.col("ring_id") == 0)
+         .select("zone_fid", F.col("x1").alias("px_"),
+                 F.col("y1").alias("py_")))
+    u = ((F.col("px_") - F.col("x1")) * F.col("ex")
+         + (F.col("py_") - F.col("y1")) * F.col("ey"))
+    v = ((F.col("px_") - F.col("x1")) * (-F.col("ey"))
+         + (F.col("py_") - F.col("y1")) * F.col("ex"))
+    proj = (e.join(p, "zone_fid")
+            .select("zone_fid", "edge", u.alias("u"), v.alias("v")))
+    ext = (proj.groupBy("zone_fid", "edge")
+           .agg(((F.max("u") - F.min("u"))
+                 * (F.max("v") - F.min("v"))).alias("area"),
+                (F.max("u") - F.min("u")).alias("w"),
+                (F.max("v") - F.min("v")).alias("h")))
+    best = (ext.groupBy("zone_fid")
+            .agg(F.min(F.struct("area", "edge", "w", "h")).alias("m")))
+    return (best.select(
+        "zone_fid", F.col("m.edge").alias("best_edge"),
+        F.round("m.area", 9).alias("mrr_area"),
+        F.round("m.w", 9).alias("mrr_w"), F.round("m.h", 9).alias("mrr_h"))
+        .orderBy("zone_fid"))
+
+
+def o_oriented_envelope():
+    return f"""WITH re AS (SELECT * FROM {zone_ring_edges_sql()}
+                WHERE ring_id = 0),
+e AS (SELECT zone_fid, edge, x1, y1,
+        (x2 - x1) / SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+          AS ex,
+        (y2 - y1) / SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+          AS ey
+      FROM re),
+p AS (SELECT zone_fid, x1 AS px_, y1 AS py_ FROM re),
+proj AS (SELECT e.zone_fid, e.edge,
+           (p.px_ - e.x1) * e.ex + (p.py_ - e.y1) * e.ey AS u,
+           (p.px_ - e.x1) * (-e.ey) + (p.py_ - e.y1) * e.ex AS v
+         FROM e JOIN p ON p.zone_fid = e.zone_fid),
+ext AS (SELECT zone_fid, edge,
+          (MAX(u) - MIN(u)) * (MAX(v) - MIN(v)) AS area,
+          MAX(u) - MIN(u) AS w, MAX(v) - MIN(v) AS h
+        FROM proj GROUP BY zone_fid, edge),
+best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY zone_fid
+                   ORDER BY area ASC, edge ASC) AS k FROM ext)
+SELECT zone_fid, edge AS best_edge, ROUND(area, 9) AS mrr_area,
+       ROUND(w, 9) AS mrr_w, ROUND(h, 9) AS mrr_h
+FROM best WHERE k = 1"""
 
 
 def q_geocode_reverse(spark, sf_dir):
@@ -7671,6 +7806,8 @@ REGISTRY: dict[str, tuple] = {
     "pct2rgb": (q_pct2rgb, o_pct2rgb),
     "rasterize_invert": (q_rasterize_invert, o_rasterize_invert),
     "polygonize_8conn": (q_polygonize_8conn, o_polygonize_8conn),
+    "point_on_surface": (q_point_on_surface, o_point_on_surface),
+    "oriented_envelope": (q_oriented_envelope, o_oriented_envelope),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
