@@ -186,3 +186,20 @@ def suggested_warp_output(gt: tuple, width: int, height: int) -> dict:
         "pixel_size": ps, "width": out_w, "height": out_h,
         "psx": (maxx - minx) / out_w, "psy": (maxy - miny) / out_h,
     }
+
+
+def tap_align(env: dict) -> dict:
+    """gdalwarp -tap (target aligned pixels, apps/gdalwarp_lib.cpp
+    bTargetAlignedPixels): snap the suggested extent outward to
+    multiples of the resolution so output pixels land on a global
+    res-aligned lattice, then re-derive dims with the reference's
+    +res/2 truncation."""
+    ps = env["pixel_size"]
+    minx = math.floor(env["minx"] / ps) * ps
+    maxx = math.ceil(env["maxx"] / ps) * ps
+    miny = math.floor(env["miny"] / ps) * ps
+    maxy = math.ceil(env["maxy"] / ps) * ps
+    width = int((maxx - minx + ps / 2.0) / ps)
+    height = int((maxy - miny + ps / 2.0) / ps)
+    return {"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+            "pixel_size": ps, "width": width, "height": height}

@@ -1464,6 +1464,39 @@ SELECT ext.minx, ext.miny, ext.maxx, ext.maxy, ps.pixel_size,
 FROM ext, ps, dims"""
 
 
+def q_warp_envelope_tap(spark, sf_dir):
+    """gdalwarp -tap (target aligned pixels — apps/gdalwarp_lib.cpp's
+    bTargetAlignedPixels branch): the suggested warp extent snapped
+    OUTWARD to multiples of the resolution (floor/ceil of extent/res)
+    so every output pixel sits on the global res-aligned lattice —
+    the knob mosaic pipelines rely on so independently-warped tiles
+    abut exactly. Dims re-derived with the reference's +res/2
+    truncation rule."""
+    from gdal_spark.geo import warp as W_
+    env = W_.tap_align(W_.suggested_warp_output(ZRAST_GT, ZRAST_W,
+                                                ZRAST_H))
+    row = [(env["minx"], env["miny"], env["maxx"], env["maxy"],
+            env["width"], env["height"])]
+    return spark.createDataFrame(
+        row, "minx double, miny double, maxx double, maxy double, "
+             "width int, height int")
+
+
+def o_warp_envelope_tap():
+    return f"""WITH base AS ({o_warp_envelope()})
+SELECT FLOOR(minx / pixel_size) * pixel_size AS minx,
+       FLOOR(miny / pixel_size) * pixel_size AS miny,
+       CEIL(maxx / pixel_size) * pixel_size AS maxx,
+       CEIL(maxy / pixel_size) * pixel_size AS maxy,
+       CAST(FLOOR((CEIL(maxx / pixel_size) * pixel_size
+                   - FLOOR(minx / pixel_size) * pixel_size
+                   + pixel_size / 2.0) / pixel_size) AS INT) AS width,
+       CAST(FLOOR((CEIL(maxy / pixel_size) * pixel_size
+                   - FLOOR(miny / pixel_size) * pixel_size
+                   + pixel_size / 2.0) / pixel_size) AS INT) AS height
+FROM base"""
+
+
 def q_warp_resample(spark, sf_dir):
     """gdalwarp nearest-neighbour resample (alg/gdalwarpkernel.cpp
     GRA_NearestNeighbour; chunk execution alg/gdalwarpoperation.cpp):
@@ -3013,6 +3046,84 @@ best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY zone_fid
 SELECT zone_fid, edge AS best_edge, ROUND(area, 9) AS mrr_area,
        ROUND(w, 9) AS mrr_w, ROUND(h, 9) AS mrr_h
 FROM best WHERE k = 1"""
+
+
+SETPREC_GRID = 1.0
+
+
+def q_set_precision(spark, sf_dir):
+    """OGRGeometry::SetPrecision / ogr2ogr -xyRes (GDAL 3.9,
+    ogr/ogr_geometry.cpp SetPrecision → GEOSGeom_setPrecision
+    semantics): snap every ring vertex to a coordinate grid
+    (floor(v/grid + 0.5)*grid — the tie rule spelled out so both
+    engines agree bit-exactly), drop consecutive duplicate vertices
+    and a wrap-around duplicate (last == first), and flag rings that
+    collapse below 3 distinct vertices as invalid (GEOS degenerates
+    them to EMPTY). All window + aggregate column math; grid chosen
+    so the fixture actually collapses vertices (46 → 40) and two
+    rings degenerate. Emits per (zone, ring) the before/after vertex
+    counts, validity, and exact snapped-coordinate sums."""
+    g = SETPREC_GRID
+    e = _ring_edges_df(spark)
+    qx = F.floor(F.col("x1") / g + 0.5) * g
+    qy = F.floor(F.col("y1") / g + 0.5) * g
+    d = e.select("zone_fid", "ring_id", "edge",
+                 qx.alias("qx"), qy.alias("qy"))
+    w = Window.partitionBy("zone_fid", "ring_id").orderBy("edge")
+    d = d.withColumn("pqx", F.lag("qx").over(w)) \
+         .withColumn("pqy", F.lag("qy").over(w))
+    kept = d.filter(F.col("pqx").isNull()
+                    | (F.col("qx") != F.col("pqx"))
+                    | (F.col("qy") != F.col("pqy")))
+    per = (kept.groupBy("zone_fid", "ring_id")
+           .agg(F.count("*").alias("cnt"),
+                F.min(F.struct("edge", "qx", "qy")).alias("fst"),
+                F.max(F.struct("edge", "qx", "qy")).alias("lst"),
+                F.sum("qx").alias("sx"), F.sum("qy").alias("sy")))
+    before = e.groupBy("zone_fid", "ring_id") \
+              .agg(F.count("*").alias("n_before"))
+    wrap = ((F.col("cnt") > 1)
+            & (F.col("fst.qx") == F.col("lst.qx"))
+            & (F.col("fst.qy") == F.col("lst.qy"))).cast("int")
+    out = (per.withColumn("wrap", wrap)
+           .withColumn("n_after", F.col("cnt") - F.col("wrap"))
+           .join(before, ["zone_fid", "ring_id"]))
+    return (out.select(
+        "zone_fid", "ring_id", "n_before",
+        F.col("n_after").cast("int").alias("n_after"),
+        (F.col("n_after") >= 3).cast("int").alias("valid"),
+        (F.col("sx") - F.col("wrap") * F.col("lst.qx")).alias("sum_qx"),
+        (F.col("sy") - F.col("wrap") * F.col("lst.qy")).alias("sum_qy"))
+        .orderBy("zone_fid", "ring_id"))
+
+
+def o_set_precision():
+    g = SETPREC_GRID
+    return f"""WITH e AS (SELECT * FROM {zone_ring_edges_sql()}),
+q AS (SELECT zone_fid, ring_id, edge,
+        FLOOR(x1 / {g!r} + 0.5) * {g!r} AS qx,
+        FLOOR(y1 / {g!r} + 0.5) * {g!r} AS qy
+      FROM e),
+l AS (SELECT *, LAG(qx) OVER w AS pqx, LAG(qy) OVER w AS pqy
+      FROM q WINDOW w AS (PARTITION BY zone_fid, ring_id ORDER BY edge)),
+kept AS (SELECT * FROM l
+         WHERE pqx IS NULL OR qx != pqx OR qy != pqy),
+per AS (SELECT zone_fid, ring_id, COUNT(*) AS cnt,
+          arg_min(qx, edge) AS fqx, arg_min(qy, edge) AS fqy,
+          arg_max(qx, edge) AS lqx, arg_max(qy, edge) AS lqy,
+          SUM(qx) AS sx, SUM(qy) AS sy
+        FROM kept GROUP BY zone_fid, ring_id),
+before AS (SELECT zone_fid, ring_id, COUNT(*) AS n_before
+           FROM e GROUP BY zone_fid, ring_id),
+res AS (SELECT per.*, before.n_before,
+          CASE WHEN cnt > 1 AND fqx = lqx AND fqy = lqy
+               THEN 1 ELSE 0 END AS wrap
+        FROM per JOIN before USING (zone_fid, ring_id))
+SELECT zone_fid, ring_id, CAST(n_before AS BIGINT) AS n_before,
+       CAST(cnt - wrap AS INT) AS n_after,
+       CAST(CASE WHEN cnt - wrap >= 3 THEN 1 ELSE 0 END AS INT) AS valid,
+       sx - wrap * lqx AS sum_qx, sy - wrap * lqy AS sum_qy
+FROM res"""
 
 
 def q_geocode_reverse(spark, sf_dir):
@@ -7808,6 +7919,8 @@ REGISTRY: dict[str, tuple] = {
     "polygonize_8conn": (q_polygonize_8conn, o_polygonize_8conn),
     "point_on_surface": (q_point_on_surface, o_point_on_surface),
     "oriented_envelope": (q_oriented_envelope, o_oriented_envelope),
+    "warp_envelope_tap": (q_warp_envelope_tap, o_warp_envelope_tap),
+    "set_precision": (q_set_precision, o_set_precision),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
