@@ -4682,6 +4682,102 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_wl,
 FROM d"""
 
 
+BLOOM_M = 4096      # bit-array size
+BLOOM_K = 3         # hash count
+# one md5 hex char -> 0..15, via instr on the digit alphabet — the
+# same SQL text parses in Spark SQL and DuckDB, so both engines run
+# the IDENTICAL hash expression
+_HEXV = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _bloom_pos_sql(j: int, col: str = "t") -> str:
+    h = f"md5(concat('{j}:', {col}))"
+    return (f"({_HEXV.format(h=h, i=1)} * 256 "
+            f"+ {_HEXV.format(h=h, i=2)} * 16 "
+            f"+ {_HEXV.format(h=h, i=3)})")
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom-filter exact-dedup flagging — the Dolma/BFF-style
+    memory-bounded dedup pass (public Allen AI Dolma pipeline): each
+    document sets K={BLOOM_K} bit positions of an M={BLOOM_M} filter
+    (positions from md5(seed:text), the IDENTICAL SQL expression in
+    both engines); a document is dup-flagged iff EVERY one of its bits
+    was first set by a lower-doc_id document (the sequential-insert
+    semantics made order-free: first-setter = min doc_id per bit, so
+    the result is deterministic and exactly checkable — including any
+    false positives, which are part of the defined semantics). Seeded
+    constant-text twins (doc_id % 13) make the flag non-vacuous.
+    Scale shape: bit table ≤ M rows (broadcast); one map-side-combined
+    groupBy(bit); the filter NEVER materializes per-executor state —
+    this is the shuffle formulation of a bloom filter."""
+    df = docs_df(spark, sf_dir)
+    aug = ("CASE WHEN doc_id % 13 = 0 THEN "
+           "'the quick brown fox jumps over the lazy dog' "
+           "ELSE text END")
+    d = df.select("doc_id", F.expr(aug).alias("t"))
+    bits = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(_bloom_pos_sql(j))
+                            for j in range(BLOOM_K)])).alias("bit"))
+    setters = bits.groupBy("bit").agg(F.min("doc_id").alias("fs"))
+    return (bits.join(F.broadcast(setters), "bit")
+            .groupBy("doc_id")
+            .agg(F.min((F.col("fs") < F.col("doc_id")).cast("int"))
+                 .alias("is_dup"))
+            .orderBy("doc_id"))
+
+
+def o_bloom_dedup():
+    pos = " UNION ALL ".join(
+        f"SELECT doc_id, {_bloom_pos_sql(j)} AS bit FROM a"
+        for j in range(BLOOM_K))
+    return f"""WITH a AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN
+      'the quick brown fox jumps over the lazy dog'
+    ELSE text END AS t
+  FROM documents),
+bits AS ({pos}),
+setters AS (SELECT bit, MIN(doc_id) AS fs FROM bits GROUP BY bit)
+SELECT b.doc_id,
+       CAST(MIN(CASE WHEN s.fs < b.doc_id THEN 1 ELSE 0 END) AS INT)
+         AS is_dup
+FROM bits b JOIN setters s ON s.bit = b.bit
+GROUP BY b.doc_id"""
+
+
+STRAT_K = 20
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the per-language quota draw
+    every multilingual corpus mix needs (e.g. the language re-balancing
+    stage in public LLM-data recipes): within each `lang` stratum rank
+    documents by md5(doc_id) (a seedless, engine-portable uniform key)
+    and keep the first {STRAT_K}. Reproducible across runs, engines and
+    partitionings — unlike rand()-based sampling. Scale: one window per
+    stratum; at extreme stratum skew the rank is replaced by any
+    top-k-by-key (TakeOrderedAndProject per group), same semantics."""
+    df = docs_df(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= STRAT_K)
+            .select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
+            .orderBy("lang", "rk"))
+
+
+def o_stratified_sample():
+    return f"""WITH r AS (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      AS rk
+  FROM documents)
+SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= {STRAT_K}"""
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher REPETITION signals (Rae et al. 2021 §A1.1, the other half
     of the paper's document filter next to q_gopher_quality's rules):
@@ -7921,6 +8017,8 @@ REGISTRY: dict[str, tuple] = {
     "oriented_envelope": (q_oriented_envelope, o_oriented_envelope),
     "warp_envelope_tap": (q_warp_envelope_tap, o_warp_envelope_tap),
     "set_precision": (q_set_precision, o_set_precision),
+    "bloom_dedup": (q_bloom_dedup, o_bloom_dedup),
+    "stratified_sample": (q_stratified_sample, o_stratified_sample),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
