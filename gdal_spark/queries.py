@@ -4778,6 +4778,128 @@ def o_stratified_sample():
 SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= {STRAT_K}"""
 
 
+DECON_N = 8
+DECON_PHRASE = ("alpha beta gamma delta epsilon zeta eta theta")
+DECON_BENCH_DOC = 7
+DECON_SEED_MOD = 31
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the n-gram-overlap test-set leak
+    check every public LLM data pipeline runs before training (e.g.
+    the GPT-3/PaLM 8-gram and Llama decontamination procedures, all
+    published): a document is contaminated iff it shares at least one
+    word {DECON_N}-gram with the benchmark set. Benchmark here = the
+    8-grams of one corpus document (doc {DECON_BENCH_DOC}, the eval-set
+    stand-in) plus one literal probe phrase seeded into every
+    doc_id % {DECON_SEED_MOD} document, so hits are non-vacuous and
+    exactly checkable. Scale shape: the benchmark gram set is tiny →
+    BROADCAST semi-join against exploded document grams; the corpus
+    side is one map-only explode, no shuffle of the big table."""
+    df = docs_df(spark, sf_dir)
+    aug = (f"CASE WHEN doc_id % {DECON_SEED_MOD} = 0 THEN "
+           f"concat(text, ' ', '{DECON_PHRASE}') ELSE text END")
+    grams_sql = (
+        f"transform(sequence(1, greatest(size(ws) - {DECON_N - 1}, 0)), "
+        "i -> concat_ws(' ', "
+        + ", ".join(f"element_at(ws, CAST(i + {k} AS INT))"
+                    for k in range(DECON_N)) + "))")
+    d = (df.select("doc_id", F.expr(aug).alias("t"))
+         .select("doc_id",
+                 F.expr(r"split(trim(lower(t)), '\\s+')").alias("ws"))
+         .select("doc_id", F.explode_outer(F.expr(grams_sql)).alias("g"))
+         .distinct())
+    bench = (d.filter(F.col("doc_id") == DECON_BENCH_DOC).select("g")
+             .unionByName(spark.createDataFrame([(DECON_PHRASE,)], "g string"))
+             .distinct())
+    return (d.join(F.broadcast(bench), "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_hits"))
+            .orderBy("doc_id"))
+
+
+def o_decontaminate():
+    parts = " || ' ' || ".join(f"ws[i + {k}]" for k in range(DECON_N))
+    return f"""WITH a AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {DECON_SEED_MOD} = 0
+         THEN text || ' ' || '{DECON_PHRASE}' ELSE text END AS t
+  FROM documents),
+w AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\\s+') AS ws
+      FROM a),
+g AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, GREATEST(len(ws) - {DECON_N - 2},
+                                                1)),
+                              i -> {parts})) AS g
+      FROM w WHERE len(ws) >= {DECON_N}),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id = {DECON_BENCH_DOC}
+          UNION SELECT '{DECON_PHRASE}'),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits
+         FROM g WHERE g IN (SELECT g FROM bench) GROUP BY doc_id)
+SELECT doc_id, CAST(n_hits AS INT) AS n_hits FROM hits"""
+
+
+DOMF_SYNTH_SQL = """CASE doc_id % 6
+  WHEN 0 THEN 'http://Ads.Example.COM/banner'
+  WHEN 1 THEN 'https://www.site.org/a'
+  WHEN 2 THEN 'http://tracker.site.CO.UK:8080/p'
+  WHEN 3 THEN 'https://cdn.example.com/x'
+  WHEN 4 THEN 'https://news.host.net/story'
+  ELSE 'https://blog.example.org/post'
+END"""
+DOMF_BLOCK = ("example.com", "site.co.uk")
+DOMF_SUFFIX2 = ("co.uk", "com.au", "org.uk")
+
+
+def q_domain_filter(spark, sf_dir):
+    """Domain blocklist filtering — the crawl-side URL filter every
+    webtext pipeline applies first (e.g. the public UT1/Blacklists
+    blocklist stage in RefinedWeb/FineWeb): extract the REGISTRABLE
+    domain (public-suffix-lite rule: last two labels, or three when
+    the host ends in a known 2-level suffix like co.uk — list kept as
+    an explicit constant) and flag documents whose domain is on the
+    blocklist. Host extraction = url_canonical's rules. Map-only; the
+    blocklist is a literal IN-set at any scale (or a broadcast join
+    for million-entry lists)."""
+    docs = docs_df(spark, sf_dir).selectExpr(
+        "doc_id", DOMF_SYNTH_SQL + " AS url")
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace("url", "^[a-zA-Z]+://", ""), "^([^/:?]+)", 1))
+    d = docs.select("doc_id", host.alias("host"))
+    suf2 = F.col("host").rlike(
+        "\\.(" + "|".join(s.replace(".", "\\.") for s in DOMF_SUFFIX2)
+        + ")$")
+    dom = F.when(
+        suf2, F.regexp_extract("host", "([^.]+\\.[^.]+\\.[^.]+)$", 1)) \
+        .otherwise(F.regexp_extract("host", "([^.]+\\.[^.]+)$", 1))
+    d = d.select("doc_id", "host", dom.alias("domain"))
+    return (d.select(
+        "doc_id", "host", "domain",
+        F.col("domain").isin(*DOMF_BLOCK).cast("int").alias("blocked"))
+        .orderBy("doc_id"))
+
+
+def o_domain_filter():
+    alts = "|".join(s.replace(".", "\\.") for s in DOMF_SUFFIX2)
+    blk = ", ".join(f"'{b}'" for b in DOMF_BLOCK)
+    return f"""WITH u AS (SELECT doc_id, {DOMF_SYNTH_SQL} AS url
+               FROM documents),
+h AS (SELECT doc_id,
+        lower(regexp_extract(regexp_replace(url, '^[a-zA-Z]+://', ''),
+                             '^([^/:?]+)', 1)) AS host
+      FROM u),
+d AS (SELECT doc_id, host,
+        CASE WHEN regexp_matches(host, '\\.({alts})$')
+             THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+             ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+        END AS domain
+      FROM h)
+SELECT doc_id, host, domain,
+       CAST(CASE WHEN domain IN ({blk}) THEN 1 ELSE 0 END AS INT)
+         AS blocked
+FROM d"""
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher REPETITION signals (Rae et al. 2021 §A1.1, the other half
     of the paper's document filter next to q_gopher_quality's rules):
@@ -8019,6 +8141,8 @@ REGISTRY: dict[str, tuple] = {
     "set_precision": (q_set_precision, o_set_precision),
     "bloom_dedup": (q_bloom_dedup, o_bloom_dedup),
     "stratified_sample": (q_stratified_sample, o_stratified_sample),
+    "decontaminate": (q_decontaminate, o_decontaminate),
+    "domain_filter": (q_domain_filter, o_domain_filter),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
