@@ -348,6 +348,45 @@ WHERE lat IS NOT NULL AND {fx} >= 0 AND {fx} < {GRID_W} AND {fy} >= 0 AND {fy} <
 GROUP BY 1, 2"""
 
 
+_CHK_PRIMES = (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43)
+
+
+def q_band_checksum(spark, sf_dir):
+    """GDAL band checksum as a DISTRIBUTED aggregate
+    (alg/gdalchecksum.cpp:54-56,174-187 — term = floor(v+0.5) %
+    primes[(y*W+x) % 11], 16-bit-masked accumulation): the numpy twin
+    (rasterize.gdal_checksum, pytest-golden vs reference autotest
+    values) folds per line driver-side; here the identical formula runs
+    as one map-side-combined SUM over the sparse burn table — absent
+    pixels contribute 0 % p = 0, and with non-negative terms the
+    per-line 16-bit mask commutes to one final mod 65536, so a 10^12-px
+    band checksums in a single scan. Emits the checksum + term sum +
+    burned-pixel count."""
+    pts = points_df(spark, sf_dir)
+    b = rast_op.burn_points(pts, GRID_GT, GRID_W, GRID_H)
+    primes = F.array(*[F.lit(p) for p in _CHK_PRIMES])
+    idx = ((F.col("py") * GRID_W + F.col("px")) % 11).cast("int")
+    v = F.floor(F.col("burn") + 0.5).cast("long")
+    term = v % F.element_at(primes, idx + 1)
+    agg = b.agg(F.sum(term).alias("sum_terms"),
+                F.count("*").alias("n_burned"))
+    return agg.select(
+        (F.col("sum_terms") % 65536).cast("int").alias("checksum"),
+        "sum_terms", "n_burned")
+
+
+def o_band_checksum():
+    pl = ", ".join(str(p) for p in _CHK_PRIMES)
+    return f"""WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(GRID_GT, GRID_W, GRID_H)},
+t AS (
+  SELECT CAST(FLOOR(CAST(c AS DOUBLE) + 0.5) AS BIGINT)
+         % ([{pl}])[CAST((py * {GRID_W} + px) % 11 AS INT) + 1] AS term
+  FROM burn)
+SELECT CAST(SUM(term) % 65536 AS INT) AS checksum,
+       CAST(SUM(term) AS BIGINT) AS sum_terms, COUNT(*) AS n_burned
+FROM t"""
+
+
 def q_rasterize_zones(spark, sf_dir):
     """Polygon scanline rasterize (llrasterize.cpp:41-228 exact port) of
     the triangle zone and the hole zone onto a 40×40 grid → one row per
@@ -8143,6 +8182,7 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, o_stratified_sample),
     "decontaminate": (q_decontaminate, o_decontaminate),
     "domain_filter": (q_domain_filter, o_domain_filter),
+    "band_checksum": (q_band_checksum, o_band_checksum),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),

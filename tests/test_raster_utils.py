@@ -45,3 +45,24 @@ def test_pixel_info_inverse_geotransform(spark):
         qy = g[3] + ((r.q_id * 7) % 48 - 3.9) * g[5]
         assert r.px == math.floor((qx - g[0]) / g[1])
         assert r.py == math.floor((qy - g[3]) / g[5])
+
+
+def test_distributed_checksum_equals_numpy_twin(spark):
+    """The relational band checksum (q_band_checksum) must equal the
+    line-folded numpy reference (rasterize.gdal_checksum) on the same
+    dense grid — validating that the 16-bit per-line mask commutes to
+    one final mod for non-negative terms."""
+    import numpy as np
+
+    from gdal_spark.operators.rasterize import gdal_checksum
+    from gdal_spark.queries import (GRID_GT, GRID_H, GRID_W,
+                                    q_band_checksum, q_rasterize_points)
+
+    sf = "/root/testdata/sf0.001"
+    burned = q_rasterize_points(spark, sf).collect()
+    grid = np.zeros((GRID_H, GRID_W))
+    for r in burned:
+        grid[int(r["py"]), int(r["px"])] = r["burn"]
+    want = gdal_checksum(grid)
+    got = q_band_checksum(spark, sf).collect()[0]["checksum"]
+    assert got == want
