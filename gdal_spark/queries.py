@@ -387,6 +387,69 @@ SELECT CAST(SUM(term) % 65536 AS INT) AS checksum,
 FROM t"""
 
 
+TRW = dict(x0=8, y0=8, w=32, h=32, ow=16, oh=16)
+
+
+def q_translate_window(spark, sf_dir):
+    """gdal_translate -srcwin + -outsize (apps/gdaltranslate_lib.cpp;
+    sampling rule gcore/rasterio.cpp GDALRasterIOResampled): crop a
+    source window then decimate to the output size, emitting BOTH
+    resampling modes — NEAREST (the -outsize default: src index =
+    floor((dst + 0.5) * srcDim/dstDim), exact integers at 2×) and
+    -r AVERAGE (mean over the covered src block, absent sparse pixels
+    = 0). Pure column math: the dst grid is a range cross join; nearest
+    is one equi-join; average one groupBy over the cropped burn table.
+    No full-raster materialization — the crop predicate pushes into the
+    burn-table scan."""
+    pts = points_df(spark, sf_dir)
+    b = rast_op.burn_points(pts, GRID_GT, GRID_W, GRID_H)
+    t = TRW
+    crop = b.filter((F.col("px") >= t["x0"])
+                    & (F.col("px") < t["x0"] + t["w"])
+                    & (F.col("py") >= t["y0"])
+                    & (F.col("py") < t["y0"] + t["h"]))
+    rx, ry = t["w"] // t["ow"], t["h"] // t["oh"]
+    dst = (spark.range(t["oh"]).select(F.col("id").alias("dy"))
+           .crossJoin(spark.range(t["ow"]).select(F.col("id").alias("dx"))))
+    # nearest: floor((d + 0.5) * ratio) = d*r + r//2 for integer ratios
+    near = dst.join(
+        crop.select((F.col("py") - t["y0"]).alias("cy"),
+                    (F.col("px") - t["x0"]).alias("cx"), "burn"),
+        (F.col("cy") == F.col("dy") * ry + ry // 2)
+        & (F.col("cx") == F.col("dx") * rx + rx // 2), "left") \
+        .select("dy", "dx", F.coalesce("burn", F.lit(0.0)).alias("v_near"))
+    avg = (crop.groupBy(((F.col("py") - t["y0"]) / ry).cast("long").alias("dy"),
+                        ((F.col("px") - t["x0"]) / rx).cast("long").alias("dx"))
+           .agg((F.sum("burn") / (rx * ry)).alias("v_avg")))
+    return (near.join(avg, ["dy", "dx"], "left")
+            .select("dy", "dx", "v_near",
+                    F.coalesce("v_avg", F.lit(0.0)).alias("v_avg"))
+            .orderBy("dy", "dx"))
+
+
+def o_translate_window():
+    t = TRW
+    rx, ry = t["w"] // t["ow"], t["h"] // t["oh"]
+    return f"""WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(GRID_GT, GRID_W, GRID_H)},
+crop AS (SELECT py - {t['y0']} AS cy, px - {t['x0']} AS cx,
+                CAST(c AS DOUBLE) AS burn
+         FROM burn
+         WHERE px >= {t['x0']} AND px < {t['x0'] + t['w']}
+           AND py >= {t['y0']} AND py < {t['y0'] + t['h']}),
+dst AS (SELECT CAST(r1.range AS BIGINT) AS dy, CAST(r2.range AS BIGINT) AS dx
+        FROM range({t['oh']}) r1, range({t['ow']}) r2),
+near AS (SELECT d.dy, d.dx, COALESCE(c.burn, 0.0) AS v_near
+         FROM dst d LEFT JOIN crop c
+           ON c.cy = d.dy * {ry} + {ry // 2}
+          AND c.cx = d.dx * {rx} + {rx // 2}),
+avg_ AS (SELECT CAST(FLOOR(cy / {ry}.0) AS BIGINT) AS dy,
+                CAST(FLOOR(cx / {rx}.0) AS BIGINT) AS dx,
+                SUM(burn) / {rx * ry} AS v_avg
+         FROM crop GROUP BY 1, 2)
+SELECT n.dy, n.dx, n.v_near, COALESCE(a.v_avg, 0.0) AS v_avg
+FROM near n LEFT JOIN avg_ a ON a.dy = n.dy AND a.dx = n.dx"""
+
+
 def q_rasterize_zones(spark, sf_dir):
     """Polygon scanline rasterize (llrasterize.cpp:41-228 exact port) of
     the triangle zone and the hole zone onto a 40×40 grid → one row per
@@ -8183,6 +8246,7 @@ REGISTRY: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, o_decontaminate),
     "domain_filter": (q_domain_filter, o_domain_filter),
     "band_checksum": (q_band_checksum, o_band_checksum),
+    "translate_window": (q_translate_window, o_translate_window),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
