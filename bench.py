@@ -111,7 +111,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "line_dedup", "url_canonical",
                  "raster_stack", "raster_update", "pixel_info", "check_geometry",
                  "dem_hillshade_igor", "stream_geofence", "dither",
-                 "grid_metrics_avg", "dedup_clusters", "pq_ann", "gopher_quality"]:
+                 "grid_metrics_avg", "dedup_clusters", "pq_ann", "gopher_quality",
+                 # round-3 final additions
+                 "gopher_repetition", "unigram_logprob", "pii_redact",
+                 "pct2rgb", "rasterize_invert", "polygonize_8conn",
+                 "point_on_surface", "oriented_envelope", "set_precision",
+                 "bloom_dedup", "stratified_sample", "decontaminate",
+                 "domain_filter", "band_checksum", "translate_window"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

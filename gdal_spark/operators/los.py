@@ -59,11 +59,20 @@ def _walk_cells(p: DataFrame) -> DataFrame:
                         .otherwise(F.col("ya") + i * F.col("incy"))))
 
 
-def line_of_sight(pairs: DataFrame, dem: DataFrame) -> DataFrame:
+def line_of_sight(pairs: DataFrame, dem: DataFrame,
+                  curv_coeff: float = 1.0,
+                  earth_diam: float = 0.0) -> DataFrame:
     """pairs(pair_id, xa, ya, za, xb, yb, zb) x dem(py, px, elev) ->
     (pair_id, visible, ix, iy): visibility and the first terrain
     intersection cell (-1, -1 when visible), reference report order
-    (A pre-check, then B, then first failing walk cell)."""
+    (A pre-check, then B, then first failing walk cell).
+
+    ``curv_coeff`` < 1 enables gdal_viewshed's earth-curvature (and
+    atmospheric-refraction) correction (alg/viewshed.cpp
+    CalcHeightAdjFactor: default -cc 0.85714 ≈ 1 - 1/7): terrain at
+    squared distance d² from the OBSERVER drops by
+    d² * (1 - cc) / earth_diam before the sightline test. cc = 1.0
+    (or earth_diam = 0) disables the term exactly."""
     p = pairs.select(
         "*",
         F.abs(F.col("xb") - F.col("xa")).alias("dx"),
@@ -84,11 +93,15 @@ def line_of_sight(pairs: DataFrame, dem: DataFrame) -> DataFrame:
              .when(F.col("ya") == F.col("yb"), fx / gx)
              .otherwise(F.sqrt((fx * fx + fy * fy) / (gx * gx + gy * gy))))
     z = F.col("za") + ratio * (F.col("zb") - F.col("za"))
+    adj_k = ((1.0 - curv_coeff) / earth_diam) if (
+        curv_coeff < 1.0 and earth_diam > 0) else 0.0
+    d2 = fx * fx + fy * fy
     walked = (cells.join(dem.select(F.col("px").alias("x"),
                                     F.col("py").alias("y"), "elev"),
                          ["x", "y"])
               .withColumn("_z", z)
-              .filter(F.col("_z") < F.col("elev")))
+              .withColumn("_e", F.col("elev") - F.lit(adj_k) * d2)
+              .filter(F.col("_z") < F.col("_e")))
     first_fail = (walked.groupBy("pair_id")
                   .agg(F.min_by(F.struct(F.col("x").alias("fx"),
                                          F.col("y").alias("fy")),
@@ -98,10 +111,15 @@ def line_of_sight(pairs: DataFrame, dem: DataFrame) -> DataFrame:
                     F.col("elev").alias("ta"))
     db = dem.select(F.col("px").alias("xb"), F.col("py").alias("yb"),
                     F.col("elev").alias("tb"))
+    gd2 = ((F.col("xb") - F.col("xa")).cast("double")
+           * (F.col("xb") - F.col("xa")).cast("double")
+           + (F.col("yb") - F.col("ya")).cast("double")
+           * (F.col("yb") - F.col("ya")).cast("double"))
     ends = (p.join(da, ["xa", "ya"]).join(db, ["xb", "yb"])
             .select("pair_id", "xa", "ya", "xb", "yb",
                     (F.col("za") < F.col("ta")).alias("a_fail"),
-                    (F.col("zb") < F.col("tb")).alias("b_fail")))
+                    (F.col("zb") < F.col("tb") - F.lit(adj_k) * gd2)
+                    .alias("b_fail")))
 
     out = ends.join(first_fail, "pair_id", "left")
     wf = F.col("f").isNotNull()

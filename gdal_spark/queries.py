@@ -5692,10 +5692,49 @@ def q_line_of_sight(spark, sf_dir):
     return line_of_sight(pairs, dem_op.dem_df(spark))
 
 
-def _los_oracle_sql(pairs_cte: str) -> str:
+LOS_CC = 0.85714           # gdal_viewshed default -cc (≈ 1 - 1/7)
+LOS_CELL_RES = 5000.0      # metres per DEM cell (synthetic 320 km span)
+LOS_EARTH_DIAM = 12_740_000.0  # metres
+
+
+def q_los_curvature(spark, sf_dir):
+    """Line-of-sight WITH earth-curvature + refraction correction —
+    gdal_viewshed's -cc option (alg/viewshed.cpp CalcHeightAdjFactor,
+    default 0.85714 = 1 - 1/7 standard atmospheric refraction): terrain
+    at ground distance d from the observer drops by
+    d²·(1-cc)/earth_diameter before the sightline test. The fixture DEM
+    is given a 5 km cell resolution, making the correction physically
+    scaled AND non-vacuous (several pairs flip visible vs the uncorrected
+    q_line_of_sight — asserted in tests/test_los.py). Same distributed
+    shape: closed-form Bresenham explode + DEM equi-join + first-failure
+    fold; the curvature term is one extra column expression."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.los import line_of_sight
+    pairs = spark.createDataFrame(
+        _los_pairs(),
+        "pair_id int, xa int, ya int, za double, xb int, yb int, zb double")
+    diam_cells = LOS_EARTH_DIAM / (LOS_CELL_RES * LOS_CELL_RES)
+    return line_of_sight(pairs, dem_op.dem_df(spark),
+                         curv_coeff=LOS_CC, earth_diam=diam_cells)
+
+
+def o_los_curvature():
+    prow = ", ".join(
+        f"({p}, {xa}, {ya}, {sqlexpr.dlit(za)}, {xb}, {yb}, "
+        f"{sqlexpr.dlit(zb)})"
+        for p, xa, ya, za, xb, yb, zb in _los_pairs())
+    k = (1.0 - LOS_CC) / (LOS_EARTH_DIAM / (LOS_CELL_RES * LOS_CELL_RES))
+    return _los_oracle_sql(
+        f"SELECT * FROM (VALUES {prow}) "
+        "AS pr(pair_id, xa, ya, za, xb, yb, zb)", curv_k=k)
+
+
+def _los_oracle_sql(pairs_cte: str, curv_k: float = 0.0) -> str:
     """Shared DuckDB LOS oracle body (the los.cpp walk + fold twin):
     ``pairs_cte`` must yield (pair_id, xa, ya, za, xb, yb, zb).
-    Returns the full query SELECTing (pair_id, visible, ix, iy)."""
+    ``curv_k`` = (1 - curv_coeff)/earth_diam adds gdal_viewshed's
+    curvature drop (see operators/los.py). Returns the full query
+    SELECTing (pair_id, visible, ix, iy)."""
     from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
     return f"""
 WITH dem AS (
@@ -5732,9 +5771,18 @@ cz AS (SELECT cells.*, dem.elev,
          END) * (zb - za) AS z
        FROM cells JOIN dem ON dem.px = cells.x AND dem.py = cells.y),
 wf AS (SELECT pair_id, MIN_BY(x, i) AS fx, MIN_BY(y, i) AS fy
-       FROM cz WHERE z < elev GROUP BY pair_id),
+       FROM cz
+       WHERE z < elev - {curv_k!r}
+                 * (CAST(x - xa AS DOUBLE) * CAST(x - xa AS DOUBLE)
+                    + CAST(y - ya AS DOUBLE) * CAST(y - ya AS DOUBLE))
+       GROUP BY pair_id),
 ends AS (SELECT p.pair_id, p.xa, p.ya, p.xb, p.yb,
-           (za < da.elev) AS a_fail, (zb < db.elev) AS b_fail
+           (za < da.elev) AS a_fail,
+           (zb < db.elev - {curv_k!r}
+                * (CAST(p.xb - p.xa AS DOUBLE)
+                   * CAST(p.xb - p.xa AS DOUBLE)
+                   + CAST(p.yb - p.ya AS DOUBLE)
+                   * CAST(p.yb - p.ya AS DOUBLE))) AS b_fail
          FROM p JOIN dem da ON da.px = p.xa AND da.py = p.ya
                 JOIN dem db ON db.px = p.xb AND db.py = p.yb)
 SELECT e.pair_id,
@@ -8247,6 +8295,7 @@ REGISTRY: dict[str, tuple] = {
     "domain_filter": (q_domain_filter, o_domain_filter),
     "band_checksum": (q_band_checksum, o_band_checksum),
     "translate_window": (q_translate_window, o_translate_window),
+    "los_curvature": (q_los_curvature, o_los_curvature),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),

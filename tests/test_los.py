@@ -116,3 +116,19 @@ def test_batch_matches_reference_per_pair(spark):
     assert (True, False, False) in outcomes
     assert any(not v and a for v, a, _ in outcomes)
     assert any(not v and not a and not b for v, a, b in outcomes)
+
+
+def test_curvature_flips_visibility(spark):
+    """-cc correction at the fixture's 5 km cell scale must flip some
+    pairs visible (terrain drops with distance) and never flip
+    visible -> invisible."""
+    from gdal_spark.queries import q_line_of_sight, q_los_curvature
+
+    base = {r["pair_id"]: r["visible"]
+            for r in q_line_of_sight(spark, "").collect()}
+    curv = {r["pair_id"]: r["visible"]
+            for r in q_los_curvature(spark, "").collect()}
+    flips = [p for p in base if base[p] != curv[p]]
+    assert len(flips) >= 1
+    for p in flips:
+        assert curv[p] and not base[p]
