@@ -132,6 +132,33 @@ def o_tile_assign():
             f"{tx12} AS tx12, {ty12} AS ty12 FROM pages WHERE lat IS NOT NULL")
 
 
+def q_tile_tms(spark, sf_dir):
+    """TMS vs XYZ tile numbering — gdal2tiles' --xyz flag
+    (gdal2tiles.py: TMS counts rows from the SOUTH, the OSM/XYZ web
+    convention from the north; ty_xyz = 2^z - 1 - ty_tms). The classic
+    off-by-flip every tiling consumer hits; emitted side by side per
+    page at z12 plus quadkey-compatible flip verification (their sum
+    must be 2^z - 1 on every row). Same codegen'd column math as
+    tile_assign, no UDF."""
+    from gdal_spark.geo import mercator as M
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    tx, ty_tms = M.tile_cols(F.col("lat"), F.col("lon"), 12, xyz=False)
+    _, ty_xyz = M.tile_cols(F.col("lat"), F.col("lon"), 12, xyz=True)
+    return p.select(
+        "doc_id", tx.alias("tx"), ty_tms.alias("ty_tms"),
+        ty_xyz.alias("ty_xyz"),
+        (ty_tms + ty_xyz).alias("flip_sum"))
+
+
+def o_tile_tms():
+    tx, ty_tms = sqlexpr.tile_sql("lat", "lon", 12, xyz=False)
+    _, ty_xyz = sqlexpr.tile_sql("lat", "lon", 12, xyz=True)
+    return (f"WITH {sqlexpr.pages_cte()} "
+            f"SELECT doc_id, {tx} AS tx, {ty_tms} AS ty_tms, "
+            f"{ty_xyz} AS ty_xyz, ({ty_tms}) + ({ty_xyz}) AS flip_sum "
+            f"FROM pages WHERE lat IS NOT NULL")
+
+
 def q_tile_counts_salted(spark, sf_dir):
     """Per-tile page counts THROUGH the explicit two-phase salt
     (operators/tiling.salted_agg) — the skew-handling path the north
@@ -4880,6 +4907,59 @@ def o_stratified_sample():
 SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= {STRAT_K}"""
 
 
+MIX_ALPHA = 0.3
+
+
+def q_lang_mixture(spark, sf_dir):
+    """Temperature-scaled language mixture weights — the multilingual
+    re-sampling rule from the public XLM-R / mC4 recipes (Conneau et
+    al. 2020 §3.1: q_l ∝ p_l^α with α = {MIX_ALPHA}, boosting
+    low-resource languages): per language the corpus share p_l, the
+    α-tempered normalized weight q_l, and the effective upsampling
+    factor q_l/p_l. One map-side-combined count per language (language
+    cardinality is tiny at any corpus size), the normalization folded
+    in LANG-SORTED order so float summation is engine-identical."""
+    counts = docs_df(spark, sf_dir).groupBy("lang") \
+        .agg(F.count("*").alias("n"))
+    a = counts.agg(
+        F.sort_array(F.collect_list(F.struct("lang", "n"))).alias("ls"),
+        F.sum("n").alias("N"))
+    qsum = F.expr(
+        f"aggregate(ls, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + power(x.n / CAST(N AS DOUBLE), {MIX_ALPHA!r}))")
+    d = (a.withColumn("qsum", qsum)
+         .select(F.explode("ls").alias("x"), "N", "qsum")
+         .select(F.col("x.lang").alias("lang"),
+                 F.col("x.n").alias("n_docs"), "N", "qsum"))
+    p = F.col("n_docs") / F.col("N").cast("double")
+    q = F.pow(p, F.lit(MIX_ALPHA)) / F.col("qsum")
+    return (d.select("lang", "n_docs",
+                     F.round(p, 6).alias("p_share"),
+                     F.round(q, 6).alias("q_weight"),
+                     F.round(q / p, 6).alias("upsample"))
+            .orderBy("lang"))
+
+
+def o_lang_mixture():
+    return f"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+               GROUP BY lang),
+a AS (SELECT list({{'lang': lang, 'n': n}} ORDER BY lang) AS ls,
+             SUM(n) AS N FROM c),
+s AS (SELECT CAST(N AS BIGINT) AS N,
+        list_reduce(list_transform(ls,
+            x -> POWER(x.n / CAST(N AS DOUBLE), {MIX_ALPHA!r})),
+          (p, r) -> p + r) AS qsum
+      FROM a),
+d AS (SELECT c.lang, c.n AS n_docs, s.N, s.qsum FROM c, s)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(n_docs / CAST(N AS DOUBLE), 6) AS p_share,
+       ROUND(POWER(n_docs / CAST(N AS DOUBLE), {MIX_ALPHA!r}) / qsum, 6)
+         AS q_weight,
+       ROUND(POWER(n_docs / CAST(N AS DOUBLE), {MIX_ALPHA!r}) / qsum
+             / (n_docs / CAST(N AS DOUBLE)), 6) AS upsample
+FROM d"""
+
+
 DECON_N = 8
 DECON_PHRASE = ("alpha beta gamma delta epsilon zeta eta theta")
 DECON_BENCH_DOC = 7
@@ -8296,6 +8376,8 @@ REGISTRY: dict[str, tuple] = {
     "band_checksum": (q_band_checksum, o_band_checksum),
     "translate_window": (q_translate_window, o_translate_window),
     "los_curvature": (q_los_curvature, o_los_curvature),
+    "tile_tms": (q_tile_tms, o_tile_tms),
+    "lang_mixture": (q_lang_mixture, o_lang_mixture),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
