@@ -477,6 +477,114 @@ SELECT n.dy, n.dx, n.v_near, COALESCE(a.v_avg, 0.0) AS v_avg
 FROM near n LEFT JOIN avg_ a ON a.dy = n.dy AND a.dx = n.dx"""
 
 
+def q_raster_as_features(spark, sf_dir):
+    """gdal raster as-features (apps/gdalalg_raster_as_features.cpp):
+    every burned pixel becomes one vector feature carrying its value, its
+    georeferenced cell polygon corners, and its center point — the
+    raster→vector bridge for downstream joins. Pure geotransform
+    column math over the sparse burn table (absent pixels emit no
+    feature, exactly the tool's -skip-nodata behavior)."""
+    pts = points_df(spark, sf_dir)
+    b = rast_op.burn_points(pts, GRID_GT, GRID_W, GRID_H)
+    g = GRID_GT
+    x0 = F.lit(g[0]) + F.col("px") * g[1]
+    y0 = F.lit(g[3]) + F.col("py") * g[5]
+    return (b.select(
+        "py", "px", "burn",
+        x0.alias("minx"), (x0 + F.lit(g[1])).alias("maxx"),
+        (y0 + F.lit(g[5])).alias("miny"), y0.alias("maxy"),
+        (x0 + F.lit(g[1]) * 0.5).alias("cx"),
+        (y0 + F.lit(g[5]) * 0.5).alias("cy"))
+        .orderBy("py", "px"))
+
+
+def o_raster_as_features():
+    g = GRID_GT
+    return f"""WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(GRID_GT, GRID_W, GRID_H)}
+SELECT py, px, CAST(c AS DOUBLE) AS burn,
+       {g[0]!r} + px * {g[1]!r} AS minx,
+       ({g[0]!r} + px * {g[1]!r}) + {g[1]!r} AS maxx,
+       ({g[3]!r} + py * ({g[5]!r})) + ({g[5]!r}) AS miny,
+       {g[3]!r} + py * ({g[5]!r}) AS maxy,
+       ({g[0]!r} + px * {g[1]!r}) + {g[1]!r} * 0.5 AS cx,
+       ({g[3]!r} + py * ({g[5]!r})) + ({g[5]!r}) * 0.5 AS cy
+FROM burn"""
+
+
+def q_raster_compare(spark, sf_dir):
+    """gdal raster compare (apps/gdalalg_raster_compare.cpp): pixel-wise
+    comparison of two bands → the difference report (matching/differing
+    pixel counts, max and total absolute difference, first differing
+    pixel in scan order). Compared pair: the synthetic base band vs
+    raster_update's result — differences are exactly the update window.
+    One join + one aggregate; at 10^12 px both sides stream, nothing
+    materializes."""
+    upd = q_raster_update(spark, sf_dir)
+    base = F.expr("CAST((px * 11 + py * 3) % 77 AS DOUBLE)")
+    d = upd.withColumn("base", base) \
+           .withColumn("ad", F.abs(F.col("val") - F.col("base")))
+    return d.agg(
+        F.sum((F.col("ad") == 0).cast("long")).alias("n_same"),
+        F.sum((F.col("ad") > 0).cast("long")).alias("n_diff"),
+        F.max("ad").alias("max_abs_diff"),
+        F.round(F.sum("ad"), 6).alias("sum_abs_diff"),
+        F.min(F.when(F.col("ad") > 0,
+                     (F.col("py") * ZRAST_W + F.col("px")).cast("long")))
+         .alias("first_diff_pid"))
+
+
+def o_raster_compare():
+    return f"""WITH u AS ({o_raster_update()}),
+d AS (SELECT py, px, val,
+        CAST((px * 11 + py * 3) % 77 AS DOUBLE) AS base,
+        ABS(val - CAST((px * 11 + py * 3) % 77 AS DOUBLE)) AS ad
+      FROM u)
+SELECT CAST(SUM(CASE WHEN ad = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       CAST(SUM(CASE WHEN ad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+       MAX(ad) AS max_abs_diff,
+       ROUND(SUM(ad), 6) AS sum_abs_diff,
+       CAST(MIN(CASE WHEN ad > 0 THEN py * {ZRAST_W} + px END) AS BIGINT)
+         AS first_diff_pid
+FROM d"""
+
+
+def q_raster_set_type(spark, sf_dir):
+    """gdal raster set-type (apps/gdalalg_raster_set_type.cpp; the
+    conversion rule is GDALCopyWords, gcore/rasterio.cpp: round
+    floor(v + 0.5), then SATURATE to the target range): one synthetic
+    float band cast to Byte / Int16 / UInt16 side by side. The clamp
+    rules are the part naive casts get wrong — spelled out as explicit
+    column math, identical text in the oracle."""
+    grid = spark.range(ZRAST_W * ZRAST_H).select(
+        (F.col("id") / ZRAST_W).cast("int").alias("py"),
+        (F.col("id") % ZRAST_W).cast("int").alias("px"))
+    v = F.expr("CAST((px * 11 + py * 3) % 77 AS DOUBLE) * 5.5 - 100.0")
+    r = F.floor(v + 0.5)
+    return (grid.select(
+        "py", "px", v.alias("v"),
+        F.greatest(F.lit(0), F.least(F.lit(255), r)).cast("int")
+         .alias("as_byte"),
+        F.greatest(F.lit(-32768), F.least(F.lit(32767), r)).cast("int")
+         .alias("as_int16"),
+        F.greatest(F.lit(0), F.least(F.lit(65535), r)).cast("int")
+         .alias("as_uint16"))
+        .orderBy("py", "px"))
+
+
+def o_raster_set_type():
+    v = "CAST((px * 11 + py * 3) % 77 AS DOUBLE) * 5.5 - 100.0"
+    r = f"FLOOR(({v}) + 0.5)"
+    return f"""WITH grid AS (
+  SELECT py, px
+  FROM (SELECT UNNEST(RANGE(0, {ZRAST_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {ZRAST_H})) AS py) ys)
+SELECT CAST(py AS INT) AS py, CAST(px AS INT) AS px, {v} AS v,
+       CAST(GREATEST(0, LEAST(255, {r})) AS INT) AS as_byte,
+       CAST(GREATEST(-32768, LEAST(32767, {r})) AS INT) AS as_int16,
+       CAST(GREATEST(0, LEAST(65535, {r})) AS INT) AS as_uint16
+FROM grid"""
+
+
 def q_rasterize_zones(spark, sf_dir):
     """Polygon scanline rasterize (llrasterize.cpp:41-228 exact port) of
     the triangle zone and the hole zone onto a 40×40 grid → one row per
@@ -8378,6 +8486,9 @@ REGISTRY: dict[str, tuple] = {
     "los_curvature": (q_los_curvature, o_los_curvature),
     "tile_tms": (q_tile_tms, o_tile_tms),
     "lang_mixture": (q_lang_mixture, o_lang_mixture),
+    "raster_as_features": (q_raster_as_features, o_raster_as_features),
+    "raster_compare": (q_raster_compare, o_raster_compare),
+    "raster_set_type": (q_raster_set_type, o_raster_set_type),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
