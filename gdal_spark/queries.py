@@ -2752,6 +2752,61 @@ def o_algebra_pieces():
             "AS t(fid_a, fid_b, n_pieces, inter_area)")
 
 
+def q_check_coverage(spark, sf_dir):
+    """gdal vector check-coverage (apps/gdalalg_vector_check_coverage.cpp,
+    GEOS CoverageValidator): a polygon layer is a valid COVERAGE iff
+    interiors are pairwise disjoint — violations are the pairs with
+    positive intersection area (pure boundary touching is fine, area 0).
+    Per feature: overlap-partner count, total overlapped area, and the
+    validity flag; every zone appears (valid ones with 0 partners).
+    Composition of the existing convex-piece intersection operator —
+    the narrow-gap detection half of the GEOS validator needs a gap
+    width parameter and is documented out of scope. Scale: the pair
+    table is the output of the banded spatial join, never all-pairs."""
+    from gdal_spark.operators import algebra
+    pieces = algebra.intersection_pieces(spark) \
+        .filter(F.col("inter_area") > 0)
+    both = pieces.select(F.col("fid_a").alias("zone_fid"),
+                         F.col("inter_area")) \
+        .unionByName(pieces.select(F.col("fid_b").alias("zone_fid"),
+                                   F.col("inter_area")))
+    per = both.groupBy("zone_fid").agg(
+        F.count("*").cast("int").alias("n_overlaps"),
+        F.round(F.sum("inter_area"), 9).alias("overlap_area"))
+    zones = spark.createDataFrame(
+        [(z["zone_fid"],) for z in ZONES], "zone_fid int")
+    return (zones.join(per, "zone_fid", "left")
+            .select("zone_fid",
+                    F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+                    F.coalesce("overlap_area", F.lit(0.0))
+                     .alias("overlap_area"),
+                    (F.coalesce("n_overlaps", F.lit(0)) == 0).cast("int")
+                     .alias("coverage_valid"))
+            .orderBy("zone_fid"))
+
+
+def o_check_coverage():
+    from gdal_spark.operators.algebra import intersection_pieces_twin
+    rows = ", ".join(
+        f"({fa}, {fb}, {sqlexpr.dlit(area)})"
+        for fa, fb, n, area in intersection_pieces_twin())
+    zfids = ", ".join(f"({z['zone_fid']})" for z in ZONES)
+    return f"""WITH p AS (
+  SELECT * FROM (VALUES {rows}) AS t(fid_a, fid_b, inter_area)
+  WHERE inter_area > 0),
+b AS (SELECT fid_a AS zone_fid, inter_area FROM p
+      UNION ALL SELECT fid_b, inter_area FROM p),
+per AS (SELECT zone_fid, CAST(COUNT(*) AS INT) AS n_overlaps,
+          ROUND(SUM(inter_area), 9) AS overlap_area
+        FROM b GROUP BY zone_fid),
+z AS (SELECT * FROM (VALUES {zfids}) AS zz(zone_fid))
+SELECT z.zone_fid, COALESCE(per.n_overlaps, 0) AS n_overlaps,
+       COALESCE(per.overlap_area, 0.0) AS overlap_area,
+       CAST(CASE WHEN COALESCE(per.n_overlaps, 0) = 0
+            THEN 1 ELSE 0 END AS INT) AS coverage_valid
+FROM z LEFT JOIN per ON per.zone_fid = z.zone_fid"""
+
+
 def q_zone_predicates(spark, sf_dir):
     """Full GEOS predicate matrix (OGRGeometry Intersects/Equals/
     Disjoint/Touches/Crosses/Within/Contains/Overlaps,
@@ -8489,6 +8544,7 @@ REGISTRY: dict[str, tuple] = {
     "raster_as_features": (q_raster_as_features, o_raster_as_features),
     "raster_compare": (q_raster_compare, o_raster_compare),
     "raster_set_type": (q_raster_set_type, o_raster_set_type),
+    "coverage_check": (q_check_coverage, o_check_coverage),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
