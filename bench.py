@@ -117,7 +117,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "pct2rgb", "rasterize_invert", "polygonize_8conn",
                  "point_on_surface", "oriented_envelope", "set_precision",
                  "bloom_dedup", "stratified_sample", "decontaminate",
-                 "domain_filter", "band_checksum", "translate_window"]:
+                 "domain_filter", "band_checksum", "translate_window",
+                 "los_curvature", "tile_tms", "lang_mixture",
+                 "raster_as_features", "raster_compare", "raster_set_type",
+                 "coverage_check"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
