@@ -426,8 +426,10 @@ def q_translate_window(spark, sf_dir):
     -r AVERAGE (mean over the covered src block, absent sparse pixels
     = 0). Pure column math: the dst grid is a range cross join; nearest
     is one equi-join; average one groupBy over the cropped burn table.
-    No full-raster materialization — the crop predicate pushes into the
-    burn-table scan."""
+    No full-raster materialization — Catalyst pushes the crop predicate
+    (on the grouping keys) THROUGH the burn aggregate down to the point
+    scan, so out-of-window points never shuffle (verified in the
+    optimized plan: the window Filter sits directly on the relation)."""
     pts = points_df(spark, sf_dir)
     b = rast_op.burn_points(pts, GRID_GT, GRID_W, GRID_H)
     t = TRW
