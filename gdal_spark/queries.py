@@ -5072,6 +5072,115 @@ def o_stratified_sample():
 SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= {STRAT_K}"""
 
 
+QLOG_W = dict(digit=-6.0, punct=-3.0, stop=4.0, mwl=-0.35, logn=0.6,
+              bias=-1.2)
+
+
+def q_quality_logistic(spark, sf_dir):
+    """Model-based quality filtering — the classifier stage every public
+    pipeline runs after the rule filters (CCNet's fasttext quality
+    classifier, GPT-3's LR-over-features filter): a logistic model with
+    FIXED literal weights over the engine's own quality features
+    (digit/punct/stopword ratios, mean word length, log token count).
+    The weights are constants (a trained model would arrive the same
+    way — a broadcast literal vector), so the operator is exactly
+    checkable: score = 1/(1+exp(-(w·x+b))), keep at 0.5. Map-only
+    column math — the shape of applying ANY linear/logistic scorer at
+    10^12 rows."""
+    from gdal_spark.functions.text import LANG_PROFILES, tokens_col
+    w = QLOG_W
+    sw = F.array(*[F.lit(t) for lang, t, wt in LANG_PROFILES
+                   if lang == "en"])
+    df = docs_df(spark, sf_dir).filter(F.length("text") > 0)
+    n = F.length("text").cast("double")
+    digits = (F.length("text")
+              - F.length(F.regexp_replace("text", r"[0-9]", ""))) / n
+    punct = (F.length("text")
+             - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))) / n
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_tok
+    mwl = F.aggregate(toks, F.lit(0),
+                      lambda a, t: a + F.length(t)).cast("double") / n_tok
+    z = (F.lit(w["bias"]) + F.lit(w["digit"]) * digits
+         + F.lit(w["punct"]) * punct + F.lit(w["stop"]) * stop
+         + F.lit(w["mwl"]) * mwl + F.lit(w["logn"]) * F.log(n_tok))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (df.select("doc_id", F.round(score, 6).alias("q_score"),
+                      (score >= 0.5).cast("int").alias("keep"))
+            .orderBy("doc_id"))
+
+
+def o_quality_logistic():
+    from gdal_spark.functions.text import LANG_PROFILES
+    w = QLOG_W
+    sw = ", ".join(f"'{t}'" for lang, t, wt in LANG_PROFILES
+                   if lang == "en")
+    n = "CAST(LENGTH(text) AS DOUBLE)"
+    toks = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    return f"""WITH d AS (
+  SELECT doc_id,
+    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) / {n}
+      AS digits,
+    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')))
+      / {n} AS punct,
+    CAST(len(list_filter({toks}, t -> t IN ({sw}))) AS DOUBLE)
+      / CAST(len({toks}) AS DOUBLE) AS stop,
+    CAST(list_reduce(list_transform({toks}, t -> LENGTH(t)),
+                     (a, b) -> a + b) AS DOUBLE)
+      / CAST(len({toks}) AS DOUBLE) AS mwl,
+    CAST(len({toks}) AS DOUBLE) AS n_tok
+  FROM documents WHERE LENGTH(text) > 0),
+s AS (SELECT doc_id,
+        1.0 / (1.0 + EXP(-({w['bias']!r} + {w['digit']!r} * digits
+          + {w['punct']!r} * punct + {w['stop']!r} * stop
+          + {w['mwl']!r} * mwl + {w['logn']!r} * LN(n_tok)))) AS score
+      FROM d)
+SELECT doc_id, ROUND(score, 6) AS q_score,
+       CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+FROM s"""
+
+
+OUTLIER_Q = 0.95
+
+
+def q_length_outliers(spark, sf_dir):
+    """Per-source length-outlier clipping — the per-domain winsorizing
+    pass webtext pipelines use to drop boilerplate megadocs (per
+    stratum, flag documents above the exact {OUTLIER_Q:.0%} length
+    quantile). Exact rank quantile (the reference discipline from
+    warp_quantiles: threshold = the value at ceil(q·n) in sorted
+    order), computed per source with one window — no approximate
+    percentile, so the oracle matches bit-for-bit. Emits flagged docs
+    with their stratum threshold."""
+    df = docs_df(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n = Window.partitionBy("source")
+    d = (df.withColumn("rk", F.row_number().over(w))
+         .withColumn("cnt", F.count("*").over(n)))
+    thr_rank = F.ceil(F.lit(OUTLIER_Q) * F.col("cnt")).cast("long")
+    thr = (d.filter(F.col("rk") == thr_rank)
+           .select("source", F.col("n_chars").alias("thr")))
+    return (df.join(F.broadcast(thr), "source")
+            .filter(F.col("n_chars") > F.col("thr"))
+            .select("source", "doc_id", "n_chars", "thr")
+            .orderBy("source", "doc_id"))
+
+
+def o_length_outliers():
+    return f"""WITH r AS (
+  SELECT source, doc_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars, doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM documents),
+t AS (SELECT source, n_chars AS thr FROM r
+      WHERE rk = CAST(CEIL({OUTLIER_Q!r} * cnt) AS BIGINT))
+SELECT d.source, d.doc_id, d.n_chars, t.thr
+FROM documents d JOIN t ON t.source = d.source
+WHERE d.n_chars > t.thr"""
+
+
 MIX_ALPHA = 0.3
 
 
@@ -8547,6 +8656,8 @@ REGISTRY: dict[str, tuple] = {
     "raster_compare": (q_raster_compare, o_raster_compare),
     "raster_set_type": (q_raster_set_type, o_raster_set_type),
     "coverage_check": (q_check_coverage, o_check_coverage),
+    "quality_logistic": (q_quality_logistic, o_quality_logistic),
+    "length_outliers": (q_length_outliers, o_length_outliers),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
