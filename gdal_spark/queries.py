@@ -4681,6 +4681,65 @@ def o_events_window():
             "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1, 2")
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF JOIN — the time-series operator Spark lacks natively (the
+    brief's canonical custom-operator example; semantics = DuckDB/kdb
+    ASOF: for each left row the single right row with the greatest
+    right.ts <= left.ts per key). Here: each `click` event matched to
+    the user's latest prior-or-simultaneous `view`.
+
+    Spark shape — the SCALABLE union+window idiom, not a range join:
+    tag both sides, sort each user's merged stream by (ts, side), and
+    carry the last non-null view attributes forward with
+    last(ignorenulls) over an unbounded-preceding window. ONE shuffle
+    on user_id, no O(L×R) candidate pairs, no skew blowup — this is
+    the plan a 10^12-row as-of join wants. The oracle is DuckDB's
+    NATIVE ASOF JOIN — a fully independent engine implementation of
+    the same semantics (ties impossible: fixture has no duplicate
+    (user, ts) among views). Clicks with no prior view keep NULL match
+    (left as-of)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("v_id"),
+        F.col("value").alias("v_value"), F.lit(0).alias("side"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_id"),
+        F.lit(1).alias("side"))
+    merged = views.withColumn("c_id", F.lit(None).cast("long")) \
+        .unionByName(clicks.withColumn("v_id", F.lit(None).cast("long"))
+                     .withColumn("v_value", F.lit(None).cast("double")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "side", "v_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (merged
+               .withColumn("m_id", F.last("v_id", ignorenulls=True).over(w))
+               .withColumn("m_ts", F.last(
+                   F.when(F.col("side") == 0, F.col("ts")),
+                   ignorenulls=True).over(w))
+               .withColumn("m_value",
+                           F.last("v_value", ignorenulls=True).over(w)))
+    return (carried.filter(F.col("side") == 1)
+            .select(F.col("c_id").alias("click_id"), "user_id", "ts",
+                    F.col("m_id").alias("view_id"),
+                    F.col("m_value").alias("view_value"),
+                    F.expr("timestampdiff(MICROSECOND, m_ts, ts)")
+                    .alias("lag_us"))
+            .orderBy("click_id"))
+
+
+def o_asof_join():
+    return """WITH v AS (SELECT user_id, ts, event_id AS v_id,
+                    value AS v_value
+             FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, event_id AS c_id
+      FROM events WHERE event_type = 'click')
+SELECT c.c_id AS click_id, c.user_id, c.ts,
+       v.v_id AS view_id, v.v_value AS view_value,
+       CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT) AS lag_us
+FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
+
 def q_stream_rollup(spark, sf_dir):
     """Hourly rollup as a Structured Streaming job (file source →
     watermark → tumbling window → memory sink, availableNow) — result
@@ -8658,6 +8717,7 @@ REGISTRY: dict[str, tuple] = {
     "coverage_check": (q_check_coverage, o_check_coverage),
     "quality_logistic": (q_quality_logistic, o_quality_logistic),
     "length_outliers": (q_length_outliers, o_length_outliers),
+    "asof_join": (q_asof_join, o_asof_join),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
