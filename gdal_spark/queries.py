@@ -4740,6 +4740,56 @@ FROM c ASOF LEFT JOIN v
   ON c.user_id = v.user_id AND c.ts >= v.ts"""
 
 
+RANGE_JOIN_SEC = 3600
+
+
+def q_range_join(spark, sf_dir):
+    """RANGE (interval) JOIN — the second time-series join Spark lacks
+    as a first-class operator: all (click, purchase) pairs of the same
+    user within ±{RANGE_JOIN_SEC} s. A naive |Δt| ≤ w theta-join is a
+    per-user cross product; the SCALABLE shape used here is the
+    time-BUCKET equi-join (bucket width = the window, each left row
+    probes buckets b-1, b, b+1 via a 3-element explode, then the exact
+    |Δt| filter) — candidate pairs are bounded by 3× the true-ish
+    density instead of O(L×R), and the join is a plain hash equi-join
+    on (user, bucket). This is also exactly how Structured Streaming's
+    interval join bounds its state. Oracle: the direct inequality join
+    (DuckDB plans an IEJoin — again an independent implementation)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch = "timestampdiff(SECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts"),
+                 F.expr(f"CAST(FLOOR(({epoch}) / {RANGE_JOIN_SEC}) AS LONG)")
+                  .alias("b")))
+    c = c.withColumn("probe", F.explode(F.array(
+        F.col("b") - 1, F.col("b"), F.col("b") + 1))).drop("b")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts"),
+                 F.expr(f"CAST(FLOOR(({epoch}) / {RANGE_JOIN_SEC}) AS LONG)")
+                  .alias("probe")))
+    j = c.join(p, ["user_id", "probe"])
+    dt = F.expr("timestampdiff(MICROSECOND, p_ts, c_ts)")
+    return (j.filter(F.abs(dt) <= RANGE_JOIN_SEC * 1_000_000)
+            .select("user_id", "click_id", "purchase_id",
+                    dt.alias("dt_us"))
+            .distinct()
+            .orderBy("user_id", "click_id", "purchase_id"))
+
+
+def o_range_join():
+    return f"""WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+             FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_id, p.purchase_id,
+       CAST(date_diff('microsecond', p.p_ts, c.c_ts) AS BIGINT) AS dt_us
+FROM c JOIN p ON p.user_id = c.user_id
+ AND ABS(date_diff('microsecond', p.p_ts, c.c_ts))
+     <= CAST({RANGE_JOIN_SEC} AS BIGINT) * 1000000"""
+
+
 def q_stream_rollup(spark, sf_dir):
     """Hourly rollup as a Structured Streaming job (file source →
     watermark → tumbling window → memory sink, availableNow) — result
@@ -8718,6 +8768,7 @@ REGISTRY: dict[str, tuple] = {
     "quality_logistic": (q_quality_logistic, o_quality_logistic),
     "length_outliers": (q_length_outliers, o_length_outliers),
     "asof_join": (q_asof_join, o_asof_join),
+    "range_join": (q_range_join, o_range_join),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
