@@ -120,7 +120,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "domain_filter", "band_checksum", "translate_window",
                  "los_curvature", "tile_tms", "lang_mixture",
                  "raster_as_features", "raster_compare", "raster_set_type",
-                 "coverage_check"]:
+                 "coverage_check", "quality_logistic", "length_outliers",
+                 "asof_join", "range_join"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
