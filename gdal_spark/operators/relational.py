@@ -49,3 +49,49 @@ def summary_record(df: DataFrame, numeric_col: str) -> DataFrame:
         F.round(F.stddev_samp(c), 6).alias("stddev_samp_v"),
         F.count_distinct(c).alias("count_distinct_v"),
     )
+
+
+def asof_carry(left: DataFrame, right: DataFrame, key: str, ts: str,
+               carry_cols: list[str], order_col: str) -> DataFrame:
+    """AS-OF JOIN (kdb/DuckDB semantics: per left row, the right row
+    with the greatest right.ts <= left.ts within the key) as the
+    scalable union+window idiom — ONE shuffle on the key, no range-join
+    candidate blowup, no per-key skew beyond the sort.
+
+    ``carry_cols`` are the right-side columns to carry; ``order_col``
+    is a right-side column that breaks equal-ts ties deterministically
+    (last in (ts, order_col) order wins). Left columns pass through
+    with matched carry columns appended (NULL when no prior right row:
+    LEFT as-of). Right rows at the same ts as a left row DO match
+    (<=), implemented by sorting right (side 0) before left (side 1)
+    at equal ts."""
+    lcols = left.columns
+    l_tag = left.withColumn("_side", F.lit(1)) \
+                .withColumn("_ord", F.lit(None).cast(
+                    right.schema[order_col].dataType))
+    for c in carry_cols:
+        l_tag = l_tag.withColumn(
+            c, F.lit(None).cast(right.schema[c].dataType))
+    r_tag = right.withColumn("_side", F.lit(0)) \
+                 .withColumn("_ord", F.col(order_col))
+    for c in lcols:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType))
+    cols = [key, ts, "_side", "_ord"] + \
+        [c for c in lcols if c not in (key, ts)] + carry_cols
+    merged = l_tag.select(*cols).unionByName(r_tag.select(*cols))
+    w = (Window.partitionBy(key)
+         .orderBy(ts, "_side", "_ord")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = merged
+    for c in carry_cols:
+        out = out.withColumn(f"m_{c}",
+                             F.last(c, ignorenulls=True).over(w))
+    out = out.withColumn(
+        "m_ts", F.last(F.when(F.col("_side") == 0, F.col(ts)),
+                       ignorenulls=True).over(w))
+    return (out.filter(F.col("_side") == 1)
+            .select(*[F.col(c) for c in lcols],
+                    *[F.col(f"m_{c}") for c in carry_cols],
+                    F.col("m_ts")))

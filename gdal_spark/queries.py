@@ -4701,30 +4701,18 @@ def q_asof_join(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", F.col("event_id").alias("v_id"),
-        F.col("value").alias("v_value"), F.lit(0).alias("side"))
+        F.col("value").alias("v_value"))
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("c_id"),
-        F.lit(1).alias("side"))
-    merged = views.withColumn("c_id", F.lit(None).cast("long")) \
-        .unionByName(clicks.withColumn("v_id", F.lit(None).cast("long"))
-                     .withColumn("v_value", F.lit(None).cast("double")))
-    w = (Window.partitionBy("user_id")
-         .orderBy("ts", "side", "v_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = (merged
-               .withColumn("m_id", F.last("v_id", ignorenulls=True).over(w))
-               .withColumn("m_ts", F.last(
-                   F.when(F.col("side") == 0, F.col("ts")),
-                   ignorenulls=True).over(w))
-               .withColumn("m_value",
-                           F.last("v_value", ignorenulls=True).over(w)))
-    return (carried.filter(F.col("side") == 1)
-            .select(F.col("c_id").alias("click_id"), "user_id", "ts",
-                    F.col("m_id").alias("view_id"),
-                    F.col("m_value").alias("view_value"),
-                    F.expr("timestampdiff(MICROSECOND, m_ts, ts)")
-                    .alias("lag_us"))
-            .orderBy("click_id"))
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    carried = rel_op.asof_carry(clicks, views, key="user_id", ts="ts",
+                                carry_cols=["v_id", "v_value"],
+                                order_col="v_id")
+    return (carried.select(
+        "click_id", "user_id", "ts",
+        F.col("m_v_id").alias("view_id"),
+        F.col("m_v_value").alias("view_value"),
+        F.expr("timestampdiff(MICROSECOND, m_ts, ts)").alias("lag_us"))
+        .orderBy("click_id"))
 
 
 def o_asof_join():
@@ -4738,6 +4726,87 @@ SELECT c.c_id AS click_id, c.user_id, c.ts,
        CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT) AS lag_us
 FROM c ASOF LEFT JOIN v
   ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
+
+FUNNEL_W_SEC = 21600   # 6 h step-to-step window
+
+
+def q_funnel(spark, sf_dir):
+    """FUNNEL analysis — ordered event-sequence matching
+    (view → click → purchase per user, each step within
+    {FUNNEL_W_SEC} s of the previous), the staple product-analytics /
+    sessional-web operator. Last-touch attribution semantics, stated
+    precisely so both engines agree: a click is QUALIFIED iff the
+    user's latest view at-or-before it is within the window; a
+    purchase COMPLETES the funnel iff the user's latest click
+    at-or-before it is within the window AND that click is qualified
+    (an earlier qualified click shadowed by a later unqualified one
+    does NOT count — last-touch, not any-touch). Two chained as-of
+    carries (operators/relational.asof_carry — same one-shuffle union+
+    window idiom as asof_join); the oracle chains DuckDB's native ASOF
+    joins. Per user: purchases, completions, qualified clicks."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"))
+    c1 = rel_op.asof_carry(clicks, views, key="user_id", ts="ts",
+                           carry_cols=["view_id"], order_col="view_id")
+    qclicks = c1.select(
+        "user_id", "ts", "click_id",
+        (F.col("m_view_id").isNotNull()
+         & (F.expr("timestampdiff(SECOND, m_ts, ts)") <= FUNNEL_W_SEC))
+        .cast("int").alias("qual"))
+    c2 = rel_op.asof_carry(purchases, qclicks, key="user_id", ts="ts",
+                           carry_cols=["click_id", "qual"],
+                           order_col="click_id")
+    done = (F.col("m_click_id").isNotNull()
+            & (F.expr("timestampdiff(SECOND, m_ts, ts)") <= FUNNEL_W_SEC)
+            & (F.col("m_qual") == 1)).cast("int")
+    per_user = (c2.select("user_id", "purchase_id", done.alias("done"))
+                .groupBy("user_id")
+                .agg(F.count("*").cast("int").alias("n_purchases"),
+                     F.sum("done").cast("int").alias("n_completed")))
+    qc = qclicks.groupBy("user_id").agg(
+        F.sum("qual").cast("int").alias("n_qual_clicks"))
+    return (per_user.join(qc, "user_id", "left")
+            .select("user_id", "n_purchases", "n_completed",
+                    F.coalesce("n_qual_clicks", F.lit(0))
+                     .alias("n_qual_clicks"))
+            .orderBy("user_id"))
+
+
+def o_funnel():
+    w = FUNNEL_W_SEC
+    return f"""WITH v AS (SELECT user_id, ts, event_id AS view_id
+             FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'),
+qc AS (SELECT c.user_id, c.ts, c.click_id,
+         CASE WHEN v.view_id IS NOT NULL
+               AND date_diff('second', v.ts, c.ts) <= {w}
+              THEN 1 ELSE 0 END AS qual
+       FROM c ASOF LEFT JOIN v
+         ON c.user_id = v.user_id AND c.ts >= v.ts),
+pc AS (SELECT p.user_id, p.purchase_id,
+         CASE WHEN qc.click_id IS NOT NULL
+               AND date_diff('second', qc.ts, p.ts) <= {w}
+               AND qc.qual = 1
+              THEN 1 ELSE 0 END AS done
+       FROM p ASOF LEFT JOIN qc
+         ON p.user_id = qc.user_id AND p.ts >= qc.ts),
+per AS (SELECT user_id, CAST(COUNT(*) AS INT) AS n_purchases,
+          CAST(SUM(done) AS INT) AS n_completed
+        FROM pc GROUP BY user_id),
+q AS (SELECT user_id, CAST(SUM(qual) AS INT) AS n_qual_clicks
+      FROM qc GROUP BY user_id)
+SELECT per.user_id, per.n_purchases, per.n_completed,
+       COALESCE(q.n_qual_clicks, 0) AS n_qual_clicks
+FROM per LEFT JOIN q ON q.user_id = per.user_id"""
 
 
 RANGE_JOIN_SEC = 3600
@@ -8769,6 +8838,7 @@ REGISTRY: dict[str, tuple] = {
     "length_outliers": (q_length_outliers, o_length_outliers),
     "asof_join": (q_asof_join, o_asof_join),
     "range_join": (q_range_join, o_range_join),
+    "funnel": (q_funnel, o_funnel),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
