@@ -121,7 +121,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "los_curvature", "tile_tms", "lang_mixture",
                  "raster_as_features", "raster_compare", "raster_set_type",
                  "coverage_check", "quality_logistic", "length_outliers",
-                 "asof_join", "range_join"]:
+                 "asof_join", "range_join", "funnel"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
