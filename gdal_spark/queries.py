@@ -7001,6 +7001,96 @@ def o_dem_slope_aspect():
             f"ELSE {az} END, 6) AS aspect_az FROM w")
 
 
+def q_dem_aspect_trig(spark, sf_dir):
+    """gdaldem aspect -trigonometric -zero_for_flat
+    (apps/gdaldem_lib.cpp: bAngleAsAzimuth=false returns the angle
+    counterclockwise from EAST instead of the compass azimuth —
+    trig = (450 - az) mod 360 — and bZeroForFlat maps flat cells to 0
+    instead of nodata/NULL). Composed over the shared Horn window
+    aspect; conversion applied to the round(6) azimuth IDENTICALLY in
+    both engines so the variant inherits the base query's parity."""
+    base = q_dem_slope_aspect(spark, sf_dir)
+    trig = F.pmod(F.lit(450.0) - F.col("aspect_az"), F.lit(360.0))
+    return base.select(
+        "py", "px",
+        F.when(F.col("aspect_az").isNull(), F.lit(0.0))
+         .otherwise(F.round(trig, 6)).alias("aspect_trig"))
+
+
+def o_dem_aspect_trig():
+    return f"""WITH base AS ({o_dem_slope_aspect()})
+SELECT py, px,
+       CASE WHEN aspect_az IS NULL THEN 0.0
+            ELSE ROUND(FMOD(450.0 - aspect_az, 360.0), 6) END
+         AS aspect_trig
+FROM base"""
+
+
+NODATA_VAL = 0.0
+UNSCALE_SCALE = 0.1
+UNSCALE_OFFSET = -5.0
+
+
+def q_nodata_to_alpha(spark, sf_dir):
+    """gdal raster nodata-to-alpha (apps/gdalalg_raster_nodata_to_alpha
+    .cpp): append an alpha band that is 0 where the source equals the
+    nodata value and 255 elsewhere (the mask-to-transparency step
+    before tiling/compositing). The synthetic base band's zeros are its
+    nodata — non-vacuous both ways. Map-only column math."""
+    grid = spark.range(ZRAST_W * ZRAST_H).select(
+        (F.col("id") / ZRAST_W).cast("int").alias("py"),
+        (F.col("id") % ZRAST_W).cast("int").alias("px"))
+    v = F.expr("CAST((px * 11 + py * 3) % 77 AS DOUBLE)")
+    return (grid.select(
+        "py", "px", v.alias("v"),
+        F.when(v == NODATA_VAL, 0).otherwise(255).cast("int")
+         .alias("alpha"))
+        .orderBy("py", "px"))
+
+
+def o_nodata_to_alpha():
+    v = "CAST((px * 11 + py * 3) % 77 AS DOUBLE)"
+    return f"""WITH grid AS (
+  SELECT py, px
+  FROM (SELECT UNNEST(RANGE(0, {ZRAST_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {ZRAST_H})) AS py) ys)
+SELECT CAST(py AS INT) AS py, CAST(px AS INT) AS px, {v} AS v,
+       CAST(CASE WHEN {v} = {NODATA_VAL!r} THEN 0 ELSE 255 END AS INT)
+         AS alpha
+FROM grid"""
+
+
+def q_raster_unscale(spark, sf_dir):
+    """gdal raster unscale (apps/gdalalg_raster_unscale.cpp;
+    GDALRasterBand GetScale/GetOffset semantics): materialize
+    true = raw * scale + offset from an integer-stored band — the
+    packed-DN → physical-units step (e.g. Landsat reflectance).
+    Nodata raws stay nodata (not unscaled), matching the tool."""
+    grid = spark.range(ZRAST_W * ZRAST_H).select(
+        (F.col("id") / ZRAST_W).cast("int").alias("py"),
+        (F.col("id") % ZRAST_W).cast("int").alias("px"))
+    raw = F.expr("CAST((px * 11 + py * 3) % 77 AS DOUBLE)")
+    un = raw * UNSCALE_SCALE + UNSCALE_OFFSET
+    return (grid.select(
+        "py", "px", raw.alias("raw"),
+        F.when(raw == NODATA_VAL, F.lit(None).cast("double"))
+         .otherwise(F.round(un, 9)).alias("v_unscaled"))
+        .orderBy("py", "px"))
+
+
+def o_raster_unscale():
+    raw = "CAST((px * 11 + py * 3) % 77 AS DOUBLE)"
+    return f"""WITH grid AS (
+  SELECT py, px
+  FROM (SELECT UNNEST(RANGE(0, {ZRAST_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {ZRAST_H})) AS py) ys)
+SELECT CAST(py AS INT) AS py, CAST(px AS INT) AS px, {raw} AS raw,
+       CASE WHEN {raw} = {NODATA_VAL!r} THEN NULL
+            ELSE ROUND({raw} * {UNSCALE_SCALE!r} + {UNSCALE_OFFSET!r}, 9)
+       END AS v_unscaled
+FROM grid"""
+
+
 def q_dem_slope_aspect_zt(spark, sf_dir):
     """gdaldem slope/aspect with -alg ZevenbergenThorne (central
     differences; gdaldem_lib.cpp:1390,1495)."""
@@ -8839,6 +8929,9 @@ REGISTRY: dict[str, tuple] = {
     "asof_join": (q_asof_join, o_asof_join),
     "range_join": (q_range_join, o_range_join),
     "funnel": (q_funnel, o_funnel),
+    "dem_aspect_trig": (q_dem_aspect_trig, o_dem_aspect_trig),
+    "nodata_to_alpha": (q_nodata_to_alpha, o_nodata_to_alpha),
+    "raster_unscale": (q_raster_unscale, o_raster_unscale),
     "lineref_stations": (q_lineref_stations, o_lineref_stations),
     "lineref_project": (q_lineref_project, o_lineref_project),
     "tps_warp": (q_tps_warp, o_tps_warp),
