@@ -8760,6 +8760,154 @@ WHERE NOT EXISTS (SELECT 1 FROM burned b
                   WHERE b.py = g.py AND b.px = g.px)"""
 
 
+def _htmlpages_df(spark, sf_dir):
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        f"WITH {sqlexpr.pages_cte(dialect='spark')},"
+        f"{sqlexpr.html_cte('spark')} SELECT * FROM htmlpages")
+
+
+def q_html_extract(spark, sf_dir):
+    """WET-style text extraction from Common-Crawl page markup — the
+    north-star per-row invariant driven through a REAL kernel instead
+    of a passthrough: the engine synthesises each page's html
+    (sqlexpr.html_cte — head/script boilerplate, nav anchors, escaped
+    body, footer), then extracts the body text back out with a
+    regexp body-isolate + entity decode. The oracle hashes the SOURCE
+    text column directly, so a hash match proves the extraction is
+    byte-identical per url, not merely self-consistent. All JVM-side
+    (regexp_extract + replace — codegen'd, no Python)."""
+    body = F.regexp_extract(
+        "html", '(?s)<div id="main"><p>(.*)</p></div>', 1)
+    txt = F.replace(
+        F.replace(F.replace(body, F.lit("&lt;"), F.lit("<")),
+                  F.lit("&gt;"), F.lit(">")),
+        F.lit("&amp;"), F.lit("&"))
+    return (_htmlpages_df(spark, sf_dir)
+            .select("doc_id",
+                    F.md5(txt.cast("binary")).alias("text_md5"),
+                    F.length(txt).alias("text_len"))
+            .orderBy("doc_id"))
+
+
+def o_html_extract():
+    # Ground truth on purpose: the source text column, NOT a replay of
+    # the synthesize+extract chain — the gate fails unless the engine's
+    # extraction inverts the markup byte-exactly.
+    return ("SELECT doc_id, MD5(text) AS text_md5, "
+            "LENGTH(text) AS text_len FROM documents ORDER BY doc_id")
+
+
+def q_link_graph(spark, sf_dir):
+    """Outlink extraction → TLD-level web graph. The engine PARSES the
+    anchors back out of the markup (regexp_extract_all over html, one
+    pass), explodes to edges, and aggregates link counts between
+    source and destination TLDs; the oracle regenerates the edge set
+    arithmetically from the anchor-emission rule without ever looking
+    at the html — so the gate verifies the parser recovers every
+    anchor byte-exactly. At 10^12 pages this is the classic web-graph
+    shape: extraction is map-only; the single shuffle is the
+    groupBy(src_tld, dst_tld), bounded by |TLD|^2 after map-side
+    partial aggregation."""
+    hosts = F.regexp_extract_all(
+        "html", F.lit('href="https://doc-([0-9]+[.][a-z]+)/p"'), 1)
+    df = (_htmlpages_df(spark, sf_dir)
+          .select(F.col("tld").alias("src_tld"),
+                  F.explode(hosts).alias("host")))
+    return (df.select("src_tld",
+                      F.substring_index("host", ".", -1).alias("dst_tld"))
+            .groupBy("src_tld", "dst_tld")
+            .agg(F.count(F.lit(1)).alias("n_links"))
+            .orderBy("src_tld", "dst_tld"))
+
+
+def o_link_graph():
+    e = sqlexpr.geo_exprs("dst_id", "duck")
+    return f"""WITH {sqlexpr.pages_cte()},
+links AS (
+  SELECT p.tld AS src_tld,
+         (p.doc_id * 7919 + i.i * 104729) % 100000 AS dst_id
+  FROM pages p
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 3)) AS i) i
+  WHERE p.doc_id % 4 > i.i
+),
+edges AS (SELECT src_tld, {e['tld']} AS dst_tld FROM links)
+SELECT src_tld, dst_tld, COUNT(*) AS n_links
+FROM edges GROUP BY src_tld, dst_tld ORDER BY src_tld, dst_tld"""
+
+
+def q_pagerank_domains(spark, sf_dir):
+    """Domain-rank over the extracted TLD link graph: three unrolled
+    damped PageRank iterations (d=0.85, r0 uniform) — the canonical
+    iterative-join workload of a web corpus. The edge table (parsed
+    once from html, persisted — it is |TLD|^2-bounded after the
+    link_graph aggregation, tiny at any corpus scale) is joined to the
+    rank vector each round; per-target contributions are summed with
+    an ORDERED fold (sort_array+aggregate ↔ list ORDER BY+list_reduce)
+    so Spark and the oracle execute the identical float op sequence.
+    At 10^12 pages the domain graph is millions of rows — each
+    iteration is one shuffle on domain, rank state never leaves the
+    cluster, and the html parse happens exactly once."""
+    edges = q_link_graph(spark, sf_dir).persist()
+    nodes = (edges.select(F.col("src_tld").alias("tld"))
+             .union(edges.select(F.col("dst_tld").alias("tld")))
+             .distinct())
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outw = (edges.groupBy("src_tld")
+            .agg(F.sum("n_links").cast("double").alias("outw")))
+    r = (nodes.crossJoin(nn)
+         .select("tld", (F.lit(1.0) / F.col("n")).alias("r")))
+    fold = ("aggregate(sort_array(collect_list(struct(src_tld, term))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+    for _ in range(3):
+        contrib = (edges
+                   .join(r.withColumnRenamed("tld", "src_tld"), "src_tld")
+                   .join(outw, "src_tld")
+                   .select(F.col("dst_tld").alias("tld"), "src_tld",
+                           ((F.col("r") * F.col("n_links").cast("double"))
+                            / F.col("outw")).alias("term"))
+                   .groupBy("tld").agg(F.expr(fold).alias("s")))
+        r = (nodes.crossJoin(nn).join(contrib, "tld", "left")
+             .select("tld",
+                     (F.lit(0.15) / F.col("n")
+                      + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                      ).alias("r")))
+    return r.select("tld", F.round("r", 9).alias("rank")).orderBy("tld")
+
+
+def o_pagerank_domains():
+    e = sqlexpr.geo_exprs("dst_id", "duck")
+    it = """c{t} AS (
+  SELECT e.dst_tld AS tld,
+         list_reduce(list((r.r * CAST(e.n_links AS DOUBLE)) / o.outw
+                          ORDER BY e.src_tld), (a, b) -> a + b) AS s
+  FROM edges e JOIN r{p} r ON r.tld = e.src_tld
+  JOIN outw o ON o.src_tld = e.src_tld
+  GROUP BY e.dst_tld),
+r{t} AS (
+  SELECT nd.tld, 0.15 / nn.n + 0.85 * COALESCE(c{t}.s, 0.0) AS r
+  FROM nodes nd CROSS JOIN nn LEFT JOIN c{t} ON c{t}.tld = nd.tld)"""
+    iters = ",".join(it.format(t=t, p=t - 1) for t in (1, 2, 3))
+    return f"""WITH {sqlexpr.pages_cte()},
+links AS (
+  SELECT p.tld AS src_tld,
+         (p.doc_id * 7919 + i.i * 104729) % 100000 AS dst_id
+  FROM pages p
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 3)) AS i) i
+  WHERE p.doc_id % 4 > i.i
+),
+edges AS (SELECT src_tld, {e['tld']} AS dst_tld, COUNT(*) AS n_links
+          FROM links GROUP BY src_tld, dst_tld),
+nodes AS (SELECT DISTINCT src_tld AS tld FROM edges
+          UNION SELECT DISTINCT dst_tld FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src_tld, CAST(SUM(n_links) AS DOUBLE) AS outw
+         FROM edges GROUP BY src_tld),
+r0 AS (SELECT tld, 1.0 / n AS r FROM nodes, nn),
+{iters}
+SELECT tld, ROUND(r, 9) AS rank FROM r3 ORDER BY tld"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -8945,4 +9093,7 @@ REGISTRY: dict[str, tuple] = {
     "sym_difference": (q_sym_difference, o_sym_difference),
     "dissolve": (q_dissolve, o_dissolve),
     "zonal_majority": (q_zonal_majority, o_zonal_majority),
+    "html_extract": (q_html_extract, o_html_extract),
+    "link_graph": (q_link_graph, o_link_graph),
+    "pagerank_domains": (q_pagerank_domains, o_pagerank_domains),
 }

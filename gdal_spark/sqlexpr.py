@@ -114,6 +114,42 @@ pages AS (
 )"""
 
 
+def html_cte(dialect: str = "duck") -> str:
+    """pages → htmlpages(doc_id, tld, text, html): deterministic
+    Common-Crawl-style page markup for the extraction / link-graph ops
+    (the html:binary column of the input_hint, synthesised in-engine —
+    FIXTURES.md discipline: same arithmetic, both dialects).
+
+    Markup shape: head boilerplate (title + tracking script), a <nav>
+    with 0-3 outbound anchors, the document text entity-escaped inside
+    <div id="main"><p>…</p></div>, and a <footer>. Anchor i of doc d
+    (emitted when d % 4 > i) targets doc (d*7919 + i*104729) % 100000,
+    whose host tld follows the same hash-lookup rule as the geocoder —
+    so a parser must recover both the id and the tld byte-exactly."""
+    esc = ("replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+           "'>', '&gt;')")
+    anchors = []
+    for i in range(3):
+        dst = f"(doc_id * 7919 + {i * 104729}) % 100000"
+        tld_i = geo_exprs(dst, dialect)["tld"]
+        anchors.append(
+            f"CASE WHEN doc_id % 4 > {i} THEN "
+            f"'<a href=\"https://doc-' || CAST({dst} AS STRING) || '.' || "
+            f"{tld_i} || '/p\">r{i}</a>' ELSE '' END")
+    a0, a1, a2 = anchors
+    return f"""
+htmlpages AS (
+  SELECT doc_id, tld, text,
+         '<html><head><title>doc-' || CAST(doc_id AS STRING) || '</title>'
+         || '<script>var t="' || tld || '";track()</script></head><body><nav>'
+         || {a0} || {a1} || {a2}
+         || '</nav><div id="main"><p>' || {esc}
+         || '</p></div><footer>&copy; ' || tld || '</footer></body></html>'
+           AS html
+  FROM pages
+)"""
+
+
 def points_cte(src_table: str = "lineitem", dialect: str = "duck") -> str:
     """High-volume points table derived from lineitem (600k rows at
     sf0.1) for throughput benchmarks: key = l_orderkey*8+l_linenumber."""
