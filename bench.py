@@ -122,7 +122,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "raster_as_features", "raster_compare", "raster_set_type",
                  "coverage_check", "quality_logistic", "length_outliers",
                  "asof_join", "range_join", "funnel",
-                 "html_extract", "link_graph", "pagerank_domains"]:
+                 "html_extract", "link_graph", "pagerank_domains",
+                 "simplify_coverage", "clean_coverage", "swap_xy"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

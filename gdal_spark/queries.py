@@ -8908,6 +8908,161 @@ r0 AS (SELECT tld, 1.0 / n AS r FROM nodes, nn),
 SELECT tld, ROUND(r, 9) AS rank FROM r3 ORDER BY tld"""
 
 
+def q_simplify_coverage(spark, sf_dir):
+    """gdal vector simplify-coverage (apps/gdalalg_vector_simplify_
+    coverage.cpp — GEOS CoverageSimplifier): topology-preserving
+    simplification of a polygonal coverage. Spark-first architecture
+    (operators/coverage.py): boundaries decompose into shared ARCS;
+    each arc is Douglas–Peucker'd exactly ONCE (groupBy(arc) →
+    applyInPandas, arcs are feature-sized); every incident polygon
+    then reassembles from the same simplified arc — neighbors agree on
+    their common boundary BY CONSTRUCTION, so no gaps/overlaps can
+    appear. Both stages distribute: millions of arcs → millions of
+    independent DP groups; reassembly shuffles once on polygon id.
+    Output per cell: vertex counts before/after + shoelace area."""
+    import pandas as pd
+
+    from gdal_spark.operators import coverage as cov
+    from gdal_spark.geo.geom import dp_keep_mask, ring_signed_area
+
+    arcs = spark.createDataFrame(
+        [(aid, int(k), float(vx), float(vy))
+         for aid, _, _, _, vs in cov.grid_arcs()
+         for k, (vx, vy) in enumerate(vs)],
+        "arc_id int, k int, vx double, vy double")
+
+    def _dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pdf = pdf.sort_values("k").reset_index(drop=True)
+        pts = np.stack([pdf["vx"].to_numpy(), pdf["vy"].to_numpy()],
+                       axis=1)
+        return pdf.loc[dp_keep_mask(pts, cov.COV_TOL)]
+
+    simp = arcs.groupBy("arc_id").applyInPandas(
+        _dp, "arc_id int, k int, vx double, vy double")
+
+    uses = spark.createDataFrame(
+        cov.cell_arc_uses(), "cell_id int, side int, arc_id int, rev boolean")
+    # traversal order within the cell ring; drop each arc's junction
+    # vertex (its last in traversal order — owned by the next arc)
+    verts = (uses.join(simp, "arc_id")
+             .withColumn("seq", F.when(F.col("rev"),
+                                       F.lit(cov.COV_SEGS) - F.col("k"))
+                         .otherwise(F.col("k")))
+             .filter(F.col("seq") < cov.COV_SEGS)
+             .select("cell_id", "side", "seq", "vx", "vy"))
+
+    def _ring(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pdf = pdf.sort_values(["side", "seq"]).reset_index(drop=True)
+        ring = np.stack([pdf["vx"].to_numpy(), pdf["vy"].to_numpy()],
+                        axis=1)
+        return pd.DataFrame(
+            {"cell_id": [int(pdf["cell_id"].iloc[0])],
+             "n_before": [4 * cov.COV_SEGS], "n_after": [len(ring)],
+             "area": [ring_signed_area(ring)]})
+
+    return (verts.groupBy("cell_id").applyInPandas(
+        _ring, "cell_id int, n_before int, n_after int, area double")
+        .orderBy("cell_id"))
+
+
+def o_simplify_coverage():
+    """VALUES twin: same arc-DP + reassembly kernels driver-side
+    (operators/coverage.py simplify_coverage_rows)."""
+    from gdal_spark.operators import coverage as cov
+    rows = ", ".join(
+        f"({cid}, {nb}, {na}, {sqlexpr.dlit(area)})"
+        for cid, nb, na, area in cov.simplify_coverage_rows())
+    return ("SELECT * FROM (VALUES " + rows
+            + ") AS t(cell_id, n_before, n_after, area)")
+
+
+def q_clean_coverage(spark, sf_dir):
+    """gdal vector clean-coverage (apps/gdalalg_vector_clean_coverage
+    .cpp — GEOS CoverageCleaner), snapping stage: vertices within the
+    snap tolerance of a lattice point collapse onto it, making
+    near-coincident boundary chains from adjacent features
+    byte-identical — slivers and hairline gaps vanish. The fixture
+    seeds the defect: each cell jitters its own copy of every shared
+    edge independently (operators/coverage.py clean_cell_vertices).
+    The snap itself is JVM column math (floor(v/g + 0.5)*g — the exact
+    op order the twin replays); dedupe+area is a per-cell group. The
+    gap-merge strategies (merge-longest-border etc.) are documented
+    out of scope — snapping is the cleaner's first and load-bearing
+    stage. Output: per-cell area before (defective) and after
+    (cleaned: exactly 1.0 per unit cell — the tiling invariant)."""
+    import pandas as pd
+
+    from gdal_spark.operators import coverage as cov
+    from gdal_spark.geo.geom import ring_signed_area
+
+    g = cov.COV_SNAP
+    raw = spark.createDataFrame(
+        [(cid, s, k, float(x), float(y))
+         for cid, s, k, x, y in cov.clean_cell_vertices()],
+        "cell_id int, side int, k int, vx double, vy double")
+    snapped = raw.select(
+        "cell_id", "side", "k", "vx", "vy",
+        (F.floor(F.col("vx") / g + F.lit(0.5)).cast("double") * g
+         ).alias("sx"),
+        (F.floor(F.col("vy") / g + F.lit(0.5)).cast("double") * g
+         ).alias("sy"))
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pdf = pdf.sort_values(["side", "k"]).reset_index(drop=True)
+        ring = np.stack([pdf["vx"].to_numpy(), pdf["vy"].to_numpy()],
+                        axis=1)
+        snp = np.stack([pdf["sx"].to_numpy(), pdf["sy"].to_numpy()],
+                       axis=1)
+        keep = np.ones(len(snp), dtype=bool)
+        keep[1:] = (snp[1:] != snp[:-1]).any(axis=1)
+        snp = snp[keep]
+        return pd.DataFrame(
+            {"cell_id": [int(pdf["cell_id"].iloc[0])],
+             "area_before": [ring_signed_area(ring)],
+             "area_after": [ring_signed_area(snp)],
+             "n_after": [len(snp)]})
+
+    return (snapped.groupBy("cell_id").applyInPandas(
+        _cell, "cell_id int, area_before double, area_after double,"
+               " n_after int")
+        .orderBy("cell_id"))
+
+
+def o_clean_coverage():
+    from gdal_spark.operators import coverage as cov
+    rows = ", ".join(
+        f"({cid}, {sqlexpr.dlit(ab)}, {sqlexpr.dlit(aa)}, {n})"
+        for cid, ab, aa, n in cov.clean_coverage_rows())
+    return ("SELECT * FROM (VALUES " + rows
+            + ") AS t(cell_id, area_before, area_after, n_after)")
+
+
+def q_swap_xy(spark, sf_dir):
+    """gdal vector swap-xy (apps/gdalalg_vector_swap_xy.cpp:
+    OGRGeometry::swapXY — exchange the coordinate axes of every
+    vertex, the lat/lon-order repair step). Column math over the
+    exploded zone ring vertices; output = per-zone envelope of the
+    swapped geometry (a derived quantity the oracle computes from the
+    same fixture with axes exchanged, so a silent no-op or a partial
+    swap fails the hash)."""
+    e = _ring_edges_df(spark)
+    v = (e.select("zone_fid", F.col("y1").alias("vx"),
+                  F.col("x1").alias("vy")))
+    return (v.groupBy("zone_fid")
+            .agg(F.min("vx").alias("xmin"), F.max("vx").alias("xmax"),
+                 F.min("vy").alias("ymin"), F.max("vy").alias("ymax"))
+            .orderBy("zone_fid"))
+
+
+def o_swap_xy():
+    return f"""SELECT zone_fid, MIN(y1) AS xmin, MAX(y1) AS xmax,
+       MIN(x1) AS ymin, MAX(x1) AS ymax
+FROM {zone_ring_edges_sql()} GROUP BY zone_fid ORDER BY zone_fid"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -9096,4 +9251,7 @@ REGISTRY: dict[str, tuple] = {
     "html_extract": (q_html_extract, o_html_extract),
     "link_graph": (q_link_graph, o_link_graph),
     "pagerank_domains": (q_pagerank_domains, o_pagerank_domains),
+    "simplify_coverage": (q_simplify_coverage, o_simplify_coverage),
+    "clean_coverage": (q_clean_coverage, o_clean_coverage),
+    "swap_xy": (q_swap_xy, o_swap_xy),
 }
