@@ -9063,6 +9063,171 @@ def o_swap_xy():
 FROM {zone_ring_edges_sql()} GROUP BY zone_fid ORDER BY zone_fid"""
 
 
+BM25_QUERY = ["hash", "spark", "vector"]   # probe terms, alphabetical
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _tokens_df(spark, sf_dir):
+    return (docs_df(spark, sf_dir)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != ""))
+
+
+_TOKENS_SQL = """tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+tokens AS (SELECT doc_id, term FROM tok WHERE term <> '')"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 tf-idf terms — the keyword-extraction stage
+    of a text corpus pipeline. tf = in-doc count, idf = LN(N/df); both
+    factors are single float ops on exact integers (no float
+    accumulation), so engines agree bit-exactly and the rank order is
+    deterministic (ties → lexicographic term). One shuffle to count
+    (doc, term), one broadcast-sized df table (|vocab| rows), one
+    window per doc — at 10^12 docs the window partitions by doc_id and
+    never sees more than the doc's own vocabulary."""
+    toks = _tokens_df(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = docs_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(n))
+              .select("doc_id", "term",
+                      (F.col("tf").cast("double")
+                       * F.log(F.col("n").cast("double")
+                               / F.col("df").cast("double"))
+                       ).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "rnk", "term",
+                    F.round("score", 9).alias("score"))
+            .orderBy("doc_id", "rnk"))
+
+
+def o_tfidf_topk():
+    return f"""WITH {_TOKENS_SQL},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM tokens GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+       FROM tokens GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE)
+           * LN(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n),
+rnk AS (SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM scored)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, term, ROUND(score, 9) AS score
+FROM rnk WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-20 retrieval for a literal probe query — the lexical
+    twin of the ANN similarity stack (exact top-k text search a
+    training-data curator runs to audit a corpus). Okapi BM25 with
+    k1=1.2, b=0.75; idf = LN((N-df+0.5)/(df+0.5) + 1). Per-doc score
+    sums ≤|query| terms with an ORDERED fold (term-sorted) for
+    cross-engine bit parity; final top-k is orderBy+limit =
+    TakeOrderedAndProject (no global sort materialization). The query
+    side (3 terms' df) is driver-broadcast — at corpus scale the probe
+    stays a broadcast join against the (doc,term) tf table."""
+    toks = _tokens_df(spark, sf_dir)
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("avgdl"))
+    tf = (toks.filter(F.col("term").isin(BM25_QUERY))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    part = (tf.join(F.broadcast(df_), "term").join(lens, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", "term",
+                    (F.log((F.col("n") - F.col("df").cast("double")
+                            + F.lit(0.5))
+                           / (F.col("df").cast("double") + F.lit(0.5))
+                           + F.lit(1.0))
+                     * (F.col("tf").cast("double")
+                        * (BM25_K1 + 1.0))
+                     / (F.col("tf").cast("double")
+                        + BM25_K1 * (1.0 - BM25_B
+                                     + BM25_B * (F.col("dl").cast("double")
+                                                 / F.col("avgdl"))))
+                     ).alias("s")))
+    fold = ("aggregate(sort_array(collect_list(struct(term, s))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.s)")
+    scored = (part.groupBy("doc_id")
+              .agg(F.expr(fold).alias("score"),
+                   F.count(F.lit(1)).cast("int").alias("n_terms")))
+    return (scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+            .select("doc_id", "n_terms", F.round("score", 9).alias("score")))
+
+
+def o_bm25_search():
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""WITH {_TOKENS_SQL},
+lens AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avgdl FROM lens),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+part AS (
+  SELECT tf.doc_id, tf.term,
+         LN((stats.n - CAST(df.df AS DOUBLE) + 0.5)
+            / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE) * ({BM25_K1!r} + 1.0))
+           / (CAST(tf.tf AS DOUBLE)
+              + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                 + {BM25_B!r} * (CAST(lens.dl AS DOUBLE) / stats.avgdl)))
+           AS s
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN stats),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score,
+         CAST(COUNT(*) AS INT) AS n_terms
+  FROM part GROUP BY doc_id)
+SELECT doc_id, n_terms, ROUND(score, 9) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build (term → document-frequency, total tf, and
+    the posting-list head) — the sink shape of a searchable corpus.
+    One shuffle on term; posting heads stay bounded (slice 5) so no
+    term's row grows with corpus size; the full posting list would be
+    the partitioned sink variant (pipeline/checkpoint.py)."""
+    toks = _tokens_df(spark, sf_dir)
+    return (toks.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count(F.lit(1)).alias("total_tf"),
+                 F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5)
+                  .alias("ph"))
+            .select("term", "df", "total_tf",
+                    F.array_join(
+                        F.transform("ph", lambda x: x.cast("string")),
+                        ",").alias("posting_head"))
+            .orderBy("term"))
+
+
+def o_inverted_index():
+    return f"""WITH {_TOKENS_SQL}
+SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf,
+       ARRAY_TO_STRING((LIST(DISTINCT doc_id ORDER BY doc_id))[1:5], ',')
+         AS posting_head
+FROM tokens GROUP BY term ORDER BY term"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -9254,4 +9419,7 @@ REGISTRY: dict[str, tuple] = {
     "simplify_coverage": (q_simplify_coverage, o_simplify_coverage),
     "clean_coverage": (q_clean_coverage, o_clean_coverage),
     "swap_xy": (q_swap_xy, o_swap_xy),
+    "tfidf_topk": (q_tfidf_topk, o_tfidf_topk),
+    "bm25_search": (q_bm25_search, o_bm25_search),
+    "inverted_index": (q_inverted_index, o_inverted_index),
 }
