@@ -124,7 +124,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "asof_join", "range_join", "funnel",
                  "html_extract", "link_graph", "pagerank_domains",
                  "simplify_coverage", "clean_coverage", "swap_xy",
-                 "tfidf_topk", "bm25_search", "inverted_index"]:
+                 "tfidf_topk", "bm25_search", "inverted_index",
+                 "bpe_train"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -9228,6 +9228,99 @@ SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf,
 FROM tokens GROUP BY term ORDER BY term"""
 
 
+BPE_ROUNDS = 3
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (the merge-learning loop of
+    sentencepiece/GPT-2 BPE, not just application): count adjacent
+    symbol pairs over the word-frequency table, merge the most
+    frequent pair corpus-wide, repeat. Three unrolled rounds.
+
+    Spark shape: words render as pipe-delimited symbol sequences
+    ('|s| |p| |a| |r| |k|' — the |..| markers make REPLACE
+    boundary-safe: a pair pattern '|x| |y|' can never match inside a
+    longer symbol, and left-to-right non-overlapping REPLACE is
+    exactly BPE's merge order for runs). Per round: one shuffle to
+    count pairs (integer sums — no float anywhere), a 1-row top-pair
+    relation broadcast back over the words, merge as a JVM string
+    REPLACE. The word table is persisted per round, so each round is
+    one pass — at web scale this is the standard
+    count→argmax→broadcast→substitute iteration, all engine-side (no
+    driver collect in the loop)."""
+    words = (_tokens_df(spark, sf_dir)
+             .groupBy(F.col("term").alias("word"))
+             .agg(F.count(F.lit(1)).alias("freq"))
+             .withColumn("seq", F.array_join(
+                 F.expr("transform(sequence(1, length(word)), k -> "
+                        "concat('|', substring(word, k, 1), '|'))"),
+                 " ")))
+    tops = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        words = words.persist()
+        arr = F.split("seq", " ")
+        # filter before sequence(): Spark's sequence(1, 0) counts DOWN
+        # ([1,0]) instead of returning empty — 1-symbol words (the 'a'
+        # token) would emit an invalid 0 index
+        pairs = (words
+                 .filter(F.size(arr) >= 2)
+                 .select("freq", arr.alias("arr"),
+                         F.explode(F.sequence(
+                             F.lit(1), F.size(arr) - 1)).alias("k"))
+                 .select("freq", F.concat(
+                     F.element_at("arr", F.col("k")), F.lit(" "),
+                     F.element_at("arr", F.col("k") + 1)).alias("pair")))
+        top1 = (pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "pair").limit(1)
+                .withColumn("merged",
+                            F.replace("pair", F.lit("| |"), F.lit(""))))
+        tops.append(top1.select(F.lit(rnd).alias("round"),
+                                "pair", "merged", "cnt"))
+        words = (words.crossJoin(F.broadcast(top1))
+                 .select("word", "freq",
+                         F.replace("seq", F.col("pair"),
+                                   F.col("merged")).alias("seq")))
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("round")
+
+
+def o_bpe_train():
+    rounds = []
+    prev = "words0"
+    for rnd in range(1, BPE_ROUNDS + 1):
+        rounds.append(f"""p{rnd} AS (
+  SELECT w.freq, arr[k] || ' ' || arr[k + 1] AS pair
+  FROM (SELECT freq, STRING_SPLIT(seq, ' ') AS arr FROM {prev}) w,
+       UNNEST(RANGE(1, ARRAY_LENGTH(w.arr))) AS t(k)),
+c{rnd} AS (SELECT pair, SUM(freq) AS cnt FROM p{rnd} GROUP BY pair),
+t{rnd} AS (
+  SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+         REPLACE(pair, '| |', '') AS merged
+  FROM (SELECT pair, cnt, ROW_NUMBER()
+               OVER (ORDER BY cnt DESC, pair) AS rn FROM c{rnd})
+  WHERE rn = 1),
+words{rnd} AS (
+  SELECT w.word, w.freq, REPLACE(w.seq, t.pair, t.merged) AS seq
+  FROM {prev} w CROSS JOIN t{rnd} t)""")
+        prev = f"words{rnd}"
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS round, pair, merged, cnt FROM t{r}"
+        for r in range(1, BPE_ROUNDS + 1))
+    return f"""WITH {_TOKENS_SQL},
+wf AS (SELECT term AS word, COUNT(*) AS freq FROM tokens GROUP BY term),
+words0 AS (
+  SELECT word, freq,
+         (SELECT STRING_AGG('|' || SUBSTR(w.word, t.k, 1) || '|', ' '
+                            ORDER BY t.k)
+          FROM UNNEST(RANGE(1, LEN(w.word) + 1)) AS t(k)) AS seq
+  FROM wf w),
+{", ".join(rounds)}
+SELECT CAST(round AS INT) AS round, pair, merged, cnt
+FROM ({selects}) ORDER BY round"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -9422,4 +9515,5 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_topk": (q_tfidf_topk, o_tfidf_topk),
     "bm25_search": (q_bm25_search, o_bm25_search),
     "inverted_index": (q_inverted_index, o_inverted_index),
+    "bpe_train": (q_bpe_train, o_bpe_train),
 }
