@@ -9321,6 +9321,71 @@ SELECT CAST(round AS INT) AS round, pair, merged, cnt
 FROM ({selects}) ORDER BY round"""
 
 
+def q_overview_refresh(spark, sf_dir):
+    """gdal raster overview refresh (apps/gdalalg_raster_overview_
+    refresh.cpp, --bbox / --use-src-timestamp modes): after an update
+    touches a window of the base raster, recompute ONLY the overview
+    blocks whose footprint intersects the dirty window and keep every
+    other block from the STALE pyramid. The engine runs the genuinely
+    incremental plan — stale levels from the pre-update base, dirty
+    block ranges as pure column predicates (the partition-prune shape:
+    at 10^12 pixels only the updated window's pixels are rescanned),
+    refreshed blocks unioned over the surviving stale ones, level 2
+    cascaded from the refreshed level 1. The oracle recomputes the
+    whole pyramid from the updated base — equality proves the dirty
+    bookkeeping covers exactly the affected blocks. AVERAGE fold;
+    integer-valued doubles keep every mean exact."""
+    def lvl(df):
+        return (df.groupBy(F.floor(F.col("py") / 2).cast("int").alias("py"),
+                           F.floor(F.col("px") / 2).cast("int").alias("px"))
+                .agg((F.sum("v") / F.count("v")).alias("v")))
+
+    stale0 = spark.range(ZRAST_W * ZRAST_H).select(
+        (F.col("id") / ZRAST_W).cast("int").alias("py"),
+        (F.col("id") % ZRAST_W).cast("int").alias("px"),
+    ).selectExpr("py", "px", "CAST((px * 11 + py * 3) % 77 AS DOUBLE) AS v")
+    updated = q_raster_update(spark, sf_dir).select(
+        "py", "px", F.col("val").alias("v"))
+
+    l1_stale = lvl(stale0)
+    out_levels = []
+    cur_fresh = updated
+    cur_stale_lvl = l1_stale
+    dx0, dx1 = UPD_X0, UPD_X1 - 1   # dirty pixel range, inclusive
+    dy0, dy1 = UPD_Y0, UPD_Y1 - 1
+    for level in (1, 2):
+        dx0, dx1, dy0, dy1 = dx0 // 2, dx1 // 2, dy0 // 2, dy1 // 2
+        dirty = ((F.col("px") >= dx0) & (F.col("px") <= dx1)
+                 & (F.col("py") >= dy0) & (F.col("py") <= dy1))
+        # rescan only the dirty blocks' children (pushed-down filter)
+        kids = ((F.col("px") >= dx0 * 2) & (F.col("px") <= dx1 * 2 + 1)
+                & (F.col("py") >= dy0 * 2) & (F.col("py") <= dy1 * 2 + 1))
+        fresh_dirty = lvl(cur_fresh.filter(kids)).filter(dirty)
+        refreshed = cur_stale_lvl.filter(~dirty).unionByName(fresh_dirty)
+        out_levels.append(refreshed.withColumn("level", F.lit(level)))
+        if level == 1:
+            cur_fresh = refreshed.select("py", "px", "v")
+            cur_stale_lvl = lvl(l1_stale)
+    out = out_levels[0]
+    for o in out_levels[1:]:
+        out = out.unionByName(o)
+    return (out.select("level", "py", "px", "v")
+            .orderBy("level", "py", "px"))
+
+
+def o_overview_refresh():
+    upd = o_raster_update()
+    return f"""WITH updated AS ({upd}),
+l1 AS (SELECT py // 2 AS py, px // 2 AS px, SUM(val) / COUNT(val) AS v
+       FROM updated GROUP BY py // 2, px // 2),
+l2 AS (SELECT py // 2 AS py, px // 2 AS px, SUM(v) / COUNT(v) AS v
+       FROM l1 GROUP BY py // 2, px // 2)
+SELECT 1 AS level, CAST(py AS INT) AS py, CAST(px AS INT) AS px, v FROM l1
+UNION ALL
+SELECT 2 AS level, CAST(py AS INT) AS py, CAST(px AS INT) AS px, v FROM l2
+ORDER BY level, py, px"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -9516,4 +9581,5 @@ REGISTRY: dict[str, tuple] = {
     "bm25_search": (q_bm25_search, o_bm25_search),
     "inverted_index": (q_inverted_index, o_inverted_index),
     "bpe_train": (q_bpe_train, o_bpe_train),
+    "overview_refresh": (q_overview_refresh, o_overview_refresh),
 }
