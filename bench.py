@@ -125,7 +125,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "html_extract", "link_graph", "pagerank_domains",
                  "simplify_coverage", "clean_coverage", "swap_xy",
                  "tfidf_topk", "bm25_search", "inverted_index",
-                 "bpe_train", "overview_refresh"]:
+                 "bpe_train", "overview_refresh", "sequence_pack"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

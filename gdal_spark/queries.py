@@ -9386,6 +9386,69 @@ SELECT 2 AS level, CAST(py AS INT) AS py, CAST(px AS INT) AS px, v FROM l2
 ORDER BY level, py, px"""
 
 
+SEQ_LEN = 256        # packed training-sequence length (tokens)
+PACK_BUCKET = 64     # docs per prefix-sum bucket
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Training-sequence packing (GPT-style contiguous packing: the
+    corpus is one token stream in doc_id order, chopped into fixed
+    SEQ_LEN windows; each doc lands at a global token offset and may
+    span sequence boundaries). The load-bearing primitive is a GLOBAL
+    running sum — implemented as the scale-correct TWO-PHASE prefix
+    sum, not a single-partition window: per-bucket partial sums (one
+    map-side-combined shuffle), an exclusive prefix over the tiny
+    bucket table (rows = corpus/PACK_BUCKET, the only ordered window —
+    bounded, broadcastable), then a within-bucket window partitioned
+    by bucket. No stage ever sees the corpus in one task. Integer-only
+    math. Output per doc: token count, global start offset, first/last
+    sequence id, sequences spanned."""
+    d = (docs_df(spark, sf_dir)
+         .select("doc_id",
+                 F.size(F.filter(F.split("text", " "),
+                                 lambda t: t != "")).cast("long")
+                 .alias("n_tok"),
+                 F.expr(f"doc_id DIV {PACK_BUCKET}").alias("bucket")))
+    bsum = d.groupBy("bucket").agg(F.sum("n_tok").alias("bs"))
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bsum.select("bucket",
+                       F.coalesce(F.sum("bs").over(wb), F.lit(0))
+                       .alias("boff"))
+    wd = (Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (d.join(F.broadcast(boff), "bucket")
+              .withColumn("run_in", F.sum("n_tok").over(wd))
+              .withColumn("start_tok",
+                          F.col("boff") + F.col("run_in") - F.col("n_tok")))
+    return (packed.select(
+        "doc_id", "n_tok", "start_tok",
+        F.expr(f"start_tok DIV {SEQ_LEN}").alias("seq_first"),
+        F.expr(f"(start_tok + n_tok - 1) DIV {SEQ_LEN}").alias("seq_last"))
+        .withColumn("n_seqs",
+                    (F.col("seq_last") - F.col("seq_first") + 1).cast("int"))
+        .orderBy("doc_id"))
+
+
+def o_sequence_pack():
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents),
+run AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM toks)
+SELECT doc_id, n_tok, running - n_tok AS start_tok,
+       (running - n_tok) // {SEQ_LEN} AS seq_first,
+       (running - 1) // {SEQ_LEN} AS seq_last,
+       CAST((running - 1) // {SEQ_LEN}
+            - (running - n_tok) // {SEQ_LEN} + 1 AS INT) AS n_seqs
+FROM run ORDER BY doc_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -9582,4 +9645,5 @@ REGISTRY: dict[str, tuple] = {
     "inverted_index": (q_inverted_index, o_inverted_index),
     "bpe_train": (q_bpe_train, o_bpe_train),
     "overview_refresh": (q_overview_refresh, o_overview_refresh),
+    "sequence_pack": (q_sequence_pack, o_sequence_pack),
 }
