@@ -125,7 +125,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "html_extract", "link_graph", "pagerank_domains",
                  "simplify_coverage", "clean_coverage", "swap_xy",
                  "tfidf_topk", "bm25_search", "inverted_index",
-                 "bpe_train", "overview_refresh", "sequence_pack"]:
+                 "bpe_train", "overview_refresh", "sequence_pack",
+                 "bigram_logprob", "perplexity_buckets"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

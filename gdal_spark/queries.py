@@ -9449,6 +9449,141 @@ SELECT doc_id, n_tok, running - n_tok AS start_tok,
 FROM run ORDER BY doc_id"""
 
 
+BIGRAM_LAMBDA = 0.7   # interpolation weight on the bigram term
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Per-document mean INTERPOLATED bigram log-probability — the
+    KenLM-style fluency model one order up from unigram_logprob
+    (CCNet's actual filter uses a 5-gram; the 2-gram keeps the exact
+    cross-engine computability while exercising the real pipeline:
+    n-gram table build, conditional probability join, back-off mix).
+    P(t|p) = λ·cnt(p,t)/cnt(p) + (1−λ)·cnt(t)/total; score(d) = mean
+    over positions 2..n of ln P, folded in position order for
+    deterministic float summation. Scale shape: bigram and unigram
+    tables are map-side-combined groupBys (Zipf-small, broadcast
+    back); the position pairing is a self-join on (doc, pos−1) —
+    co-partitioned on doc_id, no extra shuffle class."""
+    df = docs_df(spark, sf_dir)
+    toks = F.expr(r"split(trim(lower(text)), '\\s+')")
+    d = df.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    pairs = (d.alias("a").join(
+        d.alias("b"),
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1))
+        .select(F.col("a.doc_id").alias("doc_id"),
+                F.col("b.pos").alias("pos"),
+                F.col("a.tok").alias("prev"), F.col("b.tok").alias("tok")))
+    uni = d.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("total"))
+    big = pairs.groupBy("prev", "tok").agg(F.count("*").alias("bc"))
+    j = (pairs
+         .join(F.broadcast(big), ["prev", "tok"])
+         .join(F.broadcast(uni.withColumnRenamed("tok", "prev")
+                           .withColumnRenamed("cnt", "pc")), "prev")
+         .join(F.broadcast(uni), "tok")
+         .crossJoin(F.broadcast(total)))
+    lam = BIGRAM_LAMBDA
+    term = F.log(F.lit(lam) * (F.col("bc").cast("double")
+                               / F.col("pc").cast("double"))
+                 + F.lit(1.0 - lam) * (F.col("cnt").cast("double")
+                                       / F.col("total").cast("double")))
+    agg = (j.select("doc_id", "pos", term.alias("lp"))
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_bigrams"),
+                F.sort_array(F.collect_list(F.struct("pos", "lp")))
+                .alias("ls")))
+    mean_lp = (F.expr("aggregate(ls, CAST(0.0 AS DOUBLE), "
+                      "(a, x) -> a + x.lp)")
+               / F.col("n_bigrams").cast("double"))
+    return (agg.select("doc_id", "n_bigrams",
+                       F.round(mean_lp, 6).alias("mean_logprob"))
+            .orderBy("doc_id"))
+
+
+def o_bigram_logprob():
+    lam = BIGRAM_LAMBDA
+    return rf"""WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         unnest(range(1, len(regexp_split_to_array(trim(lower(text)),
+                                                   '\s+')) + 1)) AS pos
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id, b.pos, a.tok AS prev, b.tok AS tok
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+uni AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM uni),
+big AS (SELECT prev, tok, COUNT(*) AS bc FROM pairs GROUP BY prev, tok),
+terms AS (
+  SELECT p.doc_id, p.pos,
+         LN({lam!r} * (CAST(big.bc AS DOUBLE) / CAST(u2.cnt AS DOUBLE))
+            + {1.0 - lam!r} * (CAST(u1.cnt AS DOUBLE)
+                               / CAST(tot.total AS DOUBLE))) AS lp
+  FROM pairs p
+  JOIN big ON big.prev = p.prev AND big.tok = p.tok
+  JOIN uni u2 ON u2.tok = p.prev
+  JOIN uni u1 ON u1.tok = p.tok
+  CROSS JOIN tot),
+d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             list(lp ORDER BY pos) AS ls
+      FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       ROUND(list_reduce(ls, (a, b) -> a + b)
+             / CAST(n_bigrams AS DOUBLE), 6) AS mean_logprob
+FROM d ORDER BY doc_id"""
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020): rank
+    documents by LM score and cut at the exact 1/3 and 2/3 quantile
+    ranks — head = most fluent third. Composes the unigram LM score;
+    thresholds come from exact rank over the score (ntile-free:
+    explicit rank vs count so the cut rule is engine-identical).
+    Output: per-bucket doc count and mean score (ordered fold)."""
+    scored = q_unigram_logprob(spark, sf_dir) \
+        .select("doc_id", "mean_logprob")
+    w = Window.orderBy(F.col("mean_logprob").desc(), "doc_id")
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (scored.withColumn("rnk", F.row_number().over(w))
+              .crossJoin(F.broadcast(n)))
+    bucket = (F.when(F.col("rnk") * 3 <= F.col("n"), "head")
+              .when(F.col("rnk") * 3 <= F.col("n") * 2, "middle")
+              .otherwise("tail"))
+    b = ranked.select(bucket.alias("bucket"), "doc_id", "mean_logprob")
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(
+                     F.expr("aggregate(sort_array(collect_list("
+                            "struct(doc_id, mean_logprob))), "
+                            "CAST(0.0 AS DOUBLE), "
+                            "(a, x) -> a + x.mean_logprob)")
+                     / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("mean_score"))
+            .orderBy("bucket"))
+
+
+def o_perplexity_buckets():
+    inner = o_unigram_logprob()
+    return f"""WITH scored AS (
+  SELECT doc_id, mean_logprob FROM ({inner})),
+n AS (SELECT COUNT(*) AS n FROM scored),
+ranked AS (
+  SELECT doc_id, mean_logprob,
+         ROW_NUMBER() OVER (ORDER BY mean_logprob DESC, doc_id) AS rnk
+  FROM scored),
+b AS (
+  SELECT CASE WHEN rnk * 3 <= n.n THEN 'head'
+              WHEN rnk * 3 <= n.n * 2 THEN 'middle'
+              ELSE 'tail' END AS bucket, doc_id, mean_logprob
+  FROM ranked CROSS JOIN n)
+SELECT bucket, COUNT(*) AS n_docs,
+       ROUND(list_reduce(list(mean_logprob ORDER BY doc_id),
+                         (a, b) -> a + b)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score
+FROM b GROUP BY bucket ORDER BY bucket"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -9646,4 +9781,6 @@ REGISTRY: dict[str, tuple] = {
     "bpe_train": (q_bpe_train, o_bpe_train),
     "overview_refresh": (q_overview_refresh, o_overview_refresh),
     "sequence_pack": (q_sequence_pack, o_sequence_pack),
+    "bigram_logprob": (q_bigram_logprob, o_bigram_logprob),
+    "perplexity_buckets": (q_perplexity_buckets, o_perplexity_buckets),
 }
