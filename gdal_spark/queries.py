@@ -9231,23 +9231,9 @@ FROM tokens GROUP BY term ORDER BY term"""
 BPE_ROUNDS = 3
 
 
-def q_bpe_train(spark, sf_dir):
-    """Distributed BPE tokenizer TRAINING (the merge-learning loop of
-    sentencepiece/GPT-2 BPE, not just application): count adjacent
-    symbol pairs over the word-frequency table, merge the most
-    frequent pair corpus-wide, repeat. Three unrolled rounds.
-
-    Spark shape: words render as pipe-delimited symbol sequences
-    ('|s| |p| |a| |r| |k|' — the |..| markers make REPLACE
-    boundary-safe: a pair pattern '|x| |y|' can never match inside a
-    longer symbol, and left-to-right non-overlapping REPLACE is
-    exactly BPE's merge order for runs). Per round: one shuffle to
-    count pairs (integer sums — no float anywhere), a 1-row top-pair
-    relation broadcast back over the words, merge as a JVM string
-    REPLACE. The word table is persisted per round, so each round is
-    one pass — at web scale this is the standard
-    count→argmax→broadcast→substitute iteration, all engine-side (no
-    driver collect in the loop)."""
+def _bpe_rounds(spark, sf_dir):
+    """Shared BPE merge loop: returns (words_after_all_merges, tops) —
+    see q_bpe_train for the full architecture notes."""
     words = (_tokens_df(spark, sf_dir)
              .groupBy(F.col("term").alias("word"))
              .agg(F.count(F.lit(1)).alias("freq"))
@@ -9280,13 +9266,59 @@ def q_bpe_train(spark, sf_dir):
                  .select("word", "freq",
                          F.replace("seq", F.col("pair"),
                                    F.col("merged")).alias("seq")))
+    return words, tops
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (the merge-learning loop of
+    sentencepiece/GPT-2 BPE, not just application): count adjacent
+    symbol pairs over the word-frequency table, merge the most
+    frequent pair corpus-wide, repeat. Three unrolled rounds.
+
+    Spark shape: words render as pipe-delimited symbol sequences
+    ('|s| |p| |a| |r| |k|' — the |..| markers make REPLACE
+    boundary-safe: a pair pattern '|x| |y|' can never match inside a
+    longer symbol, and left-to-right non-overlapping REPLACE is
+    exactly BPE's merge order for runs). Per round: one shuffle to
+    count pairs (integer sums — no float anywhere), a 1-row top-pair
+    relation broadcast back over the words, merge as a JVM string
+    REPLACE. The word table is persisted per round, so each round is
+    one pass — at web scale this is the standard
+    count→argmax→broadcast→substitute iteration, all engine-side (no
+    driver collect in the loop)."""
+    _, tops = _bpe_rounds(spark, sf_dir)
     out = tops[0]
     for t in tops[1:]:
         out = out.unionByName(t)
     return out.orderBy("round")
 
 
-def o_bpe_train():
+def q_bpe_apply(spark, sf_dir):
+    """BPE tokenizer APPLICATION: segment the corpus with the merges
+    learned by bpe_train and report per-document symbol counts before
+    (characters) and after (BPE tokens), plus the compression ratio —
+    the train→apply round-trip of a real tokenizer pipeline. The
+    segmented VOCABULARY (one row per distinct word, Zipf-small) is
+    broadcast back onto the token stream, so application never
+    re-touches the merge loop's shuffles."""
+    words, _ = _bpe_rounds(spark, sf_dir)
+    vocab = words.select(
+        "word", F.length("word").cast("long").alias("n_before"),
+        F.size(F.split("seq", " ")).cast("long").alias("n_after"))
+    toks = _tokens_df(spark, sf_dir).withColumnRenamed("term", "word")
+    per = (toks.join(F.broadcast(vocab), "word")
+           .groupBy("doc_id")
+           .agg(F.sum("n_before").alias("n_sym_before"),
+                F.sum("n_after").alias("n_sym_after")))
+    return (per.select(
+        "doc_id", "n_sym_before", "n_sym_after",
+        F.round(F.col("n_sym_before").cast("double")
+                / F.col("n_sym_after").cast("double"), 6)
+        .alias("compression"))
+        .orderBy("doc_id"))
+
+
+def _bpe_ctes_sql() -> str:
     rounds = []
     prev = "words0"
     for rnd in range(1, BPE_ROUNDS + 1):
@@ -9305,10 +9337,7 @@ words{rnd} AS (
   SELECT w.word, w.freq, REPLACE(w.seq, t.pair, t.merged) AS seq
   FROM {prev} w CROSS JOIN t{rnd} t)""")
         prev = f"words{rnd}"
-    selects = " UNION ALL ".join(
-        f"SELECT {r} AS round, pair, merged, cnt FROM t{r}"
-        for r in range(1, BPE_ROUNDS + 1))
-    return f"""WITH {_TOKENS_SQL},
+    return f"""{_TOKENS_SQL},
 wf AS (SELECT term AS word, COUNT(*) AS freq FROM tokens GROUP BY term),
 words0 AS (
   SELECT word, freq,
@@ -9316,9 +9345,35 @@ words0 AS (
                             ORDER BY t.k)
           FROM UNNEST(RANGE(1, LEN(w.word) + 1)) AS t(k)) AS seq
   FROM wf w),
-{", ".join(rounds)}
+{", ".join(rounds)}"""
+
+
+def o_bpe_train():
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS round, pair, merged, cnt FROM t{r}"
+        for r in range(1, BPE_ROUNDS + 1))
+    return f"""WITH {_bpe_ctes_sql()}
 SELECT CAST(round AS INT) AS round, pair, merged, cnt
 FROM ({selects}) ORDER BY round"""
+
+
+def o_bpe_apply():
+    last = f"words{BPE_ROUNDS}"
+    return f"""WITH {_bpe_ctes_sql()},
+vocab AS (
+  SELECT word, CAST(LEN(word) AS BIGINT) AS n_before,
+         CAST(ARRAY_LENGTH(STRING_SPLIT(seq, ' ')) AS BIGINT) AS n_after
+  FROM {last}),
+per AS (
+  SELECT t.doc_id, SUM(v.n_before) AS n_sym_before,
+         SUM(v.n_after) AS n_sym_after
+  FROM tokens t JOIN vocab v ON v.word = t.term
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_sym_before AS BIGINT) AS n_sym_before,
+       CAST(n_sym_after AS BIGINT) AS n_sym_after,
+       ROUND(CAST(n_sym_before AS DOUBLE) / CAST(n_sym_after AS DOUBLE),
+             6) AS compression
+FROM per ORDER BY doc_id"""
 
 
 def q_overview_refresh(spark, sf_dir):
@@ -9783,4 +9838,5 @@ REGISTRY: dict[str, tuple] = {
     "sequence_pack": (q_sequence_pack, o_sequence_pack),
     "bigram_logprob": (q_bigram_logprob, o_bigram_logprob),
     "perplexity_buckets": (q_perplexity_buckets, o_perplexity_buckets),
+    "bpe_apply": (q_bpe_apply, o_bpe_apply),
 }
