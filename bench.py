@@ -126,7 +126,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "simplify_coverage", "clean_coverage", "swap_xy",
                  "tfidf_topk", "bm25_search", "inverted_index",
                  "bpe_train", "overview_refresh", "sequence_pack",
-                 "bigram_logprob", "perplexity_buckets", "bpe_apply"]:
+                 "bigram_logprob", "perplexity_buckets", "bpe_apply",
+                 "label_centroids"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -9639,6 +9639,73 @@ SELECT bucket, COUNT(*) AS n_docs,
 FROM b GROUP BY bucket ORDER BY bucket"""
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids + within-cluster inertia — the
+    cluster-statistics pass of an embedding-space curation loop
+    (evaluating a partition of the corpus: centroid drift, cluster
+    tightness). All sums are ORDERED folds for cross-engine bit
+    parity: per (label, dim) the value and value² streams fold in
+    vec_id order; the per-label inertia then folds the per-dim terms
+    in dim order. Scale shape: one shuffle on (label, dim) — dims
+    fan the rows 64×, but every group is one cluster's one coordinate
+    (bounded), and the per-label reduce touches 64 rows/label."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vals = (emb.select("label", "vec_id",
+                       F.posexplode("embedding").alias("dim", "valf"))
+            .select("label", "vec_id", "dim",
+                    F.col("valf").cast("double").alias("v")))
+    fold_v = ("aggregate(sort_array(collect_list(struct(vec_id, v))), "
+              "CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)")
+    fold_v2 = ("aggregate(sort_array(collect_list(struct(vec_id, v))), "
+               "CAST(0.0 AS DOUBLE), (a, x) -> a + x.v * x.v)")
+    per_dim = (vals.groupBy("label", "dim")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.expr(fold_v).alias("s1"),
+                    F.expr(fold_v2).alias("s2")))
+    term = (F.col("s2")
+            - F.col("s1") * F.col("s1") / F.col("n").cast("double"))
+    fold_t = ("aggregate(sort_array(collect_list(struct(dim, t))), "
+              "CAST(0.0 AS DOUBLE), (a, x) -> a + x.t)")
+    per_label = (per_dim
+                 .select("label", "dim", "n", "s1", term.alias("t"))
+                 .groupBy("label")
+                 .agg(F.max("n").cast("int").alias("n_vecs"),
+                      F.expr(fold_t).alias("inertia"),
+                      F.max(F.when(F.col("dim") == 0,
+                                   F.col("s1") / F.col("n")
+                                   .cast("double"))).alias("c0"),
+                      F.max(F.when(F.col("dim") == 1,
+                                   F.col("s1") / F.col("n")
+                                   .cast("double"))).alias("c1")))
+    return (per_label.select(
+        "label", "n_vecs", F.round("inertia", 6).alias("inertia"),
+        F.round("c0", 6).alias("c0"), F.round("c1", 6).alias("c1"))
+        .orderBy("label"))
+
+
+def o_label_centroids():
+    return """WITH vals AS (
+  SELECT label, vec_id,
+         unnest(range(0, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+per_dim AS (
+  SELECT label, dim, COUNT(*) AS n,
+         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) AS s1,
+         list_reduce(list(v * v ORDER BY vec_id), (a, b) -> a + b) AS s2
+  FROM vals GROUP BY label, dim),
+per_label AS (
+  SELECT label, CAST(MAX(n) AS INT) AS n_vecs,
+         list_reduce(list(s2 - s1 * s1 / CAST(n AS DOUBLE)
+                          ORDER BY dim), (a, b) -> a + b) AS inertia,
+         MAX(CASE WHEN dim = 0 THEN s1 / CAST(n AS DOUBLE) END) AS c0,
+         MAX(CASE WHEN dim = 1 THEN s1 / CAST(n AS DOUBLE) END) AS c1
+  FROM per_dim GROUP BY label)
+SELECT label, n_vecs, ROUND(inertia, 6) AS inertia,
+       ROUND(c0, 6) AS c0, ROUND(c1, 6) AS c1
+FROM per_label ORDER BY label"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -9839,4 +9906,5 @@ REGISTRY: dict[str, tuple] = {
     "bigram_logprob": (q_bigram_logprob, o_bigram_logprob),
     "perplexity_buckets": (q_perplexity_buckets, o_perplexity_buckets),
     "bpe_apply": (q_bpe_apply, o_bpe_apply),
+    "label_centroids": (q_label_centroids, o_label_centroids),
 }
