@@ -9706,6 +9706,68 @@ SELECT label, n_vecs, ROUND(inertia, 6) AS inertia,
 FROM per_label ORDER BY label"""
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the webtext mirror of
+    ogr2ogr_compose: Gopher quality gate → exact dedup (first copy
+    wins among survivors) → training-sequence packing of what remains,
+    each stage the already-gated operator, chained as ONE lazy plan
+    (no materialization between stages; Catalyst sees the whole
+    pipeline and pushes the quality predicates below the dedup
+    shuffle's exchange). Output per surviving doc: token count, global
+    pack offset, sequence span — the manifest a downstream trainer
+    consumes."""
+    kept = (q_gopher_quality(spark, sf_dir)
+            .filter(F.col("keep") == 1).select("doc_id", "n_words"))
+    docs = docs_df(spark, sf_dir).select("doc_id", "text")
+    w = Window.partitionBy("h").orderBy(F.col("doc_id").asc())
+    surv = (docs.join(kept, "doc_id")
+            .withColumn("h", F.md5(F.col("text").cast("binary")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("n_words").cast("long").alias("n_tok")))
+    d = surv.withColumn("bucket", F.expr(f"doc_id DIV {PACK_BUCKET}"))
+    bsum = d.groupBy("bucket").agg(F.sum("n_tok").alias("bs"))
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bsum.select("bucket",
+                       F.coalesce(F.sum("bs").over(wb), F.lit(0))
+                       .alias("boff"))
+    wd = (Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (d.join(F.broadcast(boff), "bucket")
+              .withColumn("run_in", F.sum("n_tok").over(wd))
+              .withColumn("start_tok",
+                          F.col("boff") + F.col("run_in") - F.col("n_tok")))
+    return (packed.select(
+        "doc_id", "n_tok", "start_tok",
+        F.expr(f"start_tok DIV {SEQ_LEN}").alias("seq_first"),
+        F.expr(f"(start_tok + n_tok - 1) DIV {SEQ_LEN}").alias("seq_last"))
+        .orderBy("doc_id"))
+
+
+def o_curation_pipeline():
+    g = o_gopher_quality()
+    return f"""WITH g AS ({g}),
+kept AS (SELECT d.doc_id, CAST(g.n_words AS BIGINT) AS n_tok, d.text
+         FROM g JOIN documents d ON d.doc_id = g.doc_id
+         WHERE g.keep = 1),
+surv AS (
+  SELECT doc_id, n_tok FROM (
+    SELECT doc_id, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                              ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+run AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM surv)
+SELECT doc_id, n_tok, running - n_tok AS start_tok,
+       (running - n_tok) // {SEQ_LEN} AS seq_first,
+       (running - 1) // {SEQ_LEN} AS seq_last
+FROM run ORDER BY doc_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -9907,4 +9969,5 @@ REGISTRY: dict[str, tuple] = {
     "perplexity_buckets": (q_perplexity_buckets, o_perplexity_buckets),
     "bpe_apply": (q_bpe_apply, o_bpe_apply),
     "label_centroids": (q_label_centroids, o_label_centroids),
+    "curation_pipeline": (q_curation_pipeline, o_curation_pipeline),
 }
