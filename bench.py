@@ -127,7 +127,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "tfidf_topk", "bm25_search", "inverted_index",
                  "bpe_train", "overview_refresh", "sequence_pack",
                  "bigram_logprob", "perplexity_buckets", "bpe_apply",
-                 "label_centroids", "curation_pipeline"]:
+                 "label_centroids", "curation_pipeline", "geom_distance"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -9768,6 +9768,74 @@ SELECT doc_id, n_tok, running - n_tok AS start_tok,
 FROM run ORDER BY doc_id"""
 
 
+def _ptseg_d2(px, py, x1, y1, x2, y2) -> str:
+    """Dialect-neutral squared point-to-segment distance (identical op
+    order in Spark SQL and DuckDB; LEAST/GREATEST clamp)."""
+    dx, dy = f"({x2} - {x1})", f"({y2} - {y1})"
+    l2 = f"({dx} * {dx} + {dy} * {dy})"
+    t = (f"LEAST(GREATEST((({px} - {x1}) * {dx} + ({py} - {y1}) * {dy})"
+         f" / {l2}, 0.0), 1.0)")
+    ddx = f"({px} - ({x1} + {t} * {dx}))"
+    ddy = f"({py} - ({y1} + {t} * {dy}))"
+    return f"({ddx} * {ddx} + {ddy} * {ddy})"
+
+
+def _geom_distance_d2_sql(edges_rel: str) -> str:
+    """Shared SQL: per zone pair, the MIN over all boundary edge pairs
+    of the 4-endpoint point-to-segment distance bound (exact for
+    non-crossing segments; crossing pairs are handled by the
+    predicates join upstream). MIN of doubles is order-independent, so
+    no fold discipline is needed."""
+    cands = [
+        _ptseg_d2("a.x1", "a.y1", "b.x1", "b.y1", "b.x2", "b.y2"),
+        _ptseg_d2("a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"),
+        _ptseg_d2("b.x1", "b.y1", "a.x1", "a.y1", "a.x2", "a.y2"),
+        _ptseg_d2("b.x2", "b.y2", "a.x1", "a.y1", "a.x2", "a.y2"),
+    ]
+    least = f"LEAST({', '.join(cands)})"
+    return f"""
+SELECT a.zone_fid AS fid_a, b.zone_fid AS fid_b, MIN({least}) AS d2
+FROM {edges_rel} a JOIN {edges_rel} b ON a.zone_fid < b.zone_fid
+GROUP BY a.zone_fid, b.zone_fid"""
+
+
+def q_geom_distance(spark, sf_dir):
+    """OGRGeometry::Distance (ogr/ogr_geometry.h:557, GEOS distance):
+    exact polygon-pair distance for every zone pair — 0 when the pair
+    intersects (area overlap or boundary contact, from the gated
+    predicate matrix), else the minimum vertex-to-segment distance
+    over all boundary edge pairs (holes included; exact for
+    non-crossing polygon boundaries). The distance kernel is SHARED
+    SQL TEXT with the oracle; MIN is order-independent so the only
+    float ops are per-candidate arithmetic + one final SQRT. Scale:
+    the all-pairs edge join is fixture-shaped — at data scale the same
+    expression runs after the banded cell-cover candidate join."""
+    from gdal_spark.operators.algebra import zone_predicates
+    # fixture-sized relation: single partition, or the non-equi self
+    # join fans out to shuffle.partitions² scheduling overhead
+    _ring_edges_df(spark).repartition(1).createOrReplaceTempView("zedges")
+    d2 = spark.sql(_geom_distance_d2_sql("zedges"))
+    pred = zone_predicates(spark).select("fid_a", "fid_b", "intersects")
+    return (d2.join(pred, ["fid_a", "fid_b"])
+            .select("fid_a", "fid_b",
+                    F.when(F.col("intersects") == 1, F.lit(0.0))
+                    .otherwise(F.round(F.sqrt(F.col("d2")), 9))
+                    .alias("distance"))
+            .orderBy("fid_a", "fid_b"))
+
+
+def o_geom_distance():
+    d2 = _geom_distance_d2_sql("redges")
+    return f"""WITH redges AS (SELECT * FROM {zone_ring_edges_sql()}),
+d AS ({d2}),
+p AS ({o_zone_predicates()})
+SELECT d.fid_a, d.fid_b,
+       CASE WHEN p.intersects = 1 THEN 0.0
+            ELSE ROUND(SQRT(d.d2), 9) END AS distance
+FROM d JOIN p ON p.fid_a = d.fid_a AND p.fid_b = d.fid_b
+ORDER BY d.fid_a, d.fid_b"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -9970,4 +10038,5 @@ REGISTRY: dict[str, tuple] = {
     "bpe_apply": (q_bpe_apply, o_bpe_apply),
     "label_centroids": (q_label_centroids, o_label_centroids),
     "curation_pipeline": (q_curation_pipeline, o_curation_pipeline),
+    "geom_distance": (q_geom_distance, o_geom_distance),
 }
