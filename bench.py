@@ -127,7 +127,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "tfidf_topk", "bm25_search", "inverted_index",
                  "bpe_train", "overview_refresh", "sequence_pack",
                  "bigram_logprob", "perplexity_buckets", "bpe_apply",
-                 "label_centroids", "curation_pipeline", "geom_distance"]:
+                 "label_centroids", "curation_pipeline", "geom_distance",
+                 "hll_count"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
@@ -156,7 +157,9 @@ def run_single() -> dict:
         "metric": "pages/sec flagship spatial-join + tiling",
         "value": round(pages_per_sec, 1),
         "unit": "pages/sec",
-        "queries": {k: round(v, 3) for k, v in queries.items()},
+        # 2-decimal seconds: the line must stay well under the driver's
+        # ~4 KB stdout parse window as the suite grows
+        "queries": {k: round(v, 2) for k, v in queries.items()},
         "sf": float(sf),
         "rows": n_rows,
         "cpus": CPUS,

@@ -9836,6 +9836,91 @@ FROM d JOIN p ON p.fid_a = d.fid_a AND p.fid_b = d.fid_b
 ORDER BY d.fid_a, d.fid_b"""
 
 
+HLL_M = 1024          # registers (p = 10)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 1024)   # standard alpha_m for m=1024
+
+
+def _hll_core_sql(div: str) -> str:
+    """Dialect-shared HLL core over a `tokens(term)` relation: 48-bit
+    md5-derived hash (the instr hex-digit idiom — identical text both
+    engines), register = low 10 bits, rank = leading-zero count of the
+    38-bit remainder + 1 (via LENGTH(BIN(w)) — both engines print
+    minimal binary), per-register MAX. `div` is the one dialect split
+    (Spark DIV vs DuckDB //)."""
+    h = "md5(term)"
+    digits = " + ".join(
+        f"CAST({_HEXV.format(h=h, i=i)} AS BIGINT) * {16 ** (12 - i)}"
+        for i in range(1, 13))
+    return f"""hashes AS (
+  SELECT DISTINCT ({digits}) AS h48 FROM tokens),
+ranks AS (
+  SELECT h48 % {HLL_M} AS reg,
+         CASE WHEN (h48 {div} {HLL_M}) = 0 THEN 39
+              ELSE 39 - LENGTH(BIN(h48 {div} {HLL_M})) END AS rank
+  FROM hashes),
+regs AS (SELECT reg, MAX(rank) AS r FROM ranks GROUP BY reg)"""
+
+
+def q_hll_count(spark, sf_dir):
+    """HyperLogLog distinct-count sketch, built FROM SCRATCH as column
+    math (Flajolet et al. 2007; the scalable alternative to exact
+    COUNT DISTINCT for corpus cardinality dashboards) — NOT Spark's
+    approx_count_distinct, whose HLL++ register layout can't be
+    replayed by another engine. Determinism: the register sums are
+    dyadic rationals (2^-r, r ≤ 39) whose total needs ≤ 49 mantissa
+    bits, so the harmonic-mean denominator is EXACT in IEEE double
+    regardless of summation order — no fold discipline required; the
+    small-range linear-counting correction is one LN. Output: exact
+    distinct (verification), estimate, relative error. Scale: one
+    map-side-combined groupBy on 1024 registers — constant state, the
+    whole point of the sketch."""
+    _views(spark, sf_dir, ("documents",))
+    core = _hll_core_sql("DIV")
+    return spark.sql(f"""WITH {_TOKENS_SQL.replace(
+        "UNNEST(STRING_SPLIT(text, ' '))", "explode(split(text, ' '))")},
+{core},
+fullregs AS (
+  SELECT COALESCE(r.r, 0) AS r
+  FROM (SELECT explode(sequence(0, {HLL_M - 1})) AS reg) g
+  LEFT JOIN regs r ON r.reg = g.reg),
+z AS (SELECT SUM(POWER(0.5, CAST(r AS DOUBLE))) AS z,
+             SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+      FROM fullregs),
+ex AS (SELECT COUNT(DISTINCT term) AS n_exact FROM tokens)
+SELECT ex.n_exact,
+       CAST({HLL_M} - z.v AS INT) AS n_registers_used,
+       ROUND(CASE WHEN z.v > 0
+                   AND ({sqlexpr.dlit(HLL_ALPHA)} * {HLL_M}.0 * {HLL_M}.0 / z.z)
+                       <= 2.5 * {HLL_M}.0
+                  THEN {HLL_M}.0 * LN({HLL_M}.0 / CAST(z.v AS DOUBLE))
+                  ELSE {sqlexpr.dlit(HLL_ALPHA)} * {HLL_M}.0 * {HLL_M}.0 / z.z
+             END, 6) AS estimate
+FROM z CROSS JOIN ex""")
+
+
+def o_hll_count():
+    core = _hll_core_sql("//")
+    return f"""WITH {_TOKENS_SQL},
+{core},
+fullregs AS (
+  SELECT COALESCE(r.r, 0) AS r
+  FROM (SELECT UNNEST(RANGE(0, {HLL_M})) AS reg) g
+  LEFT JOIN regs r ON r.reg = g.reg),
+z AS (SELECT SUM(POWER(0.5, CAST(r AS DOUBLE))) AS z,
+             SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+      FROM fullregs),
+ex AS (SELECT COUNT(DISTINCT term) AS n_exact FROM tokens)
+SELECT ex.n_exact,
+       CAST({HLL_M} - z.v AS INT) AS n_registers_used,
+       ROUND(CASE WHEN z.v > 0
+                   AND ({sqlexpr.dlit(HLL_ALPHA)} * {HLL_M}.0 * {HLL_M}.0 / z.z)
+                       <= 2.5 * {HLL_M}.0
+                  THEN {HLL_M}.0 * LN({HLL_M}.0 / CAST(z.v AS DOUBLE))
+                  ELSE {sqlexpr.dlit(HLL_ALPHA)} * {HLL_M}.0 * {HLL_M}.0 / z.z
+             END, 6) AS estimate
+FROM z CROSS JOIN ex"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10039,4 +10124,5 @@ REGISTRY: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, o_label_centroids),
     "curation_pipeline": (q_curation_pipeline, o_curation_pipeline),
     "geom_distance": (q_geom_distance, o_geom_distance),
+    "hll_count": (q_hll_count, o_hll_count),
 }
