@@ -9921,6 +9921,30 @@ SELECT ex.n_exact,
 FROM z CROSS JOIN ex"""
 
 
+def q_tld_lang_rollup(spark, sf_dir):
+    """ROLLUP aggregation over the page dimensions (the OLAP cube
+    slice OGR SQL lacks but every corpus dashboard needs): page counts
+    and total chars per (tld, lang), per tld, and grand total, with
+    GROUPING ids distinguishing the levels. One shuffle; Spark's
+    partial aggregation computes all rollup levels map-side."""
+    p = pages_df(spark, sf_dir)
+    return (p.rollup("tld", "lang")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.grouping_id("tld", "lang").cast("int").alias("gid"))
+            .orderBy(F.col("gid"), F.col("tld").asc_nulls_first(),
+                     F.col("lang").asc_nulls_first()))
+
+
+def o_tld_lang_rollup():
+    return f"""WITH {sqlexpr.pages_cte()}
+SELECT tld, lang, COUNT(*) AS n_pages,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(GROUPING(tld) * 2 + GROUPING(lang) AS INT) AS gid
+FROM pages GROUP BY ROLLUP (tld, lang)
+ORDER BY gid, tld ASC NULLS FIRST, lang ASC NULLS FIRST"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10125,4 +10149,5 @@ REGISTRY: dict[str, tuple] = {
     "curation_pipeline": (q_curation_pipeline, o_curation_pipeline),
     "geom_distance": (q_geom_distance, o_geom_distance),
     "hll_count": (q_hll_count, o_hll_count),
+    "tld_lang_rollup": (q_tld_lang_rollup, o_tld_lang_rollup),
 }
