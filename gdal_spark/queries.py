@@ -9921,6 +9921,62 @@ SELECT ex.n_exact,
 FROM z CROSS JOIN ex"""
 
 
+def q_resample_ffill(spark, sf_dir):
+    """Time-series RESAMPLE + forward fill: every user's event stream
+    regularized onto the corpus-wide hourly grid, each mark carrying
+    the user's latest prior-or-simultaneous purchase value (NULL
+    before the first) — the gap-filling step of a metrics pipeline.
+    Spark shape: the hourly grid is users × sequence(hour marks)
+    (generated, never scanned); the fill is the same union+window
+    as-of carry as asof_join — ONE shuffle on user_id regardless of
+    grid density. Oracle: DuckDB's native ASOF LEFT JOIN against
+    generate_series — an independent implementation of the fill."""
+    from gdal_spark.streaming.events import utc_session
+    with utc_session(spark):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("p_id"),
+            F.col("value").alias("p_value"))
+        bounds = ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.date_trunc("hour", F.max("ts")).alias("t1"))
+        users = ev.select("user_id").distinct()
+        grid = (users.crossJoin(F.broadcast(bounds))
+                .select("user_id",
+                        F.explode(F.expr(
+                            "sequence(t0, t1, interval 1 hour)"))
+                        .alias("ts")))
+        carried = rel_op.asof_carry(
+            grid, buys, key="user_id", ts="ts",
+            carry_cols=["p_id", "p_value"], order_col="p_id")
+        return (carried.select(
+            "user_id", "ts", F.col("m_p_id").alias("last_purchase_id"),
+            F.col("m_p_value").alias("last_value"),
+            F.expr("timestampdiff(MICROSECOND, m_ts, ts)")
+            .alias("staleness_us"))
+            .orderBy("user_id", "ts"))
+
+
+def o_resample_ffill():
+    return """WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1 FROM events),
+grid AS (
+  SELECT u.user_id, g.ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN b,
+  UNNEST(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS g(ts)),
+p AS (SELECT user_id, ts, event_id AS p_id, value AS p_value
+      FROM events WHERE event_type = 'purchase')
+SELECT grid.user_id, grid.ts, p.p_id AS last_purchase_id,
+       p.p_value AS last_value,
+       CAST(date_diff('microsecond', p.ts, grid.ts) AS BIGINT)
+         AS staleness_us
+FROM grid ASOF LEFT JOIN p
+  ON grid.user_id = p.user_id AND grid.ts >= p.ts
+ORDER BY grid.user_id, grid.ts"""
+
+
 def q_tld_lang_rollup(spark, sf_dir):
     """ROLLUP aggregation over the page dimensions (the OLAP cube
     slice OGR SQL lacks but every corpus dashboard needs): page counts
@@ -10150,4 +10206,5 @@ REGISTRY: dict[str, tuple] = {
     "geom_distance": (q_geom_distance, o_geom_distance),
     "hll_count": (q_hll_count, o_hll_count),
     "tld_lang_rollup": (q_tld_lang_rollup, o_tld_lang_rollup),
+    "resample_ffill": (q_resample_ffill, o_resample_ffill),
 }
