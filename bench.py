@@ -128,7 +128,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "bpe_train", "overview_refresh", "sequence_pack",
                  "bigram_logprob", "perplexity_buckets", "bpe_apply",
                  "label_centroids", "curation_pipeline", "geom_distance",
-                 "hll_count", "tld_lang_rollup", "resample_ffill"]:
+                 "hll_count", "tld_lang_rollup", "resample_ffill",
+                 "corpus_diff"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

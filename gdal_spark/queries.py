@@ -9977,6 +9977,58 @@ FROM grid ASOF LEFT JOIN p
 ORDER BY grid.user_id, grid.ts"""
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot DIFF (the incremental-crawl delta an Iceberg
+    table sees between two ingests): v2 is derived deterministically
+    from v1 — docs with doc_id % 11 == 3 dropped, doc_id % 7 == 2
+    re-extracted (text changed), doc_id % 13 == 5 re-crawled under a
+    new id (+1000000) — and the diff classifies every id as
+    added/removed/changed/unchanged via ONE full outer join on doc_id
+    with content-hash comparison. At 10^12 rows this is the
+    co-partitioned snapshot-reconciliation plan: both sides shuffle
+    once on the id, no content moves unless hashes differ."""
+    v1 = docs_df(spark, sf_dir).select("doc_id", "text")
+    kept = v1.filter(F.col("doc_id") % 11 != 3)
+    changed = (kept.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 2,
+                       F.concat(F.col("text"), F.lit(" [re-extracted]")))
+        .otherwise(F.col("text"))))
+    added = (kept.filter(F.col("doc_id") % 13 == 5)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    v2 = changed.unionByName(added)
+    a = v1.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h1"))
+    b = v2.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h2"))
+    j = a.join(b, "doc_id", "full_outer")
+    status = (F.when(F.col("h1").isNull(), "added")
+              .when(F.col("h2").isNull(), "removed")
+              .when(F.col("h1") == F.col("h2"), "unchanged")
+              .otherwise("changed"))
+    return (j.select("doc_id", status.alias("status"))
+            .orderBy("doc_id"))
+
+
+def o_corpus_diff():
+    return """WITH v1 AS (SELECT doc_id, text FROM documents),
+kept AS (SELECT doc_id, text FROM v1 WHERE doc_id % 11 <> 3),
+changed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN text || ' [re-extracted]'
+              ELSE text END AS text
+  FROM kept),
+added AS (SELECT doc_id + 1000000 AS doc_id, text
+          FROM kept WHERE doc_id % 13 = 5),
+v2 AS (SELECT * FROM changed UNION ALL SELECT * FROM added),
+a AS (SELECT doc_id, MD5(text) AS h1 FROM v1),
+b AS (SELECT doc_id, MD5(text) AS h2 FROM v2)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h1 = b.h2 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id
+ORDER BY doc_id"""
+
+
 def q_tld_lang_rollup(spark, sf_dir):
     """ROLLUP aggregation over the page dimensions (the OLAP cube
     slice OGR SQL lacks but every corpus dashboard needs): page counts
@@ -10207,4 +10259,5 @@ REGISTRY: dict[str, tuple] = {
     "hll_count": (q_hll_count, o_hll_count),
     "tld_lang_rollup": (q_tld_lang_rollup, o_tld_lang_rollup),
     "resample_ffill": (q_resample_ffill, o_resample_ffill),
+    "corpus_diff": (q_corpus_diff, o_corpus_diff),
 }
