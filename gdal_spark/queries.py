@@ -9977,6 +9977,77 @@ FROM grid ASOF LEFT JOIN p
 ORDER BY grid.user_id, grid.ts"""
 
 
+def _robots_rules():
+    """Deterministic per-TLD robots rules: each TLD disallows one
+    section but re-allows its /open subtree — exercising the
+    longest-match-wins (and allow-wins-ties) rule of the Google
+    robots.txt spec (public REP RFC 9309 §2.2.2)."""
+    from gdal_spark.fixtures import TLDS
+    rules = []
+    for i, t in enumerate(TLDS):
+        rules.append((t, f"/sec{i % 4}", "disallow"))
+        rules.append((t, f"/sec{i % 4}/open", "allow"))
+    return rules
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt crawl filtering (RFC 9309 longest-match semantics):
+    each page's path is checked against its domain's rule set; the
+    longest matching prefix decides, allow beats disallow on equal
+    length, no match → allowed. The rule table is broadcast (robots
+    rules are domain-count-bounded); matching is a prefix predicate +
+    per-page argmax — one broadcast join, map-side at any corpus
+    scale. Paths synthesised from doc_id so both engines derive the
+    identical workload."""
+    rules = spark.createDataFrame(
+        _robots_rules(), "tld string, prefix string, action string")
+    p = (pages_df(spark, sf_dir)
+         .select("doc_id", "tld",
+                 F.concat(F.lit("/sec"), (F.col("doc_id") % 8),
+                          F.when(F.col("doc_id") % 3 == 0,
+                                 F.lit("/open")).otherwise(F.lit("")),
+                          F.lit("/page")).alias("path")))
+    m = (p.join(F.broadcast(rules), "tld")
+         .filter(F.expr("startswith(path, prefix)"))
+         .groupBy("doc_id")
+         .agg(F.max(F.struct(F.length("prefix").alias("l"),
+                             (F.col("action") == "allow").cast("int")
+                             .alias("a"),
+                             F.col("action").alias("action")))
+              .alias("best")))
+    return (p.join(m, "doc_id", "left")
+            .select("doc_id", "path",
+                    F.coalesce((F.col("best.action") == "allow")
+                               .cast("int"), F.lit(1)).alias("allowed"))
+            .orderBy("doc_id"))
+
+
+def o_robots_filter():
+    rows = ", ".join(f"('{t}', '{p}', '{a}')"
+                     for t, p, a in _robots_rules())
+    return f"""WITH {sqlexpr.pages_cte()},
+rules AS (SELECT * FROM (VALUES {rows}) AS r(tld, prefix, action)),
+p AS (
+  SELECT doc_id, tld,
+         '/sec' || CAST(doc_id % 8 AS STRING)
+         || CASE WHEN doc_id % 3 = 0 THEN '/open' ELSE '' END
+         || '/page' AS path
+  FROM pages),
+m AS (
+  SELECT p.doc_id,
+         MAX(struct_pack(l := LENGTH(r.prefix),
+                         a := CAST(r.action = 'allow' AS INT),
+                         action := r.action)) AS best
+  FROM p JOIN rules r ON r.tld = p.tld
+  WHERE starts_with(p.path, r.prefix)
+  GROUP BY p.doc_id)
+SELECT p.doc_id, p.path,
+       COALESCE(CAST(struct_extract(m.best, 'action') = 'allow' AS INT),
+                1) AS allowed
+FROM p LEFT JOIN m ON m.doc_id = p.doc_id
+ORDER BY p.doc_id"""
+
+
 def q_corpus_diff(spark, sf_dir):
     """Corpus snapshot DIFF (the incremental-crawl delta an Iceberg
     table sees between two ingests): v2 is derived deterministically
@@ -10260,4 +10331,5 @@ REGISTRY: dict[str, tuple] = {
     "tld_lang_rollup": (q_tld_lang_rollup, o_tld_lang_rollup),
     "resample_ffill": (q_resample_ffill, o_resample_ffill),
     "corpus_diff": (q_corpus_diff, o_corpus_diff),
+    "robots_filter": (q_robots_filter, o_robots_filter),
 }
