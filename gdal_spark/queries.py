@@ -10048,6 +10048,26 @@ FROM p LEFT JOIN m ON m.doc_id = p.doc_id
 ORDER BY p.doc_id"""
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream event-time interval join — see
+    streaming/events.py interval_join_stream for the watermark/state
+    story. Oracle = the batch interval join (same predicate), exact
+    for the single-batch availableNow replay."""
+    from gdal_spark.streaming.events import interval_join_stream
+    return (interval_join_stream(spark, sf_dir)
+            .orderBy("v_id", "c_id"))
+
+
+def o_stream_interval_join():
+    return """SELECT v.event_id AS v_id, c.event_id AS c_id,
+       CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT) AS lag_us
+FROM events v JOIN events c
+  ON c.user_id = v.user_id AND v.event_type = 'view'
+ AND c.event_type = 'click' AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY v_id, c_id"""
+
+
 def q_corpus_diff(spark, sf_dir):
     """Corpus snapshot DIFF (the incremental-crawl delta an Iceberg
     table sees between two ingests): v2 is derived deterministically
@@ -10332,4 +10352,6 @@ REGISTRY: dict[str, tuple] = {
     "resample_ffill": (q_resample_ffill, o_resample_ffill),
     "corpus_diff": (q_corpus_diff, o_corpus_diff),
     "robots_filter": (q_robots_filter, o_robots_filter),
+    "stream_interval_join": (q_stream_interval_join,
+                             o_stream_interval_join),
 }

@@ -179,3 +179,60 @@ def geofence_stream(spark: SparkSession, sf_dir: str,
                     .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def interval_join_stream(spark: SparkSession, sf_dir: str,
+                         watermark: str = "2 hours",
+                         window: str = "1 hour") -> DataFrame:
+    """STREAM-STREAM event-time interval join (the Structured
+    Streaming capability the rest of the suite's stream-static joins
+    don't exercise): each view stream row joins the same user's click
+    stream rows that land within ``window`` after it. Both sides carry
+    watermarks and the join predicate carries the event-time range
+    constraint — exactly what Spark requires to bound join state: a
+    buffered view row is dropped once the click watermark passes
+    v_ts + window, so state is (rate × window)-bounded at any stream
+    length. Equality with the batch interval join holds for this
+    single-file availableNow replay (one micro-batch — in-batch
+    matches are always emitted); a multi-batch replay could only ADD
+    late-arrival drops, which the watermark makes deterministic."""
+    name = f"ivj_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_stream_ckpt_")
+    try:
+        with utc_session(spark):
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+            def src():
+                return (spark.readStream.schema(schema)
+                        .option("pathGlobFilter", "events.parquet")
+                        .parquet(sf_dir)
+                        .withColumn("ts", F.col("ts").cast("timestamp")))
+
+            views = (src().filter(F.col("event_type") == "view")
+                     .select(F.col("user_id").alias("v_user"),
+                             F.col("ts").alias("v_ts"),
+                             F.col("event_id").alias("v_id"))
+                     .withWatermark("v_ts", watermark))
+            clicks = (src().filter(F.col("event_type") == "click")
+                      .select(F.col("user_id").alias("c_user"),
+                              F.col("ts").alias("c_ts"),
+                              F.col("event_id").alias("c_id"))
+                      .withWatermark("c_ts", watermark))
+            j = (views.join(
+                clicks,
+                (F.col("c_user") == F.col("v_user"))
+                & (F.col("c_ts") >= F.col("v_ts"))
+                & (F.col("c_ts") <= F.col("v_ts")
+                   + F.expr(f"INTERVAL {window}")), "inner")
+                .select("v_id", "c_id",
+                        F.expr("timestampdiff(MICROSECOND, v_ts, c_ts)")
+                        .alias("lag_us")))
+            q = (j.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
