@@ -10144,6 +10144,117 @@ FROM pages GROUP BY ROLLUP (tld, lang)
 ORDER BY gid, tld ASC NULLS FIRST, lang ASC NULLS FIRST"""
 
 
+# --- DSIR importance resampling (Xie et al. 2023, NeurIPS —
+# --- "Data Selection for Language Models via Importance Resampling") ---
+
+DSIR_B = 64    # hashed n-gram feature buckets
+DSIR_K = 40    # documents selected (top-k by importance weight)
+
+
+def _dsir_bucket_sql(col: str = "f") -> str:
+    """Portable hashed-feature bucket 0..DSIR_B-1: two md5 hex chars →
+    0..255, mod B — the IDENTICAL SQL text parses in both engines."""
+    h = f"md5(concat('dsir:', {col}))"
+    return (f"(({_HEXV.format(h=h, i=1)} * 16 "
+            f"+ {_HEXV.format(h=h, i=2)}) % {DSIR_B})")
+
+
+#: per-(doc,bucket) importance term — identical SQL text both engines;
+#: counts are exact integers, so the double math agrees bit-for-bit
+_DSIR_TERM = (
+    f"c * (ln((tc + {sqlexpr.dlit(1.0)}) / (tn + {sqlexpr.dlit(DSIR_B)})) "
+    f"- ln((qc + {sqlexpr.dlit(1.0)}) / (qn + {sqlexpr.dlit(DSIR_B)})))")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): estimate hashed-n-gram
+    bag-of-words multinomials for a TARGET domain sample p and the raw
+    pool q, score every raw document with the importance log-weight
+    log p(x) − log q(x) = Σ_b c_b·(ln p_b − ln q_b), and keep the
+    top-k. Features = unigrams + word bigrams hashed into {DSIR_B}
+    buckets (the paper's hashed n-gram generative model, add-1
+    smoothed). The target sample is the deterministic proxy
+    lang='en' AND doc_id%5=0 (a curated-domain stand-in — a real run
+    swaps in Wikipedia/books rows, same plan). Scale shape: the
+    bucket-count model is ≤{DSIR_B} rows (one map-side-combined
+    groupBy, broadcast back); per-doc scoring is one groupBy(doc_id,
+    bucket) plus a broadcast join — no all-pairs, no driver state; the
+    final top-k is TakeOrderedAndProject. Importance terms are folded
+    in bucket order for deterministic float summation."""
+    df = docs_df(spark, sf_dir)
+    ts = F.expr(r"filter(split(trim(lower(text)), '\\s+'), t -> t <> '')")
+    d = df.select("doc_id", "lang", ts.alias("ts"))
+    feats_arr = F.expr(
+        "concat(ts, zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)), "
+        "slice(ts, 2, greatest(size(ts) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b)))")
+    feats = (d.select("doc_id", "lang", F.explode(feats_arr).alias("f"))
+             .withColumn("bucket", F.expr(_dsir_bucket_sql()))
+             .withColumn("is_tgt",
+                         ((F.col("lang") == "en")
+                          & (F.col("doc_id") % 5 == 0)).cast("long")))
+    model = (feats.groupBy("bucket")
+             .agg(F.sum("is_tgt").alias("tc"),
+                  F.sum(F.lit(1) - F.col("is_tgt")).alias("qc")))
+    totals = model.agg(F.sum("tc").alias("tn"), F.sum("qc").alias("qn"))
+    per_doc = (feats.filter(F.col("is_tgt") == 0)
+               .groupBy("doc_id", "bucket")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .join(F.broadcast(model), "bucket")
+               .crossJoin(F.broadcast(totals))
+               .select("doc_id", "bucket", F.expr(_DSIR_TERM).alias("term")))
+    logw = (per_doc.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("bucket", "term")))
+                 .alias("terms"))
+            .select("doc_id",
+                    F.expr("aggregate(terms, CAST(0.0 AS DOUBLE), "
+                           "(a, x) -> a + x.term)").alias("logw")))
+    top = logw.orderBy(F.desc("logw"), "doc_id").limit(DSIR_K)
+    w = Window.orderBy(F.desc("logw"), "doc_id")
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "doc_id", F.round("logw", 6).alias("logw")))
+
+
+def o_dsir_weights():
+    return f"""WITH toks AS (
+  SELECT doc_id, lang,
+         LIST_FILTER(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang, f,
+         {_dsir_bucket_sql()} AS bucket,
+         CAST(lang = 'en' AND doc_id % 5 = 0 AS BIGINT) AS is_tgt
+  FROM (
+    SELECT doc_id, lang, UNNEST(ts) AS f FROM toks
+    UNION ALL
+    SELECT doc_id, lang,
+           UNNEST(list_transform(range(1, len(ts)),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS f
+    FROM toks)),
+model AS (
+  SELECT bucket, SUM(is_tgt) AS tc, SUM(1 - is_tgt) AS qc
+  FROM feats GROUP BY bucket),
+totals AS (SELECT SUM(tc) AS tn, SUM(qc) AS qn FROM model),
+per_doc AS (
+  SELECT f.doc_id, f.bucket, m.tc, m.qc, t.tn, t.qn,
+         COUNT(*) AS c
+  FROM feats f JOIN model m ON m.bucket = f.bucket, totals t
+  WHERE f.is_tgt = 0
+  GROUP BY f.doc_id, f.bucket, m.tc, m.qc, t.tn, t.qn),
+logw AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list({_DSIR_TERM} ORDER BY bucket)),
+           (a, x) -> a + x) AS logw
+  FROM per_doc GROUP BY doc_id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, ROUND(logw, 6) AS logw
+FROM logw ORDER BY logw DESC, doc_id LIMIT {DSIR_K}"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10354,4 +10465,5 @@ REGISTRY: dict[str, tuple] = {
     "robots_filter": (q_robots_filter, o_robots_filter),
     "stream_interval_join": (q_stream_interval_join,
                              o_stream_interval_join),
+    "dsir_weights": (q_dsir_weights, o_dsir_weights),
 }
