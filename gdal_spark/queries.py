@@ -10255,6 +10255,89 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS INT)
 FROM logw ORDER BY logw DESC, doc_id LIMIT {DSIR_K}"""
 
 
+# --- Linear referencing (ogrlineref -get_pos, apps/ogrlineref.cpp:
+# --- GetPosition — project a point onto the reference line and
+# --- report the measure along it) ---
+
+#: shared SQL fragments — IDENTICAL text in Spark and DuckDB so the
+#: float math agrees bit-for-bit (the sqlexpr.py discipline)
+_LREF_LEN2 = "((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))"
+_LREF_T = (f"(((plon - x1) * (x2 - x1) + (plat - y1) * (y2 - y1)) "
+           f"/ {_LREF_LEN2})")
+_LREF_TC = f"LEAST(GREATEST({_LREF_T}, 0.0), 1.0)"
+_LREF_D2 = (f"((plon - (x1 + {_LREF_TC} * (x2 - x1))) "
+            f"* (plon - (x1 + {_LREF_TC} * (x2 - x1))) "
+            f"+ (plat - (y1 + {_LREF_TC} * (y2 - y1))) "
+            f"* (plat - (y1 + {_LREF_TC} * (y2 - y1))))")
+_LREF_M = f"(cum0 + {_LREF_TC} * sqrt({_LREF_LEN2}))"
+_LREF_CUM = ("COALESCE(SUM(elen) OVER (PARTITION BY zone_fid, ring_id "
+             "ORDER BY edge ROWS BETWEEN UNBOUNDED PRECEDING AND "
+             "1 PRECEDING), CAST(0.0 AS DOUBLE))")
+
+
+def q_linear_ref(spark, sf_dir):
+    """Linear referencing, ogrlineref -get_pos (apps/ogrlineref.cpp
+    GetPosition): for every geocoded point find the closest segment of
+    the reference line network (the zone boundary rings), project onto
+    it, and report the measure m (arc length from the ring start to
+    the projection) plus the perpendicular offset — the locate-event-
+    on-nearest-route primitive. Points are systematically subsampled
+    (pt_id % 16 = 1) to keep the gate compact; the plan is unchanged
+    at any density. Scale shape: the line network (46 segments, with
+    window-cumulated start measures) is broadcast; the point table is
+    never shuffled before the one groupBy(pt_id) argmin — linear in
+    points, the nearest-road join at any corpus size. Argmin by
+    (d2, zone_fid, ring_id, edge) via min(struct) ↔ ROW_NUMBER."""
+    edges = (_ring_edges_df(spark)
+             .withColumn("elen", F.expr(f"sqrt({_LREF_LEN2})"))
+             .withColumn("cum0", F.expr(_LREF_CUM))
+             .drop("elen"))
+    pts = (points_df(spark, sf_dir)
+           .filter("lat IS NOT NULL AND lon IS NOT NULL "
+                   "AND pt_id % 16 = 1")
+           .select("pt_id", F.col("lon").alias("plon"),
+                   F.col("lat").alias("plat")))
+    cand = (pts.crossJoin(F.broadcast(edges))
+            .select("pt_id",
+                    F.expr(_LREF_D2).alias("d2"),
+                    F.col("zone_fid"), F.col("ring_id"), F.col("edge"),
+                    F.expr(_LREF_M).alias("m")))
+    best = (cand.groupBy("pt_id")
+            .agg(F.min(F.struct("d2", "zone_fid", "ring_id", "edge", "m"))
+                 .alias("b")))
+    return (best.select(
+        "pt_id", F.col("b.zone_fid").alias("zone_fid"),
+        F.col("b.ring_id").alias("ring_id"),
+        F.col("b.edge").alias("edge"),
+        F.round(F.col("b.m"), 6).alias("m"),
+        F.round(F.sqrt(F.col("b.d2")), 6).alias("offset_dist"))
+        .orderBy("pt_id"))
+
+
+def o_linear_ref():
+    from gdal_spark.fixtures import zone_ring_edges_sql
+    return f"""WITH {sqlexpr.points_cte()},
+edges AS (
+  SELECT zone_fid, ring_id, edge, x1, y1, x2, y2,
+         {_LREF_CUM} AS cum0
+  FROM (SELECT *, sqrt({_LREF_LEN2}) AS elen
+        FROM {zone_ring_edges_sql()})),
+cand AS (
+  SELECT p.pt_id, {_LREF_D2} AS d2,
+         e.zone_fid, e.ring_id, e.edge, {_LREF_M} AS m
+  FROM (SELECT pt_id, lon AS plon, lat AS plat FROM points
+        WHERE lat IS NOT NULL AND lon IS NOT NULL
+          AND pt_id % 16 = 1) p
+  CROSS JOIN edges e),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pt_id
+            ORDER BY d2, zone_fid, ring_id, edge) AS r
+  FROM cand)
+SELECT pt_id, zone_fid, ring_id, edge, ROUND(m, 6) AS m,
+       ROUND(sqrt(d2), 6) AS offset_dist
+FROM rk WHERE r = 1 ORDER BY pt_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10466,4 +10549,5 @@ REGISTRY: dict[str, tuple] = {
     "stream_interval_join": (q_stream_interval_join,
                              o_stream_interval_join),
     "dsir_weights": (q_dsir_weights, o_dsir_weights),
+    "linear_ref": (q_linear_ref, o_linear_ref),
 }
