@@ -10338,6 +10338,91 @@ SELECT pt_id, zone_fid, ring_id, edge, ROUND(m, 6) AS m,
 FROM rk WHERE r = 1 ORDER BY pt_id"""
 
 
+# --- nearblack (apps/nearblack_lib.cpp): collar removal ---
+
+NB_W, NB_H = 48, 48     # synthetic frame raster
+NB_NEAR = 15            # -near distance
+
+#: deterministic collar fixture — near-black (v <= NB_NEAR) on a
+#: ragged frame plus an INTERIOR dark blob that must NOT be masked
+#: (prefix semantics, not thresholding); identical text both engines
+_NB_DARK = (f"(px < 3 + py % 5 OR px > {NB_W - 4} - py % 7 "
+            f"OR py < 2 + px % 4 OR py > {NB_H - 3} - px % 6 "
+            f"OR (px >= 20 AND px <= 25 AND py >= 20 AND py <= 25))")
+_NB_V = (f"CASE WHEN {_NB_DARK} THEN (px * 7 + py * 11) % {NB_NEAR + 1} "
+         f"ELSE {NB_NEAR + 1} + (px * 13 + py * 3) % 100 END")
+
+
+def q_nearblack(spark, sf_dir):
+    """nearblack -near {NB_NEAR} -setalpha with -nb 0
+    (apps/nearblack_lib.cpp ProcessLine:545-720): collapse the
+    near-black collar around real data to true black + alpha 0. With
+    nMaxNonBlack=0 the reference's two passes (top-down then bottom-up,
+    each doing a vertical column check then an in-line horizontal scan
+    from both ends) reduce EXACTLY to: a pixel is collar iff every
+    pixel between it and some edge, along its row or column, is
+    near-black — replacement writes 0 which is itself near-black, so
+    classification is invariant across passes and the sequential loop
+    carries no extra state (the nNonBlackPixels/panLastLineCounts
+    machinery only matters for -nb > 0). Spark: four running-MIN
+    window passes (left/right/top/bottom prefix-AND), integer-only.
+    Scale shape: each pass partitions by scanline (row or column) —
+    the reference's own line-parallel decomposition; no pass ever
+    sees more than one scanline of state."""
+    px = F.explode(F.sequence(F.lit(0), F.lit(NB_W - 1))).alias("px")
+    g = (spark.range(NB_H).select(F.col("id").cast("int").alias("py"))
+         .select("py", px)
+         .select("py", "px", F.expr(_NB_V).cast("int").alias("v"))
+         .withColumn("dark", (F.col("v") <= NB_NEAR).cast("int")))
+    wl = (Window.partitionBy("py").orderBy("px")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wr = (Window.partitionBy("py").orderBy(F.desc("px"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = (Window.partitionBy("px").orderBy("py")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wb = (Window.partitionBy("px").orderBy(F.desc("py"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    m = (g.withColumn("cl", F.min("dark").over(wl))
+         .withColumn("cr", F.min("dark").over(wr))
+         .withColumn("ct", F.min("dark").over(wt))
+         .withColumn("cb", F.min("dark").over(wb)))
+    collar = F.greatest("cl", "cr", "ct", "cb")
+    return (m.select(
+        "py", "px",
+        F.when(collar == 1, F.lit(0)).otherwise(F.col("v"))
+        .cast("int").alias("v_out"),
+        F.when(collar == 1, F.lit(0)).otherwise(F.lit(255))
+        .cast("int").alias("alpha"))
+        .orderBy("py", "px"))
+
+
+def o_nearblack():
+    return f"""WITH g AS (
+  SELECT py.range AS py, px.range AS px
+  FROM range(0, {NB_H}) py CROSS JOIN range(0, {NB_W}) px),
+v AS (
+  SELECT py, px, CAST({_NB_V} AS INT) AS v,
+         CAST(({_NB_V}) <= {NB_NEAR} AS INT) AS dark
+  FROM g),
+m AS (
+  SELECT py, px, v,
+    MIN(dark) OVER (PARTITION BY py ORDER BY px
+                    ROWS UNBOUNDED PRECEDING) AS cl,
+    MIN(dark) OVER (PARTITION BY py ORDER BY px DESC
+                    ROWS UNBOUNDED PRECEDING) AS cr,
+    MIN(dark) OVER (PARTITION BY px ORDER BY py
+                    ROWS UNBOUNDED PRECEDING) AS ct,
+    MIN(dark) OVER (PARTITION BY px ORDER BY py DESC
+                    ROWS UNBOUNDED PRECEDING) AS cb
+  FROM v)
+SELECT CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+       CAST(CASE WHEN GREATEST(cl, cr, ct, cb) = 1
+                 THEN 0 ELSE v END AS INT) AS v_out,
+       CAST(CASE WHEN GREATEST(cl, cr, ct, cb) = 1
+                 THEN 0 ELSE 255 END AS INT) AS alpha
+FROM m ORDER BY py, px"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10550,4 +10635,5 @@ REGISTRY: dict[str, tuple] = {
                              o_stream_interval_join),
     "dsir_weights": (q_dsir_weights, o_dsir_weights),
     "linear_ref": (q_linear_ref, o_linear_ref),
+    "nearblack": (q_nearblack, o_nearblack),
 }
