@@ -10338,6 +10338,83 @@ SELECT pt_id, zone_fid, ring_id, edge, ROUND(m, 6) AS m,
 FROM rk WHERE r = 1 ORDER BY pt_id"""
 
 
+# --- Within-document duplicate-line removal (RefinedWeb/MassiveText
+# --- repetition cleanup — line-level exact dedup INSIDE each doc) ---
+
+PARA_LINE = 8   # tokens per synthesized "line" (fixture has no \n)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Within-doc duplicate-line removal — the repetition-cleanup pass
+    public pipelines run before corpus-level dedup (RefinedWeb's exact
+    line dedup inside a page; distinct from line_dedup's CORPUS-level
+    span dedup): keep the first occurrence of each distinct line in a
+    document, preserving order. The fixture text has no newlines, so
+    lines are synthesized as fixed {PARA_LINE}-token chunks; docs with
+    doc_id % 11 = 0 get their first line re-appended (identically in
+    both engines) so removal is non-vacuous. Output per doc: line
+    count, kept count, md5 of the rejoined deduped text. Scale shape:
+    map-only chunking, one groupBy(doc_id, line) window for
+    first-occurrence, one groupBy(doc_id) reassembly — both keyed by
+    doc_id, AQE-coalesced; no corpus-wide state."""
+    df = docs_df(spark, sf_dir)
+    ts = r"filter(split(trim(lower(text)), '\\s+'), t -> t <> '')"
+    lines = (f"transform(sequence(0, CAST(ceil(size({ts}) "
+             f"/ {PARA_LINE}.0) AS INT) - 1), "
+             f"i -> array_join(slice({ts}, i * {PARA_LINE} + 1, "
+             f"{PARA_LINE}), ' '))")
+    aug = (f"CASE WHEN doc_id % 11 = 0 "
+           f"THEN array_append({lines}, element_at({lines}, 1)) "
+           f"ELSE {lines} END")
+    d = (df.filter(F.expr(f"size({ts}) > 0"))
+         .select("doc_id", F.expr(aug).alias("ls")))
+    e = d.select("doc_id", F.posexplode("ls").alias("pos", "line"))
+    w = Window.partitionBy("doc_id", "line").orderBy("pos")
+    kept = (e.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1))
+    g = (kept.groupBy("doc_id")
+         .agg(F.count(F.lit(1)).alias("n_kept"),
+              F.md5(F.array_join(
+                  F.expr("transform(sort_array(collect_list("
+                         "struct(pos, line))), x -> x.line)"), " "))
+              .alias("dedup_md5")))
+    n = d.select("doc_id", F.size("ls").cast("long").alias("n_lines"))
+    return (n.join(g, "doc_id")
+            .select("doc_id", "n_lines",
+                    F.col("n_kept").cast("long").alias("n_kept"),
+                    "dedup_md5")
+            .orderBy("doc_id"))
+
+
+def o_paragraph_dedup():
+    ts = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')"
+    lines = (f"list_transform(range(CAST(ceil(len({ts}) "
+             f"/ {PARA_LINE}.0) AS INT)), "
+             f"i -> array_to_string({ts}[i * {PARA_LINE} + 1 : "
+             f"i * {PARA_LINE} + {PARA_LINE}], ' '))")
+    return f"""WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN list_append({lines}, {lines}[1])
+              ELSE {lines} END AS ls
+  FROM documents WHERE len({ts}) > 0),
+e AS (
+  SELECT doc_id, UNNEST(range(1, len(ls) + 1)) AS pos,
+         UNNEST(ls) AS line
+  FROM d),
+kept AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rk
+  FROM e),
+g AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(line, ' ' ORDER BY pos)) AS dedup_md5
+  FROM kept WHERE rk = 1 GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_lines,
+       CAST(g.n_kept AS BIGINT) AS n_kept, g.dedup_md5
+FROM d JOIN g ON g.doc_id = d.doc_id ORDER BY d.doc_id"""
+
+
 # --- nearblack (apps/nearblack_lib.cpp): collar removal ---
 
 NB_W, NB_H = 48, 48     # synthetic frame raster
@@ -10636,4 +10713,5 @@ REGISTRY: dict[str, tuple] = {
     "dsir_weights": (q_dsir_weights, o_dsir_weights),
     "linear_ref": (q_linear_ref, o_linear_ref),
     "nearblack": (q_nearblack, o_nearblack),
+    "paragraph_dedup": (q_paragraph_dedup, o_paragraph_dedup),
 }
