@@ -10500,6 +10500,81 @@ SELECT CAST(py AS INT) AS py, CAST(px AS INT) AS px,
 FROM m ORDER BY py, px"""
 
 
+LREF_STEP = 0.25   # station spacing (degrees, fixture scale)
+
+#: station interpolation — shared SQL text both engines
+_LREF_SX = "(x1 + ((s - cum0) / elen) * (x2 - x1))"
+_LREF_SY = "(y1 + ((s - cum0) / elen) * (y2 - y1))"
+
+
+def q_line_stations(spark, sf_dir):
+    """Linear referencing, ogrlineref -calc_pos (apps/ogrlineref.cpp
+    GetPosition at measure): emit a station point every {LREF_STEP}
+    units of arc length along each reference ring — the
+    kilometer-post / route-marker generator. Station s lands on the
+    unique segment with cum0 <= s < cum0 + len and interpolates
+    linearly. Scale shape: stations per line = length/step, generated
+    by an explode on the tiny per-ring length table; the
+    station-to-segment pairing is a broadcast range join (segments per
+    ring bounded); everything downstream is map-only column math."""
+    edges = (_ring_edges_df(spark)
+             .withColumn("elen", F.expr(f"sqrt({_LREF_LEN2})"))
+             .withColumn("cum0", F.expr(_LREF_CUM)))
+    # total = ordered prefix end of the LAST edge (MAX is order-free,
+    # unlike a whole-partition float SUM whose add order is undefined)
+    wtot = Window.partitionBy("zone_fid", "ring_id")
+    rings = (edges
+             .withColumn("total",
+                         F.max(F.col("cum0") + F.col("elen")).over(wtot))
+             .select("zone_fid", "ring_id", "total").distinct())
+    st = (rings.select(
+        "zone_fid", "ring_id", "total",
+        F.explode(F.expr(
+            f"sequence(0, CAST(floor(total / {sqlexpr.dlit(LREF_STEP)}) "
+            f"AS INT))")).alias("k"))
+        .withColumn("s", F.expr(f"k * {sqlexpr.dlit(LREF_STEP)}"))
+        .filter(F.col("s") < F.col("total")))
+    j = (st.join(F.broadcast(edges), ["zone_fid", "ring_id"])
+         .filter((F.col("cum0") <= F.col("s"))
+                 & (F.col("s") < F.col("cum0") + F.col("elen"))))
+    return (j.select(
+        "zone_fid", "ring_id", F.col("k").cast("int").alias("k"),
+        F.round("s", 6).alias("m"),
+        F.round(F.expr(_LREF_SX), 6).alias("x"),
+        F.round(F.expr(_LREF_SY), 6).alias("y"))
+        .orderBy("zone_fid", "ring_id", "k"))
+
+
+def o_line_stations():
+    from gdal_spark.fixtures import zone_ring_edges_sql
+    return f"""WITH edges AS (
+  SELECT zone_fid, ring_id, edge, x1, y1, x2, y2, elen,
+         {_LREF_CUM} AS cum0
+  FROM (SELECT *, sqrt({_LREF_LEN2}) AS elen
+        FROM {zone_ring_edges_sql()})),
+rings AS (
+  SELECT DISTINCT zone_fid, ring_id,
+         MAX(cum0 + elen) OVER (PARTITION BY zone_fid, ring_id) AS total
+  FROM edges),
+st AS (
+  SELECT zone_fid, ring_id, total,
+         UNNEST(range(0, CAST(floor(total / {sqlexpr.dlit(LREF_STEP)})
+                              AS INT) + 1)) AS k
+  FROM rings),
+sv AS (
+  SELECT zone_fid, ring_id, k,
+         k * {sqlexpr.dlit(LREF_STEP)} AS s, total
+  FROM st)
+SELECT e.zone_fid, e.ring_id, CAST(v.k AS INT) AS k,
+       ROUND(v.s, 6) AS m,
+       ROUND({_LREF_SX}, 6) AS x, ROUND({_LREF_SY}, 6) AS y
+FROM sv v JOIN edges e
+  ON e.zone_fid = v.zone_fid AND e.ring_id = v.ring_id
+ AND e.cum0 <= v.s AND v.s < e.cum0 + e.elen
+WHERE v.s < v.total
+ORDER BY e.zone_fid, e.ring_id, k"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10714,4 +10789,5 @@ REGISTRY: dict[str, tuple] = {
     "linear_ref": (q_linear_ref, o_linear_ref),
     "nearblack": (q_nearblack, o_nearblack),
     "paragraph_dedup": (q_paragraph_dedup, o_paragraph_dedup),
+    "line_stations": (q_line_stations, o_line_stations),
 }
