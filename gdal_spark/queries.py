@@ -10575,6 +10575,62 @@ WHERE v.s < v.total
 ORDER BY e.zone_fid, e.ring_id, k"""
 
 
+def q_zonal_median(spark, sf_dir):
+    """Zonal median + nearest-rank quartiles — the `median` choice of
+    gdal raster zonal-stats (apps/gdalalg_raster_zonal_stats.cpp:68)
+    over page n_chars per zone. Median = average of the two middle
+    values (exact in IEEE for integer inputs); Q1/Q3 = nearest-rank
+    ceil(q·n). Rank-based formulation (window rank + conditional agg)
+    instead of an engine percentile builtin so both engines evaluate
+    the identical definition. Scale shape: one window per zone (zones
+    bounded); the heavy input is the PIP join, already the engine's
+    broadcast-cover plan."""
+    p = pages_df(spark, sf_dir)
+    hits = sj.pip_join(p, spark).select("zone_fid", "doc_id", "n_chars")
+    w = Window.partitionBy("zone_fid").orderBy("n_chars", "doc_id")
+    r = (hits.withColumn("rk", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1))
+                     .over(Window.partitionBy("zone_fid"))))
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("n DIV 2 + 1")
+    q1 = F.expr("CAST(ceil(0.25 * n) AS BIGINT)")
+    q3 = F.expr("CAST(ceil(0.75 * n) AS BIGINT)")
+    g = (r.groupBy("zone_fid")
+         .agg(F.max("n").alias("n_pages"),
+              F.max(F.when(F.col("rk") == lo, F.col("n_chars")))
+              .alias("mlo"),
+              F.max(F.when(F.col("rk") == hi, F.col("n_chars")))
+              .alias("mhi"),
+              F.max(F.when(F.col("rk") == q1, F.col("n_chars")))
+              .alias("q1_chars"),
+              F.max(F.when(F.col("rk") == q3, F.col("n_chars")))
+              .alias("q3_chars")))
+    med = (F.col("mlo") + F.col("mhi")).cast("double") / F.lit(2.0)
+    return (g.select("zone_fid", "n_pages", med.alias("median_chars"),
+                     "q1_chars", "q3_chars")
+            .orderBy("zone_fid"))
+
+
+def o_zonal_median():
+    return f"""
+WITH {sqlexpr.pages_cte()}, {_pip_sql()},
+r AS (
+  SELECT z.zone_fid, p.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY z.zone_fid
+                            ORDER BY p.n_chars, p.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY z.zone_fid) AS n
+  FROM pip z JOIN pages p ON p.doc_id = z.doc_id)
+SELECT zone_fid, MAX(n) AS n_pages,
+       CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN n_chars END)
+            + MAX(CASE WHEN rk = n // 2 + 1 THEN n_chars END)
+            AS DOUBLE) / 2.0 AS median_chars,
+       MAX(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT)
+                THEN n_chars END) AS q1_chars,
+       MAX(CASE WHEN rk = CAST(ceil(0.75 * n) AS BIGINT)
+                THEN n_chars END) AS q3_chars
+FROM r GROUP BY zone_fid ORDER BY zone_fid"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10790,4 +10846,5 @@ REGISTRY: dict[str, tuple] = {
     "nearblack": (q_nearblack, o_nearblack),
     "paragraph_dedup": (q_paragraph_dedup, o_paragraph_dedup),
     "line_stations": (q_line_stations, o_line_stations),
+    "zonal_median": (q_zonal_median, o_zonal_median),
 }
