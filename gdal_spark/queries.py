@@ -10255,89 +10255,6 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS INT)
 FROM logw ORDER BY logw DESC, doc_id LIMIT {DSIR_K}"""
 
 
-# --- Linear referencing (ogrlineref -get_pos, apps/ogrlineref.cpp:
-# --- GetPosition — project a point onto the reference line and
-# --- report the measure along it) ---
-
-#: shared SQL fragments — IDENTICAL text in Spark and DuckDB so the
-#: float math agrees bit-for-bit (the sqlexpr.py discipline)
-_LREF_LEN2 = "((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))"
-_LREF_T = (f"(((plon - x1) * (x2 - x1) + (plat - y1) * (y2 - y1)) "
-           f"/ {_LREF_LEN2})")
-_LREF_TC = f"LEAST(GREATEST({_LREF_T}, 0.0), 1.0)"
-_LREF_D2 = (f"((plon - (x1 + {_LREF_TC} * (x2 - x1))) "
-            f"* (plon - (x1 + {_LREF_TC} * (x2 - x1))) "
-            f"+ (plat - (y1 + {_LREF_TC} * (y2 - y1))) "
-            f"* (plat - (y1 + {_LREF_TC} * (y2 - y1))))")
-_LREF_M = f"(cum0 + {_LREF_TC} * sqrt({_LREF_LEN2}))"
-_LREF_CUM = ("COALESCE(SUM(elen) OVER (PARTITION BY zone_fid, ring_id "
-             "ORDER BY edge ROWS BETWEEN UNBOUNDED PRECEDING AND "
-             "1 PRECEDING), CAST(0.0 AS DOUBLE))")
-
-
-def q_linear_ref(spark, sf_dir):
-    """Linear referencing, ogrlineref -get_pos (apps/ogrlineref.cpp
-    GetPosition): for every geocoded point find the closest segment of
-    the reference line network (the zone boundary rings), project onto
-    it, and report the measure m (arc length from the ring start to
-    the projection) plus the perpendicular offset — the locate-event-
-    on-nearest-route primitive. Points are systematically subsampled
-    (pt_id % 16 = 1) to keep the gate compact; the plan is unchanged
-    at any density. Scale shape: the line network (46 segments, with
-    window-cumulated start measures) is broadcast; the point table is
-    never shuffled before the one groupBy(pt_id) argmin — linear in
-    points, the nearest-road join at any corpus size. Argmin by
-    (d2, zone_fid, ring_id, edge) via min(struct) ↔ ROW_NUMBER."""
-    edges = (_ring_edges_df(spark)
-             .withColumn("elen", F.expr(f"sqrt({_LREF_LEN2})"))
-             .withColumn("cum0", F.expr(_LREF_CUM))
-             .drop("elen"))
-    pts = (points_df(spark, sf_dir)
-           .filter("lat IS NOT NULL AND lon IS NOT NULL "
-                   "AND pt_id % 16 = 1")
-           .select("pt_id", F.col("lon").alias("plon"),
-                   F.col("lat").alias("plat")))
-    cand = (pts.crossJoin(F.broadcast(edges))
-            .select("pt_id",
-                    F.expr(_LREF_D2).alias("d2"),
-                    F.col("zone_fid"), F.col("ring_id"), F.col("edge"),
-                    F.expr(_LREF_M).alias("m")))
-    best = (cand.groupBy("pt_id")
-            .agg(F.min(F.struct("d2", "zone_fid", "ring_id", "edge", "m"))
-                 .alias("b")))
-    return (best.select(
-        "pt_id", F.col("b.zone_fid").alias("zone_fid"),
-        F.col("b.ring_id").alias("ring_id"),
-        F.col("b.edge").alias("edge"),
-        F.round(F.col("b.m"), 6).alias("m"),
-        F.round(F.sqrt(F.col("b.d2")), 6).alias("offset_dist"))
-        .orderBy("pt_id"))
-
-
-def o_linear_ref():
-    from gdal_spark.fixtures import zone_ring_edges_sql
-    return f"""WITH {sqlexpr.points_cte()},
-edges AS (
-  SELECT zone_fid, ring_id, edge, x1, y1, x2, y2,
-         {_LREF_CUM} AS cum0
-  FROM (SELECT *, sqrt({_LREF_LEN2}) AS elen
-        FROM {zone_ring_edges_sql()})),
-cand AS (
-  SELECT p.pt_id, {_LREF_D2} AS d2,
-         e.zone_fid, e.ring_id, e.edge, {_LREF_M} AS m
-  FROM (SELECT pt_id, lon AS plon, lat AS plat FROM points
-        WHERE lat IS NOT NULL AND lon IS NOT NULL
-          AND pt_id % 16 = 1) p
-  CROSS JOIN edges e),
-rk AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY pt_id
-            ORDER BY d2, zone_fid, ring_id, edge) AS r
-  FROM cand)
-SELECT pt_id, zone_fid, ring_id, edge, ROUND(m, 6) AS m,
-       ROUND(sqrt(d2), 6) AS offset_dist
-FROM rk WHERE r = 1 ORDER BY pt_id"""
-
-
 # --- Within-document duplicate-line removal (RefinedWeb/MassiveText
 # --- repetition cleanup — line-level exact dedup INSIDE each doc) ---
 
@@ -10413,166 +10330,6 @@ g AS (
 SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_lines,
        CAST(g.n_kept AS BIGINT) AS n_kept, g.dedup_md5
 FROM d JOIN g ON g.doc_id = d.doc_id ORDER BY d.doc_id"""
-
-
-# --- nearblack (apps/nearblack_lib.cpp): collar removal ---
-
-NB_W, NB_H = 48, 48     # synthetic frame raster
-NB_NEAR = 15            # -near distance
-
-#: deterministic collar fixture — near-black (v <= NB_NEAR) on a
-#: ragged frame plus an INTERIOR dark blob that must NOT be masked
-#: (prefix semantics, not thresholding); identical text both engines
-_NB_DARK = (f"(px < 3 + py % 5 OR px > {NB_W - 4} - py % 7 "
-            f"OR py < 2 + px % 4 OR py > {NB_H - 3} - px % 6 "
-            f"OR (px >= 20 AND px <= 25 AND py >= 20 AND py <= 25))")
-_NB_V = (f"CASE WHEN {_NB_DARK} THEN (px * 7 + py * 11) % {NB_NEAR + 1} "
-         f"ELSE {NB_NEAR + 1} + (px * 13 + py * 3) % 100 END")
-
-
-def q_nearblack(spark, sf_dir):
-    """nearblack -near {NB_NEAR} -setalpha with -nb 0
-    (apps/nearblack_lib.cpp ProcessLine:545-720): collapse the
-    near-black collar around real data to true black + alpha 0. With
-    nMaxNonBlack=0 the reference's two passes (top-down then bottom-up,
-    each doing a vertical column check then an in-line horizontal scan
-    from both ends) reduce EXACTLY to: a pixel is collar iff every
-    pixel between it and some edge, along its row or column, is
-    near-black — replacement writes 0 which is itself near-black, so
-    classification is invariant across passes and the sequential loop
-    carries no extra state (the nNonBlackPixels/panLastLineCounts
-    machinery only matters for -nb > 0). Spark: four running-MIN
-    window passes (left/right/top/bottom prefix-AND), integer-only.
-    Scale shape: each pass partitions by scanline (row or column) —
-    the reference's own line-parallel decomposition; no pass ever
-    sees more than one scanline of state."""
-    px = F.explode(F.sequence(F.lit(0), F.lit(NB_W - 1))).alias("px")
-    g = (spark.range(NB_H).select(F.col("id").cast("int").alias("py"))
-         .select("py", px)
-         .select("py", "px", F.expr(_NB_V).cast("int").alias("v"))
-         .withColumn("dark", (F.col("v") <= NB_NEAR).cast("int")))
-    wl = (Window.partitionBy("py").orderBy("px")
-          .rowsBetween(Window.unboundedPreceding, 0))
-    wr = (Window.partitionBy("py").orderBy(F.desc("px"))
-          .rowsBetween(Window.unboundedPreceding, 0))
-    wt = (Window.partitionBy("px").orderBy("py")
-          .rowsBetween(Window.unboundedPreceding, 0))
-    wb = (Window.partitionBy("px").orderBy(F.desc("py"))
-          .rowsBetween(Window.unboundedPreceding, 0))
-    m = (g.withColumn("cl", F.min("dark").over(wl))
-         .withColumn("cr", F.min("dark").over(wr))
-         .withColumn("ct", F.min("dark").over(wt))
-         .withColumn("cb", F.min("dark").over(wb)))
-    collar = F.greatest("cl", "cr", "ct", "cb")
-    return (m.select(
-        "py", "px",
-        F.when(collar == 1, F.lit(0)).otherwise(F.col("v"))
-        .cast("int").alias("v_out"),
-        F.when(collar == 1, F.lit(0)).otherwise(F.lit(255))
-        .cast("int").alias("alpha"))
-        .orderBy("py", "px"))
-
-
-def o_nearblack():
-    return f"""WITH g AS (
-  SELECT py.range AS py, px.range AS px
-  FROM range(0, {NB_H}) py CROSS JOIN range(0, {NB_W}) px),
-v AS (
-  SELECT py, px, CAST({_NB_V} AS INT) AS v,
-         CAST(({_NB_V}) <= {NB_NEAR} AS INT) AS dark
-  FROM g),
-m AS (
-  SELECT py, px, v,
-    MIN(dark) OVER (PARTITION BY py ORDER BY px
-                    ROWS UNBOUNDED PRECEDING) AS cl,
-    MIN(dark) OVER (PARTITION BY py ORDER BY px DESC
-                    ROWS UNBOUNDED PRECEDING) AS cr,
-    MIN(dark) OVER (PARTITION BY px ORDER BY py
-                    ROWS UNBOUNDED PRECEDING) AS ct,
-    MIN(dark) OVER (PARTITION BY px ORDER BY py DESC
-                    ROWS UNBOUNDED PRECEDING) AS cb
-  FROM v)
-SELECT CAST(py AS INT) AS py, CAST(px AS INT) AS px,
-       CAST(CASE WHEN GREATEST(cl, cr, ct, cb) = 1
-                 THEN 0 ELSE v END AS INT) AS v_out,
-       CAST(CASE WHEN GREATEST(cl, cr, ct, cb) = 1
-                 THEN 0 ELSE 255 END AS INT) AS alpha
-FROM m ORDER BY py, px"""
-
-
-LREF_STEP = 0.25   # station spacing (degrees, fixture scale)
-
-#: station interpolation — shared SQL text both engines
-_LREF_SX = "(x1 + ((s - cum0) / elen) * (x2 - x1))"
-_LREF_SY = "(y1 + ((s - cum0) / elen) * (y2 - y1))"
-
-
-def q_line_stations(spark, sf_dir):
-    """Linear referencing, ogrlineref -calc_pos (apps/ogrlineref.cpp
-    GetPosition at measure): emit a station point every {LREF_STEP}
-    units of arc length along each reference ring — the
-    kilometer-post / route-marker generator. Station s lands on the
-    unique segment with cum0 <= s < cum0 + len and interpolates
-    linearly. Scale shape: stations per line = length/step, generated
-    by an explode on the tiny per-ring length table; the
-    station-to-segment pairing is a broadcast range join (segments per
-    ring bounded); everything downstream is map-only column math."""
-    edges = (_ring_edges_df(spark)
-             .withColumn("elen", F.expr(f"sqrt({_LREF_LEN2})"))
-             .withColumn("cum0", F.expr(_LREF_CUM)))
-    # total = ordered prefix end of the LAST edge (MAX is order-free,
-    # unlike a whole-partition float SUM whose add order is undefined)
-    wtot = Window.partitionBy("zone_fid", "ring_id")
-    rings = (edges
-             .withColumn("total",
-                         F.max(F.col("cum0") + F.col("elen")).over(wtot))
-             .select("zone_fid", "ring_id", "total").distinct())
-    st = (rings.select(
-        "zone_fid", "ring_id", "total",
-        F.explode(F.expr(
-            f"sequence(0, CAST(floor(total / {sqlexpr.dlit(LREF_STEP)}) "
-            f"AS INT))")).alias("k"))
-        .withColumn("s", F.expr(f"k * {sqlexpr.dlit(LREF_STEP)}"))
-        .filter(F.col("s") < F.col("total")))
-    j = (st.join(F.broadcast(edges), ["zone_fid", "ring_id"])
-         .filter((F.col("cum0") <= F.col("s"))
-                 & (F.col("s") < F.col("cum0") + F.col("elen"))))
-    return (j.select(
-        "zone_fid", "ring_id", F.col("k").cast("int").alias("k"),
-        F.round("s", 6).alias("m"),
-        F.round(F.expr(_LREF_SX), 6).alias("x"),
-        F.round(F.expr(_LREF_SY), 6).alias("y"))
-        .orderBy("zone_fid", "ring_id", "k"))
-
-
-def o_line_stations():
-    from gdal_spark.fixtures import zone_ring_edges_sql
-    return f"""WITH edges AS (
-  SELECT zone_fid, ring_id, edge, x1, y1, x2, y2, elen,
-         {_LREF_CUM} AS cum0
-  FROM (SELECT *, sqrt({_LREF_LEN2}) AS elen
-        FROM {zone_ring_edges_sql()})),
-rings AS (
-  SELECT DISTINCT zone_fid, ring_id,
-         MAX(cum0 + elen) OVER (PARTITION BY zone_fid, ring_id) AS total
-  FROM edges),
-st AS (
-  SELECT zone_fid, ring_id, total,
-         UNNEST(range(0, CAST(floor(total / {sqlexpr.dlit(LREF_STEP)})
-                              AS INT) + 1)) AS k
-  FROM rings),
-sv AS (
-  SELECT zone_fid, ring_id, k,
-         k * {sqlexpr.dlit(LREF_STEP)} AS s, total
-  FROM st)
-SELECT e.zone_fid, e.ring_id, CAST(v.k AS INT) AS k,
-       ROUND(v.s, 6) AS m,
-       ROUND({_LREF_SX}, 6) AS x, ROUND({_LREF_SY}, 6) AS y
-FROM sv v JOIN edges e
-  ON e.zone_fid = v.zone_fid AND e.ring_id = v.ring_id
- AND e.cum0 <= v.s AND v.s < e.cum0 + e.elen
-WHERE v.s < v.total
-ORDER BY e.zone_fid, e.ring_id, k"""
 
 
 def q_zonal_median(spark, sf_dir):
@@ -10842,9 +10599,6 @@ REGISTRY: dict[str, tuple] = {
     "stream_interval_join": (q_stream_interval_join,
                              o_stream_interval_join),
     "dsir_weights": (q_dsir_weights, o_dsir_weights),
-    "linear_ref": (q_linear_ref, o_linear_ref),
-    "nearblack": (q_nearblack, o_nearblack),
     "paragraph_dedup": (q_paragraph_dedup, o_paragraph_dedup),
-    "line_stations": (q_line_stations, o_line_stations),
     "zonal_median": (q_zonal_median, o_zonal_median),
 }
