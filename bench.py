@@ -129,7 +129,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "bigram_logprob", "perplexity_buckets", "bpe_apply",
                  "label_centroids", "curation_pipeline", "geom_distance",
                  "hll_count", "tld_lang_rollup", "resample_ffill",
-                 "corpus_diff", "robots_filter", "stream_interval_join"]:
+                 "corpus_diff", "robots_filter", "stream_interval_join",
+                 "dsir_weights", "paragraph_dedup", "zonal_median"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
