@@ -10388,6 +10388,63 @@ SELECT zone_fid, MAX(n) AS n_pages,
 FROM r GROUP BY zone_fid ORDER BY zone_fid"""
 
 
+# --- Weighted sampling without replacement (Efraimidis & Spirakis
+# --- 2006, "Weighted random sampling with a reservoir", A-Res) ---
+
+WS_K = 30          # sample size
+_WS_SCALE = float(1 << 48)   # 12 md5 hex digits -> uniform grid
+
+
+def _ws_u_sql(h: str) -> str:
+    """Uniform u in (0,1) from 12 md5 hex chars: v in [0, 2^48),
+    u = (v + 0.5) / 2^48 — exact in IEEE (power-of-two divisor).
+    Each hex digit is cast to BIGINT before the 16^k multiply (the
+    instr trick yields INT32; 16^11 would overflow it)."""
+    v = " + ".join(
+        f"CAST({_HEXV.format(h=h, i=i + 1)} AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12))
+    return (f"((CAST({v} AS DOUBLE) + {sqlexpr.dlit(0.5)}) "
+            f"/ {sqlexpr.dlit(_WS_SCALE)})")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-Res — the one-pass reservoir scheme; also the exact
+    resampling step DSIR's importance weights feed): each doc draws
+    key = ln(u)/w with u uniform from md5 (seedless, engine-portable)
+    and weight w = n_chars; the top-{WS_K} keys ARE a weighted sample
+    without replacement. Deterministic and exactly checkable, unlike
+    rand()-based sampling. Scale shape: map-only key computation +
+    TakeOrderedAndProject — one pass, no reservoir state, any corpus
+    size; padding probability exact by construction."""
+    h = "md5(concat('ws:', CAST(doc_id AS STRING)))"
+    key = (f"{_ws_u_sql('h')} AS u")
+    d = (docs_df(spark, sf_dir)
+         .filter(F.col("n_chars") > 0)
+         .select("doc_id", "n_chars", F.expr(h).alias("h"))
+         .select("doc_id", "n_chars", F.expr(key))
+         .select("doc_id", "n_chars",
+                 (F.log("u") / F.col("n_chars").cast("double"))
+                 .alias("skey")))
+    top = d.orderBy(F.desc("skey"), "doc_id").limit(WS_K)
+    w = Window.orderBy(F.desc("skey"), "doc_id")
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "doc_id", "n_chars",
+                    F.round("skey", 9).alias("skey")))
+
+
+def o_weighted_sample():
+    h = "md5(concat('ws:', CAST(doc_id AS VARCHAR)))"
+    return f"""WITH d AS (
+  SELECT doc_id, n_chars,
+         ln({_ws_u_sql(h)}) / CAST(n_chars AS DOUBLE) AS skey
+  FROM documents WHERE n_chars > 0)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, n_chars, ROUND(skey, 9) AS skey
+FROM d ORDER BY skey DESC, doc_id LIMIT {WS_K}"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10601,4 +10658,5 @@ REGISTRY: dict[str, tuple] = {
     "dsir_weights": (q_dsir_weights, o_dsir_weights),
     "paragraph_dedup": (q_paragraph_dedup, o_paragraph_dedup),
     "zonal_median": (q_zonal_median, o_zonal_median),
+    "weighted_sample": (q_weighted_sample, o_weighted_sample),
 }
