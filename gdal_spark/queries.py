@@ -10445,6 +10445,94 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) AS INT)
 FROM d ORDER BY skey DESC, doc_id LIMIT {WS_K}"""
 
 
+# --- ANN quality evaluation: recall@k of IVF vs exact top-k ---
+
+ANN_RECALL_NPROBES = (1, 2, 4)
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the IVF index against the exact brute-force top-10
+    — the standard ANN quality dial (recall vs nprobe trade-off every
+    vector-search deployment tunes; evaluated here exactly like a
+    faiss benchmark harness would). Same trained codebook and query
+    (vec 0) as ivf_ann; one row per nprobe in {ANN_RECALL_NPROBES}.
+    Scale shape: each arm is the ivf_ann plan (cell-pruned scan +
+    TakeOrderedAndProject) joined to the 10-row exact set — the eval
+    costs nprobe scans of the pruned cells, not a second full pass."""
+    from gdal_spark.operators import ann as ann_op
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ann_op.train_codebook(
+        df, k=IVF_K, iters=IVF_ITERS, train_n=IVF_TRAIN_N)
+    query = [float(v) for v in
+             df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qarr = F.array(*[F.lit(v) for v in query])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), qarr,
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    exact = (df.withColumn("dot", F.round(dot, 6))
+             .select("vec_id", "dot")
+             .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+             .limit(10).select("vec_id"))
+    arms = []
+    for np_ in ANN_RECALL_NPROBES:
+        ivf = ann_op.ivf_topk(df, query, centroids, k=10, nprobe=np_)
+        arms.append(
+            ivf.join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(np_).cast("int").alias("nprobe"), "n_hits",
+                    (F.col("n_hits").cast("double") / F.lit(10.0))
+                    .alias("recall")))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("nprobe")
+
+
+def o_ann_recall():
+    nd = IVF_DIMS + 1
+    fold = "(a, b) -> a + b"
+    cn = f"c{IVF_ITERS}"
+    arm_ctes, arm_sel = [], []
+    for np_ in ANN_RECALL_NPROBES:
+        arm_ctes.append(f"""
+pd{np_} AS (SELECT e.vec_id,
+       ROUND(list_sum(list_transform(list_zip(e.v, q.qv),
+                                     z -> z[1] * z[2])), 6) AS dot
+       FROM e JOIN asg ON asg.vec_id = e.vec_id, q
+       WHERE asg.cell IN (SELECT cid FROM
+             (SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn
+              FROM qd) WHERE rn <= {np_})),
+pr{np_} AS (SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rank
+           FROM pd{np_}),
+ph{np_} AS (SELECT COUNT(*) AS n_hits FROM pr{np_}
+           JOIN exact USING (vec_id) WHERE pr{np_}.rank <= 10)""")
+        arm_sel.append(
+            f"SELECT CAST({np_} AS INT) AS nprobe, n_hits, "
+            f"CAST(n_hits AS DOUBLE) / 10.0 AS recall FROM ph{np_}")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_lloyd_asg_sql()},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qel AS (SELECT CAST(r.range AS INT) AS dim, qv[r.range] AS val
+        FROM q, range(1, {nd}) r),
+qd AS (SELECT c.cid,
+       list_reduce(list((qe.val - c.cval) * (qe.val - c.cval)
+                        ORDER BY qe.dim), {fold}) AS dist
+       FROM qel qe JOIN {cn} c ON c.dim = qe.dim GROUP BY c.cid),
+ed AS (SELECT e.vec_id,
+       ROUND(list_sum(list_transform(list_zip(e.v, q.qv),
+                                     z -> z[1] * z[2])), 6) AS dot
+       FROM e, q),
+exact AS (SELECT vec_id FROM
+          (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id)
+                  AS rank FROM ed) WHERE rank <= 10),
+{','.join(arm_ctes)}
+{' UNION ALL '.join(arm_sel)}
+ORDER BY nprobe"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10659,4 +10747,5 @@ REGISTRY: dict[str, tuple] = {
     "paragraph_dedup": (q_paragraph_dedup, o_paragraph_dedup),
     "zonal_median": (q_zonal_median, o_zonal_median),
     "weighted_sample": (q_weighted_sample, o_weighted_sample),
+    "ann_recall": (q_ann_recall, o_ann_recall),
 }
