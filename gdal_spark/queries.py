@@ -10533,6 +10533,66 @@ exact AS (SELECT vec_id FROM
 ORDER BY nprobe"""
 
 
+# --- Text normalization (C4/CCNet-style preprocessing: unicode
+# --- punctuation folding, control strip, whitespace collapse) ---
+
+#: curly quotes / dashes -> ASCII (the ftfy-lite 1:1 subset).
+#: NOTE: the unicode chars are embedded as UTF-8 literals, NOT chr():
+#: Spark's chr() is mod-256 ASCII while DuckDB's is full unicode, so
+#: chr(8220) silently diverges between engines.
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_TNORM_FROM = _sq("\u201c\u201d\u2018\u2019\u2013\u2014\u00a0\t")
+_TNORM_TO = _sq('""' + "''" + "--  ")
+#: normalize pipeline over column t: strip C0 controls, fold
+#: punctuation, collapse space runs, trim
+_TNORM = (f"trim(regexp_replace(translate("
+          f"regexp_replace(t, '[' || chr(1) || '-' || chr(8) || chr(11) "
+          f"|| '-' || chr(31) || ']', ''), "
+          f"{_TNORM_FROM}, {_TNORM_TO}), '  +', ' '))")
+#: seeded mess for doc_id % 9 = 0: curly-quoted, tab/bell-polluted,
+#: double-spaced — identical augmentation text in both engines
+_TNORM_AUG = ("CASE WHEN doc_id % 9 = 0 THEN " + _sq("\u201c") + " || text "
+              "|| " + _sq("\u201d") + " || " + _sq("\t") + " || chr(7) "
+              "|| '  tail' ELSE text END")
+
+
+def q_text_normalize(spark, sf_dir):
+    """Text normalization — the unicode-cleanup pass public corpora
+    run before tokenization (C4's text fixing, CCNet/ftfy's
+    quote/dash folding): fold curly quotes and en/em dashes to ASCII,
+    map NBSP/tab to space, strip C0 control characters, collapse
+    whitespace runs, trim. Implemented as one shared SQL expression
+    (translate + two regexp_replace, all codegen'd JVM string ops —
+    map-only at any corpus size). Docs with doc_id % 9 = 0 are seeded
+    with curly quotes, a tab, a BEL and doubled spaces in BOTH engines
+    so the cleanup is non-vacuous and exactly checkable."""
+    df = docs_df(spark, sf_dir)
+    d = df.select("doc_id", F.expr(_TNORM_AUG).alias("t"))
+    return (d.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_before"),
+        F.length(F.expr(_TNORM)).cast("long").alias("n_after"),
+        (F.expr(_TNORM) != F.col("t")).cast("int").alias("changed"),
+        F.md5(F.expr(_TNORM)).alias("norm_md5"))
+        .orderBy("doc_id"))
+
+
+def o_text_normalize():
+    return f"""WITH d AS (
+  SELECT doc_id, {_TNORM_AUG} AS t FROM documents)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_before,
+       CAST(length({_TNORM}) AS BIGINT) AS n_after,
+       CAST({_TNORM} <> t AS INT) AS changed,
+       md5({_TNORM}) AS norm_md5
+FROM d ORDER BY doc_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10748,4 +10808,5 @@ REGISTRY: dict[str, tuple] = {
     "zonal_median": (q_zonal_median, o_zonal_median),
     "weighted_sample": (q_weighted_sample, o_weighted_sample),
     "ann_recall": (q_ann_recall, o_ann_recall),
+    "text_normalize": (q_text_normalize, o_text_normalize),
 }
