@@ -10593,6 +10593,83 @@ SELECT doc_id,
 FROM d ORDER BY doc_id"""
 
 
+# --- Upsert / MERGE INTO (ogr2ogr -upsert, apps/ogr2ogr_lib.cpp
+# --- option surface; Iceberg MERGE is the cluster-side sink) ---
+
+def _hex8_bigint_sql(h: str) -> str:
+    """First 8 md5 hex chars -> BIGINT in [0, 2^32) — per-digit BIGINT
+    casts (instr yields INT32; 16^7 multiplies would overflow it)."""
+    return " + ".join(
+        f"CAST({_HEXV.format(h=h, i=i + 1)} AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8))
+
+
+def q_upsert_merge(spark, sf_dir):
+    """Upsert merge — ogr2ogr -upsert (match on the key, update the
+    row if present, insert if absent; apps/ogr2ogr_lib.cpp upsert
+    mode) re-expressed as the one-shuffle MERGE INTO plan: base FULL
+    OUTER JOIN delta on doc_id, matched rows take the delta values,
+    unmatched base rows pass through, unmatched delta rows insert.
+    The delta is deterministic (doc_id % 7 = 0 rewritten; % 50 = 0
+    cloned to doc_id + 1000000 as inserts) so the merge is exactly
+    checkable; the merged table is summarized by action counts and an
+    order-free BIGINT content checksum (sum of md5-head ints — the
+    engine's gdal-checksum idiom for tables). Scale shape: ONE
+    co-partitioned full outer join on the key — exactly what Iceberg
+    MERGE INTO compiles to; counts and checksum are map-side-combined
+    aggregates."""
+    base = docs_df(spark, sf_dir).select("doc_id", "text")
+    upd = (base.filter(F.col("doc_id") % 7 == 0)
+           .select("doc_id",
+                   F.upper(F.substring("text", 1, 40)).alias("text")))
+    ins = (base.filter(F.col("doc_id") % 50 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.concat(F.lit("new "),
+                            F.substring("text", 1, 20)).alias("text")))
+    delta = upd.unionByName(ins)
+    m = (base.alias("b").join(delta.alias("d"), "doc_id", "full_outer")
+         .select("doc_id",
+                 F.coalesce(F.col("d.text"), F.col("b.text")).alias("text"),
+                 F.when(F.col("b.text").isNull(), F.lit("insert"))
+                 .when(F.col("d.text").isNull(), F.lit("keep"))
+                 .otherwise(F.lit("update")).alias("action")))
+    ck = F.expr(_hex8_bigint_sql(
+        "md5(concat(CAST(doc_id AS STRING), ':', text))"))
+    return m.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("action") == "update").cast("long")).alias("n_updated"),
+        F.sum((F.col("action") == "insert").cast("long")).alias("n_inserted"),
+        F.sum((F.col("action") == "keep").cast("long")).alias("n_kept"),
+        F.sum(ck).alias("checksum"))
+
+
+def o_upsert_merge():
+    ck = _hex8_bigint_sql("md5(concat(CAST(doc_id AS VARCHAR), ':', text))")
+    return f"""WITH base AS (SELECT doc_id, text FROM documents),
+delta AS (
+  SELECT doc_id, upper(substring(text, 1, 40)) AS text
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new ' || substring(text, 1, 20)
+  FROM base WHERE doc_id % 50 = 0),
+m AS (
+  SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+         COALESCE(d.text, b.text) AS text,
+         CASE WHEN b.text IS NULL THEN 'insert'
+              WHEN d.text IS NULL THEN 'keep'
+              ELSE 'update' END AS action
+  FROM base b FULL OUTER JOIN delta d ON d.doc_id = b.doc_id)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(SUM(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inserted,
+       CAST(SUM(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM({ck}) AS BIGINT) AS checksum
+FROM m"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10809,4 +10886,5 @@ REGISTRY: dict[str, tuple] = {
     "weighted_sample": (q_weighted_sample, o_weighted_sample),
     "ann_recall": (q_ann_recall, o_ann_recall),
     "text_normalize": (q_text_normalize, o_text_normalize),
+    "upsert_merge": (q_upsert_merge, o_upsert_merge),
 }
