@@ -10670,6 +10670,104 @@ SELECT COUNT(*) AS n_rows,
 FROM m"""
 
 
+# --- PCA top component by power iteration (embedding analytics —
+# --- the centering+projection primitive of SemDeDup-style embedding
+# --- curation and drift monitoring) ---
+
+PCA_ITERS = 3
+_PCA_S = "1048576e0"        # 2^20 quantization (the Lloyd discipline)
+#: per-dim mean / matvec accumulator: FLOOR-quantized BIGINT sums are
+#: order-free exact, so both engines agree bit-for-bit without folds
+_PCA_MU = (f"CAST(SUM(CAST(FLOOR(val * {_PCA_S}) AS BIGINT)) AS DOUBLE) "
+           f"/ ({_PCA_S} * COUNT(*))")
+_PCA_W = (f"CAST(SUM(CAST(FLOOR(cval * s * {_PCA_S}) AS BIGINT)) "
+          f"AS DOUBLE) / ({_PCA_S} * COUNT(*))")
+
+
+def q_pca_power(spark, sf_dir):
+    """Top principal component of the embedding table by {PCA_ITERS}
+    power iterations on the centered covariance — without EVER
+    materializing the covariance matrix: C·v = Σ_x (x−μ)((x−μ)·v)/n
+    is two joins per iteration. Determinism discipline: per-dim mean
+    and the matvec accumulator use FLOOR(·2^20) BIGINT sums (order-
+    free exact — the trained-codebook trick from operators/ann.py);
+    the per-row projection (x−μ)·v is a dim-ordered fold; the
+    normalization runs in dim order on 64 values (driver-side here,
+    in-SQL in the oracle — identical IEEE op sequence). Scale shape:
+    per iteration one co-partitioned join on vec_id and one 64-group
+    aggregation; driver traffic = 64 doubles per iteration (the
+    broadcast-v loop of every distributed power/Lanczos method)."""
+    import math as m
+    nd = IVF_DIMS
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    el = (df.select("vec_id",
+                    F.posexplode(F.col("embedding").cast("array<double>"))
+                    .alias("dim0", "val"))
+          .select("vec_id", (F.col("dim0") + 1).cast("int").alias("dim"),
+                  "val"))
+    mu = el.groupBy("dim").agg(F.expr(_PCA_MU).alias("mu"))
+    cl = (el.join(F.broadcast(mu), "dim")
+          .select("vec_id", "dim", F.expr("val - mu").alias("cval"))
+          .persist())
+    v = [1.0] + [0.0] * (nd - 1)
+    lam = 0.0
+    for _ in range(PCA_ITERS):
+        vdf = spark.createDataFrame(
+            [(i + 1, float(v[i])) for i in range(nd)], "dim int, vv double")
+        s = (cl.join(F.broadcast(vdf), "dim")
+             .groupBy("vec_id")
+             .agg(F.sort_array(F.collect_list(F.struct(
+                 F.col("dim"), (F.col("cval") * F.col("vv")).alias("p"))))
+                 .alias("ls"))
+             .select("vec_id",
+                     F.expr("aggregate(ls, CAST(0.0 AS DOUBLE), "
+                            "(a, x) -> a + x.p)").alias("s")))
+        w = (cl.join(s, "vec_id")
+             .groupBy("dim").agg(F.expr(_PCA_W).alias("w")))
+        rows = {int(r["dim"]): float(r["w"]) for r in w.collect()}
+        acc = 0.0
+        for d in range(1, nd + 1):           # dim-ordered, oracle-twin
+            acc = acc + rows[d] * rows[d]
+        lam = m.sqrt(acc)
+        v = [rows[d] / lam for d in range(1, nd + 1)]
+    return (w.select("dim",
+                     F.round(F.col("w") / F.lit(lam), 6).alias("loading"),
+                     F.round(F.lit(lam), 6).alias("lam"))
+            .orderBy("dim"))
+
+
+def o_pca_power():
+    nd = IVF_DIMS
+    fold = "(a, b) -> a + b"
+    v0 = ", ".join(f"({i + 1}, {'1e0' if i == 0 else '0e0'})"
+                   for i in range(nd))
+    its = []
+    for i in range(PCA_ITERS):
+        its.append(f"""
+s{i} AS (SELECT c.vec_id,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(c.cval * v.vv ORDER BY c.dim)), {fold}) AS s
+  FROM cl c JOIN pv{i} v ON v.dim = c.dim GROUP BY c.vec_id),
+w{i} AS (SELECT c.dim, {_PCA_W} AS w
+  FROM cl c JOIN s{i} s ON s.vec_id = c.vec_id GROUP BY c.dim),
+l{i} AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(w * w ORDER BY dim)), {fold})) AS lam
+  FROM w{i}),
+pv{i + 1} AS (SELECT dim, w / lam AS vv FROM w{i}, l{i})""")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+el AS (SELECT vec_id, CAST(r.range AS INT) AS dim, v[r.range] AS val
+       FROM e, range(1, {nd + 1}) r),
+mu AS (SELECT dim, {_PCA_MU} AS mu FROM el GROUP BY dim),
+cl AS (SELECT el.vec_id, el.dim, el.val - mu.mu AS cval
+       FROM el JOIN mu ON mu.dim = el.dim),
+pv0(dim, vv) AS (VALUES {v0}),
+{','.join(its)}
+SELECT w.dim, ROUND(w.w / l.lam, 6) AS loading, ROUND(l.lam, 6) AS lam
+FROM w{PCA_ITERS - 1} w, l{PCA_ITERS - 1} l
+ORDER BY w.dim"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10887,4 +10985,5 @@ REGISTRY: dict[str, tuple] = {
     "ann_recall": (q_ann_recall, o_ann_recall),
     "text_normalize": (q_text_normalize, o_text_normalize),
     "upsert_merge": (q_upsert_merge, o_upsert_merge),
+    "pca_power": (q_pca_power, o_pca_power),
 }
