@@ -130,7 +130,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "label_centroids", "curation_pipeline", "geom_distance",
                  "hll_count", "tld_lang_rollup", "resample_ffill",
                  "corpus_diff", "robots_filter", "stream_interval_join",
-                 "dsir_weights", "paragraph_dedup", "zonal_median"]:
+                 "dsir_weights", "paragraph_dedup", "zonal_median",
+                 "weighted_sample", "ann_recall", "text_normalize",
+                 "upsert_merge", "pca_power"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
