@@ -10768,6 +10768,46 @@ FROM w{PCA_ITERS - 1} w, l{PCA_ITERS - 1} l
 ORDER BY w.dim"""
 
 
+# --- ogrlineref -get_subline (third of the linear-referencing triple) ---
+
+LREF_M1, LREF_M2 = 0.9, 2.6    # measure window (fixture scale)
+
+
+def _lref_subline_sql() -> str:
+    """ONE dialect-shared text (the lineref_stations discipline):
+    clip every segment to the measure window [M1, M2], interpolating
+    new endpoints where the window cuts inside a segment."""
+    m1, m2 = sqlexpr.dlit(LREF_M1), sqlexpr.dlit(LREF_M2)
+    return f"""WITH {_lref_edges_sql()},
+clipped AS (
+  SELECT zone_fid, ring_id, edge, x1, y1, x2, y2, seglen, cum0,
+         GREATEST(cum0, {m1}) AS lo,
+         LEAST(cum0 + seglen, {m2}) AS hi
+  FROM seg)
+SELECT zone_fid, ring_id, edge,
+  ROUND(x1 + ((lo - cum0) / seglen) * (x2 - x1), 6) AS sx,
+  ROUND(y1 + ((lo - cum0) / seglen) * (y2 - y1), 6) AS sy,
+  ROUND(x1 + ((hi - cum0) / seglen) * (x2 - x1), 6) AS ex,
+  ROUND(y1 + ((hi - cum0) / seglen) * (y2 - y1), 6) AS ey,
+  ROUND(hi - lo, 6) AS piece_len
+FROM clipped WHERE lo < hi
+ORDER BY zone_fid, ring_id, edge"""
+
+
+def q_lineref_subline(spark, sf_dir):
+    """ogrlineref -get_subline (apps/ogrlineref.cpp GetSubLine =
+    OGRLineString::getSubLine): extract the part of each reference
+    ring between measures {LREF_M1} and {LREF_M2} — the route-segment
+    extraction of the linear-referencing triple (stations / project /
+    subline). Map-only after the per-ring ordered cumlength window;
+    rings partition freely at any line count."""
+    return spark.sql(_lref_subline_sql())
+
+
+def o_lineref_subline():
+    return _lref_subline_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -10986,4 +11026,5 @@ REGISTRY: dict[str, tuple] = {
     "text_normalize": (q_text_normalize, o_text_normalize),
     "upsert_merge": (q_upsert_merge, o_upsert_merge),
     "pca_power": (q_pca_power, o_pca_power),
+    "lineref_subline": (q_lineref_subline, o_lineref_subline),
 }
