@@ -447,4 +447,20 @@ if __name__ == "__main__":
             json.dump(out, fh, indent=1)
         print(json.dumps(out))
     else:
-        print(json.dumps(run_single()))
+        res = run_single()
+        line = json.dumps(res)
+        # keep the stdout line inside the driver's ~4 KB parse window
+        # (round-2 lesson): if the growing per-query dict pushes past
+        # the budget, spill the fastest entries to BENCH_DETAIL.json
+        # and keep the slowest (the ones worth tracking) inline.
+        if len(line) > 3900:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json"), "w") as fh:
+                json.dump(res, fh, indent=1)
+            q = sorted(res["queries"].items(), key=lambda kv: -kv[1])
+            while len(line) > 3900 and len(q) > 20:
+                q = q[:-10]
+                res["queries"] = dict(q)
+                res["queries_spilled"] = "BENCH_DETAIL.json"
+                line = json.dumps(res)
+        print(line)
