@@ -1,0 +1,54 @@
+"""Plan-shape regression guards.
+
+The bench plan audits (BENCH.md) verified these physical-plan
+properties by hand; these tests pin them so a refactor that silently
+reintroduces a shuffle or a global window fails CI, not the next
+benchmark read-through."""
+
+from conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_broadcasts_cover_not_pages(spark):
+    """Flagship PIP join: the polygon cell cover is broadcast; the
+    page side is never sort-merge-joined (the 100-TB contract: big
+    side flows through map-side joins only)."""
+    from gdal_spark.queries import REGISTRY
+    df = REGISTRY["pip_join"][0](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ann_topk_is_take_ordered(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heaps), not
+    a rank window over every scored row shuffled to one task — the
+    round-1 regression this guards against."""
+    from gdal_spark.queries import REGISTRY
+    for name in ("ann_cosine", "ivf_ann"):
+        plan = _plan(REGISTRY[name][0](spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_dsir_model_is_broadcast(spark):
+    """DSIR: the bucket model joins the corpus via broadcast — the
+    corpus must not be exchanged for the model join."""
+    from gdal_spark.queries import REGISTRY
+    plan = _plan(REGISTRY["dsir_weights"][0](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_select_where_pushes_filters(spark):
+    """Attribute filters must reach the parquet scan (PushedFilters),
+    and the scan must prune to the selected columns."""
+    from gdal_spark.queries import REGISTRY
+    plan = _plan(REGISTRY["select_where"][0](spark, SF_SMOKE))
+    scan = plan[plan.index("FileScan"):][:1200]
+    i = scan.index("PushedFilters: [")
+    rest = scan[i + len("PushedFilters: ["):]
+    assert not rest.startswith("]"), "PushedFilters list is empty"
+    assert "IsNotNull" in rest[:200] or "StringStartsWith" in rest[:200]
