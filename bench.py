@@ -132,7 +132,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "corpus_diff", "robots_filter", "stream_interval_join",
                  "dsir_weights", "paragraph_dedup", "zonal_median",
                  "weighted_sample", "ann_recall", "text_normalize",
-                 "upsert_merge", "pca_power", "lineref_subline"]:
+                 "upsert_merge", "pca_power", "lineref_subline",
+                 "chunk_overlap"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -10808,6 +10808,58 @@ def o_lineref_subline():
     return _lref_subline_sql()
 
 
+# --- Overlapping-window chunking (retrieval/RAG corpus preparation) ---
+
+CHUNK_LEN, CHUNK_STRIDE = 64, 32
+
+
+def q_chunk_overlap(spark, sf_dir):
+    """Overlapping-window document chunking — the retrieval-corpus
+    preparation step (RAG indexing, contrastive-pair mining): windows
+    of {CHUNK_LEN} tokens at stride {CHUNK_STRIDE}, each chunk keeping
+    provenance (doc_id, chunk_idx, token offset) and an md5 content
+    key. The last window is the final partial tail; single-window docs
+    emit one chunk. Map-only: per-doc window count is
+    ceil(max(n-len,0)/stride)+1, generated by one higher-order
+    transform + explode — no shuffle until the caller aggregates.
+    Scale: output is a constant factor (len/stride) of the corpus,
+    streamable through the same pipe as token_count."""
+    df = docs_df(spark, sf_dir)
+    ts = r"filter(split(trim(lower(text)), '\\s+'), t -> t <> '')"
+    nwin = (f"(CAST(ceil(greatest(size({ts}) - {CHUNK_LEN}, 0) "
+            f"/ {CHUNK_STRIDE}.0) AS INT) + 1)")
+    chunks = (f"transform(sequence(0, {nwin} - 1), "
+              f"i -> struct(i AS ci, "
+              f"slice({ts}, i * {CHUNK_STRIDE} + 1, {CHUNK_LEN}) AS w))")
+    d = (df.filter(F.expr(f"size({ts}) > 0"))
+         .select("doc_id", F.explode(F.expr(chunks)).alias("c")))
+    return (d.select(
+        "doc_id", F.col("c.ci").cast("int").alias("chunk_idx"),
+        (F.col("c.ci") * CHUNK_STRIDE).cast("long").alias("tok_start"),
+        F.size("c.w").cast("int").alias("n_tokens"),
+        F.md5(F.array_join("c.w", " ")).alias("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"))
+
+
+def o_chunk_overlap():
+    ts = (r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), "
+          r"t -> t <> '')")
+    nwin = (f"(CAST(ceil(greatest(len(ts) - {CHUNK_LEN}, 0) "
+            f"/ {CHUNK_STRIDE}.0) AS INT) + 1)")
+    return f"""WITH d AS (
+  SELECT doc_id, {ts} AS ts FROM documents WHERE len({ts}) > 0),
+c AS (
+  SELECT doc_id, UNNEST(range(0, {nwin})) AS ci, ts FROM d)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       CAST(ci * {CHUNK_STRIDE} AS BIGINT) AS tok_start,
+       CAST(len(ts[ci * {CHUNK_STRIDE} + 1 :
+                    ci * {CHUNK_STRIDE} + {CHUNK_LEN}]) AS INT) AS n_tokens,
+       md5(array_to_string(ts[ci * {CHUNK_STRIDE} + 1 :
+                              ci * {CHUNK_STRIDE} + {CHUNK_LEN}], ' '))
+         AS chunk_md5
+FROM c ORDER BY doc_id, chunk_idx"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11027,4 +11079,5 @@ REGISTRY: dict[str, tuple] = {
     "upsert_merge": (q_upsert_merge, o_upsert_merge),
     "pca_power": (q_pca_power, o_pca_power),
     "lineref_subline": (q_lineref_subline, o_lineref_subline),
+    "chunk_overlap": (q_chunk_overlap, o_chunk_overlap),
 }
