@@ -10860,6 +10860,40 @@ SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
 FROM c ORDER BY doc_id, chunk_idx"""
 
 
+# --- Bing quadkeys for the z6 tile set (promotes the pytest-only
+# --- quadkey math into the cross-engine gate) ---
+
+QK_Z = 6
+
+
+def q_quadkey(spark, sf_dir):
+    """Bing/Azure quadkey addressing of the z{QK_Z} tile layer
+    (gdal2tiles.py:518-533 TileDetail quadkeys; gdal raster tile
+    --convention supports the same bit-interleave): one string digit
+    per zoom level, digit = x-bit + 2·y-bit. Pure integer bit math on
+    the tile table — map-only after the tile_counts aggregation."""
+    pts = points_df(spark, sf_dir)
+    base = tiling.tile_counts(pts, QK_Z)
+    qk = tiling.quadkey_col(F.col("tx"), F.col("ty"), QK_Z)
+    return (base.select("tx", "ty", qk.alias("quadkey"),
+                        F.col("n_pages"))
+            .orderBy("quadkey"))
+
+
+def o_quadkey():
+    tx, ty = sqlexpr.tile_sql("lat", "lon", QK_Z)
+    digits = " || ".join(
+        f"CAST((tx // {1 << (i - 1)}) % 2 + 2 * ((ty // {1 << (i - 1)}) % 2)"
+        f" AS VARCHAR)"
+        for i in range(QK_Z, 0, -1))
+    return f"""WITH {sqlexpr.points_cte()},
+base AS (
+  SELECT {tx} AS tx, {ty} AS ty, COUNT(*) AS n_pages
+  FROM points WHERE lat IS NOT NULL GROUP BY 1, 2)
+SELECT tx, ty, {digits} AS quadkey, n_pages
+FROM base ORDER BY quadkey"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11080,4 +11114,5 @@ REGISTRY: dict[str, tuple] = {
     "pca_power": (q_pca_power, o_pca_power),
     "lineref_subline": (q_lineref_subline, o_lineref_subline),
     "chunk_overlap": (q_chunk_overlap, o_chunk_overlap),
+    "quadkey": (q_quadkey, o_quadkey),
 }
