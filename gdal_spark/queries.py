@@ -10894,6 +10894,53 @@ SELECT tx, ty, {digits} AS quadkey, n_pages
 FROM base ORDER BY quadkey"""
 
 
+# --- Percentile contrast stretch (gdal_translate -scale with
+# --- cumulative-cut stats — the QGIS/GDAL 2-98% display recipe) ---
+
+STRETCH_K = 82   # ceil(0.02 * 4096) on the 64x64 DEM — both tails
+
+
+def q_raster_stretch_pct(spark, sf_dir):
+    """Percentile (cumulative-cut) contrast stretch: clip to the exact
+    p2/p98 values then stretch linearly to 0..255 — gdal_translate
+    -scale fed from percentile stats instead of min/max (the standard
+    display recipe; GDALGetRasterStatistics + translate -scale).
+    Exact nearest-rank percentiles computed the SCALE-CORRECT way:
+    p2 = max of the bottom-k rows, p98 = min of the top-k rows, each a
+    TakeOrderedAndProject of k = {STRETCH_K} rows (2% of the raster) —
+    no global sort, no single-task window, any raster size."""
+    from gdal_spark.operators import dem as dem_op
+    d = dem_op.dem_df(spark)
+    lo = (d.orderBy("elev", "py", "px").limit(STRETCH_K)
+          .agg(F.max("elev").alias("p2")))
+    hi = (d.orderBy(F.desc("elev"), F.desc("py"), F.desc("px"))
+          .limit(STRETCH_K)
+          .agg(F.min("elev").alias("p98")))
+    j = d.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    clamped = F.least(F.greatest(F.col("elev"), F.col("p2")), F.col("p98"))
+    out = (clamped - F.col("p2")) * F.lit(255.0) \
+        / (F.col("p98") - F.col("p2"))
+    return (j.select("py", "px", F.round(out, 6).alias("stretched"))
+            .orderBy("py", "px"))
+
+
+def o_raster_stretch_pct():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    return f"""WITH dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys),
+lo AS (SELECT MAX(elev) AS p2 FROM
+       (SELECT elev FROM dem ORDER BY elev, py, px LIMIT {STRETCH_K})),
+hi AS (SELECT MIN(elev) AS p98 FROM
+       (SELECT elev FROM dem ORDER BY elev DESC, py DESC, px DESC
+        LIMIT {STRETCH_K}))
+SELECT py, px,
+       ROUND((LEAST(GREATEST(elev, p2), p98) - p2) * 255.0
+             / (p98 - p2), 6) AS stretched
+FROM dem, lo, hi ORDER BY py, px"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11115,4 +11162,5 @@ REGISTRY: dict[str, tuple] = {
     "lineref_subline": (q_lineref_subline, o_lineref_subline),
     "chunk_overlap": (q_chunk_overlap, o_chunk_overlap),
     "quadkey": (q_quadkey, o_quadkey),
+    "raster_stretch_pct": (q_raster_stretch_pct, o_raster_stretch_pct),
 }
