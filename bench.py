@@ -133,7 +133,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "dsir_weights", "paragraph_dedup", "zonal_median",
                  "weighted_sample", "ann_recall", "text_normalize",
                  "upsert_merge", "pca_power", "lineref_subline",
-                 "chunk_overlap", "quadkey", "raster_stretch_pct"]:
+                 "chunk_overlap", "quadkey", "raster_stretch_pct",
+                 "event_anomaly"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -10941,6 +10941,61 @@ SELECT py, px,
 FROM dem, lo, hi ORDER BY py, px"""
 
 
+# --- Trailing-window anomaly detection over event-rate series ---
+
+ANOM_W = 7     # trailing hours in the baseline window
+ANOM_K = 3     # flag when |c - mean| > K * stddev (Chebyshev-style)
+
+
+def q_event_anomaly(spark, sf_dir):
+    """Event-rate spike detection — the monitoring query every
+    ingestion pipeline runs over its own hourly counts: flag an hour
+    whose count deviates from the trailing {ANOM_W}-hour baseline by
+    more than {ANOM_K} sample standard deviations. The z-test is done
+    in EXACT INTEGER algebra — (n·c − S)² > K²·(n·SS − S²) with S, SS
+    the trailing sums of counts and squares — so no float window
+    arithmetic exists to diverge between engines (a windowed float
+    stddev is engine-order-dependent; this is the portable form).
+    Scale shape: one groupBy(hour, type) then per-type ordered windows
+    over the tiny series — series length is hours, not events."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (df.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-ANOM_W, -1))
+    a = (hourly
+         .withColumn("nw", F.count(F.lit(1)).over(w))
+         .withColumn("s", F.sum("c").over(w))
+         .withColumn("ss", F.sum(F.col("c") * F.col("c")).over(w))
+         .filter(F.col("nw") == ANOM_W))
+    lhs = (F.lit(ANOM_W) * F.col("c") - F.col("s"))
+    rhs = (F.lit(ANOM_W) * F.col("ss") - F.col("s") * F.col("s"))
+    flag = (lhs * lhs > F.lit(ANOM_K * ANOM_K) * rhs).cast("int")
+    return (a.select("hour", "event_type", "c", "s",
+                     flag.alias("is_anomaly"))
+            .orderBy("hour", "event_type"))
+
+
+def o_event_anomaly():
+    k2 = ANOM_K * ANOM_K
+    return f"""WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT hour, event_type, c,
+    COUNT(*) OVER tw AS nw,
+    SUM(c) OVER tw AS s,
+    SUM(c * c) OVER tw AS ss
+  FROM hourly
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING))
+SELECT hour, event_type, c, CAST(s AS BIGINT) AS s,
+       CAST(({ANOM_W} * c - s) * ({ANOM_W} * c - s)
+            > {k2} * ({ANOM_W} * ss - s * s) AS INT) AS is_anomaly
+FROM a WHERE nw = {ANOM_W} ORDER BY hour, event_type"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11163,4 +11218,5 @@ REGISTRY: dict[str, tuple] = {
     "chunk_overlap": (q_chunk_overlap, o_chunk_overlap),
     "quadkey": (q_quadkey, o_quadkey),
     "raster_stretch_pct": (q_raster_stretch_pct, o_raster_stretch_pct),
+    "event_anomaly": (q_event_anomaly, o_event_anomaly),
 }
