@@ -10996,6 +10996,78 @@ SELECT hour, event_type, c, CAST(s AS BIGINT) AS s,
 FROM a WHERE nw = {ANOM_W} ORDER BY hour, event_type"""
 
 
+# --- Cohort retention (day-over-week return rate of active users) ---
+
+def q_user_retention(spark, sf_dir):
+    """7-day user retention — the cohort query behind every activity
+    dashboard: of the users active on day d, what fraction were active
+    again on day d+7. Exact-integer: daily-active sets via DISTINCT
+    (one shuffle), the cohort pairing is a co-partitioned self-join on
+    user_id, and the rate is a single double division of two counts.
+    Scale shape: both sides are (user, day) sets — the join key is
+    user_id so a year of days adds rows, not shuffles."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dau = (df.select("user_id", F.to_date("ts").alias("day")).distinct())
+    ret = (dau.alias("a").join(
+        dau.alias("b"),
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.day") == F.date_add(F.col("a.day"), 7)),
+        "left")
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_active"),
+             F.count("b.user_id").alias("n_retained")))
+    rate = (F.col("n_retained").cast("double")
+            / F.col("n_active").cast("double"))
+    return (ret.select(F.col("day").cast("string").alias("day"),
+                       "n_active", "n_retained",
+                       F.round(rate, 6).alias("retention"))
+            .orderBy("day"))
+
+
+def o_user_retention():
+    return """WITH dau AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT a.day, COUNT(*) AS n_active, COUNT(b.user_id) AS n_retained
+  FROM dau a LEFT JOIN dau b
+    ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 7 DAY
+  GROUP BY a.day)
+SELECT CAST(day AS VARCHAR) AS day, n_active, n_retained,
+       ROUND(CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE), 6)
+         AS retention
+FROM r ORDER BY day"""
+
+
+# --- Pivot (wide lang-by-source count matrix) ---
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_pivot_lang(spark, sf_dir):
+    """Pivot — the wide-format corpus dashboard (docs per source ×
+    lang): Spark's groupBy().pivot() with an EXPLICIT value list (the
+    scale rule: an unlisted pivot triggers a distinct-scan planning
+    pass; listing values keeps it one map-side-combined aggregation).
+    Oracle = conditional aggregation, the relational form of the same
+    plan."""
+    df = docs_df(spark, sf_dir)
+    p = (df.groupBy("source")
+         .pivot("lang", list(PIVOT_LANGS))
+         .agg(F.count(F.lit(1))))
+    cols = [F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+            for c in PIVOT_LANGS]
+    return p.select("source", *cols).orderBy("source")
+
+
+def o_pivot_lang():
+    cells = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{c}" for c in PIVOT_LANGS)
+    return f"""SELECT source,
+       {cells}
+FROM documents GROUP BY source ORDER BY source"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11219,4 +11291,6 @@ REGISTRY: dict[str, tuple] = {
     "quadkey": (q_quadkey, o_quadkey),
     "raster_stretch_pct": (q_raster_stretch_pct, o_raster_stretch_pct),
     "event_anomaly": (q_event_anomaly, o_event_anomaly),
+    "user_retention": (q_user_retention, o_user_retention),
+    "pivot_lang": (q_pivot_lang, o_pivot_lang),
 }
