@@ -134,7 +134,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "weighted_sample", "ann_recall", "text_normalize",
                  "upsert_merge", "pca_power", "lineref_subline",
                  "chunk_overlap", "quadkey", "raster_stretch_pct",
-                 "event_anomaly", "user_retention", "pivot_lang"]:
+                 "event_anomaly", "user_retention", "pivot_lang",
+                 "incremental_dedup"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -11068,6 +11068,109 @@ def o_pivot_lang():
 FROM documents GROUP BY source ORDER BY source"""
 
 
+# --- Incremental dedup: NEW crawl batch vs FROZEN corpus history ---
+
+_INC_AUG = ("CASE WHEN doc_id % 13 = 0 THEN "
+            "'the quick brown fox jumps over the lazy dog' "
+            "ELSE text END")
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup screening — the PRODUCTION dedup shape: a
+    new crawl batch (doc_id % 3 = 0) is checked against the frozen
+    corpus history (the rest), never against itself. Same
+    shingle→minhash→band construction as minhash_lsh, but the
+    candidate join is ASYMMETRIC (new-side band keys probe the
+    history-side band table) — at 10^12 docs history band keys live in
+    a persisted table and each batch pays only batch×bands probe rows,
+    not a corpus self-join. Seeded constant-text twins (doc_id % 13,
+    the bloom_dedup idiom) guarantee cross-split duplicates. Output:
+    per new doc its duplicate count against history and the best match
+    (highest Jaccard, smallest history id)."""
+    from gdal_spark.functions.text import minhash_signature, shingles3
+    d = docs_df(spark, sf_dir).select(
+        "doc_id", F.expr(_INC_AUG).alias("text"))
+    sh = shingles3(d, "doc_id", "text").persist()
+    sig = minhash_signature(sh, "doc_id", 8)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat(F.col(f"h{2 * b}"),
+                                    F.col(f"h{2 * b + 1}"))).alias("bkey"))
+            for b in range(4)])).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.bkey").alias("bkey"))
+    bn = (bands.filter(F.col("doc_id") % 3 == 0)
+          .select(F.col("doc_id").alias("id_new"), "band", "bkey"))
+    bh = (bands.filter(F.col("doc_id") % 3 != 0)
+          .select(F.col("doc_id").alias("id_old"), "band", "bkey"))
+    cand = (bn.join(bh, ["band", "bkey"])
+            .select("id_new", "id_old").distinct())
+    sh_n = sh.select(F.col("doc_id").alias("id_new"), "s")
+    sh_h = sh.select(F.col("doc_id").alias("id_old"), "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (cand.join(sh_n, "id_new").join(sh_h, ["id_old", "s"])
+             .groupBy("id_new", "id_old").agg(F.count(F.lit(1)).alias("c")))
+    j = (inter
+         .join(sizes.select(F.col("doc_id").alias("id_new"),
+                            F.col("n").alias("nn")), "id_new")
+         .join(sizes.select(F.col("doc_id").alias("id_old"),
+                            F.col("n").alias("no")), "id_old")
+         .withColumn("j", F.round(
+             F.col("c") / (F.col("nn") + F.col("no") - F.col("c")), 6))
+         .filter(F.col("j") >= 0.8))
+    best = (j.groupBy("id_new")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min(F.struct((-F.col("j")).alias("nj"),
+                                F.col("id_old").alias("o"))).alias("b")))
+    return (best.select("id_new", "n_dups",
+                        F.col("b.o").alias("best_old"),
+                        (-F.col("b.nj")).alias("best_j"))
+            .orderBy("id_new"))
+
+
+def o_incremental_dedup():
+    mins = ", ".join(f"MIN(md5('{p}:' || s)) AS h{p}" for p in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS bkey "
+        f"FROM sig" for b in range(4))
+    return f"""WITH d AS (
+  SELECT doc_id, {_INC_AUG} AS text FROM documents),
+toks AS (SELECT doc_id,
+  regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM d),
+sh AS (SELECT DISTINCT doc_id,
+  unnest(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT n.doc_id AS id_new, h.doc_id AS id_old
+         FROM bands n JOIN bands h
+           ON h.band = n.band AND h.bkey = n.bkey
+         WHERE n.doc_id % 3 = 0 AND h.doc_id % 3 <> 0),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_new, c.id_old, COUNT(*) AS c
+          FROM cand c JOIN sh a ON a.doc_id = c.id_new
+          JOIN sh b ON b.doc_id = c.id_old AND b.s = a.s
+          GROUP BY 1, 2),
+jp AS (
+  SELECT i.id_new, i.id_old,
+         ROUND(CAST(i.c AS DOUBLE) / (sn.n + so.n - i.c), 6) AS j
+  FROM inter i JOIN sz sn ON sn.doc_id = i.id_new
+  JOIN sz so ON so.doc_id = i.id_old
+  WHERE ROUND(CAST(i.c AS DOUBLE) / (sn.n + so.n - i.c), 6) >= 0.8),
+rk AS (
+  SELECT id_new, id_old, j,
+         COUNT(*) OVER (PARTITION BY id_new) AS n_dups,
+         ROW_NUMBER() OVER (PARTITION BY id_new
+                            ORDER BY j DESC, id_old) AS r
+  FROM jp)
+SELECT id_new, CAST(n_dups AS BIGINT) AS n_dups,
+       id_old AS best_old, j AS best_j
+FROM rk WHERE r = 1 ORDER BY id_new"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11293,4 +11396,5 @@ REGISTRY: dict[str, tuple] = {
     "event_anomaly": (q_event_anomaly, o_event_anomaly),
     "user_retention": (q_user_retention, o_user_retention),
     "pivot_lang": (q_pivot_lang, o_pivot_lang),
+    "incremental_dedup": (q_incremental_dedup, o_incremental_dedup),
 }
