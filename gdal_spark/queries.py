@@ -11171,6 +11171,72 @@ SELECT id_new, CAST(n_dups AS BIGINT) AS n_dups,
 FROM rk WHERE r = 1 ORDER BY id_new"""
 
 
+# --- Language-ID confidence margin (CLD-style "reliable" flag) ---
+
+def q_langid_margin(spark, sf_dir):
+    """Language-ID with a CONFIDENCE MARGIN — the 'is this prediction
+    reliable' flag CLD2/fastText pipelines emit alongside the label:
+    margin = top-1 score − top-2 score over the same broadcast profile
+    scores as langid; reliable when the margin covers ≥ 25% of the
+    top score (integer cross-multiplied — no float ratio). Docs
+    matching one language only get margin = score (max confidence).
+    Same scan→explode→broadcast-join→one-shuffle plan as langid."""
+    from gdal_spark.functions.text import lang_profile_rows, tokens_col
+    prof = spark.createDataFrame(lang_profile_rows(),
+                                 "lang string, t string, w int")
+    df = docs_df(spark, sf_dir)
+    toks = df.select("doc_id",
+                     F.explode(tokens_col(F.col("text"))).alias("t"))
+    scored = (toks.join(F.broadcast(prof), "t")
+              .groupBy("doc_id", "lang")
+              .agg(F.sum("w").cast("long").alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc())
+    top2 = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2))
+    g = (top2.groupBy("doc_id")
+         .agg(F.max(F.when(F.col("rn") == 1, F.col("lang")))
+              .alias("pred_lang"),
+              F.max(F.when(F.col("rn") == 1, F.col("score"))).alias("s1"),
+              F.coalesce(
+                  F.max(F.when(F.col("rn") == 2, F.col("score"))),
+                  F.lit(0)).cast("long").alias("s2")))
+    margin = (F.col("s1") - F.col("s2")).cast("long")
+    reliable = (F.lit(4) * margin >= F.col("s1")).cast("int")
+    return (g.select("doc_id", "pred_lang", "s1", "s2",
+                     margin.alias("margin"),
+                     reliable.alias("reliable"))
+            .orderBy("doc_id"))
+
+
+def o_langid_margin():
+    from gdal_spark.functions.text import lang_profile_rows
+    vals = ", ".join(f"('{lang}', '{tok}', {w})"
+                     for lang, tok, w in lang_profile_rows())
+    return f"""
+WITH toks AS (SELECT doc_id,
+  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents),
+prof AS (SELECT * FROM (VALUES {vals}) AS p(lang, tok, w)),
+sc AS (SELECT toks.doc_id, prof.lang, CAST(SUM(prof.w) AS BIGINT) AS score
+       FROM toks JOIN prof ON prof.tok = toks.t
+       GROUP BY toks.doc_id, prof.lang),
+r AS (SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn
+      FROM sc WHERE TRUE QUALIFY rn <= 2),
+g AS (SELECT doc_id,
+        MAX(CASE WHEN rn = 1 THEN lang END) AS pred_lang,
+        MAX(CASE WHEN rn = 1 THEN score END) AS s1,
+        CAST(COALESCE(MAX(CASE WHEN rn = 2 THEN score END), 0)
+             AS BIGINT) AS s2
+      FROM r GROUP BY doc_id)
+SELECT doc_id, pred_lang, s1, s2,
+       CAST(s1 - s2 AS BIGINT) AS margin,
+       CAST(4 * (s1 - s2) >= s1 AS INT) AS reliable
+FROM g ORDER BY doc_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11397,4 +11463,5 @@ REGISTRY: dict[str, tuple] = {
     "user_retention": (q_user_retention, o_user_retention),
     "pivot_lang": (q_pivot_lang, o_pivot_lang),
     "incremental_dedup": (q_incremental_dedup, o_incremental_dedup),
+    "langid_margin": (q_langid_margin, o_langid_margin),
 }
