@@ -11237,6 +11237,57 @@ SELECT doc_id, pred_lang, s1, s2,
 FROM g ORDER BY doc_id"""
 
 
+# --- Quality-aware dedup representative (keep-longest rule) ---
+
+def q_dedup_best_rep(spark, sf_dir):
+    """Quality-aware duplicate-cluster resolution — instead of keeping
+    the min-id copy (dedup_clusters), keep the LONGEST document per
+    near-dup cluster (the C4/FineWeb keep-longest rule; any quality
+    scalar slots into the same argmax). Composition: the CC labels
+    from dedup_clusters joined to doc lengths, one argmax per cluster
+    via min(struct(-n_chars, doc_id)). Output per cluster: the kept
+    doc, its length, and how many copies drop."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = docs_df(spark, sf_dir).select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    best = (j.groupBy("rep")
+            .agg(F.min(F.struct((-F.col("n_chars")).alias("neg"),
+                                F.col("doc_id").alias("d"))).alias("b"),
+                 F.max("cluster_size").alias("cluster_size")))
+    return (best.select(
+        "rep", F.col("b.d").alias("keep_doc"),
+        (-F.col("b.neg")).cast("long").alias("keep_chars"),
+        "cluster_size",
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"))
+        .orderBy("rep"))
+
+
+def o_dedup_best_rep():
+    return f"""WITH {_minhash_pairs_ctes()},
+e AS (SELECT id_a AS src, id_b AS dst FROM mpairs
+      UNION SELECT id_b, id_a FROM mpairs),
+r AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT reach.src, e.dst FROM reach JOIN e ON e.src = reach.dst)
+  SELECT * FROM reach),
+lbl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+        FROM r GROUP BY src),
+jj AS (SELECT l.doc_id, l.rep, d.n_chars
+       FROM lbl l JOIN documents d ON d.doc_id = l.doc_id),
+rk AS (SELECT rep, doc_id, n_chars,
+              COUNT(*) OVER (PARTITION BY rep) AS cluster_size,
+              ROW_NUMBER() OVER (PARTITION BY rep
+                                 ORDER BY n_chars DESC, doc_id) AS rn
+       FROM jj)
+SELECT rep, doc_id AS keep_doc,
+       CAST(n_chars AS BIGINT) AS keep_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM rk WHERE rn = 1 ORDER BY rep"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11464,4 +11515,5 @@ REGISTRY: dict[str, tuple] = {
     "pivot_lang": (q_pivot_lang, o_pivot_lang),
     "incremental_dedup": (q_incremental_dedup, o_incremental_dedup),
     "langid_margin": (q_langid_margin, o_langid_margin),
+    "dedup_best_rep": (q_dedup_best_rep, o_dedup_best_rep),
 }
