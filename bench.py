@@ -135,7 +135,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "upsert_merge", "pca_power", "lineref_subline",
                  "chunk_overlap", "quadkey", "raster_stretch_pct",
                  "event_anomaly", "user_retention", "pivot_lang",
-                 "incremental_dedup", "langid_margin", "dedup_best_rep"]:
+                 "incremental_dedup", "langid_margin", "dedup_best_rep",
+                 "geofence_transitions"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -11288,6 +11288,73 @@ SELECT rep, doc_id AS keep_doc,
 FROM rk WHERE rn = 1 ORDER BY rep"""
 
 
+# --- Geofence enter/exit/switch transitions (trajectory analytics) ---
+
+def q_geofence_transitions(spark, sf_dir):
+    """Geofence TRANSITIONS — the trajectory-analytics twin of the
+    streaming geofence counter: per user, order events by time, assign
+    each to its containing fence (smallest fence_id wins; −1 =
+    outside), and emit every state change as enter / exit / switch.
+    Scale shape: fences broadcast (point-in-circle non-equi join),
+    one window per user over the user's own event sequence — the
+    fleet-tracking query at any event volume."""
+    from gdal_spark.streaming.events import (GEOFENCE_LAT_SQL,
+                                             GEOFENCE_LON_SQL, GEOFENCES)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "event_id", "ts",
+                  F.expr(GEOFENCE_LAT_SQL).alias("lat"),
+                  F.expr(GEOFENCE_LON_SQL).alias("lon")))
+    f = spark.createDataFrame(list(GEOFENCES),
+                              "fence_id int, flat double, flon double, "
+                              "r double")
+    d2 = ((F.col("lat") - F.col("flat")) * (F.col("lat") - F.col("flat"))
+          + (F.col("lon") - F.col("flon")) * (F.col("lon") - F.col("flon")))
+    m = (ev.join(F.broadcast(f), d2 <= F.col("r") * F.col("r"), "left")
+         .groupBy("user_id", "event_id", "ts")
+         .agg(F.coalesce(F.min("fence_id"), F.lit(-1)).cast("int")
+              .alias("fence")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (m.withColumn("prev", F.lag("fence").over(w))
+         .filter(F.col("prev").isNotNull()
+                 & (F.col("prev") != F.col("fence"))))
+    kind = (F.when(F.col("prev") == -1, F.lit("enter"))
+            .when(F.col("fence") == -1, F.lit("exit"))
+            .otherwise(F.lit("switch")))
+    return (t.select("user_id", "ts", "event_id",
+                     F.col("prev").alias("from_fence"),
+                     F.col("fence").alias("to_fence"),
+                     kind.alias("kind"))
+            .orderBy("user_id", "ts", "event_id"))
+
+
+def o_geofence_transitions():
+    from gdal_spark.streaming.events import (GEOFENCE_LAT_SQL,
+                                             GEOFENCE_LON_SQL, GEOFENCES)
+    vals = ", ".join(f"({i}, {sqlexpr.dlit(la)}, {sqlexpr.dlit(lo)}, "
+                     f"{sqlexpr.dlit(r)})" for i, la, lo, r in GEOFENCES)
+    return f"""WITH f(fence_id, flat, flon, r) AS (VALUES {vals}),
+ev AS (SELECT user_id, event_id, ts, {GEOFENCE_LAT_SQL} AS lat,
+              {GEOFENCE_LON_SQL} AS lon FROM events),
+m AS (
+  SELECT e.user_id, e.event_id, e.ts,
+         CAST(COALESCE(MIN(f.fence_id), -1) AS INT) AS fence
+  FROM ev e LEFT JOIN f
+    ON (e.lat - f.flat) * (e.lat - f.flat)
+     + (e.lon - f.flon) * (e.lon - f.flon) <= f.r * f.r
+  GROUP BY 1, 2, 3),
+t AS (
+  SELECT user_id, ts, event_id, fence,
+         LAG(fence) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+  FROM m)
+SELECT user_id, ts, event_id, prev AS from_fence, fence AS to_fence,
+       CASE WHEN prev = -1 THEN 'enter'
+            WHEN fence = -1 THEN 'exit'
+            ELSE 'switch' END AS kind
+FROM t WHERE prev IS NOT NULL AND prev <> fence
+ORDER BY user_id, ts, event_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11516,4 +11583,5 @@ REGISTRY: dict[str, tuple] = {
     "incremental_dedup": (q_incremental_dedup, o_incremental_dedup),
     "langid_margin": (q_langid_margin, o_langid_margin),
     "dedup_best_rep": (q_dedup_best_rep, o_dedup_best_rep),
+    "geofence_transitions": (q_geofence_transitions, o_geofence_transitions),
 }
