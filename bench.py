@@ -136,7 +136,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "chunk_overlap", "quadkey", "raster_stretch_pct",
                  "event_anomaly", "user_retention", "pivot_lang",
                  "incremental_dedup", "langid_margin", "dedup_best_rep",
-                 "geofence_transitions"]:
+                 "geofence_transitions", "length_deciles", "crawl_schedule"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -11355,6 +11355,82 @@ FROM t WHERE prev IS NOT NULL AND prev <> fence
 ORDER BY user_id, ts, event_id"""
 
 
+# --- NTILE decile profile + politeness crawl scheduling ---
+
+def q_length_deciles(spark, sf_dir):
+    """Corpus length-decile profile — NTILE(10) over document length
+    (the remaining §2.5 window-function surface: ntile joins
+    row_number/rank/lag already exercised elsewhere) with per-decile
+    exact stats. One global sort-window over (n_chars, doc_id) — at
+    10^12 rows the same deciles come from the two-phase exact-rank
+    quantiles (length_outliers' plan); NTILE is the per-row-label
+    form."""
+    d = docs_df(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.orderBy("n_chars", "doc_id")
+    t = d.withColumn("decile", F.ntile(10).over(w))
+    return (t.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("decile"))
+
+
+def o_length_deciles():
+    return """WITH t AS (
+  SELECT doc_id, n_chars,
+         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents)
+SELECT decile, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM t GROUP BY decile ORDER BY decile"""
+
+
+CRAWL_RATE = 5    # fetches per host per wave (politeness budget)
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness-constrained crawl scheduling (the Nutch/Heritrix
+    frontier rule: at most {CRAWL_RATE} fetches per host per wave):
+    rank URLs within their host, wave = rank DIV rate; the makespan is
+    the max wave over hosts — the skew readout that tells a crawler
+    operator which hosts serialize the frontier. Output per host:
+    URL count, waves needed, share of the global makespan. One window
+    per host + two tiny aggregations."""
+    p = pages_df(spark, sf_dir).select("doc_id", "tld")
+    w = Window.partitionBy("tld").orderBy("doc_id")
+    t = (p.withColumn("rk", F.row_number().over(w))
+         .withColumn("wave", F.expr(f"(rk - 1) DIV {CRAWL_RATE}")))
+    hosts = (t.groupBy("tld")
+             .agg(F.count(F.lit(1)).alias("n_urls"),
+                  (F.max("wave") + 1).cast("long").alias("n_waves")))
+    makespan = hosts.agg(F.max("n_waves").alias("makespan"))
+    return (hosts.crossJoin(F.broadcast(makespan))
+            .select("tld", "n_urls", "n_waves",
+                    F.round(F.col("n_waves").cast("double")
+                            / F.col("makespan").cast("double"), 6)
+                    .alias("makespan_share"))
+            .orderBy("tld"))
+
+
+def o_crawl_schedule():
+    return f"""WITH {sqlexpr.pages_cte()},
+t AS (
+  SELECT tld,
+         ROW_NUMBER() OVER (PARTITION BY tld ORDER BY doc_id) AS rk
+  FROM pages),
+hosts AS (
+  SELECT tld, COUNT(*) AS n_urls,
+         CAST(MAX((rk - 1) // {CRAWL_RATE}) + 1 AS BIGINT) AS n_waves
+  FROM t GROUP BY tld),
+mk AS (SELECT MAX(n_waves) AS makespan FROM hosts)
+SELECT tld, n_urls, n_waves,
+       ROUND(CAST(n_waves AS DOUBLE) / CAST(makespan AS DOUBLE), 6)
+         AS makespan_share
+FROM hosts, mk ORDER BY tld"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11584,4 +11660,6 @@ REGISTRY: dict[str, tuple] = {
     "langid_margin": (q_langid_margin, o_langid_margin),
     "dedup_best_rep": (q_dedup_best_rep, o_dedup_best_rep),
     "geofence_transitions": (q_geofence_transitions, o_geofence_transitions),
+    "length_deciles": (q_length_deciles, o_length_deciles),
+    "crawl_schedule": (q_crawl_schedule, o_crawl_schedule),
 }
