@@ -11431,6 +11431,92 @@ SELECT tld, n_urls, n_waves,
 FROM hosts, mk ORDER BY tld"""
 
 
+# --- Table-maintenance planning (Iceberg OPTIMIZE / manifest shape) ---
+
+COMPACT_TARGET = 2000   # rows per compaction group (stand-in for bytes)
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-files compaction planning — the Iceberg/Delta OPTIMIZE
+    planner shape: order data files (here: z6 tile aggregates, the
+    engine's physical unit) by their key, running-sum their sizes, and
+    cut groups every {COMPACT_TARGET} rows. The running sum is the
+    scale-correct TWO-PHASE prefix sum (bucket partials → tiny
+    exclusive prefix → within-bucket window — sequence_pack's idiom):
+    no single-task global window at any file count. Output per group:
+    file count, rows, key range."""
+    pts = points_df(spark, sf_dir)
+    files = (tiling.tile_counts(pts, 6)
+             .select(F.col("tx"), F.col("ty"), F.col("n_pages"))
+             .withColumn("fkey", F.col("ty") * 64 + F.col("tx"))
+             .withColumn("bucket", F.expr("fkey DIV 256")))
+    bsum = files.groupBy("bucket").agg(F.sum("n_pages").alias("bs"))
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bsum.select("bucket",
+                       F.coalesce(F.sum("bs").over(wb), F.lit(0))
+                       .alias("boff"))
+    wf = (Window.partitionBy("bucket").orderBy("fkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = (files.join(F.broadcast(boff), "bucket")
+         .withColumn("run", F.col("boff") + F.sum("n_pages").over(wf))
+         .withColumn("grp",
+                     F.expr(f"(run - n_pages) DIV {COMPACT_TARGET}")))
+    return (g.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("n_pages").alias("n_rows"),
+                 F.min("fkey").alias("first_key"),
+                 F.max("fkey").alias("last_key"))
+            .orderBy("grp"))
+
+
+def o_compaction_plan():
+    tx, ty = sqlexpr.tile_sql("lat", "lon", 6)
+    return f"""WITH {sqlexpr.points_cte()},
+files AS (
+  SELECT ({ty}) * 64 + ({tx}) AS fkey, COUNT(*) AS n_pages
+  FROM points WHERE lat IS NOT NULL GROUP BY 1),
+run AS (
+  SELECT fkey, n_pages,
+         CAST(SUM(n_pages) OVER (ORDER BY fkey
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+  FROM files)
+SELECT CAST((run - n_pages) // {COMPACT_TARGET} AS BIGINT) AS grp,
+       COUNT(*) AS n_files,
+       CAST(SUM(n_pages) AS BIGINT) AS n_rows,
+       MIN(fkey) AS first_key, MAX(fkey) AS last_key
+FROM run GROUP BY 1 ORDER BY 1"""
+
+
+def q_manifest_stats(spark, sf_dir):
+    """Partition manifest statistics — exactly what an Iceberg
+    manifest records per data file and what makes partition/file
+    pruning work: per lang partition, row count, null counts and
+    min/max bounds of the query columns. One map-side-combined
+    aggregation; emitting these at write time is how the engine's
+    partitioned sink (pipeline/checkpoint.py) would feed a real
+    catalog."""
+    d = docs_df(spark, sf_dir)
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("text").isNull().cast("long"))
+                 .alias("null_text"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .orderBy("lang"))
+
+
+def o_manifest_stats():
+    return """SELECT lang, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_text,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11662,4 +11748,6 @@ REGISTRY: dict[str, tuple] = {
     "geofence_transitions": (q_geofence_transitions, o_geofence_transitions),
     "length_deciles": (q_length_deciles, o_length_deciles),
     "crawl_schedule": (q_crawl_schedule, o_crawl_schedule),
+    "compaction_plan": (q_compaction_plan, o_compaction_plan),
+    "manifest_stats": (q_manifest_stats, o_manifest_stats),
 }
