@@ -137,7 +137,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "event_anomaly", "user_retention", "pivot_lang",
                  "incremental_dedup", "langid_margin", "dedup_best_rep",
                  "geofence_transitions", "length_deciles", "crawl_schedule",
-                 "compaction_plan", "manifest_stats"]:
+                 "compaction_plan", "manifest_stats",
+                 "star_join_revenue", "unpivot_lang"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

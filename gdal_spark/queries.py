@@ -11517,6 +11517,79 @@ def o_manifest_stats():
 FROM documents GROUP BY lang ORDER BY lang"""
 
 
+# --- Star-schema analytics (TPC-H Q5 shape over the fixture tables) ---
+
+def q_star_join_revenue(spark, sf_dir):
+    """Five-table star join (the TPC-H Q5 shape: revenue by nation for
+    one region, customer and supplier in the same nation) — the
+    classic relational workload the engine must still serve next to
+    the geo/webtext operators, and a Catalyst join-reordering /
+    broadcast showcase: region→nation→customer are dimension chains
+    (broadcast), orders⋈lineitem is the one fact-fact co-partitioned
+    join. Revenue is summed in EXACT CENTS — BIGINT
+    floor(x·100 + 0.5) — so the aggregate is order-free and
+    bit-identical across engines (no float-fold discipline needed)."""
+    for t in ("region", "nation", "customer", "orders", "lineitem",
+              "supplier"):
+        _views(spark, sf_dir, (t,))
+    return spark.sql("""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, nation""")
+
+
+def o_star_join_revenue():
+    return """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, nation"""
+
+
+def q_unpivot_lang(spark, sf_dir):
+    """Unpivot / melt — the inverse of pivot_lang and the other half
+    of the reshape surface: the wide source×lang matrix melts back to
+    long (source, lang, n) rows via stack(); zero-count cells are kept
+    (explicit matrix semantics). Both directions are map-only on the
+    aggregated table."""
+    wide = q_pivot_lang(spark, sf_dir)
+    stack = ", ".join(f"'{c}', n_{c}" for c in PIVOT_LANGS)
+    return (wide.selectExpr(
+        "source", f"stack({len(PIVOT_LANGS)}, {stack}) AS (lang, n)")
+        .orderBy("source", "lang"))
+
+
+def o_unpivot_lang():
+    arms = " UNION ALL ".join(
+        f"SELECT source, '{c}' AS lang, n_{c} AS n FROM wide"
+        for c in PIVOT_LANGS)
+    return f"""WITH wide AS ({o_pivot_lang()})
+{arms} ORDER BY source, lang"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11750,4 +11823,6 @@ REGISTRY: dict[str, tuple] = {
     "crawl_schedule": (q_crawl_schedule, o_crawl_schedule),
     "compaction_plan": (q_compaction_plan, o_compaction_plan),
     "manifest_stats": (q_manifest_stats, o_manifest_stats),
+    "star_join_revenue": (q_star_join_revenue, o_star_join_revenue),
+    "unpivot_lang": (q_unpivot_lang, o_unpivot_lang),
 }
