@@ -11590,6 +11590,123 @@ def o_unpivot_lang():
 {arms} ORDER BY source, lang"""
 
 
+# --- Relational-surface batch: Q1 pricing summary, anti join, MoM ---
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pricing summary shape (per returnflag/linestatus:
+    quantities, gross and discounted sums, averages, counts) — the
+    canonical one-pass map-side-combined aggregation. Money sums in
+    exact cents (BIGINT floor(x·100 + 0.5)) so every aggregate is
+    order-free; averages derived from the exact sums as one final
+    double division."""
+    _views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_disc_cents,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE)
+             / (100.0 * COUNT(*)), 6) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")
+
+
+def o_pricing_summary():
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_disc_cents,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE)
+             / (100.0 * COUNT(*)), 6) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """Relational ANTI JOIN — customers with no URGENT order (the NOT
+    EXISTS surface as Spark's left_anti join; the geometric erase/clip
+    twins exercise the same physical join geometrically, this is the
+    plain relational form — every-customer-orders in the fixture made
+    the unfiltered variant vacuous). Per nation: count + custkey
+    range."""
+    for t in ("customer", "orders", "nation"):
+        _views(spark, sf_dir, (t,))
+    c = spark.table("customer")
+    o = (spark.table("orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    n = spark.table("nation")
+    a = c.join(o, "c_custkey", "left_anti")
+    return (a.join(F.broadcast(n),
+                   a.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.min("c_custkey").alias("min_cust"),
+                 F.max("c_custkey").alias("max_cust"))
+            .orderBy("nation"))
+
+
+def o_customers_no_orders():
+    return """
+SELECT n.n_name AS nation, COUNT(*) AS n_custs,
+       MIN(c.c_custkey) AS min_cust, MAX(c.c_custkey) AS max_cust
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name ORDER BY nation"""
+
+
+def q_monthly_growth(spark, sf_dir):
+    """Month-over-month order reporting: orders and exact-cents value
+    per month plus LAG deltas — the dashboard time-series query (the
+    DATE column is emitted as 'yyyy-MM' text: engine-portable, and the
+    natural partition key of a date-partitioned lakehouse table)."""
+    _views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+WITH m AS (
+  SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1)
+SELECT month, n_orders, cents,
+       CAST(n_orders - LAG(n_orders) OVER (ORDER BY month) AS BIGINT)
+         AS mom_orders,
+       CAST(cents - LAG(cents) OVER (ORDER BY month) AS BIGINT)
+         AS mom_cents
+FROM m ORDER BY month""")
+
+
+def o_monthly_growth():
+    return """
+WITH m AS (
+  SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1)
+SELECT month, n_orders, cents,
+       CAST(n_orders - LAG(n_orders) OVER (ORDER BY month) AS BIGINT)
+         AS mom_orders,
+       CAST(cents - LAG(cents) OVER (ORDER BY month) AS BIGINT)
+         AS mom_cents
+FROM m ORDER BY month"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11825,4 +11942,7 @@ REGISTRY: dict[str, tuple] = {
     "manifest_stats": (q_manifest_stats, o_manifest_stats),
     "star_join_revenue": (q_star_join_revenue, o_star_join_revenue),
     "unpivot_lang": (q_unpivot_lang, o_unpivot_lang),
+    "pricing_summary": (q_pricing_summary, o_pricing_summary),
+    "customers_no_orders": (q_customers_no_orders, o_customers_no_orders),
+    "monthly_growth": (q_monthly_growth, o_monthly_growth),
 }
