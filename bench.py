@@ -139,7 +139,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "geofence_transitions", "length_deciles", "crawl_schedule",
                  "compaction_plan", "manifest_stats",
                  "star_join_revenue", "unpivot_lang", "pricing_summary",
-                 "customers_no_orders", "monthly_growth"]:
+                 "customers_no_orders", "monthly_growth", "props_extract",
+                 "embedding_stats"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

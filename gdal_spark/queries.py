@@ -11707,6 +11707,79 @@ SELECT month, n_orders, cents,
 FROM m ORDER BY month"""
 
 
+# --- Semi-structured props extraction + embedding feature health ---
+
+def q_props_extract(spark, sf_dir):
+    """Semi-structured JSON extraction — the event-props pattern every
+    clickstream table has (a JSON string column queried without a
+    schema migration): pull $.k out of props, aggregate per event
+    type. Spark side get_json_object (codegen'd Jayway path eval);
+    oracle side DuckDB's JSON extension — different engines' JSON
+    stacks agreeing on the same typed result is the point of the
+    gate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+def o_props_extract():
+    return """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-dimension embedding feature-health table — the drift
+    monitor every vector pipeline keeps (dim → mean/min/max/zero
+    fraction): explode to (vec, dim, val), one 64-group aggregation.
+    Mean uses the exact FLOOR(2^20) BIGINT accumulator (order-free);
+    min/max are order-free natively; zero-fraction is an integer
+    ratio."""
+    nd = IVF_DIMS
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    el = (df.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                    .alias("dim0", "val"))
+          .select((F.col("dim0") + 1).cast("int").alias("dim"), "val"))
+    return (el.groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr(_PCA_MU.replace("val", "val")).alias("mean_q"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val"),
+                 F.sum((F.col("val") == 0.0).cast("long"))
+                 .alias("n_zero"))
+            .select("dim", "n", F.round("mean_q", 9).alias("mean_q"),
+                    F.round("min_val", 6).alias("min_val"),
+                    F.round("max_val", 6).alias("max_val"), "n_zero")
+            .orderBy("dim"))
+
+
+def o_embedding_stats():
+    nd = IVF_DIMS
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+el AS (SELECT CAST(r.range AS INT) AS dim, v[r.range] AS val
+       FROM e, range(1, {nd + 1}) r)
+SELECT dim, COUNT(*) AS n,
+       ROUND({_PCA_MU}, 9) AS mean_q,
+       ROUND(MIN(val), 6) AS min_val,
+       ROUND(MAX(val), 6) AS max_val,
+       CAST(SUM(CASE WHEN val = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero
+FROM el GROUP BY dim ORDER BY dim"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -11945,4 +12018,6 @@ REGISTRY: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, o_pricing_summary),
     "customers_no_orders": (q_customers_no_orders, o_customers_no_orders),
     "monthly_growth": (q_monthly_growth, o_monthly_growth),
+    "props_extract": (q_props_extract, o_props_extract),
+    "embedding_stats": (q_embedding_stats, o_embedding_stats),
 }
