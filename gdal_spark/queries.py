@@ -11780,6 +11780,74 @@ SELECT dim, COUNT(*) AS n,
 FROM el GROUP BY dim ORDER BY dim"""
 
 
+# --- Shuffle-skew diagnosis + geo×lang crosstab ---
+
+def q_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnosis — the readout that DECIDES the salting /
+    AQE-skew-split treatment (tile_counts_salted applies it; this
+    measures it): per z8 tile-cell row counts reduced to the skew
+    profile a cluster operator reads — total keys, max/mean imbalance
+    factor (exact integer cross-multiplication, reported ×1e6), and
+    the top-5 hot cells with their corpus share. All from one
+    aggregation + one 5-row TakeOrdered."""
+    pts = points_df(spark, sf_dir)
+    cells = tiling.tile_counts(pts, 8)
+    tot = cells.agg(F.count(F.lit(1)).alias("n_keys"),
+                    F.sum("n_pages").alias("n_rows"))
+    top = (cells.orderBy(F.desc("n_pages"), "tx", "ty").limit(5)
+           .crossJoin(F.broadcast(tot)))
+    w = Window.orderBy(F.desc("n_pages"), "tx", "ty")
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "tx", "ty", "n_pages", "n_keys", "n_rows",
+                    # imbalance ×1e6 as exact integer: max*keys*1e6/rows
+                    F.expr("CAST(n_pages * n_keys * 1000000 DIV n_rows "
+                           "AS BIGINT)").alias("imbalance_ppm"))
+            .orderBy("rank"))
+
+
+def o_skew_report():
+    tx, ty = sqlexpr.tile_sql("lat", "lon", 8)
+    return f"""WITH {sqlexpr.points_cte()},
+cells AS (
+  SELECT {tx} AS tx, {ty} AS ty, COUNT(*) AS n_pages
+  FROM points WHERE lat IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n_pages) AS BIGINT) AS n_rows
+        FROM cells),
+top AS (SELECT tx, ty, n_pages,
+               ROW_NUMBER() OVER (ORDER BY n_pages DESC, tx, ty) AS rank
+        FROM cells QUALIFY rank <= 5)
+SELECT CAST(t.rank AS INT) AS rank, t.tx, t.ty, t.n_pages,
+       o.n_keys, o.n_rows,
+       CAST(t.n_pages * o.n_keys * 1000000 // o.n_rows AS BIGINT)
+         AS imbalance_ppm
+FROM top t, tot o ORDER BY rank"""
+
+
+def q_zone_lang_matrix(spark, sf_dir):
+    """Geo × language crosstab — the regional-language-mix dashboard:
+    PIP-join pages into zones, pivot language counts wide (explicit
+    value list). Composition of the flagship join and the pivot
+    surface in one plan."""
+    p = pages_df(spark, sf_dir)
+    hits = sj.pip_join(p, spark).select("zone_fid", "lang")
+    w = (hits.groupBy("zone_fid")
+         .pivot("lang", list(PIVOT_LANGS)).agg(F.count(F.lit(1))))
+    cols = [F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+            for c in PIVOT_LANGS]
+    return w.select("zone_fid", *cols).orderBy("zone_fid")
+
+
+def o_zone_lang_matrix():
+    cells = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN p.lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{c}" for c in PIVOT_LANGS)
+    return f"""WITH {sqlexpr.pages_cte()}, {_pip_sql()}
+SELECT z.zone_fid,
+       {cells}
+FROM pip z JOIN pages p ON p.doc_id = z.doc_id
+GROUP BY z.zone_fid ORDER BY z.zone_fid"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12020,4 +12088,6 @@ REGISTRY: dict[str, tuple] = {
     "monthly_growth": (q_monthly_growth, o_monthly_growth),
     "props_extract": (q_props_extract, o_props_extract),
     "embedding_stats": (q_embedding_stats, o_embedding_stats),
+    "skew_report": (q_skew_report, o_skew_report),
+    "zone_lang_matrix": (q_zone_lang_matrix, o_zone_lang_matrix),
 }
