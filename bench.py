@@ -140,7 +140,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "compaction_plan", "manifest_stats",
                  "star_join_revenue", "unpivot_lang", "pricing_summary",
                  "customers_no_orders", "monthly_growth", "props_extract",
-                 "embedding_stats", "skew_report", "zone_lang_matrix"]:
+                 "embedding_stats", "skew_report", "zone_lang_matrix",
+                 "cdc_latest", "zone_top_terms"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -11848,6 +11848,92 @@ FROM pip z JOIN pages p ON p.doc_id = z.doc_id
 GROUP BY z.zone_fid ORDER BY z.zone_fid"""
 
 
+# --- CDC latest-snapshot + per-zone top terms ---
+
+def q_cdc_latest(spark, sf_dir):
+    """CDC log → latest snapshot (last-writer-wins): the events table
+    read as a change log keyed by user_id and versioned by (ts,
+    event_id); the snapshot keeps each key's newest record — Delta/
+    Iceberg's MERGE-on-read compaction semantics. One argmax per key
+    via min(struct(negated version)) — no window over the log, one
+    shuffle on the key."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    best = (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_versions"),
+                 F.max(F.struct(F.col("ts"), F.col("event_id"),
+                                F.col("event_type"), F.col("value")))
+                 .alias("b")))
+    return (best.select(
+        "user_id", "n_versions",
+        F.col("b.ts").alias("ts"),
+        F.col("b.event_id").alias("event_id"),
+        F.col("b.event_type").alias("event_type"),
+        F.round(F.col("b.value"), 6).alias("value"))
+        .orderBy("user_id"))
+
+
+def o_cdc_latest():
+    return """WITH r AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_versions,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, CAST(n_versions AS BIGINT) AS n_versions, ts, event_id,
+       event_type, ROUND(value, 6) AS value
+FROM r WHERE rn = 1 ORDER BY user_id"""
+
+
+ZTT_K = 3   # top terms per zone
+
+
+def q_zone_top_terms(spark, sf_dir):
+    """Per-zone top terms — the geo×text composition (what is each
+    region talking about): PIP-join pages into zones, explode tokens,
+    drop the English function-word profile (the engine's stopword
+    list), count per (zone, term), keep the top {ZTT_K} by count with
+    deterministic tiebreak. Flagship join + one (zone, term) shuffle +
+    a bounded per-zone window."""
+    from gdal_spark.functions.text import LANG_PROFILES, tokens_col
+    sw = F.array(*[F.lit(t) for lang, t, wt in LANG_PROFILES
+                   if lang == "en"])
+    p = pages_df(spark, sf_dir)
+    hits = sj.pip_join(p, spark).select("zone_fid", "doc_id")
+    toks = (hits.join(p.select("doc_id", "text"), "doc_id")
+            .select("zone_fid",
+                    F.explode(tokens_col(F.col("text"))).alias("t"))
+            .filter(~F.array_contains(sw, F.col("t"))
+                    & (F.col("t") != "")))
+    cnt = toks.groupBy("zone_fid", "t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("zone_fid").orderBy(
+        F.desc("n"), F.asc("t"))
+    return (cnt.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= ZTT_K)
+            .select("zone_fid", "rank", F.col("t").alias("term"), "n")
+            .orderBy("zone_fid", "rank"))
+
+
+def o_zone_top_terms():
+    from gdal_spark.functions.text import LANG_PROFILES
+    sw = ", ".join(f"'{t}'" for lang, t, wt in LANG_PROFILES
+                   if lang == "en")
+    return f"""WITH {sqlexpr.pages_cte()}, {_pip_sql()},
+toks AS (
+  SELECT z.zone_fid,
+         unnest(regexp_split_to_array(trim(lower(p.text)), '\\s+')) AS t
+  FROM pip z JOIN pages p ON p.doc_id = z.doc_id),
+cnt AS (
+  SELECT zone_fid, t, COUNT(*) AS n FROM toks
+  WHERE t NOT IN ({sw}) AND t <> '' GROUP BY 1, 2),
+rk AS (
+  SELECT zone_fid, t, n,
+         ROW_NUMBER() OVER (PARTITION BY zone_fid
+                            ORDER BY n DESC, t ASC) AS rank
+  FROM cnt)
+SELECT zone_fid, CAST(rank AS INT) AS rank, t AS term, n
+FROM rk WHERE rank <= {ZTT_K} ORDER BY zone_fid, rank"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12090,4 +12176,6 @@ REGISTRY: dict[str, tuple] = {
     "embedding_stats": (q_embedding_stats, o_embedding_stats),
     "skew_report": (q_skew_report, o_skew_report),
     "zone_lang_matrix": (q_zone_lang_matrix, o_zone_lang_matrix),
+    "cdc_latest": (q_cdc_latest, o_cdc_latest),
+    "zone_top_terms": (q_zone_top_terms, o_zone_top_terms),
 }
