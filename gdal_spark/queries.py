@@ -11934,6 +11934,82 @@ SELECT zone_fid, CAST(rank AS INT) AS rank, t AS term, n
 FROM rk WHERE rank <= {ZTT_K} ORDER BY zone_fid, rank"""
 
 
+# --- Execute the language-mixture recipe: quotas -> selection ---
+
+MIX_PICK = 200   # total documents the mixed sample should hold
+
+
+def q_mix_execute(spark, sf_dir):
+    """EXECUTE the tempered language mixture (lang_mixture computes
+    the weights; this materializes the recipe): per-language quota =
+    floor(q_l·{MIX_PICK} + 0.5), then the quota is filled by the
+    deterministic md5 rank (stratified_sample's seedless draw). The
+    per-lang pick is reproducible across engines and runs — the
+    data-recipe execution step between 'weights decided' and
+    'training set written'. Scale shape: weights from a lang-count
+    table (tiny), quotas broadcast onto one rank window per
+    language."""
+    counts = docs_df(spark, sf_dir).groupBy("lang") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    a = counts.agg(
+        F.sort_array(F.collect_list(F.struct("lang", "n"))).alias("ls"),
+        F.sum("n").alias("N"))
+    qsum = F.expr(
+        f"aggregate(ls, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + power(x.n / CAST(N AS DOUBLE), {MIX_ALPHA!r}))")
+    d = (a.withColumn("qsum", qsum)
+         .select(F.explode("ls").alias("x"), "N", "qsum")
+         .select(F.col("x.lang").alias("lang"),
+                 F.col("x.n").alias("n_docs"), "N", "qsum"))
+    q = (F.pow(F.col("n_docs") / F.col("N").cast("double"),
+               F.lit(MIX_ALPHA)) / F.col("qsum"))
+    quota = (d.select("lang", "n_docs",
+                      F.floor(q * MIX_PICK + F.lit(0.5)).cast("long")
+                      .alias("quota")))
+    docs = docs_df(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    picked = (docs.withColumn("rk", F.row_number().over(w))
+              .join(F.broadcast(quota), "lang")
+              .filter(F.col("rk") <= F.col("quota")))
+    return (picked.groupBy("lang")
+            .agg(F.max("n_docs").alias("n_docs"),
+                 F.max("quota").alias("quota"),
+                 F.count(F.lit(1)).alias("n_picked"),
+                 F.sum("n_chars").alias("picked_chars"))
+            .orderBy("lang"))
+
+
+def o_mix_execute():
+    return f"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+               GROUP BY lang),
+a AS (SELECT list({{'lang': lang, 'n': n}} ORDER BY lang) AS ls,
+             SUM(n) AS N FROM c),
+s AS (SELECT CAST(N AS BIGINT) AS N,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ls,
+              x -> POWER(x.n / CAST(N AS DOUBLE), {MIX_ALPHA!r}))),
+          (p, r) -> p + r) AS qsum
+      FROM a),
+quota AS (
+  SELECT c.lang, c.n AS n_docs,
+         CAST(FLOOR(POWER(c.n / CAST(s.N AS DOUBLE), {MIX_ALPHA!r})
+                    / s.qsum * {MIX_PICK} + 0.5) AS BIGINT) AS quota
+  FROM c, s),
+rk AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk
+  FROM documents)
+SELECT r.lang, MAX(q.n_docs) AS n_docs, MAX(q.quota) AS quota,
+       COUNT(*) AS n_picked,
+       CAST(SUM(r.n_chars) AS BIGINT) AS picked_chars
+FROM rk r JOIN quota q ON q.lang = r.lang
+WHERE r.rk <= q.quota
+GROUP BY r.lang ORDER BY r.lang"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12178,4 +12254,5 @@ REGISTRY: dict[str, tuple] = {
     "zone_lang_matrix": (q_zone_lang_matrix, o_zone_lang_matrix),
     "cdc_latest": (q_cdc_latest, o_cdc_latest),
     "zone_top_terms": (q_zone_top_terms, o_zone_top_terms),
+    "mix_execute": (q_mix_execute, o_mix_execute),
 }
