@@ -141,7 +141,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "star_join_revenue", "unpivot_lang", "pricing_summary",
                  "customers_no_orders", "monthly_growth", "props_extract",
                  "embedding_stats", "skew_report", "zone_lang_matrix",
-                 "cdc_latest", "zone_top_terms", "mix_execute"]:
+                 "cdc_latest", "zone_top_terms", "mix_execute",
+                 "areal_interp"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

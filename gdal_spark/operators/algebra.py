@@ -598,3 +598,49 @@ def dissolve_edges_twin() -> list[tuple[int, int]]:
             if hit:
                 out.append((fa, fb))
     return out
+
+
+# --- Areal interpolation (areal-weighted reaggregation) ---
+
+#: target grid for areal interpolation: 2×2 cells of 1.2° over the
+#: zone fixture's extent; ring = flat CCW coords
+AREAL_X0, AREAL_Y0, AREAL_CELL = -75.2, 39.6, 1.2
+
+
+def areal_target_rows():
+    rows = []
+    for tid in range(4):
+        x0 = AREAL_X0 + AREAL_CELL * (tid % 2)
+        y0 = AREAL_Y0 + AREAL_CELL * (tid // 2)
+        ring = [x0, y0, x0 + AREAL_CELL, y0,
+                x0 + AREAL_CELL, y0 + AREAL_CELL, x0, y0 + AREAL_CELL]
+        rows.append((tid, ring, x0, y0, x0 + AREAL_CELL, y0 + AREAL_CELL))
+    return rows
+
+
+def areal_weights_twin():
+    """Driver-side oracle twin of the distributed areal-weight kernel
+    (the intersection_pieces_twin discipline: SAME clip kernel, SAME
+    piece_id fold order, fixture-constant inputs). Returns
+    (zone_fid, tid, weight) with weight = area(zone ∩ cell) /
+    area(zone), plus only pairs with positive intersection."""
+    import numpy as np
+
+    from gdal_spark.geo.geom import clip_convex, ring_signed_area
+    pieces = sorted(convex_pieces_rows(), key=lambda r: (r[0], r[1]))
+    zone_area: dict[int, float] = {}
+    inter: dict[tuple[int, int], float] = {}
+    targets = areal_target_rows()
+    for zf, pid, sign, ring, *_ in pieces:
+        pa = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+        zone_area[zf] = zone_area.get(zf, 0.0) \
+            + sign * ring_signed_area(pa)
+        for tid, tring, *_ in targets:
+            tb = np.asarray(tring, dtype=np.float64).reshape(-1, 2)
+            a = sign * ring_signed_area(clip_convex(pa, tb))
+            inter[(zf, tid)] = inter.get((zf, tid), 0.0) + a
+    out = []
+    for (zf, tid), a in sorted(inter.items()):
+        if a > 0.0:
+            out.append((zf, tid, a / zone_area[zf]))
+    return out

@@ -12010,6 +12010,124 @@ WHERE r.rk <= q.quota
 GROUP BY r.lang ORDER BY r.lang"""
 
 
+# --- Areal interpolation (areal-weighted reaggregation, the MAUP op) ---
+
+def q_areal_interp(spark, sf_dir):
+    """Areal interpolation — reaggregate zone statistics onto a
+    DIFFERENT zone system (the classic GIS operation behind census
+    re-gridding; Goodchild & Lam 1980 areal weighting): page counts
+    per source zone redistribute onto a 2×2 target grid over the NYC
+    fixture region proportionally to area(zone ∩ cell)/area(zone).
+    The weights come from the SAME distributed Sutherland–Hodgman
+    convex-piece kernel as algebra_pieces (signed inclusion–exclusion
+    handles the hole), folded per (zone, cell) in piece order; the
+    estimate folds zone contributions in zone order. Scale shape:
+    weights = one clip-kernel pass over piece×cell candidates (cell
+    cover join at scale), estimates = one broadcast join of the weight
+    table onto the zonal counts."""
+    import pandas as pd
+
+    from gdal_spark.operators.algebra import (PIECES_SCHEMA,
+                                              areal_target_rows,
+                                              convex_pieces_rows)
+    pieces = spark.createDataFrame(
+        convex_pieces_rows(), PIECES_SCHEMA).repartition(1)
+    targets = spark.createDataFrame(
+        areal_target_rows(),
+        "tid int, tring array<double>, txmin double, tymin double, "
+        "txmax double, tymax double")
+    cand = (pieces.crossJoin(F.broadcast(targets))
+            .filter((F.col("xmin") <= F.col("txmax"))
+                    & (F.col("xmax") >= F.col("txmin"))
+                    & (F.col("ymin") <= F.col("tymax"))
+                    & (F.col("ymax") >= F.col("tymin"))))
+
+    def _clip(batches):
+        import numpy as np
+
+        from gdal_spark.geo.geom import clip_convex, ring_signed_area
+        for pdf in batches:
+            areas = []
+            for ring, tring in zip(pdf["ring"], pdf["tring"]):
+                pa = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                tb = np.asarray(tring, dtype=np.float64).reshape(-1, 2)
+                areas.append(ring_signed_area(clip_convex(pa, tb)))
+            yield pd.DataFrame({
+                "zone_fid": pdf["zone_fid"], "tid": pdf["tid"],
+                "piece_id": pdf["piece_id"], "sign": pdf["sign"],
+                "area": areas})
+
+    clipped = cand.mapInPandas(
+        _clip, "zone_fid int, tid int, piece_id int, sign int, area double")
+    inter = (clipped.groupBy("zone_fid", "tid")
+             .agg(F.sort_array(F.collect_list(F.struct(
+                 "piece_id", (F.col("sign") * F.col("area")).alias("sa"))))
+                 .alias("xs"))
+             .select("zone_fid", "tid",
+                     F.expr("aggregate(xs, CAST(0.0 AS DOUBLE), "
+                            "(a, x) -> a + x.sa)").alias("ia"))
+             .filter(F.col("ia") > 0.0))
+    zarea = spark.createDataFrame(
+        convex_pieces_rows(), PIECES_SCHEMA).repartition(1)
+
+    def _parea(batches):
+        import numpy as np
+
+        from gdal_spark.geo.geom import ring_signed_area
+        for pdf in batches:
+            areas = [ring_signed_area(
+                np.asarray(r, dtype=np.float64).reshape(-1, 2))
+                for r in pdf["ring"]]
+            yield pd.DataFrame({"zone_fid": pdf["zone_fid"],
+                                "piece_id": pdf["piece_id"],
+                                "sign": pdf["sign"], "area": areas})
+
+    za = (zarea.mapInPandas(
+        _parea, "zone_fid int, piece_id int, sign int, area double")
+        .groupBy("zone_fid")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            "piece_id", (F.col("sign") * F.col("area")).alias("sa"))))
+            .alias("xs"))
+        .select("zone_fid",
+                F.expr("aggregate(xs, CAST(0.0 AS DOUBLE), "
+                       "(a, x) -> a + x.sa)").alias("zarea")))
+    weights = (inter.join(F.broadcast(za), "zone_fid")
+               .select("zone_fid", "tid",
+                       (F.col("ia") / F.col("zarea")).alias("w")))
+    p = pages_df(spark, sf_dir)
+    counts = (sj.pip_join(p, spark).groupBy("zone_fid")
+              .agg(F.count(F.lit(1)).alias("n")))
+    est = (weights.join(counts, "zone_fid")
+           .groupBy("tid")
+           .agg(F.count(F.lit(1)).alias("n_zones"),
+                F.sort_array(F.collect_list(F.struct(
+                    "zone_fid",
+                    (F.col("n").cast("double") * F.col("w")).alias("c"))))
+                .alias("xs")))
+    return (est.select(
+        "tid", "n_zones",
+        F.round(F.expr("aggregate(xs, CAST(0.0 AS DOUBLE), "
+                       "(a, x) -> a + x.c)"), 6).alias("est_pages"))
+        .orderBy("tid"))
+
+
+def o_areal_interp():
+    from gdal_spark.operators.algebra import areal_weights_twin
+    vals = ", ".join(
+        f"({zf}, {tid}, {sqlexpr.dlit(w)})"
+        for zf, tid, w in areal_weights_twin())
+    return f"""WITH {sqlexpr.pages_cte()}, {_pip_sql()},
+w(zone_fid, tid, w) AS (VALUES {vals}),
+counts AS (SELECT zone_fid, COUNT(*) AS n FROM pip GROUP BY zone_fid),
+j AS (SELECT w.tid, w.zone_fid, CAST(c.n AS DOUBLE) * w.w AS c
+      FROM w JOIN counts c ON c.zone_fid = w.zone_fid)
+SELECT tid, COUNT(*) AS n_zones,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(c ORDER BY zone_fid)),
+                         (a, x) -> a + x), 6) AS est_pages
+FROM j GROUP BY tid ORDER BY tid"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12255,4 +12373,5 @@ REGISTRY: dict[str, tuple] = {
     "cdc_latest": (q_cdc_latest, o_cdc_latest),
     "zone_top_terms": (q_zone_top_terms, o_zone_top_terms),
     "mix_execute": (q_mix_execute, o_mix_execute),
+    "areal_interp": (q_areal_interp, o_areal_interp),
 }
