@@ -12128,6 +12128,85 @@ SELECT tid, COUNT(*) AS n_zones,
 FROM j GROUP BY tid ORDER BY tid"""
 
 
+# --- Zone shape metrics (Polsby-Popper compactness) ---
+
+#: shared SQL fragments over the ring-edge table: signed shoelace term
+#: and edge length (identical text both engines)
+_CMP_SHOE = "(x1 * y2 - x2 * y1)"
+_CMP_LEN = "sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))"
+
+
+def q_zone_compactness(spark, sf_dir):
+    """Polsby–Popper compactness per zone — the shape-quality metric
+    of districting/gerrymandering analysis: PP = 4π·A / P². Area =
+    edge-ordered shoelace fold per ring, signed + for the outer ring
+    and − for holes; perimeter = edge-ordered length fold over ALL
+    rings (hole boundaries included — documented convention). Entirely
+    column math over the ring-edge table; rings partition freely."""
+    import math as m
+    e = (_ring_edges_df(spark)
+         .withColumn("shoe", F.expr(_CMP_SHOE))
+         .withColumn("elen", F.expr(_CMP_LEN)))
+    per_ring = (e.groupBy("zone_fid", "ring_id")
+                .agg(F.sort_array(F.collect_list(F.struct(
+                    "edge", F.col("shoe").alias("s"),
+                    F.col("elen").alias("l")))).alias("xs"))
+                .select(
+                    "zone_fid", "ring_id",
+                    F.expr("aggregate(xs, CAST(0.0 AS DOUBLE), "
+                           "(a, x) -> a + x.s)").alias("shoe2"),
+                    F.expr("aggregate(xs, CAST(0.0 AS DOUBLE), "
+                           "(a, x) -> a + x.l)").alias("perim")))
+    sgn = F.when(F.col("ring_id") == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    per_zone = (per_ring
+                .select("zone_fid", "ring_id",
+                        (sgn * F.abs(F.col("shoe2")) / F.lit(2.0))
+                        .alias("a"), "perim")
+                .groupBy("zone_fid")
+                .agg(F.sort_array(F.collect_list(F.struct(
+                    "ring_id", "a", "perim"))).alias("xs")))
+    area = F.expr("aggregate(xs, CAST(0.0 AS DOUBLE), (p, x) -> p + x.a)")
+    perim = F.expr("aggregate(xs, CAST(0.0 AS DOUBLE), "
+                   "(p, x) -> p + x.perim)")
+    pp = F.lit(4.0 * m.pi) * area / (perim * perim)
+    return (per_zone.select("zone_fid",
+                            F.round(area, 6).alias("area"),
+                            F.round(perim, 6).alias("perimeter"),
+                            F.round(pp, 6).alias("polsby_popper"))
+            .orderBy("zone_fid"))
+
+
+def o_zone_compactness():
+    import math as m
+
+    from gdal_spark.fixtures import zone_ring_edges_sql
+    four_pi = sqlexpr.dlit(4.0 * m.pi)
+    return f"""WITH e AS (
+  SELECT zone_fid, ring_id, edge, {_CMP_SHOE} AS shoe,
+         {_CMP_LEN} AS elen
+  FROM {zone_ring_edges_sql()}),
+per_ring AS (
+  SELECT zone_fid, ring_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(shoe ORDER BY edge)), (a, x) -> a + x) AS shoe2,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(elen ORDER BY edge)), (a, x) -> a + x) AS perim
+  FROM e GROUP BY zone_fid, ring_id),
+per_zone AS (
+  SELECT zone_fid,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(CASE WHEN ring_id = 0 THEN 1.0e0 ELSE -1.0e0 END
+           * ABS(shoe2) / 2.0 ORDER BY ring_id)),
+      (p, x) -> p + x) AS area,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(perim ORDER BY ring_id)), (p, x) -> p + x) AS perim
+  FROM per_ring GROUP BY zone_fid)
+SELECT zone_fid, ROUND(area, 6) AS area,
+       ROUND(perim, 6) AS perimeter,
+       ROUND({four_pi} * area / (perim * perim), 6) AS polsby_popper
+FROM per_zone ORDER BY zone_fid"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12374,4 +12453,5 @@ REGISTRY: dict[str, tuple] = {
     "zone_top_terms": (q_zone_top_terms, o_zone_top_terms),
     "mix_execute": (q_mix_execute, o_mix_execute),
     "areal_interp": (q_areal_interp, o_areal_interp),
+    "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
