@@ -12207,6 +12207,122 @@ SELECT zone_fid, ROUND(area, 6) AS area,
 FROM per_zone ORDER BY zone_fid"""
 
 
+def q_voronoi_cells(spark, sf_dir):
+    """Voronoi diagram as the dual of the Delaunay triangulation
+    (GEOSVoronoiDiagram / OGRGeometry parity — GDAL exposes Voronoi
+    through GEOS next to DelaunayTriangulation, ogr/ogr_geometry.h:596):
+    for every INTERIOR seed (one whose triangle fan closes — incident
+    triangle count equals distinct Delaunay-neighbor count) the cell
+    polygon is the circumcenters of its incident triangles ordered by
+    angle around the seed; emit vertex count, neighbor count (= cell
+    edge count) and the shoelace cell area. Everything after the
+    (tiled, bounded-group) triangulation is column math + one
+    angle-ordered window per seed — Voronoi cells partition by seed,
+    so the construction scales with the triangle table."""
+    from gdal_spark.operators import delaunay
+    tri = delaunay.triangulate(_lgrid_points(spark, sf_dir))
+    # circumcenter — IDENTICAL expression text to _delaunay_tri_sql's
+    # tri1 block so both engines produce bit-equal (ux, uy)
+    d = F.lit(2.0) * (F.col("ax") * (F.col("by") - F.col("cy"))
+                      + F.col("bx") * (F.col("cy") - F.col("ay"))
+                      + F.col("cx") * (F.col("ay") - F.col("by")))
+    a2 = F.col("ax") * F.col("ax") + F.col("ay") * F.col("ay")
+    b2 = F.col("bx") * F.col("bx") + F.col("by") * F.col("by")
+    c2 = F.col("cx") * F.col("cx") + F.col("cy") * F.col("cy")
+    tri = tri.withColumn("ux", (a2 * (F.col("by") - F.col("cy"))
+                                + b2 * (F.col("cy") - F.col("ay"))
+                                + c2 * (F.col("ay") - F.col("by"))) / d) \
+             .withColumn("uy", (a2 * (F.col("cx") - F.col("bx"))
+                                + b2 * (F.col("ax") - F.col("cx"))
+                                + c2 * (F.col("bx") - F.col("ax"))) / d) \
+             .persist()
+    inc = tri.select(F.explode(F.array(
+        F.struct(F.col("ia").alias("seed"), F.col("ax").alias("sx"),
+                 F.col("ay").alias("sy")),
+        F.struct(F.col("ib").alias("seed"), F.col("bx").alias("sx"),
+                 F.col("by").alias("sy")),
+        F.struct(F.col("ic").alias("seed"), F.col("cx").alias("sx"),
+                 F.col("cy").alias("sy")))).alias("s"), "ux", "uy") \
+        .select("s.seed", "s.sx", "s.sy", "ux", "uy")
+    nbr = tri.select(F.explode(F.array(
+        F.struct(F.col("ia").alias("seed"), F.col("ib").alias("nb")),
+        F.struct(F.col("ib").alias("seed"), F.col("ia").alias("nb")),
+        F.struct(F.col("ib").alias("seed"), F.col("ic").alias("nb")),
+        F.struct(F.col("ic").alias("seed"), F.col("ib").alias("nb")),
+        F.struct(F.col("ia").alias("seed"), F.col("ic").alias("nb")),
+        F.struct(F.col("ic").alias("seed"), F.col("ia").alias("nb"))))
+        .alias("s")).select("s.seed", "s.nb")
+    deg = nbr.groupBy("seed").agg(
+        F.countDistinct("nb").cast("int").alias("n_neighbors"))
+    cnt = inc.groupBy("seed").agg(F.count("*").cast("int")
+                                  .alias("n_vertices"))
+    a = inc.withColumn("ang", F.atan2(F.col("uy") - F.col("sy"),
+                                      F.col("ux") - F.col("sx")))
+    w = Window.partitionBy("seed").orderBy("ang", "ux", "uy")
+    wf = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    e = a.select(
+        "seed", "ang", "ux", "uy",
+        F.coalesce(F.lead("ux").over(w), F.first("ux").over(wf))
+         .alias("nux"),
+        F.coalesce(F.lead("uy").over(w), F.first("uy").over(wf))
+         .alias("nuy"))
+    term = F.col("ux") * F.col("nuy") - F.col("nux") * F.col("uy")
+    sh = (e.withColumn("term", term)
+          .groupBy("seed")
+          .agg(F.sort_array(F.collect_list(F.struct(
+              "ang", "ux", "uy", "term"))).alias("xs"))
+          .select("seed", F.expr(
+              "aggregate(xs, CAST(0.0 AS DOUBLE), (p, x) -> p + x.term)")
+              .alias("shoe")))
+    return (cnt.join(deg, "seed").join(sh, "seed")
+            .filter(F.col("n_vertices") == F.col("n_neighbors"))
+            .select("seed", "n_vertices", "n_neighbors",
+                    F.round(F.col("shoe") / F.lit(2.0), 9)
+                     .alias("cell_area"))
+            .orderBy("seed"))
+
+
+def o_voronoi_cells():
+    return f"""
+WITH {sqlexpr.points_cte()},
+{_delaunay_tri_sql()},
+inc AS (
+  SELECT ia AS seed, ax AS sx, ay AS sy, ux, uy FROM tri
+  UNION ALL SELECT ib, bx, by, ux, uy FROM tri
+  UNION ALL SELECT ic, cx, cy, ux, uy FROM tri),
+nbr AS (
+  SELECT ia AS seed, ib AS nb FROM tri
+  UNION ALL SELECT ib, ia FROM tri
+  UNION ALL SELECT ib, ic FROM tri
+  UNION ALL SELECT ic, ib FROM tri
+  UNION ALL SELECT ia, ic FROM tri
+  UNION ALL SELECT ic, ia FROM tri),
+deg AS (SELECT seed, CAST(COUNT(DISTINCT nb) AS INT) AS n_neighbors
+        FROM nbr GROUP BY seed),
+cnt AS (SELECT seed, CAST(COUNT(*) AS INT) AS n_vertices
+        FROM inc GROUP BY seed),
+a AS (SELECT seed, ux, uy, atan2(uy - sy, ux - sx) AS ang FROM inc),
+e AS (SELECT seed, ang, ux, uy,
+             COALESCE(LEAD(ux) OVER w, FIRST_VALUE(ux) OVER w2) AS nux,
+             COALESCE(LEAD(uy) OVER w, FIRST_VALUE(uy) OVER w2) AS nuy
+      FROM a
+      WINDOW w AS (PARTITION BY seed ORDER BY ang, ux, uy),
+             w2 AS (PARTITION BY seed ORDER BY ang, ux, uy
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)),
+sh AS (SELECT seed,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ux * nuy - nux * uy ORDER BY ang, ux, uy)),
+                (p, x) -> p + x) AS shoe
+       FROM e GROUP BY seed)
+SELECT c.seed, c.n_vertices, d.n_neighbors,
+       ROUND(sh.shoe / 2.0, 9) AS cell_area
+FROM cnt c JOIN deg d USING (seed) JOIN sh USING (seed)
+WHERE c.n_vertices = d.n_neighbors
+ORDER BY seed"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12452,6 +12568,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_latest": (q_cdc_latest, o_cdc_latest),
     "zone_top_terms": (q_zone_top_terms, o_zone_top_terms),
     "mix_execute": (q_mix_execute, o_mix_execute),
+    "voronoi_cells": (q_voronoi_cells, o_voronoi_cells),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
