@@ -12323,6 +12323,86 @@ WHERE c.n_vertices = d.n_neighbors
 ORDER BY seed"""
 
 
+# gdal_grid invdist anisotropy knobs (alg/gdalgrid.cpp rotation +
+# ratio scaling of the rotated minor axis) — constants shared by the
+# Spark query and the DuckDB oracle verbatim
+ANISO_RATIO = 2.0
+ANISO_ANGLE_DEG = 30.0
+ANISO_MIN_POINTS = 4
+ANISO_NODATA = -9999.0
+
+
+def q_grid_invdist_aniso(spark, sf_dir):
+    """gdal_grid invdist with ANISOTROPY + min_points/nodata
+    (GDALGridInverseDistanceToAPower, alg/gdalgrid.cpp:242-377;
+    options anisotropy_angle/anisotropy_ratio/min_points/nodata,
+    alg/gdalgridapi.h GDALGridInverseDistanceToAPowerOptions): the
+    offset to the cell center is rotated by the anisotropy angle, the
+    rotated minor axis scaled by the ratio, and inverse-distance
+    weighting runs in that metric; cells with fewer than min_points
+    in-range candidates emit the nodata value. ratio>=1 makes the
+    anisotropic disc a subset of the circular candidate disc, so the
+    scatter-to-cells candidate generation is reused unchanged — one
+    extra column filter, no new shuffle."""
+    import math as m
+
+    from gdal_spark.operators import gridding
+    g = EGRID
+    ca = m.cos(m.radians(ANISO_ANGLE_DEG))
+    sa = m.sin(m.radians(ANISO_ANGLE_DEG))
+    cand = _egrid_cand(spark, sf_dir)
+    ddx = F.col("lon") - (F.lit(g["x0"])
+                          + (F.col("cx") + 0.5) * F.lit(g["dx"]))
+    ddy = F.col("lat") - (F.lit(g["y0"])
+                          + (F.col("cy") + 0.5) * F.lit(g["dy"]))
+    xr = ddx * F.lit(ca) + ddy * F.lit(sa)
+    yr = (ddy * F.lit(ca) - ddx * F.lit(sa)) * F.lit(ANISO_RATIO)
+    c2 = (cand.withColumn("d2", xr * xr + yr * yr)
+          .filter(F.sqrt(xr * xr + yr * yr) <= F.lit(g["radius"])))
+    r = gridding.grid_invdist(c2)
+    return r.select(
+        "cy", "cx", "n",
+        F.when(F.col("n") < ANISO_MIN_POINTS, F.lit(ANISO_NODATA))
+         .otherwise(F.col("v")).alias("v"))
+
+
+def o_grid_invdist_aniso():
+    from gdal_spark.operators.gridding import SMOOTH
+    g = EGRID
+    import math as m
+    ca = sqlexpr.dlit(m.cos(m.radians(ANISO_ANGLE_DEG)))
+    sa = sqlexpr.dlit(m.sin(m.radians(ANISO_ANGLE_DEG)))
+    return f"""
+WITH {sqlexpr.points_cte()}, {_egrid_cand_sql()},
+anis AS (
+  SELECT c.cy, c.cx, p.pt_id, p.value,
+         (p.lon - c.ctr_x) AS ddx, (p.lat - c.ctr_y) AS ddy
+  FROM points p JOIN ctr c
+    ON p.lat IS NOT NULL
+   AND p.lon BETWEEN c.ctr_x - {g['radius']!r} AND c.ctr_x + {g['radius']!r}
+   AND p.lat BETWEEN c.ctr_y - {g['radius']!r} AND c.ctr_y + {g['radius']!r}
+  WHERE SQRT((p.lon - c.ctr_x) * (p.lon - c.ctr_x)
+             + (p.lat - c.ctr_y) * (p.lat - c.ctr_y)) <= {g['radius']!r}
+),
+rot AS (SELECT cy, cx, pt_id, value,
+               (ddx * {ca} + ddy * {sa}) AS xr,
+               ((ddy * {ca} - ddx * {sa}) * {sqlexpr.dlit(ANISO_RATIO)}) AS yr
+        FROM anis),
+ar AS (SELECT cy, cx, pt_id, value, xr * xr + yr * yr AS d2
+       FROM rot WHERE SQRT(xr * xr + yr * yr) <= {g['radius']!r}),
+folded AS (
+  SELECT cy, cx, COUNT(*) AS n,
+         list(1.0 / (d2 + {SMOOTH!r}) ORDER BY pt_id, value) AS ws,
+         list((1.0 / (d2 + {SMOOTH!r})) * value ORDER BY pt_id, value) AS wvs
+  FROM ar GROUP BY cy, cx
+)
+SELECT cy, cx, CAST(n AS INT) AS n,
+       CASE WHEN n < {ANISO_MIN_POINTS} THEN {sqlexpr.dlit(ANISO_NODATA)}
+            ELSE ROUND(list_reduce(wvs, (a, b) -> a + b)
+                       / list_reduce(ws, (a, b) -> a + b), 6) END AS v
+FROM folded"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12569,6 +12649,7 @@ REGISTRY: dict[str, tuple] = {
     "zone_top_terms": (q_zone_top_terms, o_zone_top_terms),
     "mix_execute": (q_mix_execute, o_mix_execute),
     "voronoi_cells": (q_voronoi_cells, o_voronoi_cells),
+    "grid_invdist_aniso": (q_grid_invdist_aniso, o_grid_invdist_aniso),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
