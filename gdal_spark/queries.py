@@ -12403,6 +12403,136 @@ SELECT cy, cx, CAST(n AS INT) AS n,
 FROM folded"""
 
 
+# gdallocationinfo batch point sampling (apps/gdallocationinfo.cpp;
+# interpolation kernel GDALRasterInterpolateAtPoint,
+# gcore/rasterio.cpp GDALInterpolateAtPoint bilinear branch): invert
+# the geotransform to pixel space, then sample nearest and bilinear
+# (pixel-center convention: centers at px+0.5) per point.
+PS_N = 500
+PS_X0, PS_DX = 10.0, 0.25
+PS_Y0, PS_DY = 40.0, -0.25
+
+
+# shared expression text (both engines verbatim; dlit = CAST AS DOUBLE
+# — bare literals are DECIMAL in DuckDB and int/decimal division
+# derails the whole tree to DECIMAL)
+def _ps_xy_sql():
+    d = sqlexpr.dlit
+    x = (f"{d(PS_X0)} + {d(PS_DX)} * ({d(1.0)} + (id * 37) % 60"
+         f" + ((id * 13) % 97) / {d(97.0)})")
+    y = (f"{d(PS_Y0)} + {d(PS_DY)} * ({d(1.0)} + (id * 29) % 60"
+         f" + ((id * 41) % 89) / {d(89.0)})")
+    return x, y
+
+
+def _ps_pts(spark):
+    x, y = _ps_xy_sql()
+    return spark.range(PS_N).selectExpr(
+        "CAST(id AS BIGINT) AS pt_id", f"{x} AS x", f"{y} AS y")
+
+
+def _ps_pts_sql():
+    x, y = _ps_xy_sql()
+    return f"""pts AS (
+  SELECT CAST(id AS BIGINT) AS pt_id, {x} AS x, {y} AS y
+  FROM (SELECT UNNEST(RANGE(0, {PS_N})) AS id))"""
+
+
+def q_point_sample(spark, sf_dir):
+    """gdallocationinfo -r nearest|bilinear over a point BATCH
+    (apps/gdallocationinfo.cpp per-point loop;
+    gcore/rasterio.cpp GDALInterpolateAtPoint: bilinear taps the 4
+    pixel centers around (pxf-0.5, pyf-0.5), weights from the
+    fractional offsets, pixel centers at px+0.5). The reference walks
+    points serially against an open dataset; here the 5 taps per point
+    (4 bilinear corners + 1 nearest) are exploded into (tap, px, py)
+    rows and resolved with ONE equi-join against the pixel table —
+    at 10^12 points this is a shuffle join on uniform pixel keys (AQE
+    broadcasts the raster side when it is the small one), never a
+    per-point lookup loop. Points are interior (no edge clamp;
+    reference edge semantics documented out of contract)."""
+    from gdal_spark.operators import dem as dem_op
+    d = sqlexpr.dlit
+    pts = _ps_pts(spark).selectExpr(
+        "pt_id",
+        f"(x - {d(PS_X0)}) / {d(PS_DX)} AS pxf",
+        f"(y - {d(PS_Y0)}) / {d(PS_DY)} AS pyf")
+    pts = pts.selectExpr(
+        "pt_id", "pxf", "pyf",
+        "CAST(FLOOR(pxf - 0.5) AS INT) AS ix",
+        "CAST(FLOOR(pyf - 0.5) AS INT) AS iy",
+        "(pxf - 0.5) - FLOOR(pxf - 0.5) AS fx",
+        "(pyf - 0.5) - FLOOR(pyf - 0.5) AS fy",
+        "CAST(FLOOR(pxf) AS INT) AS inx",
+        "CAST(FLOOR(pyf) AS INT) AS iny")
+    taps = F.array(
+        F.struct(F.lit(0).alias("k"), F.col("ix").alias("tx"),
+                 F.col("iy").alias("ty")),
+        F.struct(F.lit(1).alias("k"), (F.col("ix") + 1).alias("tx"),
+                 F.col("iy").alias("ty")),
+        F.struct(F.lit(2).alias("k"), F.col("ix").alias("tx"),
+                 (F.col("iy") + 1).alias("ty")),
+        F.struct(F.lit(3).alias("k"), (F.col("ix") + 1).alias("tx"),
+                 (F.col("iy") + 1).alias("ty")),
+        F.struct(F.lit(4).alias("k"), F.col("inx").alias("tx"),
+                 F.col("iny").alias("ty")))
+    e = (pts.select("pt_id", "fx", "fy", "ix", "iy",
+                    F.explode(taps).alias("t"))
+         .select("pt_id", "fx", "fy", "ix", "iy",
+                 F.col("t.k").alias("k"), F.col("t.tx").alias("tx"),
+                 F.col("t.ty").alias("ty")))
+    dem = dem_op.dem_df(spark)
+    j = e.join(dem, (e.tx == dem.px) & (e.ty == dem.py), "inner")
+    g = j.groupBy("pt_id").agg(
+        F.max("fx").alias("fx"), F.max("fy").alias("fy"),
+        F.max("ix").alias("ix"), F.max("iy").alias("iy"),
+        *[F.max(F.when(F.col("k") == k, F.col("elev"))).alias(f"e{k}")
+          for k in range(5)])
+    return g.selectExpr(
+        "pt_id", "ix", "iy",
+        "ROUND((((1.0 - fx) * (1.0 - fy)) * e0 + (fx * (1.0 - fy)) * e1)"
+        " + (((1.0 - fx) * fy) * e2 + (fx * fy) * e3), 6) AS v_bilinear",
+        "e4 AS v_nearest").orderBy("pt_id")
+
+
+def o_point_sample():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    d = sqlexpr.dlit
+    return f"""
+WITH {_ps_pts_sql()},
+dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys),
+pf AS (
+  SELECT pt_id,
+         (x - {d(PS_X0)}) / {d(PS_DX)} AS pxf,
+         (y - {d(PS_Y0)}) / {d(PS_DY)} AS pyf
+  FROM pts),
+pc AS (
+  SELECT pt_id,
+         CAST(FLOOR(pxf - 0.5) AS INT) AS ix,
+         CAST(FLOOR(pyf - 0.5) AS INT) AS iy,
+         (pxf - 0.5) - FLOOR(pxf - 0.5) AS fx,
+         (pyf - 0.5) - FLOOR(pyf - 0.5) AS fy,
+         CAST(FLOOR(pxf) AS INT) AS inx,
+         CAST(FLOOR(pyf) AS INT) AS iny
+  FROM pf)
+SELECT p.pt_id, p.ix, p.iy,
+       ROUND((((1.0 - p.fx) * (1.0 - p.fy)) * e0.elev
+              + (p.fx * (1.0 - p.fy)) * e1.elev)
+             + (((1.0 - p.fx) * p.fy) * e2.elev
+                + (p.fx * p.fy) * e3.elev), 6) AS v_bilinear,
+       en.elev AS v_nearest
+FROM pc p
+JOIN dem e0 ON e0.px = p.ix AND e0.py = p.iy
+JOIN dem e1 ON e1.px = p.ix + 1 AND e1.py = p.iy
+JOIN dem e2 ON e2.px = p.ix AND e2.py = p.iy + 1
+JOIN dem e3 ON e3.px = p.ix + 1 AND e3.py = p.iy + 1
+JOIN dem en ON en.px = p.inx AND en.py = p.iny
+ORDER BY p.pt_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12650,6 +12780,7 @@ REGISTRY: dict[str, tuple] = {
     "mix_execute": (q_mix_execute, o_mix_execute),
     "voronoi_cells": (q_voronoi_cells, o_voronoi_cells),
     "grid_invdist_aniso": (q_grid_invdist_aniso, o_grid_invdist_aniso),
+    "point_sample": (q_point_sample, o_point_sample),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
