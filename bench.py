@@ -143,7 +143,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "embedding_stats", "skew_report", "zone_lang_matrix",
                  "cdc_latest", "zone_top_terms", "mix_execute",
                  "areal_interp", "zone_compactness", "voronoi_cells",
-                 "grid_invdist_aniso", "point_sample"]:
+                 "grid_invdist_aniso", "point_sample",
+                 "sql_having_case", "sql_set_ops"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -12533,6 +12533,67 @@ JOIN dem en ON en.px = p.inx AND en.py = p.iny
 ORDER BY p.pt_id"""
 
 
+# OGR SQLite-dialect surface (ogr/ogrsf_frmts/sqlite/
+# ogrsqliteexecutesql.cpp routes full SQLite SQL at layers —
+# GROUP BY + HAVING, CASE, and compound SELECTs INTERSECT/EXCEPT —
+# beyond the native swq dialect's SELECT/WHERE/JOIN subset
+# (ogr/swq_parser.y)). One shared SQL text per query, run verbatim by
+# both engines.
+_SQL_HAVING_CASE = """
+SELECT o_orderpriority AS priority,
+       CASE WHEN o_totalprice < 50000.0 THEN 'small'
+            WHEN o_totalprice < 150000.0 THEN 'mid'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY 1, 2
+HAVING COUNT(*) > 5 AND MAX(o_totalprice) > 100000.0
+ORDER BY priority, bucket"""
+
+
+def q_sql_having_case(spark, sf_dir):
+    """OGR SQLite dialect: GROUP BY + HAVING (post-aggregate filter)
+    with CASE bucketing (ogrsqliteexecutesql.cpp full-SQL path; the
+    native dialect's swq_parser.y has no HAVING). Catalyst plans
+    HAVING as a Filter above the partial/final HashAggregate — the
+    post-agg filter runs on the (tiny) grouped table, never on the
+    fact rows; sums in exact cents so the aggregate is order-free."""
+    _views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_HAVING_CASE)
+
+
+def o_sql_having_case():
+    return _SQL_HAVING_CASE
+
+
+_SQL_SET_OPS = """
+(SELECT c_custkey FROM customer WHERE c_acctbal > 0.0
+ INTERSECT
+ SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY c_custkey"""
+
+
+def q_sql_set_ops(spark, sf_dir):
+    """OGR SQLite dialect compound SELECTs: INTERSECT / EXCEPT
+    (ogrsqliteexecutesql.cpp; SQLite compound-select grammar).
+    Explicitly parenthesized so both engines apply the same operand
+    order. Catalyst rewrites both to hash LeftSemi/LeftAnti joins with
+    a pre-aggregation for set semantics — distributed, no sort, and
+    the orders side is scanned once per operand with its WHERE pushed
+    to parquet."""
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SQL_SET_OPS)
+
+
+def o_sql_set_ops():
+    return _SQL_SET_OPS
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12781,6 +12842,8 @@ REGISTRY: dict[str, tuple] = {
     "voronoi_cells": (q_voronoi_cells, o_voronoi_cells),
     "grid_invdist_aniso": (q_grid_invdist_aniso, o_grid_invdist_aniso),
     "point_sample": (q_point_sample, o_point_sample),
+    "sql_having_case": (q_sql_having_case, o_sql_having_case),
+    "sql_set_ops": (q_sql_set_ops, o_sql_set_ops),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
