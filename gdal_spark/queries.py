@@ -12594,6 +12594,62 @@ def o_sql_set_ops():
     return _SQL_SET_OPS
 
 
+def q_dup_spans(spark, sf_dir):
+    """Duplicated-span measure (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": ExactSubstr finds
+    substrings repeated across the corpus; RefinedWeb reports the
+    duplicated-window fraction per document). Bounded re-expression:
+    per doc, the fraction of its positional word-3-gram windows whose
+    gram occurs in >= 2 distinct documents. Shape: positional shingle
+    explode -> gram-frequency groupBy -> one shuffle join back on the
+    gram key -> per-doc aggregate. At 10^12 docs every stage is keyed
+    by gram/doc hash (no all-pairs, no driver state); the gram table
+    is the same intermediate the minhash path already materializes."""
+    from gdal_spark.functions.text import tokens_col
+    df = docs_df(spark, sf_dir)
+    t = tokens_col(F.col("text"))
+    idx = F.sequence(F.lit(0), F.size(t) - 3)
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2),
+            F.element_at(t, i + 3)))
+    shp = (df.filter(F.size(t) >= 3)
+           .select("doc_id", F.explode(sh).alias("s")))
+    nd = shp.groupBy("s").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    j = shp.join(nd, "s")
+    return (j.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+         .cast("bigint").alias("n_dup"))
+        .selectExpr("doc_id", "n_windows", "n_dup",
+                    "ROUND(CAST(n_dup AS DOUBLE)"
+                    " / CAST(n_windows AS DOUBLE), 6) AS dup_frac")
+        .orderBy("doc_id"))
+
+
+def o_dup_spans():
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+shp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3),
+nd AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM shp GROUP BY s)
+SELECT shp.doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       ROUND(CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM shp JOIN nd ON nd.s = shp.s
+GROUP BY shp.doc_id
+ORDER BY shp.doc_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12844,6 +12900,7 @@ REGISTRY: dict[str, tuple] = {
     "point_sample": (q_point_sample, o_point_sample),
     "sql_having_case": (q_sql_having_case, o_sql_having_case),
     "sql_set_ops": (q_sql_set_ops, o_sql_set_ops),
+    "dup_spans": (q_dup_spans, o_dup_spans),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
