@@ -144,7 +144,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "cdc_latest", "zone_top_terms", "mix_execute",
                  "areal_interp", "zone_compactness", "voronoi_cells",
                  "grid_invdist_aniso", "point_sample",
-                 "sql_having_case", "sql_set_ops", "dup_spans"]:
+                 "sql_having_case", "sql_set_ops", "dup_spans",
+                 "time_travel"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -12650,6 +12650,58 @@ GROUP BY shp.doc_id
 ORDER BY shp.doc_id"""
 
 
+# Iceberg-style snapshot time travel: resolve the LIVE data-file set
+# as-of a snapshot from an append/delete file log (the manifest-list
+# semantics Iceberg's snapshot isolation is built on: a file is live
+# at S iff added <= S < deleted). Deterministic synthetic file log —
+# body text shared verbatim by both engines, only the integer source
+# differs (Spark range(n) vs DuckDB UNNEST(RANGE(n))).
+TT_FILES = 400
+TT_SNAPS = (30, 49)
+
+
+def _tt_sql(src: str) -> str:
+    snaps = ", ".join(f"({s})" for s in TT_SNAPS)
+    return f"""
+WITH ids AS ({src}),
+log AS (
+  SELECT id,
+         CAST(id % 8 AS INT) AS part,
+         CAST((id * 7) % 50 AS INT) AS added,
+         CASE WHEN id % 3 = 0 THEN NULL
+              ELSE CAST((id * 7) % 50 + 1 + (id * 11) % 25 AS INT)
+         END AS deleted,
+         CAST(100 + (id * 13) % 500 AS BIGINT) AS n_rows
+  FROM ids),
+snaps AS (SELECT * FROM (VALUES {snaps}) AS s(snap))
+SELECT s.snap, l.part, COUNT(*) AS n_live,
+       CAST(SUM(l.n_rows) AS BIGINT) AS rows_live,
+       MIN(l.id) AS min_file, MAX(l.id) AS max_file
+FROM snaps s
+JOIN log l ON l.added <= s.snap
+          AND (l.deleted IS NULL OR l.deleted > s.snap)
+GROUP BY s.snap, l.part
+ORDER BY s.snap, l.part"""
+
+
+def q_time_travel(spark, sf_dir):
+    """Snapshot time travel over a file log — the Iceberg manifest
+    semantics the checkpoint/resume story rides on (a data file is
+    visible at snapshot S iff added_snapshot <= S < deleted_snapshot;
+    Iceberg spec 'Snapshots' / VERSION AS OF). Resolves the live file
+    set at two snapshots and reports per-partition lineage metrics
+    (file count, live rows, file-id bounds). The snapshot list enters
+    as a broadcast VALUES relation against the log scan; per-partition
+    aggregation is map-side combined — at a 10^12-row table the log is
+    metadata-sized and this query IS the planner's pruning input."""
+    return spark.sql(_tt_sql(f"SELECT id FROM range({TT_FILES})"))
+
+
+def o_time_travel():
+    return _tt_sql(
+        f"SELECT UNNEST(RANGE(0, {TT_FILES})) AS id")
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12901,6 +12953,7 @@ REGISTRY: dict[str, tuple] = {
     "sql_having_case": (q_sql_having_case, o_sql_having_case),
     "sql_set_ops": (q_sql_set_ops, o_sql_set_ops),
     "dup_spans": (q_dup_spans, o_dup_spans),
+    "time_travel": (q_time_travel, o_time_travel),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
