@@ -12702,6 +12702,63 @@ def o_time_travel():
         f"SELECT UNNEST(RANGE(0, {TT_FILES})) AS id")
 
 
+def q_focal_box5(spark, sf_dir):
+    """5x5 normalized box kernel (VRTKernelFilteredSource::FilterData,
+    frmts/vrt/vrtfilters.cpp:485-700 — arbitrary odd NxN kernels with
+    normalized=1; 'gdal raster neighbors --size 5' mean). A box kernel
+    is SEPARABLE, so instead of the 3x3 path's single 9-way scatter
+    (25-way here) this runs two 5-way scatter passes — horizontal row
+    sums, then vertical sums of those — 10x scatter volume instead of
+    25x, the standard separable-convolution decomposition; each pass
+    is one groupBy(pixel) shuffle on uniform keys. Interior-complete
+    pixels only (both passes require a full 5-tap window). The sums
+    are integer-valued doubles, so the two engines agree bit-exactly
+    with no fold discipline. Oracle is an INDEPENDENT formulation
+    (SQL sliding windows), not an expression twin."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.dem import DEM_H, DEM_W
+    dem = dem_op.dem_df(spark)
+
+    def scatter(df, coord, val, other):
+        offs = F.array(*[(F.col(coord) - F.lit(o)).alias("t")
+                         for o in range(-2, 3)])
+        return (df.select(val, other, F.explode(offs).alias(coord))
+                .groupBy(coord, other)
+                .agg(F.sum(val).alias(val), F.count("*").alias("_n"))
+                .filter(F.col("_n") == 5).drop("_n"))
+
+    h = scatter(dem, "px", "elev", "py").filter(
+        (F.col("px") >= 2) & (F.col("px") <= DEM_W - 3))
+    v = scatter(h, "py", "elev", "px").filter(
+        (F.col("py") >= 2) & (F.col("py") <= DEM_H - 3))
+    return (v.selectExpr("py", "px", "elev AS box_sum",
+                         "ROUND(elev / 25.0, 6) AS box_mean")
+            .orderBy("py", "px"))
+
+
+def o_focal_box5():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    return f"""
+WITH dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys),
+h AS (
+  SELECT px, py,
+         SUM(elev) OVER (PARTITION BY py ORDER BY px
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s
+  FROM dem),
+v AS (
+  SELECT px, py,
+         SUM(s) OVER (PARTITION BY px ORDER BY py
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s
+  FROM h)
+SELECT py, px, s AS box_sum, ROUND(s / 25.0, 6) AS box_mean
+FROM v
+WHERE px BETWEEN 2 AND {DEM_W - 3} AND py BETWEEN 2 AND {DEM_H - 3}
+ORDER BY py, px"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -12954,6 +13011,7 @@ REGISTRY: dict[str, tuple] = {
     "sql_set_ops": (q_sql_set_ops, o_sql_set_ops),
     "dup_spans": (q_dup_spans, o_dup_spans),
     "time_travel": (q_time_travel, o_time_travel),
+    "focal_box5": (q_focal_box5, o_focal_box5),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
