@@ -12759,6 +12759,66 @@ WHERE px BETWEEN 2 AND {DEM_W - 3} AND py BETWEEN 2 AND {DEM_H - 3}
 ORDER BY py, px"""
 
 
+def q_shortest_paths(spark, sf_dir):
+    """BFS hop distance from a seed set over the doc-level web graph
+    (the WebGraph / harmonic-centrality primitive: distance from a
+    trusted seed set is a standard page-quality propagation signal).
+    The engine PARSES destination ids out of the page markup
+    (regexp_extract_all, one pass), folds them into doc space, and
+    runs 3 unrolled BFS rounds: frontier_d = dst(frontier_{d-1}),
+    final distance = MIN over candidate depths — the bounded
+    iterative-join form of BFS (each round is one join keyed on src;
+    the frontier side is broadcast-sized). The oracle is an
+    INDEPENDENT recursive formulation: DuckDB WITH RECURSIVE over the
+    arithmetically regenerated edge set — so the gate proves both the
+    parser and the traversal. At 10^12 pages each round is a
+    frontier⋈edges hash join; no driver-side graph state."""
+    df = _htmlpages_df(spark, sf_dir)
+    ids = F.regexp_extract_all(
+        "html", F.lit('href="https://doc-([0-9]+)[.]'), 1)
+    cnt = df.agg(F.count(F.lit(1)).alias("n"))
+    edges = (df.select(F.col("doc_id").alias("src"),
+                       F.explode(ids).alias("d"))
+             .crossJoin(F.broadcast(cnt))
+             .select("src",
+                     (F.col("d").cast("bigint") % F.col("n")).alias("dst")))
+    frontier = (df.filter(F.col("doc_id") % 97 == 0)
+                .select(F.col("doc_id").alias("node")).distinct())
+    cands = [frontier.select("node", F.lit(0).alias("dist"))]
+    for d in (1, 2, 3):
+        frontier = (edges.join(F.broadcast(frontier),
+                               edges.src == F.col("node"))
+                    .select(F.col("dst").alias("node")).distinct())
+        cands.append(frontier.select("node", F.lit(d).alias("dist")))
+    allc = cands[0]
+    for c in cands[1:]:
+        allc = allc.unionByName(c)
+    return (allc.groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .orderBy("node"))
+
+
+def o_shortest_paths():
+    return f"""
+WITH RECURSIVE {sqlexpr.pages_cte()},
+cnt AS (SELECT COUNT(*) AS n FROM pages),
+links AS (
+  SELECT p.doc_id AS src,
+         ((p.doc_id * 7919 + i.i * 104729) % 100000) % c.n AS dst
+  FROM pages p
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 3)) AS i) i
+  CROSS JOIN cnt c
+  WHERE p.doc_id % 4 > i.i),
+bfs(node, dist) AS (
+  SELECT doc_id AS node, 0 AS dist FROM pages WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst AS node, b.dist + 1 AS dist
+  FROM bfs b JOIN links e ON e.src = b.node
+  WHERE b.dist < 3)
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM bfs GROUP BY node ORDER BY node"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13012,6 +13072,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_spans": (q_dup_spans, o_dup_spans),
     "time_travel": (q_time_travel, o_time_travel),
     "focal_box5": (q_focal_box5, o_focal_box5),
+    "shortest_paths": (q_shortest_paths, o_shortest_paths),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
