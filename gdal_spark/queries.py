@@ -12819,6 +12819,142 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist
 FROM bfs GROUP BY node ORDER BY node"""
 
 
+# GDALApproxTransform (alg/gdaltransformer.cpp GDALApproxTransformer:
+# gdalwarp -et): transform a segment's endpoints + midpoint exactly;
+# if the midpoint's linear-interpolation error is within the
+# threshold, approximate the interior linearly, else split at the
+# midpoint and recurse; tiny segments fall back to exact transforms.
+WA_W, WA_H = 64, 64          # px columns, py rows (segments run in py)
+WA_ET = 5000.0               # error threshold, metres — tuned so the
+                             # fixture exercises pass-at-depth-3,
+                             # pass-at-depth-4 AND the exact fallback
+WA_MINLEN = 4                # GDAL's "too small to split" floor
+WA_RK = 6378137.0
+
+
+def _wa_lat(px: str, py: str) -> str:
+    # per-column row spacing (0.3..0.9 deg) — the varying segment
+    # spans the recursion tree itself would produce at its nodes
+    return f"(64.0 - (0.3 + ({px} % 5) * 0.15) * {py})"
+
+
+def _wa_merc(lat: str) -> str:
+    d = sqlexpr.dlit
+    return f"({d(WA_RK)} * LN(TAN((90.0 + {lat}) * PI() / 360.0)))"
+
+
+def _wa_seg_exprs() -> tuple[str, str]:
+    """(err, lin-at-mid) expression text over columns px, lo, hi, mid
+    — shared verbatim by both engines."""
+    mlo = _wa_merc(_wa_lat("px", "lo"))
+    mhi = _wa_merc(_wa_lat("px", "hi"))
+    mmid = _wa_merc(_wa_lat("px", "mid"))
+    lin = f"({mlo} + ({mhi} - {mlo}) * ((mid - lo) * 1.0 / (hi - lo)))"
+    return f"ABS({mmid} - {lin})", lin
+
+
+def q_warp_approx(spark, sf_dir):
+    """Approximated transformer (GDALApproxTransformInternal,
+    alg/gdaltransformer.cpp; the gdalwarp -et knob): per output
+    column, the py-segment [0,63] is transformed exactly at its
+    endpoints and midpoint; within-threshold segments linearly
+    interpolate their interior (exact transforms ONLY at the anchor
+    points — the whole point of the feature), failing segments split
+    at the midpoint and recurse, and segments at the minimum length
+    fall back to exact per-pixel transforms. The recursion is
+    unrolled as 6 dataframe levels (bounded: 63->4 in 4 halvings);
+    leaves partition every column, pixels resolve via one
+    range-containment join against the (tiny) leaf table. The oracle
+    re-derives the identical leaf set with a recursive CTE. Exact
+    transform = spherical Mercator y (nonlinear in lat — real
+    curvature drives real subdivision)."""
+    err, lin = _wa_seg_exprs()
+    segs = spark.range(WA_W).selectExpr(
+        "CAST(id AS INT) AS px", "0 AS lo", f"{WA_H - 1} AS hi",
+        "0 AS depth")
+    leaves = []
+    for _ in range(6):
+        s = segs.selectExpr(
+            "px", "lo", "hi", "depth",
+            "CAST(FLOOR((lo + hi) / 2.0) AS INT) AS mid")
+        s = s.selectExpr(
+            "px", "lo", "hi", "depth", "mid",
+            f"(({err}) <= {sqlexpr.dlit(WA_ET)}) AS ok",
+            f"(hi - lo <= {WA_MINLEN}) AS tiny")
+        leaves.append(s.filter("ok OR tiny")
+                      .selectExpr("px", "lo", "hi", "depth",
+                                  "CAST(ok AS INT) AS approx"))
+        fail = s.filter("NOT ok AND NOT tiny")
+        kids = F.explode(F.array(
+            F.struct(F.col("lo").alias("l"), F.col("mid").alias("h")),
+            F.struct(F.col("mid").alias("l"), F.col("hi").alias("h"))))
+        segs = (fail.select("px", "depth", kids.alias("k"))
+                .selectExpr("px", "k.l AS lo", "k.h AS hi",
+                            "depth + 1 AS depth"))
+    leaf = leaves[0]
+    for x in leaves[1:]:
+        leaf = leaf.unionByName(x)
+    px_all = spark.range(WA_W * WA_H).selectExpr(
+        f"CAST(id % {WA_W} AS INT) AS px",
+        f"CAST(FLOOR(id / {WA_W}) AS INT) AS py")
+    j = px_all.join(
+        F.broadcast(leaf),
+        (px_all.px == leaf.px)
+        & ((px_all.py >= leaf.lo) & ((px_all.py < leaf.hi)
+           | ((px_all.py == leaf.hi) & (leaf.hi == WA_H - 1))))
+        ).select(px_all.px, "py", "lo", "hi", "depth", "approx")
+    mlo = _wa_merc(_wa_lat("px", "lo"))
+    mhi = _wa_merc(_wa_lat("px", "hi"))
+    vlin = f"({mlo} + ({mhi} - {mlo}) * ((py - lo) * 1.0 / (hi - lo)))"
+    vex = _wa_merc(_wa_lat("px", "py"))
+    return (j.selectExpr(
+        "px", "py", "depth", "approx",
+        f"ROUND(CASE WHEN approx = 1 THEN {vlin} ELSE {vex} END, 4)"
+        " AS y_merc")
+        .orderBy("px", "py"))
+
+
+def o_warp_approx():
+    err, _ = _wa_seg_exprs()
+    d = sqlexpr.dlit
+    mlo = _wa_merc(_wa_lat("p.px", "l.lo"))
+    mhi = _wa_merc(_wa_lat("p.px", "l.hi"))
+    vlin = (f"({mlo} + ({mhi} - {mlo})"
+            f" * ((p.py - l.lo) * 1.0 / (l.hi - l.lo)))")
+    vex = _wa_merc(_wa_lat("p.px", "p.py"))
+    return f"""
+WITH RECURSIVE segs(px, lo, hi, depth) AS (
+  SELECT CAST(px AS INT), 0, {WA_H - 1}, 0
+  FROM (SELECT UNNEST(RANGE(0, {WA_W})) AS px)
+  UNION ALL
+  SELECT px, CASE side WHEN 0 THEN lo ELSE mid END,
+         CASE side WHEN 0 THEN mid ELSE hi END, depth + 1
+  FROM (SELECT px, lo, hi, depth,
+               CAST(FLOOR((lo + hi) / 2.0) AS INT) AS mid
+        FROM segs) s
+  CROSS JOIN (VALUES (0), (1)) AS sd(side)
+  WHERE NOT (({err}) <= {d(WA_ET)}) AND NOT (hi - lo <= {WA_MINLEN})),
+leaf AS (
+  SELECT px, lo, hi, depth,
+         CAST((({err}) <= {d(WA_ET)}) AS INT) AS approx
+  FROM (SELECT px, lo, hi, depth,
+               CAST(FLOOR((lo + hi) / 2.0) AS INT) AS mid
+        FROM segs) s
+  WHERE (({err}) <= {d(WA_ET)}) OR (hi - lo <= {WA_MINLEN})),
+pix AS (
+  SELECT CAST(x.px AS INT) AS px, CAST(y.py AS INT) AS py
+  FROM (SELECT UNNEST(RANGE(0, {WA_W})) AS px) x
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {WA_H})) AS py) y)
+SELECT p.px, p.py, l.depth, l.approx,
+       ROUND(CASE WHEN l.approx = 1 THEN {vlin} ELSE {vex} END, 4)
+         AS y_merc
+FROM pix p
+JOIN leaf l ON l.px = p.px
+  AND ((p.py >= l.lo AND p.py < l.hi)
+       OR (p.py = l.hi AND l.hi = {WA_H - 1}))
+ORDER BY p.px, p.py"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13073,6 +13209,7 @@ REGISTRY: dict[str, tuple] = {
     "time_travel": (q_time_travel, o_time_travel),
     "focal_box5": (q_focal_box5, o_focal_box5),
     "shortest_paths": (q_shortest_paths, o_shortest_paths),
+    "warp_approx": (q_warp_approx, o_warp_approx),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
