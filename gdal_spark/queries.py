@@ -12955,6 +12955,49 @@ JOIN leaf l ON l.px = p.px
 ORDER BY p.px, p.py"""
 
 
+# Raster×raster cross-tabulation (change detection / accuracy
+# assessment: the confusion matrix between two aligned classified
+# rasters — the composition GDAL users run as gdal_calc + histogram,
+# cf. gdalalg_raster_calc + raster_compare's pixel diff).
+XT_W, XT_H = 64, 64
+XT_A_SQL = "CAST(((px * 31 + py * 17) % 101 + ((px * py) % 7) * 3) % 4 AS INT)"
+XT_B_SQL = "CAST(((px * 13 + py * 29) % 97) % 3 AS INT)"
+
+
+def q_raster_crosstab(spark, sf_dir):
+    """Cross-tabulation of two aligned classified rasters (the
+    change-detection / map-accuracy confusion matrix; in the
+    reference workflow: gdal_calc.py A*K+B then gdalinfo -hist,
+    alg raster calc + histogram). One map-side-combined groupBy over
+    the zipped pixel classes — at 10^12 pixels the shuffle carries
+    |A|x|B| partial rows per task, nothing else; no join because the
+    two rasters share the pixel lattice (the aligned-grid contract
+    gdal_calc enforces)."""
+    img = spark.range(XT_W * XT_H).selectExpr(
+        f"CAST(id % {XT_W} AS INT) AS px",
+        f"CAST(FLOOR(id / {XT_W}) AS INT) AS py")
+    return (img.selectExpr(f"{XT_A_SQL} AS class_a",
+                           f"{XT_B_SQL} AS class_b")
+            .groupBy("class_a", "class_b")
+            .agg(F.count(F.lit(1)).alias("n_pixels"))
+            .selectExpr("class_a", "class_b", "n_pixels",
+                        "ROUND(n_pixels * CAST(1.0 AS DOUBLE)"
+                        f" / {XT_W * XT_H}, 6) AS frac")
+            .orderBy("class_a", "class_b"))
+
+
+def o_raster_crosstab():
+    return f"""
+WITH img AS (
+  SELECT CAST(x.px AS INT) AS px, CAST(y.py AS INT) AS py
+  FROM (SELECT UNNEST(RANGE(0, {XT_W})) AS px) x
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {XT_H})) AS py) y)
+SELECT {XT_A_SQL} AS class_a, {XT_B_SQL} AS class_b,
+       COUNT(*) AS n_pixels,
+       ROUND(COUNT(*) * CAST(1.0 AS DOUBLE) / {XT_W * XT_H}, 6) AS frac
+FROM img GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13210,6 +13253,7 @@ REGISTRY: dict[str, tuple] = {
     "focal_box5": (q_focal_box5, o_focal_box5),
     "shortest_paths": (q_shortest_paths, o_shortest_paths),
     "warp_approx": (q_warp_approx, o_warp_approx),
+    "raster_crosstab": (q_raster_crosstab, o_raster_crosstab),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
