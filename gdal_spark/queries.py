@@ -6752,17 +6752,9 @@ p AS (
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9"""
 
 
-def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate detection via IVF cell
-    bucketing: vectors assigned to their Lloyd-trained codebook cell
-    (operators/ann.train_codebook — the same codebook the ANN index
-    partitions by, so near-dup detection rides the index for free),
-    candidate pairs = same-cell equi-join, exact cosine ≥ 0.9 verify.
-    Complements simhash_lsh's sign-bit LSH: here the bucketing is the
-    learned coarse quantizer, the production shape for tables already
-    IVF-partitioned. Non-vacuity: the same seeded +0.01 twins as
-    simhash_lsh. At scale: K cells sized so N/K per-cell candidates
-    stay bounded; no all-pairs anywhere."""
+def _embed_cell_pairs(spark, sf_dir):
+    """Shared IVF-cell near-dup machinery: returns
+    (verified same-cell pairs with cos >= 0.9, the cell assignment)."""
     from gdal_spark.operators import ann as ann_op
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb = F.col("embedding").cast("array<double>")
@@ -6785,14 +6777,31 @@ def q_embed_neardup(spark, sf_dir):
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x))
-    return (cand.withColumn("cos", F.round(dot / (na * nb), 6))
-            .filter(F.col("cos") >= 0.9)
-            .select("id_a", "id_b", "cell", "cos"))
+    pairs = (cand.withColumn("cos", F.round(dot / (na * nb), 6))
+             .filter(F.col("cos") >= 0.9))
+    return pairs, asg
 
 
-def o_embed_neardup():
-    return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection via IVF cell
+    bucketing: vectors assigned to their Lloyd-trained codebook cell
+    (operators/ann.train_codebook — the same codebook the ANN index
+    partitions by, so near-dup detection rides the index for free),
+    candidate pairs = same-cell equi-join, exact cosine ≥ 0.9 verify.
+    Complements simhash_lsh's sign-bit LSH: here the bucketing is the
+    learned coarse quantizer, the production shape for tables already
+    IVF-partitioned. Non-vacuity: the same seeded +0.01 twins as
+    simhash_lsh. At scale: K cells sized so N/K per-cell candidates
+    stay bounded; no all-pairs anywhere."""
+    pairs, _ = _embed_cell_pairs(spark, sf_dir)
+    return pairs.select("id_a", "id_b", "cell", "cos")
+
+
+def _embed_pairs_ctes():
+    """Shared DuckDB CTE chain ending in same-cell cosine pairs
+    ``p(id_a, id_b, cell, cos)`` — used by o_embed_neardup and
+    o_semdedup."""
+    return f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 dup AS (SELECT vec_id + {SIMHASH_DUP_OFFSET} AS vec_id,
                list_transform(v, x -> x + CAST(0.01 AS DOUBLE)) AS v
         FROM base WHERE vec_id < {SIMHASH_SEEDS}),
@@ -6808,8 +6817,44 @@ p AS (
                   * SQRT(list_sum(list_transform(eb.v, x -> x * x)))), 6) AS cos
   FROM cand c JOIN e ea ON ea.vec_id = c.id_a
   JOIN e eb ON eb.vec_id = c.id_b
-)
+)"""
+
+
+def o_embed_neardup():
+    return f"""
+WITH {_embed_pairs_ctes()}
 SELECT id_a, id_b, cell, cos FROM p WHERE cos >= 0.9"""
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup of an embedded corpus — k-means cluster, then within each
+    cluster drop all-but-one of every near-identical group (cosine
+    >= 0.9). Rides the SAME Lloyd-trained IVF codebook as the ANN
+    index (train once, use for search AND dedup). Keep policy:
+    deterministic keep-lowest-id — a vector is dropped iff a
+    smaller-id same-cell vector is within threshold (the paper keeps
+    the member farthest from the centroid; near-dup groups are
+    cliques, so the kept-set size matches — documented deviation).
+    Output: every vector with its cell and dropped flag. At scale:
+    within-cell pairs only (bounded by cell size), one anti-join —
+    no all-pairs, no iteration."""
+    pairs, asg = _embed_cell_pairs(spark, sf_dir)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (asg.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(F.col("_d"), F.lit(0)).alias("dropped"))
+            .orderBy("vec_id"))
+
+
+def o_semdedup():
+    return f"""
+WITH {_embed_pairs_ctes()},
+dropped AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.9)
+SELECT a.vec_id, a.cell,
+       CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END AS dropped
+FROM asg a LEFT JOIN dropped d ON d.id_b = a.vec_id
+ORDER BY a.vec_id"""
 
 
 # =================================================================
@@ -13254,6 +13299,7 @@ REGISTRY: dict[str, tuple] = {
     "shortest_paths": (q_shortest_paths, o_shortest_paths),
     "warp_approx": (q_warp_approx, o_warp_approx),
     "raster_crosstab": (q_raster_crosstab, o_raster_crosstab),
+    "semdedup": (q_semdedup, o_semdedup),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
