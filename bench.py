@@ -146,7 +146,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "grid_invdist_aniso", "point_sample",
                  "sql_having_case", "sql_set_ops", "dup_spans",
                  "time_travel", "focal_box5", "shortest_paths",
-                 "warp_approx", "raster_crosstab", "semdedup"]:
+                 "warp_approx", "raster_crosstab", "semdedup",
+                 "dbscan"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -13043,6 +13043,132 @@ SELECT {XT_A_SQL} AS class_a, {XT_B_SQL} AS class_b,
 FROM img GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+# DBSCAN over geocoded pages (the PostGIS ST_ClusterDBSCAN analog —
+# density clustering of the geocoded web corpus: urban/TLD hotspots
+# emerge as clusters, scattered embeds as noise). Planar degrees
+# (documented; the geodesic variant swaps the metric expression).
+DB_EPS = 1.0
+DB_MINPTS = 4
+#: deterministic per-doc jitter spreads the same-coord TLD clumps into
+#: density-gradient blobs so the fixture exercises core AND border AND
+#: noise roles (same expression both engines)
+DB_JIT = 0.8
+
+
+def q_dbscan(spark, sf_dir):
+    """DBSCAN (Ester et al. 1996; PostGIS ST_ClusterDBSCAN): core =
+    point with >= minPts neighbors within eps (self included);
+    clusters = connected components of the core-core eps graph;
+    border = non-core within eps of a core (assigned the MIN cluster
+    label among its core neighbors — PostGIS's deterministic rule);
+    rest = noise. Distributed shape: eps-sized grid cells, each point
+    exploded to its 9-cell neighborhood, ONE equi-join on cell keys
+    generates exactly the brute-force pair set (cell = eps bounds
+    |dx|,|dy| <= 1 cell) — no all-pairs; components by iterative
+    min-label propagation over the core graph (O(diameter) rounds,
+    early exit — the dedup_clusters plan). The oracle is an
+    INDEPENDENT formulation: brute-force O(n^2) pair join + recursive
+    transitive closure."""
+    d = sqlexpr.dlit
+    p = (pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+         .selectExpr("doc_id",
+                     f"lon + (doc_id % 7) * {d(DB_JIT)} AS lon",
+                     f"lat + (doc_id % 5) * {d(DB_JIT)} AS lat"))
+    cx = F.floor(F.col("lon") / F.lit(DB_EPS)).cast("long")
+    cy = F.floor(F.col("lat") / F.lit(DB_EPS)).cast("long")
+    cells = F.explode(F.flatten(F.transform(
+        F.sequence(F.lit(-1), F.lit(1)),
+        lambda i: F.transform(
+            F.sequence(F.lit(-1), F.lit(1)),
+            lambda j: F.struct((cx + i).alias("gx"), (cy + j).alias("gy"))))))
+    a = p.select(F.col("doc_id").alias("ia"), F.col("lon").alias("xa"),
+                 F.col("lat").alias("ya"), cells.alias("g"))
+    b = p.select(F.col("doc_id").alias("ib"), F.col("lon").alias("xb"),
+                 F.col("lat").alias("yb"), cx.alias("gx"), cy.alias("gy"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    prs = (a.join(b, (a.g.gx == b.gx) & (a.g.gy == b.gy))
+           .filter((F.col("ia") != F.col("ib"))
+                   & (d2 <= F.lit(DB_EPS * DB_EPS)))
+           .select("ia", "ib").persist())
+    deg = prs.groupBy("ia").agg((F.count("*") + 1).alias("n"))
+    core = deg.filter(F.col("n") >= DB_MINPTS).select(
+        F.col("ia").alias("id"))
+    ce = (prs.join(core.withColumnRenamed("id", "ia"), "ia")
+          .join(core.withColumnRenamed("id", "ib"), "ib")
+          .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+          .localCheckpoint(eager=True))
+    lbl = core.select(F.col("id").alias("node"),
+                      F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    for _ in range(16):
+        nbr = (ce.join(lbl, ce.src == lbl.node)
+               .groupBy(F.col("dst").alias("node2"))
+               .agg(F.min("lbl").alias("nlbl")))
+        new = (lbl.join(nbr, lbl.node == nbr.node2, "left")
+               .select("node", F.least("lbl", F.coalesce("nlbl", "lbl"))
+                       .alias("lbl"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(lbl.alias("o"), "node")
+                   .filter("n.lbl <> o.lbl").count())
+        lbl = new
+        if changed == 0:
+            break
+    clus = lbl.select(F.col("node"), F.col("lbl").alias("cluster"))
+    bord = (prs.join(clus, prs.ib == clus.node)
+            .join(clus.select(F.col("node").alias("ian")),
+                  prs.ia == F.col("ian"), "left_anti")
+            .groupBy("ia").agg(F.min("cluster").alias("bcluster")))
+    out = (p.join(clus, p.doc_id == clus.node, "left")
+           .join(bord, p.doc_id == bord.ia, "left")
+           .selectExpr(
+               "doc_id",
+               "CAST(CASE WHEN cluster IS NOT NULL THEN 2"
+               " WHEN bcluster IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+               " AS role",
+               "COALESCE(cluster, bcluster, -1) AS cluster"))
+    return out.orderBy("doc_id")
+
+
+def o_dbscan():
+    e2 = sqlexpr.dlit(DB_EPS * DB_EPS)
+    j = sqlexpr.dlit(DB_JIT)
+    return f"""
+WITH RECURSIVE {sqlexpr.pages_cte()},
+pts AS (SELECT doc_id,
+               lon + (doc_id % 7) * {j} AS lon,
+               lat + (doc_id % 5) * {j} AS lat
+        FROM pages WHERE lat IS NOT NULL),
+prs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+   AND (a.lon - b.lon) * (a.lon - b.lon)
+     + (a.lat - b.lat) * (a.lat - b.lat) <= {e2}),
+deg AS (SELECT ia AS id, COUNT(*) + 1 AS n FROM prs GROUP BY ia),
+core AS (SELECT id FROM deg WHERE n >= {DB_MINPTS}),
+ce AS (SELECT ia, ib FROM prs
+       WHERE ia IN (SELECT id FROM core)
+         AND ib IN (SELECT id FROM core)),
+reach(node, lbl) AS (
+  SELECT id AS node, id AS lbl FROM core
+  UNION
+  SELECT e.ib AS node, r.lbl FROM reach r JOIN ce e ON e.ia = r.node),
+clus AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+bord AS (
+  SELECT p.ia AS id, MIN(c.cluster) AS bcluster
+  FROM prs p JOIN clus c ON c.node = p.ib
+  WHERE p.ia NOT IN (SELECT id FROM core)
+  GROUP BY p.ia)
+SELECT p.doc_id,
+       CAST(CASE WHEN cl.cluster IS NOT NULL THEN 2
+                 WHEN b.bcluster IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS role,
+       COALESCE(cl.cluster, b.bcluster, -1) AS cluster
+FROM pts p
+LEFT JOIN clus cl ON cl.node = p.doc_id
+LEFT JOIN bord b ON b.id = p.doc_id
+ORDER BY p.doc_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13300,6 +13426,7 @@ REGISTRY: dict[str, tuple] = {
     "warp_approx": (q_warp_approx, o_warp_approx),
     "raster_crosstab": (q_raster_crosstab, o_raster_crosstab),
     "semdedup": (q_semdedup, o_semdedup),
+    "dbscan": (q_dbscan, o_dbscan),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
