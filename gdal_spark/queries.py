@@ -13169,6 +13169,57 @@ LEFT JOIN bord b ON b.id = p.doc_id
 ORDER BY p.doc_id"""
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution to the final canonical target — the
+    Common-Crawl ingest step after url_canonical (HTTP 3xx chains:
+    a -> b -> ... -> final; the WARC index maps every member to the
+    final fetch). Chains synthesised deterministically (doc_id % 8
+    != 0 redirects to doc_id - 1 — chain length up to 7). Resolution
+    by POINTER DOUBLING: state (node, nxt, hops) self-joined 3 times
+    — each round squares the resolved distance (2^3 = 8 >= max
+    chain), so 10^12 rows resolve in O(log maxchain) shuffle rounds,
+    not O(maxchain); finals are self-loops with hops 0. Oracle: the
+    same chains walked one hop at a time by a recursive CTE."""
+    _views(spark, sf_dir, ("documents",))
+    st = spark.sql("""
+SELECT doc_id AS node,
+       CASE WHEN doc_id % 8 != 0 THEN doc_id - 1 ELSE doc_id END AS nxt,
+       CAST(CASE WHEN doc_id % 8 != 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS hops
+FROM documents""")
+    for _ in range(3):
+        nx = st.select(F.col("node").alias("_k"),
+                       F.col("nxt").alias("_n"),
+                       F.col("hops").alias("_h"))
+        st = (st.join(nx, st.nxt == nx._k)
+              .select("node", F.col("_n").alias("nxt"),
+                      (F.col("hops") + F.col("_h")).alias("hops")))
+    return (st.selectExpr("node AS doc_id", "nxt AS final_id",
+                          "CAST(hops AS INT) AS hops")
+            .orderBy("doc_id"))
+
+
+def o_redirect_resolve():
+    return """
+WITH RECURSIVE red AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 8 != 0 THEN doc_id - 1 ELSE doc_id END
+           AS nxt
+  FROM documents),
+walk(node, cur, h) AS (
+  SELECT id AS node, id AS cur, 0 AS h FROM red
+  UNION ALL
+  SELECT w.node, r.nxt AS cur, w.h + 1 AS h
+  FROM walk w JOIN red r ON r.id = w.cur AND r.nxt <> r.id)
+SELECT node AS doc_id, cur AS final_id, CAST(h AS INT) AS hops
+FROM (SELECT node, cur, h,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY h DESC)
+               AS rn
+      FROM walk) t
+WHERE rn = 1
+ORDER BY doc_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13427,6 +13478,7 @@ REGISTRY: dict[str, tuple] = {
     "raster_crosstab": (q_raster_crosstab, o_raster_crosstab),
     "semdedup": (q_semdedup, o_semdedup),
     "dbscan": (q_dbscan, o_dbscan),
+    "redirect_resolve": (q_redirect_resolve, o_redirect_resolve),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
