@@ -13220,6 +13220,98 @@ WHERE rn = 1
 ORDER BY doc_id"""
 
 
+def q_resample_linear(spark, sf_dir):
+    """Time-series RESAMPLE + LINEAR interpolation: the hourly grid
+    value is lerped between the latest prior-or-simultaneous and the
+    earliest next-or-simultaneous purchase (NULL outside the observed
+    span) — the companion to resample_ffill's step-fill. Spark shape:
+    grid and purchases are UNIONed once and BOTH carries ride one
+    user-keyed sort — forward last(ignorenulls) and backward
+    first(ignorenulls) windows over the same shuffle, so the
+    interpolation costs exactly the ffill shuffle, not two extra
+    joins. Oracle: two native DuckDB ASOF joins (>= and <=) — an
+    independent formulation of both carries."""
+    from gdal_spark.streaming.events import utc_session
+    with utc_session(spark):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        buys = (ev.filter(F.col("event_type") == "purchase")
+                .groupBy("user_id", "ts")
+                .agg(F.max(F.struct("event_id", "value"))["value"]
+                     .alias("v")))
+        bounds = ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.date_trunc("hour", F.max("ts")).alias("t1"))
+        users = ev.select("user_id").distinct()
+        grid = (users.crossJoin(F.broadcast(bounds))
+                .select("user_id",
+                        F.explode(F.expr(
+                            "sequence(t0, t1, interval 1 hour)"))
+                        .alias("ts")))
+        u = (grid.select("user_id", "ts", F.lit(None).cast("double")
+                         .alias("v"), F.lit(1).alias("is_grid"))
+             .unionByName(buys.select("user_id", "ts", "v",
+                                      F.lit(0).alias("is_grid"))))
+        wf = (Window.partitionBy("user_id")
+              .orderBy(F.col("ts").asc(), F.col("is_grid").asc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wb = (Window.partitionBy("user_id")
+              .orderBy(F.col("ts").desc(), F.col("is_grid").asc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+        obs_ts = F.when(F.col("v").isNotNull(), F.col("ts"))
+        r = (u.withColumn("pv", F.last("v", ignorenulls=True).over(wf))
+             .withColumn("pt", F.last(obs_ts, ignorenulls=True).over(wf))
+             .withColumn("nv", F.last("v", ignorenulls=True).over(wb))
+             .withColumn("nt", F.last(obs_ts, ignorenulls=True).over(wb))
+             .filter(F.col("is_grid") == 1))
+        return (r.selectExpr(
+            "user_id", "ts",
+            "ROUND(CASE WHEN pv IS NULL OR nv IS NULL THEN NULL"
+            " WHEN nt = pt THEN pv"
+            " ELSE pv + (nv - pv)"
+            "  * (CAST(timestampdiff(MICROSECOND, pt, ts) AS DOUBLE)"
+            "     / CAST(timestampdiff(MICROSECOND, pt, nt) AS DOUBLE))"
+            " END, 6) AS v_lerp",
+            "CAST(CASE WHEN pv IS NULL OR nv IS NULL THEN 0 ELSE 1 END"
+            " AS INT) AS in_span")
+            .orderBy("user_id", "ts"))
+
+
+def o_resample_linear():
+    return """WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1 FROM events),
+grid AS (
+  SELECT u.user_id, g.ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN b,
+  UNNEST(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS g(ts)),
+p AS (
+  SELECT user_id, ts, v FROM (
+    SELECT user_id, ts, value AS v,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+fwd AS (
+  SELECT g.user_id, g.ts, p.ts AS pt, p.v AS pv
+  FROM grid g ASOF LEFT JOIN p
+    ON g.user_id = p.user_id AND g.ts >= p.ts),
+bwd AS (
+  SELECT g.user_id, g.ts, p.ts AS nt, p.v AS nv
+  FROM grid g ASOF LEFT JOIN p
+    ON g.user_id = p.user_id AND g.ts <= p.ts)
+SELECT f.user_id, f.ts,
+       ROUND(CASE WHEN f.pv IS NULL OR w.nv IS NULL THEN NULL
+             WHEN w.nt = f.pt THEN f.pv
+             ELSE f.pv + (w.nv - f.pv)
+              * (CAST(date_diff('microsecond', f.pt, f.ts) AS DOUBLE)
+                 / CAST(date_diff('microsecond', f.pt, w.nt) AS DOUBLE))
+             END, 6) AS v_lerp,
+       CAST(CASE WHEN f.pv IS NULL OR w.nv IS NULL THEN 0 ELSE 1 END
+            AS INT) AS in_span
+FROM fwd f JOIN bwd w ON w.user_id = f.user_id AND w.ts = f.ts
+ORDER BY f.user_id, f.ts"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13479,6 +13571,7 @@ REGISTRY: dict[str, tuple] = {
     "semdedup": (q_semdedup, o_semdedup),
     "dbscan": (q_dbscan, o_dbscan),
     "redirect_resolve": (q_redirect_resolve, o_redirect_resolve),
+    "resample_linear": (q_resample_linear, o_resample_linear),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
