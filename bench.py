@@ -147,7 +147,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "sql_having_case", "sql_set_ops", "dup_spans",
                  "time_travel", "focal_box5", "shortest_paths",
                  "warp_approx", "raster_crosstab", "semdedup",
-                 "dbscan", "redirect_resolve", "resample_linear"]:
+                 "dbscan", "redirect_resolve", "resample_linear",
+                 "geohash_encode", "sql_exists", "window_range_frame"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

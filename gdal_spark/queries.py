@@ -13312,6 +13312,121 @@ FROM fwd f JOIN bwd w ON w.user_id = f.user_id AND w.ts = f.ts
 ORDER BY f.user_id, f.ts"""
 
 
+# Geohash (Niemeyer 2008; the third cell-index family next to the
+# repo's H3-analog and S2): interleaved binary subdivision, longitude
+# bit first, base32 alphabet, 6 chars = 30 bits.
+GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GH_BITS = 15  # per axis; 2*15 = 30 bits = 6 base32 chars
+
+
+def _gh_expr(lat: str, lon: str) -> str:
+    """Shared SQL text: 6-char geohash of (lat, lon)."""
+    d = sqlexpr.dlit
+    xi = (f"LEAST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {d(float(1 << GH_BITS))}) AS BIGINT),"
+          f" {(1 << GH_BITS) - 1})")
+    yi = (f"LEAST(CAST(FLOOR((({lat}) + 90.0) / 180.0 * {d(float(1 << GH_BITS))}) AS BIGINT),"
+          f" {(1 << GH_BITS) - 1})")
+    terms = []
+    for i in range(GH_BITS):
+        terms.append(f"(CAST(FLOOR(xi / {1 << (GH_BITS - 1 - i)}) AS BIGINT) % 2)"
+                     f" * CAST({1 << (29 - 2 * i)} AS BIGINT)")
+        terms.append(f"(CAST(FLOOR(yi / {1 << (GH_BITS - 1 - i)}) AS BIGINT) % 2)"
+                     f" * CAST({1 << (28 - 2 * i)} AS BIGINT)")
+    g = "(" + " + ".join(terms) + ")"
+    chars = " || ".join(
+        f"SUBSTR('{GH_ALPHABET}',"
+        f" CAST((FLOOR(g / {1 << (25 - 5 * k)}) % 32) + 1 AS INT), 1)"
+        for k in range(6))
+    return xi, yi, g, chars
+
+
+def q_geohash_encode(spark, sf_dir):
+    """Geohash cell ids for the geocoded corpus (Niemeyer's interleaved
+    binary subdivision, lon bit first, base32 — the prefix-truncation
+    property is the point: SUBSTR(gh, 1, k) IS the parent cell, so one
+    string column serves every zoom). Pure column math (bit extraction
+    as FLOOR/%, no UDF); emits the 6-char hash and the 4-char parent
+    prefix per page. At 10^12 rows this is map-only; prefix
+    aggregations ride ordinary groupBy on the string key."""
+    xi, yi, g, chars = _gh_expr("lat", "lon")
+    p = (pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+         .selectExpr("doc_id", "lat", "lon",
+                     f"{xi} AS xi", f"{yi} AS yi")
+         .selectExpr("doc_id", f"{g} AS g")
+         .selectExpr("doc_id", f"{chars} AS gh6"))
+    return (p.selectExpr("doc_id", "gh6", "SUBSTR(gh6, 1, 4) AS gh4")
+            .orderBy("doc_id"))
+
+
+def o_geohash_encode():
+    xi, yi, g, chars = _gh_expr("lat", "lon")
+    return f"""
+WITH {sqlexpr.pages_cte()},
+a AS (SELECT doc_id, {xi} AS xi, {yi} AS yi
+      FROM pages WHERE lat IS NOT NULL),
+b AS (SELECT doc_id, {g} AS g FROM a),
+c AS (SELECT doc_id, {chars} AS gh6 FROM b)
+SELECT doc_id, gh6, SUBSTR(gh6, 1, 4) AS gh4 FROM c ORDER BY doc_id"""
+
+
+_SQL_EXISTS = """
+SELECT o.o_orderpriority AS priority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority"""
+
+
+def q_sql_exists(spark, sf_dir):
+    """Correlated EXISTS subquery (the TPC-H Q4 shape adapted to the
+    fixture's columns: orders with any item shipping > 60 days after
+    order date). OGR's SQLite dialect runs this verbatim
+    (ogrsqliteexecutesql.cpp); the native swq dialect has no
+    subqueries. Catalyst decorrelates the EXISTS into a LeftSemi hash
+    join on l_orderkey with the date predicate pushed below it — the
+    plan you'd hand-write; both scans keep their parquet filters."""
+    _views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_SQL_EXISTS)
+
+
+def o_sql_exists():
+    return _SQL_EXISTS
+
+
+_SQL_RANGE_FRAME = """
+SELECT c_custkey, c_nationkey,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_within,
+       CAST(SUM(bal_cents) OVER w AS BIGINT) AS sum_cents
+FROM (SELECT c_custkey, c_nationkey,
+             CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+ORDER BY c_custkey"""
+
+
+def q_window_range_frame(spark, sf_dir):
+    """RANGE-framed window (ANSI RANGE BETWEEN value PRECEDING — a
+    per-row sliding VALUE window, not a row count: all peers within
+    100.00 of the current balance, per nation). Distinct physical
+    shape from the ROWS frames elsewhere in the registry: Spark
+    evaluates it with a running frame over the nation-sorted
+    partition — one shuffle + sort, no self-join (the naive
+    re-expression would be an O(n^2) range self-join). Balances in
+    exact CENTS so the framed SUM is order-free and engine-exact."""
+    _views(spark, sf_dir, ("customer",))
+    return spark.sql(_SQL_RANGE_FRAME)
+
+
+def o_window_range_frame():
+    return _SQL_RANGE_FRAME
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13572,6 +13687,9 @@ REGISTRY: dict[str, tuple] = {
     "dbscan": (q_dbscan, o_dbscan),
     "redirect_resolve": (q_redirect_resolve, o_redirect_resolve),
     "resample_linear": (q_resample_linear, o_resample_linear),
+    "geohash_encode": (q_geohash_encode, o_geohash_encode),
+    "sql_exists": (q_sql_exists, o_sql_exists),
+    "window_range_frame": (q_window_range_frame, o_window_range_frame),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
