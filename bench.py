@@ -148,7 +148,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "time_travel", "focal_box5", "shortest_paths",
                  "warp_approx", "raster_crosstab", "semdedup",
                  "dbscan", "redirect_resolve", "resample_linear",
-                 "geohash_encode", "sql_exists", "window_range_frame"]:
+                 "geohash_encode", "sql_exists", "window_range_frame",
+                 "triangle_count"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -13427,6 +13427,68 @@ def o_window_range_frame():
     return _SQL_RANGE_FRAME
 
 
+def q_triangle_count(spark, sf_dir):
+    """Triangle counting on the undirected doc link graph — the
+    clustering-coefficient primitive of web-graph analysis (spam farms
+    and boilerplate link blocks show up as dense triangle clusters).
+    The MapReduce-classic oriented enumeration (Suri–Vassilvitskii
+    WWW'11): orient every edge low-id -> high-id, join out-neighbor
+    pairs (a<b, a<c, b<c) against the oriented edge set — each
+    triangle found exactly once, no squared blow-up on the big side
+    (the production variant orients by (degree, id) to bound fan-out
+    by arboricity; id order keeps the oracle twin exact). Emits
+    per-node triangle participation. Edges reuse the html-parsed
+    destination rule (the parser is part of what the gate proves)."""
+    df = _htmlpages_df(spark, sf_dir)
+    ids = F.regexp_extract_all(
+        "html", F.lit('href="https://doc-([0-9]+)[.]'), 1)
+    cnt = df.agg(F.count(F.lit(1)).alias("n"))
+    raw = (df.select(F.col("doc_id").alias("s"),
+                     F.explode(ids).alias("d"))
+           .crossJoin(F.broadcast(cnt))
+           .select("s", (F.col("d").cast("bigint") % F.col("n"))
+                   .alias("t")))
+    e = (raw.select(F.least("s", "t").alias("u"),
+                    F.greatest("s", "t").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct().persist())
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    ac = e.select(F.col("u").alias("a2"), F.col("v").alias("c"))
+    wedges = (ab.join(ac, (ab.a == ac.a2) & (ab.b < ac.c))
+              .select("a", "b", "c"))
+    bc = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    tri = wedges.join(bc, (wedges.b == bc.b2) & (wedges.c == bc.c2))
+    nodes = (tri.select(F.col("a").alias("node"))
+             .unionByName(tri.select(F.col("b").alias("node")))
+             .unionByName(tri.select(F.col("c").alias("node"))))
+    return (nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+            .orderBy("node"))
+
+
+def o_triangle_count():
+    return f"""
+WITH {sqlexpr.pages_cte()},
+cnt AS (SELECT COUNT(*) AS n FROM pages),
+raw AS (
+  SELECT p.doc_id AS s,
+         ((p.doc_id * 7919 + i.i * 104729) % 100000) % c.n AS t
+  FROM pages p
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 3)) AS i) i
+  CROSS JOIN cnt c
+  WHERE p.doc_id % 4 > i.i),
+e AS (SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+      FROM raw WHERE s <> t),
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, ac.v AS c
+  FROM e ab JOIN e ac ON ac.u = ab.u AND ab.v < ac.v
+  JOIN e bc ON bc.u = ab.v AND bc.v = ac.v),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, COUNT(*) AS n_triangles
+FROM nodes GROUP BY node ORDER BY node"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13690,6 +13752,7 @@ REGISTRY: dict[str, tuple] = {
     "geohash_encode": (q_geohash_encode, o_geohash_encode),
     "sql_exists": (q_sql_exists, o_sql_exists),
     "window_range_frame": (q_window_range_frame, o_window_range_frame),
+    "triangle_count": (q_triangle_count, o_triangle_count),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
