@@ -149,7 +149,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "warp_approx", "raster_crosstab", "semdedup",
                  "dbscan", "redirect_resolve", "resample_linear",
                  "geohash_encode", "sql_exists", "window_range_frame",
-                 "triangle_count"]:
+                 "triangle_count", "color_relief_modes"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -217,6 +217,24 @@ def color_relief_sql(v: str, ramp=COLOR_RAMP) -> list[str]:
     return out
 
 
+def color_relief_modes_sql(v: str, ramp=COLOR_RAMP) -> tuple[str, str]:
+    """The other two gdaldem color-relief selection modes
+    (apps/gdaldem_lib.cpp ColorSelectionMode): EXACT_ENTRY (color only
+    on an exact elevation match, else 0 — the -exact_color_entry
+    flag) and NEAREST_ENTRY (color of the closest ramp entry, ties to
+    the LOWER entry via <= midpoint splits — -nearest_color_entry).
+    Returns one CASE-chain SQL text per mode for the red channel id
+    r_exact/r_near triple composition; identical text both engines."""
+    exact = ("CASE " + " ".join(
+        f"WHEN {v} = {e!r} THEN {r}" for e, r, g, b in ramp)
+        + " ELSE 0 END")
+    mids = [(a[0] + b[0]) / 2.0 for a, b in zip(ramp, ramp[1:])]
+    near = ("CASE " + " ".join(
+        f"WHEN {v} <= {m!r} THEN {ramp[i][1]}" for i, m in enumerate(mids))
+        + f" ELSE {ramp[-1][1]} END")
+    return exact, near
+
+
 def slope_deg_zt_col(win):
     """GDALSlopeZevenbergenThorneAlg, degrees (gdaldem_lib.cpp:1390):
     central differences only — atan(sqrt(dx^2+dy^2) * 0.5)."""

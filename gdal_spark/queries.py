@@ -13489,6 +13489,41 @@ SELECT node, COUNT(*) AS n_triangles
 FROM nodes GROUP BY node ORDER BY node"""
 
 
+def q_color_relief_modes(spark, sf_dir):
+    """gdaldem color-relief -exact_color_entry / -nearest_color_entry
+    (apps/gdaldem_lib.cpp ColorSelectionMode: EXACT_ENTRY colors only
+    exact ramp matches, NEAREST_ENTRY snaps to the closest entry, ties
+    to the lower via midpoint <=). Red channel of both modes next to
+    the interpolate mode's — three CASE chains over one DEM scan, no
+    join; the integer fixture guarantees genuine exact hits."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.dem import color_relief_modes_sql
+    d = dem_op.dem_df(spark)
+    exact, near = color_relief_modes_sql("elev")
+    r, _, _ = dem_op.color_relief_cols(F.col("elev"))
+    return (d.select("py", "px", "elev", r.alias("r_interp"))
+            .selectExpr("py", "px", "elev", "r_interp",
+                        f"CAST({exact} AS INT) AS r_exact",
+                        f"CAST({near} AS INT) AS r_near")
+            .orderBy("py", "px"))
+
+
+def o_color_relief_modes():
+    from gdal_spark.operators.dem import (DEM_ELEV_SQL, DEM_H, DEM_W,
+                                          color_relief_modes_sql,
+                                          color_relief_sql)
+    exact, near = color_relief_modes_sql("elev")
+    r = color_relief_sql("elev")[0]
+    return f"""WITH dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys)
+SELECT py, px, elev, {r} AS r_interp,
+       CAST({exact} AS INT) AS r_exact,
+       CAST({near} AS INT) AS r_near
+FROM dem ORDER BY py, px"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13753,6 +13788,7 @@ REGISTRY: dict[str, tuple] = {
     "sql_exists": (q_sql_exists, o_sql_exists),
     "window_range_frame": (q_window_range_frame, o_window_range_frame),
     "triangle_count": (q_triangle_count, o_triangle_count),
+    "color_relief_modes": (q_color_relief_modes, o_color_relief_modes),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
