@@ -13524,6 +13524,114 @@ SELECT py, px, elev, {r} AS r_interp,
 FROM dem ORDER BY py, px"""
 
 
+_SQL_CUBE = """
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+            AS INT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY gid, priority NULLS FIRST, status NULLS FIRST"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """CUBE aggregation with GROUPING() ids (ANSI grouping sets — the
+    full OLAP lattice over two dimensions: cell, two marginals, grand
+    total; complements tld_lang_rollup's ROLLUP). Spark expands the
+    cube into a single Expand + one hash aggregate — 4 grouping sets
+    cost one shuffle, not four scans; exact-cents sums keep every
+    cell order-free."""
+    _views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_CUBE)
+
+
+def o_grouping_sets():
+    return _SQL_CUBE
+
+
+def q_group_quantiles(spark, sf_dir):
+    """Interpolated per-group quantiles (ANSI PERCENTILE_CONT
+    semantics: rank h = (n-1)p, v = x[floor(h)] + frac(h) *
+    (x[floor(h)+1] - x[floor(h)])) — p25/p50/p75 of document length
+    per language. Evaluated by the SHARED formula over a per-group
+    sorted array (collect+sort ↔ list ORDER BY) instead of each
+    engine's builtin, so interpolation is bit-identical. At 10^12
+    rows the per-group array is the honest cost of EXACT quantiles —
+    the approximate path (t-digest/GK) trades this for mergeable
+    sketches; this query is the exact reference the sketch would be
+    validated against."""
+    d = docs_df(spark, sf_dir)
+    g = d.groupBy("lang").agg(
+        F.array_sort(F.collect_list(F.col("n_chars").cast("double")))
+        .alias("xs"))
+    cols = ["lang"]
+    for p, nm in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        h = f"(size(xs) - 1) * {sqlexpr.dlit(p)}"
+        lo = f"CAST(FLOOR({h}) AS INT)"
+        v = (f"element_at(xs, {lo} + 1) + ({h} - FLOOR({h}))"
+             f" * (element_at(xs, LEAST({lo} + 2, size(xs)))"
+             f" - element_at(xs, {lo} + 1))")
+        cols.append(f"ROUND({v}, 6) AS {nm}")
+    return g.selectExpr(*cols).orderBy("lang")
+
+
+def o_group_quantiles():
+    parts = []
+    for p, nm in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        h = f"(len(xs) - 1) * {sqlexpr.dlit(p)}"
+        lo = f"CAST(FLOOR({h}) AS INT)"
+        v = (f"xs[{lo} + 1] + ({h} - FLOOR({h}))"
+             f" * (xs[LEAST({lo} + 2, len(xs))] - xs[{lo} + 1])")
+        parts.append(f"ROUND({v}, 6) AS {nm}")
+    sel = ", ".join(parts)
+    return f"""
+WITH g AS (
+  SELECT lang,
+         list(CAST(n_chars AS DOUBLE) ORDER BY CAST(n_chars AS DOUBLE))
+           AS xs
+  FROM documents GROUP BY lang)
+SELECT lang, {sel} FROM g ORDER BY lang"""
+
+
+def q_raster_cdf(spark, sf_dir):
+    """Raster cumulative distribution (the CDF behind gdalinfo -hist /
+    percentile-based -scale: cumulative pixel count per intensity
+    value). Histogram groupBy then ONE ordered cumulative window over
+    the |values|-sized histogram — the window runs on the tiny
+    aggregate, never the pixel table."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.dem import DEM_H, DEM_W
+    d = dem_op.dem_df(spark)
+    h = d.groupBy(F.col("elev").cast("int").alias("val")).agg(
+        F.count("*").alias("n"))
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    return (h.withColumn("cum", F.sum("n").over(w))
+            .selectExpr("val", "n", "cum",
+                        "ROUND(cum * CAST(1.0 AS DOUBLE)"
+                        f" / {DEM_W * DEM_H}, 6) AS cdf")
+            .orderBy("val"))
+
+
+def o_raster_cdf():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    return f"""
+WITH dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys),
+h AS (SELECT CAST(elev AS INT) AS val, COUNT(*) AS n
+      FROM dem GROUP BY 1)
+SELECT val, n,
+       CAST(SUM(n) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       ROUND(SUM(n) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW)
+             * CAST(1.0 AS DOUBLE) / {DEM_W * DEM_H}, 6) AS cdf
+FROM h ORDER BY val"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13789,6 +13897,9 @@ REGISTRY: dict[str, tuple] = {
     "window_range_frame": (q_window_range_frame, o_window_range_frame),
     "triangle_count": (q_triangle_count, o_triangle_count),
     "color_relief_modes": (q_color_relief_modes, o_color_relief_modes),
+    "grouping_sets": (q_grouping_sets, o_grouping_sets),
+    "group_quantiles": (q_group_quantiles, o_group_quantiles),
+    "raster_cdf": (q_raster_cdf, o_raster_cdf),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
