@@ -52,3 +52,56 @@ def test_select_where_pushes_filters(spark):
     rest = scan[i + len("PushedFilters: ["):]
     assert not rest.startswith("]"), "PushedFilters list is empty"
     assert "IsNotNull" in rest[:200] or "StringStartsWith" in rest[:200]
+
+
+def test_point_sample_single_tap_join(spark):
+    """gdallocationinfo batch sampling: the 5 taps resolve through
+    ONE join against the pixel table (no per-tap join chain, no
+    cartesian)."""
+    from gdal_spark.queries import REGISTRY
+    plan = _plan(REGISTRY["point_sample"][0](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    joins = plan.count("HashJoin") + plan.count("SortMergeJoin")
+    assert joins <= 1, f"expected one tap join, saw {joins}"
+
+
+def test_dup_spans_no_cartesian(spark):
+    """Duplicated-span measure: gram-key equi-joins only — an
+    accidental theta-join over the exploded gram table would be the
+    O(n^2) regression."""
+    from gdal_spark.queries import REGISTRY
+    plan = _plan(REGISTRY["dup_spans"][0](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_range_frame_no_self_join(spark):
+    """RANGE-framed window must stay a window (one exchange + sort),
+    never a range self-join."""
+    from gdal_spark.queries import REGISTRY
+    plan = _plan(REGISTRY["window_range_frame"][0](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_raster_cdf_window_on_aggregate_only(spark):
+    """The cumulative window must run above the histogram aggregate
+    (tiny input), not over the pixel table."""
+    from gdal_spark.queries import REGISTRY
+    plan = _plan(REGISTRY["raster_cdf"][0](spark, SF_SMOKE))
+    w = plan.index("Window")
+    agg = plan.rindex("HashAggregate")
+    # physical plan prints top-down: Window above the final aggregate
+    assert w < agg, "window must consume the aggregate, not pixels"
+
+
+def test_triangle_wedge_joins_are_hash(spark):
+    """Oriented triangle enumeration: wedge and closing joins must be
+    hash equi-joins with the b<c predicate riding the wedge join as a
+    post-condition. (The 1-row corpus-count broadcast legitimately
+    plans as a nested-loop with a single-row build side — that one is
+    allowed; a cartesian over the edge table is not.)"""
+    from gdal_spark.queries import REGISTRY
+    plan = _plan(REGISTRY["triangle_count"][0](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
