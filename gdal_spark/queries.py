@@ -13650,6 +13650,77 @@ SELECT val, n,
 FROM h ORDER BY val"""
 
 
+# WARC rehydration fetch-plan: byte-range coalescing (gaps-and-islands)
+RC_GAP = 500  # merge ranges whose gap is <= this many bytes
+
+
+def q_range_coalesce(spark, sf_dir):
+    """WARC rehydration fetch plan: the docs selected for re-fetch map
+    to (warc file, byte offset, length) records; adjacent/near ranges
+    in the same file are COALESCED into single GET requests (gap <=
+    {RC_GAP} bytes) — the range-merge every CC-scale rehydrator runs
+    before hitting storage. Gaps-and-islands with a RUNNING MAX (not
+    lag: ranges can nest, so the island test is start > max(all prev
+    ends) + gap), island id = running sum of the break flag; both
+    windows ride ONE file-keyed sort. Per 10^12 docs the state is one
+    sort per file partition — the merge itself is a window, not a
+    join."""
+    _views(spark, sf_dir, ("documents",))
+    r = spark.sql("""
+SELECT doc_id,
+       CAST(doc_id % 4 AS INT) AS f,
+       CAST(doc_id * 1000 + (doc_id % 7) * 50 AS BIGINT) AS off,
+       CAST(800 + (doc_id % 5) * 100 AS BIGINT) AS len
+FROM documents WHERE doc_id % 3 = 0""")
+    w_prev = (Window.partitionBy("f").orderBy("off")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("f").orderBy("off")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    r = r.withColumn("prev_end", F.max(F.col("off") + F.col("len"))
+                     .over(w_prev))
+    r = r.withColumn(
+        "brk", F.when(F.col("prev_end").isNull()
+                      | (F.col("off") > F.col("prev_end") + RC_GAP),
+                      1).otherwise(0))
+    r = r.withColumn("island", F.sum("brk").over(w_run))
+    return (r.groupBy("f", "island")
+            .agg(F.min("off").alias("start"),
+                 F.max(F.col("off") + F.col("len")).alias("end"),
+                 F.count("*").alias("n_docs"),
+                 F.sum("len").alias("payload_bytes"))
+            .selectExpr("f", "CAST(island AS BIGINT) AS island",
+                        "start", "end", "n_docs",
+                        "CAST(payload_bytes AS BIGINT) AS payload_bytes")
+            .orderBy("f", "island"))
+
+
+def o_range_coalesce():
+    return f"""
+WITH r AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS f,
+         CAST(doc_id * 1000 + (doc_id % 7) * 50 AS BIGINT) AS off,
+         CAST(800 + (doc_id % 5) * 100 AS BIGINT) AS len
+  FROM documents WHERE doc_id % 3 = 0),
+p AS (
+  SELECT *, MAX(off + len) OVER (PARTITION BY f ORDER BY off
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM r),
+b AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR off > prev_end + {RC_GAP}
+                 THEN 1 ELSE 0 END AS brk
+  FROM p),
+i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY f ORDER BY off
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM b)
+SELECT f, CAST(island AS BIGINT) AS island,
+       MIN(off) AS start, MAX(off + len) AS "end",
+       COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS payload_bytes
+FROM i GROUP BY f, island ORDER BY f, island"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13918,6 +13989,7 @@ REGISTRY: dict[str, tuple] = {
     "grouping_sets": (q_grouping_sets, o_grouping_sets),
     "group_quantiles": (q_group_quantiles, o_group_quantiles),
     "raster_cdf": (q_raster_cdf, o_raster_cdf),
+    "range_coalesce": (q_range_coalesce, o_range_coalesce),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
