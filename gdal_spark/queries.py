@@ -13721,6 +13721,52 @@ SELECT f, CAST(island AS BIGINT) AS island,
 FROM i GROUP BY f, island ORDER BY f, island"""
 
 
+def q_vector_combine(spark, sf_dir):
+    """gdal vector combine (gdalalg_vector_combine.cpp: 'Combine
+    features into collections', --group-by) — the inverse of
+    explode_collections: geocoded pages grouped by TLD into
+    MULTIPOINT collections, with the reference's type promotion
+    (single member stays POINT). One collect-sort per group; member
+    order pinned by doc_id so the assembled text is deterministic.
+    Coordinates serialized as MICRODEGREE integers (float->string
+    formatting differs across engines; the int form is the same
+    geometry, lossless at 1e-6 deg)."""
+    p = (pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+         .selectExpr("tld", "doc_id",
+                     "CAST(FLOOR(lon * 1000000.0 + 0.5) AS BIGINT) AS xi",
+                     "CAST(FLOOR(lat * 1000000.0 + 0.5) AS BIGINT) AS yi"))
+    g = p.groupBy("tld").agg(
+        F.count("*").alias("n_pts"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "xi", "yi")))
+        .alias("ms"))
+    return (g.selectExpr(
+        "tld", "n_pts",
+        "CASE WHEN n_pts = 1 THEN 'POINT' ELSE 'MULTIPOINT' END"
+        " AS geom_type",
+        "concat_ws(', ', transform(ms,"
+        " m -> concat(CAST(m.xi AS STRING), ' ', CAST(m.yi AS STRING))))"
+        " AS members")
+        .orderBy("tld"))
+
+
+def o_vector_combine():
+    return f"""
+WITH {sqlexpr.pages_cte()},
+p AS (SELECT tld, doc_id,
+             CAST(FLOOR(lon * 1000000.0 + 0.5) AS BIGINT) AS xi,
+             CAST(FLOOR(lat * 1000000.0 + 0.5) AS BIGINT) AS yi
+      FROM pages WHERE lat IS NOT NULL),
+g AS (SELECT tld, COUNT(*) AS n_pts,
+             string_agg(CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR),
+                        ', ' ORDER BY doc_id, xi, yi) AS members
+      FROM p GROUP BY tld)
+SELECT tld, n_pts,
+       CASE WHEN n_pts = 1 THEN 'POINT' ELSE 'MULTIPOINT' END
+         AS geom_type,
+       members
+FROM g ORDER BY tld"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -13990,6 +14036,7 @@ REGISTRY: dict[str, tuple] = {
     "group_quantiles": (q_group_quantiles, o_group_quantiles),
     "raster_cdf": (q_raster_cdf, o_raster_cdf),
     "range_coalesce": (q_range_coalesce, o_range_coalesce),
+    "vector_combine": (q_vector_combine, o_vector_combine),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
