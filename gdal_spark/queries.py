@@ -13767,6 +13767,104 @@ SELECT tld, n_pts,
 FROM g ORDER BY tld"""
 
 
+# GDALApplyVerticalShiftGrid (alg/gdalapplyverticalshiftgrid.cpp):
+# out = elev + unit_scale * bilinear(shift_grid at the pixel's grid
+# coords), grid coords clamped at the shift grid's edges.
+VS_GW, VS_GH = 16, 16          # shift grid is 4x coarser than the DEM
+VS_SHIFT_SQL = ("(((gx * 5 + gy * 11) % 13) * CAST(0.25 AS DOUBLE)"
+                " - CAST(1.5 AS DOUBLE))")
+
+
+def q_vshift_apply(spark, sf_dir):
+    """Vertical datum shift (GDALApplyVerticalShiftGrid,
+    alg/gdalapplyverticalshiftgrid.cpp): every DEM pixel samples the
+    (coarser) shift grid bilinearly at its fractional grid coords —
+    edge-clamped exactly as the reference clamps — and adds the
+    shift. Same distributed shape as point_sample: 4 taps exploded,
+    ONE equi-join against the shift-grid table (broadcast — shift
+    grids are small by nature), weights folded in fixed order."""
+    from gdal_spark.operators import dem as dem_op
+    dem = dem_op.dem_df(spark)
+    sg = spark.range(VS_GW * VS_GH).selectExpr(
+        f"CAST(id % {VS_GW} AS INT) AS gx",
+        f"CAST(FLOOR(id / {VS_GW}) AS INT) AS gy").selectExpr(
+        "gx", "gy", f"{VS_SHIFT_SQL} AS shift")
+    p = dem.selectExpr(
+        "px", "py", "elev",
+        "LEAST(GREATEST((px + 0.5) / 4.0 - 0.5, 0.0),"
+        f" {VS_GW - 1}.0) AS gxf",
+        "LEAST(GREATEST((py + 0.5) / 4.0 - 0.5, 0.0),"
+        f" {VS_GH - 1}.0) AS gyf")
+    p = p.selectExpr(
+        "px", "py", "elev",
+        f"CAST(LEAST(FLOOR(gxf), {VS_GW - 2}) AS INT) AS ix",
+        f"CAST(LEAST(FLOOR(gyf), {VS_GH - 2}) AS INT) AS iy",
+        f"gxf - LEAST(FLOOR(gxf), {VS_GW - 2}) AS fx",
+        f"gyf - LEAST(FLOOR(gyf), {VS_GH - 2}) AS fy")
+    taps = F.array(*[
+        F.struct(F.lit(k).alias("k"),
+                 (F.col("ix") + (k % 2)).alias("tx"),
+                 (F.col("iy") + (k // 2)).alias("ty"))
+        for k in range(4)])
+    e = (p.select("px", "py", "elev", "fx", "fy",
+                  F.explode(taps).alias("t"))
+         .select("px", "py", "elev", "fx", "fy",
+                 F.col("t.k").alias("k"), F.col("t.tx").alias("tx"),
+                 F.col("t.ty").alias("ty")))
+    j = e.join(F.broadcast(sg), (e.tx == sg.gx) & (e.ty == sg.gy))
+    g = j.groupBy("px", "py").agg(
+        F.max("elev").alias("elev"),
+        F.max("fx").alias("fx"), F.max("fy").alias("fy"),
+        *[F.max(F.when(F.col("k") == k, F.col("shift"))).alias(f"s{k}")
+          for k in range(4)])
+    return (g.selectExpr(
+        "py", "px",
+        "ROUND(elev + ((((1.0 - fx) * (1.0 - fy)) * s0"
+        " + (fx * (1.0 - fy)) * s1)"
+        " + (((1.0 - fx) * fy) * s2 + (fx * fy) * s3)), 6)"
+        " AS elev_shifted")
+        .orderBy("py", "px"))
+
+
+def o_vshift_apply():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    return f"""
+WITH dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys),
+sg AS (
+  SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+         {VS_SHIFT_SQL} AS shift
+  FROM (SELECT UNNEST(RANGE(0, {VS_GW})) AS gx) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {VS_GH})) AS gy) ys),
+pf AS (
+  SELECT px, py, elev,
+         LEAST(GREATEST((px + 0.5) / 4.0 - 0.5, 0.0),
+               {VS_GW - 1}.0) AS gxf,
+         LEAST(GREATEST((py + 0.5) / 4.0 - 0.5, 0.0),
+               {VS_GH - 1}.0) AS gyf
+  FROM dem),
+pc AS (
+  SELECT px, py, elev,
+         CAST(LEAST(FLOOR(gxf), {VS_GW - 2}) AS INT) AS ix,
+         CAST(LEAST(FLOOR(gyf), {VS_GH - 2}) AS INT) AS iy,
+         gxf - LEAST(FLOOR(gxf), {VS_GW - 2}) AS fx,
+         gyf - LEAST(FLOOR(gyf), {VS_GH - 2}) AS fy
+  FROM pf)
+SELECT p.py, p.px,
+       ROUND(p.elev + ((((1.0 - p.fx) * (1.0 - p.fy)) * s0.shift
+              + (p.fx * (1.0 - p.fy)) * s1.shift)
+             + (((1.0 - p.fx) * p.fy) * s2.shift
+                + (p.fx * p.fy) * s3.shift)), 6) AS elev_shifted
+FROM pc p
+JOIN sg s0 ON s0.gx = p.ix AND s0.gy = p.iy
+JOIN sg s1 ON s1.gx = p.ix + 1 AND s1.gy = p.iy
+JOIN sg s2 ON s2.gx = p.ix AND s2.gy = p.iy + 1
+JOIN sg s3 ON s3.gx = p.ix + 1 AND s3.gy = p.iy + 1
+ORDER BY p.py, p.px"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -14037,6 +14135,7 @@ REGISTRY: dict[str, tuple] = {
     "raster_cdf": (q_raster_cdf, o_raster_cdf),
     "range_coalesce": (q_range_coalesce, o_range_coalesce),
     "vector_combine": (q_vector_combine, o_vector_combine),
+    "vshift_apply": (q_vshift_apply, o_vshift_apply),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
