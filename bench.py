@@ -151,7 +151,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "geohash_encode", "sql_exists", "window_range_frame",
                  "triangle_count", "color_relief_modes",
                  "grouping_sets", "group_quantiles", "raster_cdf",
-                 "range_coalesce", "vector_combine", "vshift_apply"]:
+                 "range_coalesce", "vector_combine", "vshift_apply",
+                 "sql_lateral"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -13865,6 +13865,34 @@ JOIN sg s3 ON s3.gx = p.ix + 1 AND s3.gy = p.iy + 1
 ORDER BY p.py, p.px"""
 
 
+_SQL_LATERAL = """
+SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c.c_name, c.c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c.c_name
+  LIMIT 2
+) t
+ORDER BY nation, t.c_acctbal DESC, t.c_name"""
+
+
+def q_sql_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery in FROM (ANSI lateral derived
+    table; SQLite-dialect CROSS JOIN LATERAL) — per-nation top-2
+    customers, the 'top-N per key via lateral' idiom. Catalyst
+    decorrelates the LATERAL + LIMIT into a rank-window over one
+    nation-keyed shuffle (DomainJoin rewrite) — same physical plan as
+    the explicit window form, so lateral syntax costs nothing extra."""
+    _views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_SQL_LATERAL)
+
+
+def o_sql_lateral():
+    return _SQL_LATERAL
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -14136,6 +14164,7 @@ REGISTRY: dict[str, tuple] = {
     "range_coalesce": (q_range_coalesce, o_range_coalesce),
     "vector_combine": (q_vector_combine, o_vector_combine),
     "vshift_apply": (q_vshift_apply, o_vshift_apply),
+    "sql_lateral": (q_sql_lateral, o_sql_lateral),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
 }
