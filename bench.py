@@ -152,7 +152,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "triangle_count", "color_relief_modes",
                  "grouping_sets", "group_quantiles", "raster_cdf",
                  "range_coalesce", "vector_combine", "vshift_apply",
-                 "sql_lateral", "layout_pruning"]:
+                 "sql_lateral", "layout_pruning",
+                 # round-3 closing session
+                 "homography_warp"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

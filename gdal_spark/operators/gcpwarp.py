@@ -195,3 +195,111 @@ def tps_apply_sql(fit: dict, xexpr: str, yexpr: str, dlit):
         return out
 
     return total(fit["ce"]), total(fit["cn"])
+
+
+# --- Homography transform (alg/gdal_homography.cpp) -------------------
+
+def _h_apply(h: list[float], x: float, y: float) -> tuple[float, float]:
+    """GDALApplyHomography (gdal_homography.cpp:408-424): rational
+    form wx/w, wy/w with w = h6 + x*h7 + y*h8."""
+    w = h[6] + x * h[7] + y * h[8]
+    return ((h[0] + x * h[1] + y * h[2]) / w,
+            (h[3] + x * h[4] + y * h[5]) / w)
+
+
+def _h_matrix(h: list[float]) -> list[list[float]]:
+    # 9-coeff layout -> 3x3 acting on (x, y, 1): rows (x', y', w)
+    return [[h[1], h[2], h[0]], [h[4], h[5], h[3]], [h[7], h[8], h[6]]]
+
+
+def _h_coeffs(m: list[list[float]]) -> list[float]:
+    return [m[0][2], m[0][0], m[0][1],
+            m[1][2], m[1][0], m[1][1],
+            m[2][2], m[2][0], m[2][1]]
+
+
+def _h_compose(h1: list[float], h2: list[float]) -> list[float]:
+    """GDALComposeHomographies: apply h1 then h2 (matrix m2 @ m1)."""
+    m1, m2 = _h_matrix(h1), _h_matrix(h2)
+    out = [[sum(m2[i][k] * m1[k][j] for k in range(3)) for j in range(3)]
+           for i in range(3)]
+    return _h_coeffs(out)
+
+
+def _h_invert(h: list[float]) -> list[float]:
+    m = _h_matrix(h)
+    cof = [[m[(i + 1) % 3][(j + 1) % 3] * m[(i + 2) % 3][(j + 2) % 3]
+            - m[(i + 1) % 3][(j + 2) % 3] * m[(i + 2) % 3][(j + 1) % 3]
+            for j in range(3)] for i in range(3)]
+    det = sum(m[0][j] * cof[0][j] for j in range(3))
+    if det == 0.0:
+        raise ValueError("singular homography")
+    inv = [[cof[j][i] / det for j in range(3)] for i in range(3)]
+    return _h_coeffs(inv)
+
+
+def fit_homography(gcps: list[tuple]) -> list[float]:
+    """GDALGCPsToHomography (alg/gdal_homography.cpp:150-330): GCPs
+    (pixel, line, geox, geoy) -> 9-coeff forward homography.
+
+    Exact reference discipline: min/max range normalization of both
+    planes (:192-212), DLT normal equations AtA h = rhs with the rank
+    completion row h[6]=1 (:225-270), unit-square convexity check
+    (:288-316), then composition pl_norm . h_norm . inv(geo_norm)
+    (:322-327). Driver-side bounded solve (9x9), same trained-literal
+    contract as fit_polynomial/fit_tps."""
+    px = [g[0] for g in gcps]
+    py = [g[1] for g in gcps]
+    ex = [g[2] for g in gcps]
+    ny = [g[3] for g in gcps]
+    rng = [(min(v), max(v)) for v in (px, py, ex, ny)]
+    for lo, hi in rng:
+        if abs(hi - lo) < 1e-12:
+            raise ValueError("GCPs degenerate in one dimension")
+    (p0, p1), (l0, l1), (x0, x1), (y0, y1) = rng
+    pl_norm = [-p0 / (p1 - p0), 1.0 / (p1 - p0), 0.0,
+               -l0 / (l1 - l0), 0.0, 1.0 / (l1 - l0),
+               1.0, 0.0, 0.0]
+    geo_norm = [-x0 / (x1 - x0), 1.0 / (x1 - x0), 0.0,
+                -y0 / (y1 - y0), 0.0, 1.0 / (y1 - y0),
+                1.0, 0.0, 0.0]
+    ata = [[0.0] * 9 for _ in range(9)]
+    rhs = [0.0] * 9
+    rhs[6] = 1.0
+    ata[6][6] = 1.0
+    for g in gcps:
+        p, l = _h_apply(pl_norm, g[0], g[1])
+        gx, gy = _h_apply(geo_norm, g[2], g[3])
+        ax = [1.0, p, l, 0.0, 0.0, 0.0, -gx, -gx * p, -gx * l]
+        ay = [0.0, 0.0, 0.0, 1.0, p, l, -gy, -gy * p, -gy * l]
+        for j in range(9):
+            for k in range(9):
+                ata[j][k] += ax[j] * ax[k] + ay[j] * ay[k]
+    (hn,) = _gauss_solve(ata, [rhs])
+    if abs(hn[6]) < 1e-15:
+        raise ValueError("degenerate homography (h_norm[6] ~ 0)")
+    # unit-square -> convex quadrilateral check (gdal_homography.cpp:288)
+    cs = [_h_apply(hn, x, y) for x, y in ((0, 0), (1, 0), (1, 1), (0, 1))]
+    vx = [c[0] - cs[0][0] for c in cs]
+    vy = [c[1] - cs[0][1] for c in cs]
+    cross12 = vx[1] * vy[2] - vx[2] * vy[1]
+    cross23 = vx[2] * vy[3] - vx[3] * vy[2]
+    if cross12 * cross23 <= 0.0:
+        raise ValueError("homography does not map unit square convexly")
+    return _h_compose(_h_compose(pl_norm, hn), _h_invert(geo_norm))
+
+
+def homography_apply_cols(h: list[float], xcol, ycol):
+    w = F.lit(h[6]) + xcol * F.lit(h[7]) + ycol * F.lit(h[8])
+    return ((F.lit(h[0]) + xcol * F.lit(h[1]) + ycol * F.lit(h[2])) / w,
+            (F.lit(h[3]) + xcol * F.lit(h[4]) + ycol * F.lit(h[5])) / w)
+
+
+def homography_apply_sql(h: list[float], xexpr: str, yexpr: str, dlit):
+    w = (f"(({dlit(h[6])} + (({xexpr}) * {dlit(h[7])})) "
+         f"+ (({yexpr}) * {dlit(h[8])}))")
+    gx = (f"((({dlit(h[0])} + (({xexpr}) * {dlit(h[1])})) "
+          f"+ (({yexpr}) * {dlit(h[2])})) / {w})")
+    gy = (f"((({dlit(h[3])} + (({xexpr}) * {dlit(h[4])})) "
+          f"+ (({yexpr}) * {dlit(h[5])})) / {w})")
+    return gx, gy

@@ -8471,6 +8471,40 @@ FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
 CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys"""
 
 
+def q_homography_warp(spark, sf_dir):
+    """Homography GCP transform (GDALGCPsToHomography +
+    GDALApplyHomography, alg/gdal_homography.cpp:150-330,408-424):
+    range-normalized DLT normal equations with the h[6]=1 rank
+    completion, unit-square convexity check, normalizer composition —
+    all replicated in operators/gcpwarp.fit_homography (driver-side
+    bounded 9x9 solve, trained-literal contract). The APPLY is the
+    rational form (h0+x*h1+y*h2)/(h6+x*h7+y*h8) as pure column math
+    over every DEM-grid pixel: no shuffle, no Python, codegen."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.gcpwarp import (fit_homography,
+                                              homography_apply_cols)
+    h = fit_homography(_gcp_fixture())
+    ec, nc = homography_apply_cols(h, F.col("px").cast("double"),
+                                   F.col("py").cast("double"))
+    return (dem_op.dem_df(spark)
+            .select("py", "px", F.round(ec, 6).alias("geo_e"),
+                    F.round(nc, 6).alias("geo_n"))
+            .orderBy("py", "px"))
+
+
+def o_homography_warp():
+    from gdal_spark.operators.dem import DEM_H, DEM_W
+    from gdal_spark.operators.gcpwarp import (fit_homography,
+                                              homography_apply_sql)
+    h = fit_homography(_gcp_fixture())
+    esql, nsql = homography_apply_sql(h, "CAST(px AS DOUBLE)",
+                                      "CAST(py AS DOUBLE)", sqlexpr.dlit)
+    return f"""SELECT py, px, ROUND({esql}, 6) AS geo_e,
+       ROUND({nsql}, 6) AS geo_n
+FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys"""
+
+
 # --- Pansharpen (GDALPansharpenOperation, alg/gdalpansharpen.cpp) ---
 
 PS_RATIO = 4
@@ -14235,4 +14269,5 @@ REGISTRY: dict[str, tuple] = {
     "layout_pruning": (q_layout_pruning, o_layout_pruning),
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
+    "homography_warp": (q_homography_warp, o_homography_warp),
 }
