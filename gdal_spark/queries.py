@@ -12898,6 +12898,77 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist
 FROM bfs GROUP BY node ORDER BY node"""
 
 
+DIJ_ROUNDS = 4
+
+
+def q_network_dijkstra(spark, sf_dir):
+    """Weighted single-source-set shortest path — the GNM network
+    analysis primitive (apps/gnmanalyse.cpp GNMGraph::
+    DijkstraShortestPath; gnm/gnmgraph.cpp). The reference runs
+    serial Dijkstra on an in-memory graph; the distributed-correct
+    strategy is SYNCHRONOUS BELLMAN-FORD ROUNDS: state(v) after round
+    k = min cost over paths of <= k edges, each round ONE hash join
+    (state ⋈ edges on src) + ONE groupBy-min — no priority queue, no
+    driver-side graph. Edge costs are deterministic integers derived
+    from the parsed link graph (1 + (src*31 + dst*17) % 9), so every
+    fold is exact-integer. DIJ_ROUNDS bounds the unroll the way
+    gnmanalyse's nMaxResults bounds its result tree: the output is
+    the HOP-BOUNDED distance (min cost over paths of <= DIJ_ROUNDS
+    edges — the same contract as the BFS twin above, and exactly what
+    the oracle computes); more rounds only refine it monotonically
+    (pytest). Run-to-convergence = loop until a round changes no row.
+    Oracle: INDEPENDENT recursive-CTE cost enumeration with a hop
+    bound + final MIN."""
+    df = _htmlpages_df(spark, sf_dir)
+    ids = F.regexp_extract_all(
+        "html", F.lit('href="https://doc-([0-9]+)[.]'), 1)
+    cnt = df.agg(F.count(F.lit(1)).alias("n"))
+    edges = (df.select(F.col("doc_id").alias("src"),
+                       F.explode(ids).alias("d"))
+             .crossJoin(F.broadcast(cnt))
+             .select("src",
+                     (F.col("d").cast("bigint") % F.col("n")).alias("dst"))
+             .withColumn("w", F.lit(1) + (F.col("src") * 31
+                                          + F.col("dst") * 17) % 9))
+    state = (df.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("node"),
+                     F.lit(0).cast("bigint").alias("dist")))
+    # edges re-read per round: persist the parsed edge table once
+    edges = edges.persist()
+    for _ in range(DIJ_ROUNDS):
+        relaxed = (edges.join(state, edges.src == state.node)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        state = (state.unionByName(relaxed)
+                 .groupBy("node").agg(F.min("dist").alias("dist")))
+    return (state.select("node", F.col("dist").cast("int").alias("dist"))
+            .orderBy("node"))
+
+
+def o_network_dijkstra():
+    return f"""
+WITH RECURSIVE {sqlexpr.pages_cte()},
+cnt AS (SELECT COUNT(*) AS n FROM pages),
+links AS (
+  SELECT src, dst, 1 + (src * 31 + dst * 17) % 9 AS w
+  FROM (
+    SELECT p.doc_id AS src,
+           ((p.doc_id * 7919 + i.i * 104729) % 100000) % c.n AS dst
+    FROM pages p
+    CROSS JOIN (SELECT UNNEST(RANGE(0, 3)) AS i) i
+    CROSS JOIN cnt c
+    WHERE p.doc_id % 4 > i.i)),
+walk(node, dist, hop) AS (
+  SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist, 0 AS hop
+  FROM pages WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst AS node, b.dist + e.w AS dist, b.hop + 1 AS hop
+  FROM walk b JOIN links e ON e.src = b.node
+  WHERE b.hop < {DIJ_ROUNDS})
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM walk GROUP BY node ORDER BY node"""
+
+
 # GDALApproxTransform (alg/gdaltransformer.cpp GDALApproxTransformer:
 # gdalwarp -et): transform a segment's endpoints + midpoint exactly;
 # if the midpoint's linear-interpolation error is within the
@@ -14270,4 +14341,5 @@ REGISTRY: dict[str, tuple] = {
     "areal_interp": (q_areal_interp, o_areal_interp),
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
     "homography_warp": (q_homography_warp, o_homography_warp),
+    "network_dijkstra": (q_network_dijkstra, o_network_dijkstra),
 }
