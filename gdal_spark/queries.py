@@ -8505,6 +8505,34 @@ FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
 CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys"""
 
 
+def q_surf_match(spark, sf_dir):
+    """SURF-style feature detection + image matching — GDAL's
+    correlator (GDALSimpleSURF, alg/gdal_simplesurf.cpp; octave
+    layers + integral image, alg/gdal_octave.cpp; driver
+    GDALComputeMatchingPoints, alg/gdalmatching.cpp). Full pipeline
+    in one declarative plan (operators/surf.py): integral image as
+    two cascaded window prefix sums, Fast-Hessian box filters as a
+    corner-offset explode + ONE equi-join against the integral table,
+    3x3x3 strict extremum via scatter-pivot groupBy, 64-component
+    Haar descriptors over exploded arithmetic offsets, same-sign
+    nearest/second-nearest ratio matching with the reference's
+    normalize-to-max threshold prune. All exact-integer except the
+    reference's normalized determinant (identical double text both
+    engines). The global windows in the match stage run over the
+    sparse pair table (dozens of rows), not the rasters. Both images
+    and the oracle derive from the same literal bump fixture; matched
+    pairs recover the (5, 7) translation exactly (pytest), with a
+    ratio-pruned unmatched feature and a normalize-dropped worst pair
+    exercised non-vacuously."""
+    from gdal_spark.operators.surf import surf_match_sql
+    return spark.sql(surf_match_sql("spark"))
+
+
+def o_surf_match():
+    from gdal_spark.operators.surf import surf_match_sql
+    return surf_match_sql("duck")
+
+
 # --- Pansharpen (GDALPansharpenOperation, alg/gdalpansharpen.cpp) ---
 
 PS_RATIO = 4
@@ -14342,4 +14370,5 @@ REGISTRY: dict[str, tuple] = {
     "zone_compactness": (q_zone_compactness, o_zone_compactness),
     "homography_warp": (q_homography_warp, o_homography_warp),
     "network_dijkstra": (q_network_dijkstra, o_network_dijkstra),
+    "surf_match": (q_surf_match, o_surf_match),
 }
