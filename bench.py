@@ -154,7 +154,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "range_coalesce", "vector_combine", "vshift_apply",
                  "sql_lateral", "layout_pruning",
                  # round-3 closing session
-                 "homography_warp", "network_dijkstra", "surf_match"]:
+                 "homography_warp", "network_dijkstra", "surf_match",
+                 "geoloc_forward", "geoloc_backmap"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

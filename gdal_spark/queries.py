@@ -8505,6 +8505,44 @@ FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
 CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys"""
 
 
+def q_geoloc_forward(spark, sf_dir):
+    """Geolocation-array (swath) forward georeferencing
+    (GDALGeoLocTransformer PixelLineToXY, alg/gdalgeoloc.cpp:391-527):
+    raster pixel -> PIXEL/LINE STEP+OFFSET -> bilinear in the lon/lat
+    arrays with the reference's clamp + last-cell step-back edge rule
+    (closed form of the retry loop; see operators/geoloc.py). The
+    array side is tiny by construction (the point of swath
+    georeferencing): 4 broadcast corner joins, raster side never
+    shuffled. Oracle: join-free ARITHMETIC recomputation of the
+    corners — an independent formulation proving the join plumbing."""
+    from gdal_spark.operators.geoloc import forward_sql
+    return spark.sql(forward_sql("spark"))
+
+
+def o_geoloc_forward():
+    from gdal_spark.operators.geoloc import forward_oracle_sql
+    return forward_oracle_sql("duck")
+
+
+def q_geoloc_backmap(spark, sf_dir):
+    """Geolocation backmap build (GenerateBackMap,
+    alg/gdalgeoloc.cpp:1019-1160): reference grid sizing verbatim
+    (oversample target -> sqrt cell -> half-cell pad -> ceil -> +1),
+    then the ORDER-FREE specification of the fill — dfStep-spaced
+    samples forward-projected and scatter-averaged per cell in one
+    groupBy (the reference's float32 running-average acceptance test
+    and multi-ring hole-fill are sequential artifacts; documented in
+    operators/geoloc.py, round-trip invariant in
+    tests/test_geoloc.py)."""
+    from gdal_spark.operators.geoloc import backmap_sql
+    return spark.sql(backmap_sql("spark"))
+
+
+def o_geoloc_backmap():
+    from gdal_spark.operators.geoloc import backmap_sql
+    return backmap_sql("duck")
+
+
 def q_surf_match(spark, sf_dir):
     """SURF-style feature detection + image matching — GDAL's
     correlator (GDALSimpleSURF, alg/gdal_simplesurf.cpp; octave
@@ -14371,4 +14409,6 @@ REGISTRY: dict[str, tuple] = {
     "homography_warp": (q_homography_warp, o_homography_warp),
     "network_dijkstra": (q_network_dijkstra, o_network_dijkstra),
     "surf_match": (q_surf_match, o_surf_match),
+    "geoloc_forward": (q_geoloc_forward, o_geoloc_forward),
+    "geoloc_backmap": (q_geoloc_backmap, o_geoloc_backmap),
 }
