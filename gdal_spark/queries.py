@@ -8505,6 +8505,75 @@ FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
 CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys"""
 
 
+# --- clean-collar flood fill (apps/nearblack_lib_floodfill.cpp) -----
+
+CC_W = 64
+CC_NEAR = 15
+CC_VAL_SQL = f"""CASE
+  WHEN px < 2 + (py * 3) % 4 OR px >= {CC_W} - (py * 2) % 5 - 1
+       OR py < 2 + (px * 7) % 3 OR py >= {CC_W} - (px * 3) % 4 - 1
+    THEN (px + py) % 12
+  WHEN py = 20 AND px <= 40 THEN 8
+  WHEN py BETWEEN 18 AND 22 AND px BETWEEN 38 AND 42 THEN 5
+  WHEN py BETWEEN 40 AND 44 AND px BETWEEN 30 AND 36 THEN 4
+  ELSE 180 + (px * py) % 40
+END"""
+
+
+def q_clean_collar(spark, sf_dir):
+    """nearblack -alg floodfill / gdal raster clean-collar
+    (apps/nearblack_lib_floodfill.cpp; gdalalg_raster_clean_collar.cpp):
+    unlike the scanline nearblack (q_nearblack), only near-black
+    pixels 4-CONNECTED TO THE IMAGE BORDER are cleaned — an interior
+    dark lake survives, while a 1-px channel lets the fill reach an
+    interior pocket the prefix scans never could. The reference's
+    sequential span filler is replaced by its specification:
+    connected components of the near-black mask (the polygonize
+    two-pass CCL, reused) semi-joined to the border pixel set. The
+    fixture has a varying-width collar, a channel + pocket (cleaned)
+    and an enclosed lake (kept) — non-vacuous on all three paths.
+    Oracle: INDEPENDENT recursive-CTE flood fill from border seeds.
+    Output: per-row count/extent/sum of cleaned pixels."""
+    from gdal_spark.operators.polygonize import polygonize
+    img = spark.range(CC_W * CC_W).select(
+        (F.col("id") / CC_W).cast("int").alias("py"),
+        (F.col("id") % CC_W).cast("int").alias("px"))
+    mask = (img.selectExpr("py", "px", CC_VAL_SQL + " AS val")
+            .filter(F.col("val") <= CC_NEAR).select("py", "px"))
+    labels = polygonize(mask, CC_W)
+    border = (labels.filter((F.col("py") == 0) | (F.col("py") == CC_W - 1)
+                            | (F.col("px") == 0)
+                            | (F.col("px") == CC_W - 1))
+              .select("label").distinct())
+    cleaned = labels.join(F.broadcast(border), "label")
+    return (cleaned.groupBy("py")
+            .agg(F.count("*").cast("bigint").alias("n_cleaned"),
+                 F.min("px").alias("min_px"), F.max("px").alias("max_px"),
+                 F.sum("px").cast("bigint").alias("sum_px"))
+            .orderBy("py"))
+
+
+def o_clean_collar():
+    return f"""
+WITH RECURSIVE grid AS (
+  SELECT py, px, {CC_VAL_SQL} AS val
+  FROM (SELECT UNNEST(RANGE(0, {CC_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {CC_W})) AS py) ys),
+mask AS (SELECT py, px FROM grid WHERE val <= {CC_NEAR}),
+fill(py, px) AS (
+  SELECT py, px FROM mask
+  WHERE py = 0 OR py = {CC_W} - 1 OR px = 0 OR px = {CC_W} - 1
+  UNION
+  SELECT m.py, m.px
+  FROM fill f JOIN mask m
+    ON (m.py = f.py AND ABS(m.px - f.px) = 1)
+    OR (m.px = f.px AND ABS(m.py - f.py) = 1))
+SELECT py, CAST(COUNT(*) AS BIGINT) AS n_cleaned,
+       MIN(px) AS min_px, MAX(px) AS max_px,
+       CAST(SUM(px) AS BIGINT) AS sum_px
+FROM fill GROUP BY py ORDER BY py"""
+
+
 def q_geoloc_forward(spark, sf_dir):
     """Geolocation-array (swath) forward georeferencing
     (GDALGeoLocTransformer PixelLineToXY, alg/gdalgeoloc.cpp:391-527):
@@ -14411,4 +14480,5 @@ REGISTRY: dict[str, tuple] = {
     "surf_match": (q_surf_match, o_surf_match),
     "geoloc_forward": (q_geoloc_forward, o_geoloc_forward),
     "geoloc_backmap": (q_geoloc_backmap, o_geoloc_backmap),
+    "clean_collar": (q_clean_collar, o_clean_collar),
 }
