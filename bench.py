@@ -155,7 +155,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "sql_lateral", "layout_pruning",
                  # round-3 closing session
                  "homography_warp", "network_dijkstra", "surf_match",
-                 "geoloc_forward", "geoloc_backmap", "clean_collar"]:
+                 "geoloc_forward", "geoloc_backmap", "clean_collar",
+                 "raster_resize", "mdim_reduce"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -8505,6 +8505,116 @@ FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
 CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys"""
 
 
+# --- raster resize (apps/gdalalg_raster_resize.cpp) -----------------
+
+RZ_SW, RZ_SH = 64, 48                 # source raster
+RZ_ARMS = [(0, 40, 30), (1, 96, 80)]  # (arm, dst_w, dst_h): down + up
+RZ_VAL = "({y} * 131 + {x} * 17 + ({x} * {y}) % 23)"
+
+
+def _rz_src_idx(dst: str, dsize: int, ssize: int) -> str:
+    """GDALRasterBand::IRasterIO nearest rule (gcore/rasterio.cpp:
+    800-817): iSrc = trunc(clamp((iDst + 0.5) * inc + EPS, 0,
+    srcSize - 1)), EPS = 1e-10."""
+    inc = sqlexpr.dlit(ssize / dsize)
+    pos = (f"((CAST({dst} AS DOUBLE) + 0.5) * {inc} "
+           f"+ {sqlexpr.dlit(1e-10)})")
+    clamped = f"LEAST(GREATEST(0.0, {pos}), {sqlexpr.dlit(float(ssize - 1))})"
+    return f"CAST(FLOOR({clamped}) AS INT)"
+
+
+def q_raster_resize(spark, sf_dir):
+    """gdal raster resize (apps/gdalalg_raster_resize.cpp, default
+    -r nearest => GDALRasterBand::IRasterIO nearest path,
+    gcore/rasterio.cpp:800-817 — the (iDst+0.5)*inc+EPS truncated
+    clamp). One downsample arm (64x48 -> 40x30, non-integer 1.6
+    ratio) and one upsample arm (-> 96x80) over the same source.
+    The dest side is pure column math; source pixels arrive via ONE
+    equi-join (never resampled in Python). Oracle: join-free
+    arithmetic recomputation — proves the join plumbing."""
+    src = spark.range(RZ_SW * RZ_SH).select(
+        (F.col("id") / RZ_SW).cast("int").alias("sy"),
+        (F.col("id") % RZ_SW).cast("int").alias("sx"))
+    src = src.selectExpr("sy", "sx",
+                         RZ_VAL.format(y="sy", x="sx") + " AS val")
+    arms = []
+    for arm, dw, dh in RZ_ARMS:
+        d = spark.range(dw * dh).select(
+            F.lit(arm).alias("arm"),
+            (F.col("id") / dw).cast("int").alias("dy"),
+            (F.col("id") % dw).cast("int").alias("dx"))
+        d = d.selectExpr("arm", "dy", "dx",
+                         _rz_src_idx("dx", dw, RZ_SW) + " AS sx",
+                         _rz_src_idx("dy", dh, RZ_SH) + " AS sy")
+        arms.append(d)
+    dst = arms[0].unionByName(arms[1])
+    return (dst.join(src, ["sy", "sx"])
+            .select("arm", "dy", "dx", "val")
+            .orderBy("arm", "dy", "dx"))
+
+
+def o_raster_resize():
+    sel = []
+    for arm, dw, dh in RZ_ARMS:
+        sx = _rz_src_idx("dx", dw, RZ_SW)
+        sy = _rz_src_idx("dy", dh, RZ_SH)
+        sel.append(
+            f"SELECT {arm} AS arm, dy, dx, "
+            f"{RZ_VAL.format(y=f'({sy})', x=f'({sx})')} AS val "
+            f"FROM (SELECT UNNEST(RANGE(0, {dw})) AS dx) xs "
+            f"CROSS JOIN (SELECT UNNEST(RANGE(0, {dh})) AS dy) ys")
+    return (" UNION ALL ".join(f"({s})" for s in sel)
+            + " ORDER BY arm, dy, dx")
+
+
+# --- mdim subset + axis reduction (apps/gdalalg_mdim_*.cpp) ---------
+
+MD_T, MD_H, MD_W = 6, 16, 20
+MD_VAL = "(3 * {y} + 5 * {x} + 7 * {t} + {y} * {x} + 2 * {t} * {x})"
+
+
+def q_mdim_reduce(spark, sf_dir):
+    """Multidimensional array subset + axis reduction — the
+    gdalmdimtranslate surface (apps/gdalmdimtranslate_lib.cpp:
+    -array view with trimmed extents) and the mdim pipeline's
+    reduction steps. The (t, y, x) hypercube is the long-format
+    table the 10^12-scale case demands (a dense cube never fits a
+    driver); subsetting is partition-prunable predicates, the
+    t-axis mean is one map-side-combined groupBy over exact
+    integers. Oracle: CLOSED-FORM arithmetic-series elimination of
+    the t dimension — an independent formulation (never builds the
+    cube's t-axis)."""
+    cube = spark.range(MD_T * MD_H * MD_W).select(
+        (F.col("id") / (MD_H * MD_W)).cast("int").alias("t"),
+        ((F.col("id") / MD_W) % MD_H).cast("int").alias("y"),
+        (F.col("id") % MD_W).cast("int").alias("x"))
+    cube = cube.selectExpr(
+        "t", "y", "x", MD_VAL.format(t="t", y="y", x="x") + " AS val")
+    sub = cube.filter("t BETWEEN 1 AND 4 AND y BETWEEN 2 AND 13 "
+                      "AND x BETWEEN 3 AND 16")
+    return (sub.groupBy("y", "x")
+            .agg(F.sum("val").cast("bigint").alias("sum_val"),
+                 F.count("*").cast("bigint").alias("n_t"))
+            .selectExpr("y", "x", "sum_val", "n_t",
+                        f"ROUND(sum_val * {sqlexpr.dlit(1.0)} / n_t, 9) "
+                        f"AS mean_val")
+            .orderBy("y", "x"))
+
+
+def o_mdim_reduce():
+    # sum over t in [1,4] of MD_VAL = 4*(3y + 5x + yx) + (7 + 2x)*10
+    return f"""
+SELECT y, x,
+       CAST(4 * (3 * y + 5 * x + y * x) + (7 + 2 * x) * 10 AS BIGINT)
+         AS sum_val,
+       CAST(4 AS BIGINT) AS n_t,
+       ROUND((4 * (3 * y + 5 * x + y * x) + (7 + 2 * x) * 10)
+             * {sqlexpr.dlit(1.0)} / 4, 9) AS mean_val
+FROM (SELECT UNNEST(RANGE(2, 14)) AS y) ys
+CROSS JOIN (SELECT UNNEST(RANGE(3, 17)) AS x) xs
+ORDER BY y, x"""
+
+
 # --- clean-collar flood fill (apps/nearblack_lib_floodfill.cpp) -----
 
 CC_W = 64
@@ -14481,4 +14591,6 @@ REGISTRY: dict[str, tuple] = {
     "geoloc_forward": (q_geoloc_forward, o_geoloc_forward),
     "geoloc_backmap": (q_geoloc_backmap, o_geoloc_backmap),
     "clean_collar": (q_clean_collar, o_clean_collar),
+    "raster_resize": (q_raster_resize, o_raster_resize),
+    "mdim_reduce": (q_mdim_reduce, o_mdim_reduce),
 }
