@@ -156,7 +156,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  # round-3 closing session
                  "homography_warp", "network_dijkstra", "surf_match",
                  "geoloc_forward", "geoloc_backmap", "clean_collar",
-                 "raster_resize", "mdim_reduce"]:
+                 "raster_resize", "mdim_reduce", "classifier_auc",
+                 "vocab_growth"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -8505,6 +8505,120 @@ FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
 CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys"""
 
 
+# --- training-pipeline: classifier evaluation + vocab growth --------
+
+AUC_LEN_T = 400          # label rule: long doc, XOR 1-in-11 noise flip
+
+
+def q_classifier_auc(spark, sf_dir):
+    """Exact ROC-AUC of a document quality scorer against seeded
+    noisy labels — the evaluation step every model-based filter
+    (CCNet/GPT-3 quality classifiers) needs before it gates a corpus.
+    AUC computed EXACTLY via the Mann-Whitney rank form:
+    (sum of positive ranks - P(P+1)/2) / (P*N), with a deterministic
+    (score, doc_id) tiebreak identical in both engines. The global
+    ROW_NUMBER is over corpus-sized input — at 10^12 rows this rank
+    becomes the two-phase exact-rank pattern (see length_outliers);
+    the AUC fold itself is one exact-integer aggregate. Labels are
+    length-correlated with a 1-in-11 deterministic flip, so AUC lands
+    strictly inside (0.5, 1.0) — non-vacuous in both directions."""
+    df = docs_df(spark, sf_dir)
+    score = (F.length("text") * 1000
+             + (F.col("doc_id") * 7919) % 997).alias("score")
+    label = (((F.length("text") > AUC_LEN_T).cast("int")
+              + ((F.col("doc_id") * 13 + 5) % 11 == 0).cast("int")) % 2
+             ).alias("label")
+    from pyspark.sql import Window
+    w = Window.orderBy("score", "doc_id")
+    r = (df.select("doc_id", score, label)
+         .withColumn("rk", F.row_number().over(w)))
+    return (r.agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("label")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("rk") * F.col("label")).cast("bigint").alias("rank_sum"))
+        .selectExpr(
+            "n_pos", "n_neg", "rank_sum",
+            f"ROUND((rank_sum - n_pos * (n_pos + 1) / 2) "
+            f"* {sqlexpr.dlit(1.0)} / (n_pos * n_neg), 9) AS auc"))
+
+
+def o_classifier_auc():
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         ((CASE WHEN LENGTH(text) > {AUC_LEN_T} THEN 1 ELSE 0 END)
+          + (CASE WHEN (doc_id * 13 + 5) % 11 = 0 THEN 1 ELSE 0 END)) % 2
+           AS label,
+         ROW_NUMBER() OVER (ORDER BY LENGTH(text) * 1000
+                            + (doc_id * 7919) % 997, doc_id) AS rk
+  FROM documents)
+SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+       CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg,
+       CAST(SUM(rk * label) AS BIGINT) AS rank_sum,
+       ROUND((SUM(rk * label) - SUM(label) * (SUM(label) + 1) / 2)
+             * {sqlexpr.dlit(1.0)} / (SUM(label) * (COUNT(*) - SUM(label))),
+             9) AS auc
+FROM r"""
+
+
+VG_BUCKET = 50
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve — distinct TRIGRAM-type
+    count as a function of corpus prefix (tokenizer sizing / corpus
+    diversity diagnostic; trigrams because the synthetic corpus has
+    a closed unigram vocabulary — the curve must keep discovering
+    types to be non-vacuous, and it does: every bucket contributes).
+    NOT a running DISTINCT: each type is attributed to its FIRST
+    document (one groupBy-min over the exploded trigram table),
+    new-type counts roll up per doc bucket, one ordered prefix sum
+    yields the curve — the same two-phase shape as sequence_pack, no
+    global distinct state. All exact integers."""
+    df = docs_df(spark, sf_dir)
+    arr = df.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("a"))
+    tri = (arr.filter(F.size("a") >= 3)   # sequence(1,0) counts DOWN
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(1, size(a) - 2), i -> "
+               "concat(element_at(a, CAST(i AS INT)), ' ', "
+               "element_at(a, CAST(i + 1 AS INT)), ' ', "
+               "element_at(a, CAST(i + 2 AS INT))))")).alias("t")))
+    first = tri.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = (first
+                  .groupBy(F.floor(F.col("first_doc") / VG_BUCKET)
+                           .cast("int").alias("bucket"))
+                  .agg(F.count("*").cast("bigint").alias("new_types")))
+    from pyspark.sql import Window
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per_bucket
+            .withColumn("vocab_size",
+                        F.sum("new_types").over(w).cast("bigint"))
+            .orderBy("bucket"))
+
+
+def o_vocab_growth():
+    return f"""
+WITH arr AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS a
+  FROM documents),
+tri AS (
+  SELECT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS t
+  FROM arr, LATERAL (SELECT UNNEST(RANGE(1, LEN(a) - 1)) AS i) g
+  WHERE LEN(a) >= 3),
+first AS (SELECT t, MIN(doc_id) AS first_doc FROM tri GROUP BY t),
+pb AS (SELECT CAST(FLOOR(first_doc / {VG_BUCKET}) AS INT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS new_types
+       FROM first GROUP BY 1)
+SELECT bucket, new_types,
+       CAST(SUM(new_types) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM pb ORDER BY bucket"""
+
+
 # --- raster resize (apps/gdalalg_raster_resize.cpp) -----------------
 
 RZ_SW, RZ_SH = 64, 48                 # source raster
@@ -14593,4 +14707,6 @@ REGISTRY: dict[str, tuple] = {
     "clean_collar": (q_clean_collar, o_clean_collar),
     "raster_resize": (q_raster_resize, o_raster_resize),
     "mdim_reduce": (q_mdim_reduce, o_mdim_reduce),
+    "classifier_auc": (q_classifier_auc, o_classifier_auc),
+    "vocab_growth": (q_vocab_growth, o_vocab_growth),
 }
