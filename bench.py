@@ -157,7 +157,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "homography_warp", "network_dijkstra", "surf_match",
                  "geoloc_forward", "geoloc_backmap", "clean_collar",
                  "raster_resize", "mdim_reduce", "classifier_auc",
-                 "vocab_growth"]:
+                 "vocab_growth",
+                 # round-3 extension session
+                 "morphology"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

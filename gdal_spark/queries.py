@@ -14424,6 +14424,121 @@ def o_layout_pruning():
     return _layout_pruning_sql("duck")
 
 
+#: morphology mask threshold — 1 (any burned pixel) keeps 3x3-interior
+#: pixels present at the sf0.01 gate scale (PMASK_THR=3 is too sparse
+#: there for a non-vacuous erosion)
+MORPH_THR = 1.0
+
+# =================================================================
+# binary morphology over the density mask (beyond reference: the
+# standard mask-cleanup primitives that sit next to gdal_sieve /
+# gdal_fillnodata in raster pipelines — erode/dilate with the 3x3
+# structuring element, plus the derived opening and closing)
+# =================================================================
+
+def q_morphology(spark, sf_dir):
+    """Binary erode / dilate / open / close of the polygonize density
+    mask with the full 3x3 structuring element (classic Serra
+    morphology; the mask-cleanup step GDAL users run via gdal_sieve
+    (alg/gdalsievefilter.cpp) or scipy before polygonize).
+    Out-of-grid cells are background, so erosion shrinks at the
+    raster border exactly like the reference tools' edge handling.
+
+    Physical shape: erosion is ONE scatter-groupBy — every mask pixel
+    scatters to the 9 window centers it supports and a center survives
+    iff its contributor count is 9 (all map-side combinable, uniform
+    pixel keys, no per-row Python). Dilation is the same scatter with
+    DISTINCT instead of the count test. Opening/closing chain the two
+    — four shuffles total on bounded keys, each O(mask), which at a
+    10^5x-larger raster is still embarrassingly parallel. Output is
+    one summary row per operation (pixel count, centroid sums, bbox)
+    so the gate hashes the full result of all four operators.
+
+    Oracle: independent formulation — correlated 3x3 COUNT subquery
+    for erosion, offset-UNNEST DISTINCT for dilation. Threshold 1
+    (any burned pixel) so the mask has full-3x3 interior pixels at the
+    sf0.01 gate scale and erosion is non-vacuous; empty operations
+    drop their summary row identically in both engines (groupBy on
+    the op literal)."""
+    m = _mask_df(spark, sf_dir, MORPH_THR)
+
+    offs = F.explode(F.flatten(F.expr(
+        "transform(sequence(-1, 1), dy -> "
+        "transform(sequence(-1, 1), dx -> struct(dy, dx)))")))
+
+    def dilate(df):
+        return (df.select("py", "px", offs.alias("o"))
+                .select((F.col("py") + F.col("o.dy")).alias("py"),
+                        (F.col("px") + F.col("o.dx")).alias("px"))
+                .filter((F.col("py") >= 0) & (F.col("py") < PGRID_H)
+                        & (F.col("px") >= 0) & (F.col("px") < PGRID_W))
+                .distinct())
+
+    def erode(df):
+        return (df.select("py", "px", offs.alias("o"))
+                .select((F.col("py") - F.col("o.dy")).alias("py"),
+                        (F.col("px") - F.col("o.dx")).alias("px"))
+                .groupBy("py", "px")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") == 9).drop("_n"))
+
+    m = m.persist()
+    er, dl = erode(m), dilate(m)
+    ops = [("erode", er), ("dilate", dl),
+           ("open", dilate(er)), ("close", erode(dl))]
+    outs = [df.groupBy(F.lit(name).alias("op"))
+            .agg(F.count("*").alias("n_px"),
+                   F.sum("py").alias("sum_py"),
+                   F.sum("px").alias("sum_px"),
+                   F.min("py").alias("min_py"),
+                   F.max("py").alias("max_py"),
+                 F.min("px").alias("min_px"),
+                 F.max("px").alias("max_px"))
+            for name, df in ops]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("op")
+
+
+def o_morphology():
+    return f"""
+WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
+mask AS (SELECT py, px FROM burn WHERE c >= {MORPH_THR!r}),
+offs AS (SELECT dy, dx
+         FROM (SELECT UNNEST(RANGE(-1, 2)) AS dy)
+         CROSS JOIN (SELECT UNNEST(RANGE(-1, 2)) AS dx)),
+eroded AS (
+  SELECT m.py, m.px FROM mask m
+  WHERE 9 = (SELECT COUNT(*) FROM mask n
+             WHERE ABS(n.py - m.py) <= 1 AND ABS(n.px - m.px) <= 1)),
+dilated AS (
+  SELECT DISTINCT m.py + o.dy AS py, m.px + o.dx AS px
+  FROM mask m CROSS JOIN offs o
+  WHERE m.py + o.dy >= 0 AND m.py + o.dy < {PGRID_H}
+    AND m.px + o.dx >= 0 AND m.px + o.dx < {PGRID_W}),
+opened AS (
+  SELECT DISTINCT e.py + o.dy AS py, e.px + o.dx AS px
+  FROM eroded e CROSS JOIN offs o
+  WHERE e.py + o.dy >= 0 AND e.py + o.dy < {PGRID_H}
+    AND e.px + o.dx >= 0 AND e.px + o.dx < {PGRID_W}),
+closed AS (
+  SELECT d.py, d.px FROM dilated d
+  WHERE 9 = (SELECT COUNT(*) FROM dilated n
+             WHERE ABS(n.py - d.py) <= 1 AND ABS(n.px - d.px) <= 1)),
+agg AS (
+  SELECT 'erode' AS op, * FROM eroded
+  UNION ALL SELECT 'dilate', * FROM dilated
+  UNION ALL SELECT 'open', * FROM opened
+  UNION ALL SELECT 'close', * FROM closed)
+SELECT op, COUNT(*) AS n_px,
+       CAST(SUM(py) AS BIGINT) AS sum_py,
+       CAST(SUM(px) AS BIGINT) AS sum_px,
+       MIN(py) AS min_py, MAX(py) AS max_py,
+       MIN(px) AS min_px, MAX(px) AS max_px
+FROM agg GROUP BY op ORDER BY op"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -14709,4 +14824,5 @@ REGISTRY: dict[str, tuple] = {
     "mdim_reduce": (q_mdim_reduce, o_mdim_reduce),
     "classifier_auc": (q_classifier_auc, o_classifier_auc),
     "vocab_growth": (q_vocab_growth, o_vocab_growth),
+    "morphology": (q_morphology, o_morphology),
 }
