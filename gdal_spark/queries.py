@@ -14539,6 +14539,55 @@ SELECT op, COUNT(*) AS n_px,
 FROM agg GROUP BY op ORDER BY op"""
 
 
+# =================================================================
+# per-component value statistics (the polygonize -> zonal composition:
+# GDALPolygonize labels + per-region stats, the 'region properties'
+# table every CCL consumer builds next)
+# =================================================================
+
+def q_component_stats(spark, sf_dir):
+    """Per-connected-component VALUE statistics: the polygonize labels
+    (alg/polygonize.cpp CCL) joined back to the source band and
+    aggregated per region — pixel count, burn-value sum/max/mean and
+    the region centroid (pixel-center convention, px+0.5). This is the
+    polygonize→zonal composition (GDALPolygonize + zonal.cpp stats)
+    that produces the 'region properties' table.
+
+    Physical shape: the distributed CCL's label table joins the burn
+    relation on the pixel key — co-partitioned uniform keys, one
+    shuffle — then a single map-side-combinable groupBy(label). No new
+    scale risk beyond polygonize itself. Oracle: the INDEPENDENT
+    recursive-CTE CCL joined to the same burn relation."""
+    from gdal_spark.operators import polygonize as poly_op
+    burn = (rast_op.burn_points(points_df(spark, sf_dir),
+                                PGRID_GT, PGRID_W, PGRID_H)
+            .filter(F.col("burn") >= PMASK_THR))
+    labels = poly_op.polygonize(burn.select("py", "px"), PGRID_W)
+    j = labels.join(burn, ["py", "px"])
+    return (j.groupBy("label")
+            .agg(F.count("*").alias("n_pixels"),
+                 F.sum("burn").cast("bigint").alias("sum_c"),
+                 F.max("burn").cast("bigint").alias("max_c"),
+                 F.round(F.sum("burn").cast("double") / F.count("*"), 6)
+                 .alias("mean_c"),
+                 F.round(F.avg(F.col("px").cast("double")) + F.lit(0.5), 6)
+                 .alias("cx"),
+                 F.round(F.avg(F.col("py").cast("double")) + F.lit(0.5), 6)
+                 .alias("cy"))
+            .orderBy("label"))
+
+
+def o_component_stats():
+    return _ccl_oracle_sql("""
+SELECT l.label, COUNT(*) AS n_pixels,
+       CAST(SUM(b.c) AS BIGINT) AS sum_c, MAX(b.c) AS max_c,
+       ROUND(CAST(SUM(b.c) AS DOUBLE) / COUNT(*), 6) AS mean_c,
+       ROUND(AVG(CAST(l.px AS DOUBLE)) + 0.5, 6) AS cx,
+       ROUND(AVG(CAST(l.py AS DOUBLE)) + 0.5, 6) AS cy
+FROM lbl l JOIN burn b ON b.py = l.py AND b.px = l.px
+GROUP BY l.label ORDER BY l.label""")
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -14825,4 +14874,5 @@ REGISTRY: dict[str, tuple] = {
     "classifier_auc": (q_classifier_auc, o_classifier_auc),
     "vocab_growth": (q_vocab_growth, o_vocab_growth),
     "morphology": (q_morphology, o_morphology),
+    "component_stats": (q_component_stats, o_component_stats),
 }
