@@ -14588,6 +14588,94 @@ FROM lbl l JOIN burn b ON b.py = l.py AND b.px = l.px
 GROUP BY l.label ORDER BY l.label""")
 
 
+# =================================================================
+# gdal_retile tile grid + index (gdal_retile.py)
+# =================================================================
+
+#: gdal_retile parameters over the 128-grid: 48x48 tiles, 8px overlap
+RT_TILE, RT_OVER = 48, 8
+RT_STEP = RT_TILE - RT_OVER
+#: tile counts — gdal_retile.py:93-102 (1 + ceil((size-tile)/step))
+RT_NX = 1 + (PGRID_W - RT_TILE + RT_STEP - 1) // RT_STEP
+RT_NY = 1 + (PGRID_H - RT_TILE + RT_STEP - 1) // RT_STEP
+
+
+def q_retile_index(spark, sf_dir):
+    """gdal_retile tile grid + tile index
+    (swig/python/gdal-utils/osgeo_utils/gdal_retile.py:93-102 tile
+    counts, :414-426 offsets `(i-1)*(tile-overlap)` and edge clipping
+    `width = size - offset`): every tile row carries its pixel window,
+    its georeferenced origin from the geotransform, and the burned
+    pixel/value content inside the window (the OGR tile-index feature
+    plus per-tile stats). Overlapping windows mean a border pixel
+    belongs to up to 4 tiles — exactly the retile semantics.
+
+    Physical shape: the tile grid is metadata-sized (RT_NX*RT_NY rows)
+    and broadcast against the pixel relation as a range-containment
+    join; per-tile aggregation is map-side combined. At a continental
+    raster the pixel side stays partition-parallel and the tile list
+    stays a broadcast — the same asymmetry the tile-index shapefile
+    exploits. Empty tiles are kept (LEFT join), as gdal_retile writes
+    every tile."""
+    burn = (rast_op.burn_points(points_df(spark, sf_dir),
+                                PGRID_GT, PGRID_W, PGRID_H)
+            .filter(F.col("burn") >= 1))
+    t = (spark.range(RT_NX * RT_NY)
+         .select((F.col("id") % RT_NX + 1).alias("xi"),
+                 (F.col("id") / RT_NX).cast("bigint").alias("_yi"))
+         .select("xi", (F.col("_yi") + 1).alias("yi"))
+         .select("yi", "xi",
+                 ((F.col("xi") - 1) * RT_STEP).alias("off_x"),
+                 ((F.col("yi") - 1) * RT_STEP).alias("off_y"))
+         .select("yi", "xi", "off_x", "off_y",
+                 F.least(F.lit(RT_TILE),
+                         F.lit(PGRID_W) - F.col("off_x")).alias("width"),
+                 F.least(F.lit(RT_TILE),
+                         F.lit(PGRID_H) - F.col("off_y")).alias("height"))
+         .withColumn("gx0", F.round(F.lit(PGRID_GT[0])
+                                    + F.col("off_x") * PGRID_GT[1], 6))
+         .withColumn("gy0", F.round(F.lit(PGRID_GT[3])
+                                    + F.col("off_y") * PGRID_GT[5], 6)))
+    j = F.broadcast(t).join(
+        burn,
+        (F.col("px") >= F.col("off_x"))
+        & (F.col("px") < F.col("off_x") + F.col("width"))
+        & (F.col("py") >= F.col("off_y"))
+        & (F.col("py") < F.col("off_y") + F.col("height")),
+        "left")
+    return (j.groupBy("yi", "xi", "off_x", "off_y", "width", "height",
+                      "gx0", "gy0")
+            .agg(F.count("px").alias("n_px"),
+                 F.coalesce(F.sum("burn").cast("bigint"),
+                            F.lit(0)).alias("sum_c"))
+            .orderBy("yi", "xi"))
+
+
+def o_retile_index():
+    return f"""
+WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)},
+tiles AS (
+  SELECT yi, xi,
+         (xi - 1) * {RT_STEP} AS off_x, (yi - 1) * {RT_STEP} AS off_y
+  FROM (SELECT UNNEST(RANGE(1, {RT_NY} + 1)) AS yi)
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {RT_NX} + 1)) AS xi)),
+win AS (
+  SELECT yi, xi, off_x, off_y,
+         LEAST({RT_TILE}, {PGRID_W} - off_x) AS width,
+         LEAST({RT_TILE}, {PGRID_H} - off_y) AS height,
+         ROUND({PGRID_GT[0]!r} + off_x * {PGRID_GT[1]!r}, 6) AS gx0,
+         ROUND({PGRID_GT[3]!r} + off_y * {PGRID_GT[5]!r}, 6) AS gy0
+  FROM tiles)
+SELECT w.yi, w.xi, w.off_x, w.off_y, w.width, w.height, w.gx0, w.gy0,
+       COUNT(b.px) AS n_px,
+       COALESCE(CAST(SUM(b.c) AS BIGINT), 0) AS sum_c
+FROM win w LEFT JOIN burn b
+  ON b.px >= w.off_x AND b.px < w.off_x + w.width
+ AND b.py >= w.off_y AND b.py < w.off_y + w.height
+GROUP BY w.yi, w.xi, w.off_x, w.off_y, w.width, w.height, w.gx0, w.gy0
+ORDER BY w.yi, w.xi"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -14875,4 +14963,5 @@ REGISTRY: dict[str, tuple] = {
     "vocab_growth": (q_vocab_growth, o_vocab_growth),
     "morphology": (q_morphology, o_morphology),
     "component_stats": (q_component_stats, o_component_stats),
+    "retile_index": (q_retile_index, o_retile_index),
 }
