@@ -14676,6 +14676,49 @@ GROUP BY w.yi, w.xi, w.off_x, w.off_y, w.width, w.height, w.gx0, w.gy0
 ORDER BY w.yi, w.xi"""
 
 
+# =================================================================
+# gdal2xyz raster -> point-table export (gdal2xyz.py)
+# =================================================================
+
+def q_raster_xyz(spark, sf_dir):
+    """gdal2xyz export (swig/python/gdal-utils/osgeo_utils/
+    gdal2xyz.py:196-197): every non-nodata pixel becomes one row with
+    the PIXEL-CENTER georeferenced coordinate
+    `geo = gt[0] + (x + 0.5)*gt[1] + (y + 0.5)*gt[2]` (rotation terms
+    zero here, as in every north-up raster) and the band value, in the
+    tool's row-major scan order. -skipnodata semantics: unburned cells
+    are absent from the sparse burn relation, exactly the rows the
+    flag drops.
+
+    Pure column math over the burn scan — no shuffle at all except
+    the output sort (which the tool's row-major write order demands);
+    at any raster size this is a map-only job."""
+    burn = (rast_op.burn_points(points_df(spark, sf_dir),
+                                PGRID_GT, PGRID_W, PGRID_H)
+            .filter(F.col("burn") >= 1))
+    return (burn.select(
+        F.round(F.lit(PGRID_GT[0])
+                + (F.col("px") + F.lit(0.5)) * PGRID_GT[1], 6).alias("x"),
+        F.round(F.lit(PGRID_GT[3])
+                + (F.col("py") + F.lit(0.5)) * PGRID_GT[5], 6).alias("y"),
+        F.col("burn").cast("bigint").alias("z"),
+        "py", "px")
+        .orderBy("py", "px")
+        .drop("py", "px"))
+
+
+def o_raster_xyz():
+    return f"""
+WITH {sqlexpr.points_cte()}, {_pixel_counts_sql(PGRID_GT, PGRID_W, PGRID_H)}
+SELECT ROUND({sqlexpr.dlit(PGRID_GT[0])}
+             + (px + 0.5) * {sqlexpr.dlit(PGRID_GT[1])}, 6) AS x,
+       ROUND({sqlexpr.dlit(PGRID_GT[3])}
+             + (py + 0.5) * {sqlexpr.dlit(PGRID_GT[5])}, 6) AS y,
+       CAST(c AS BIGINT) AS z
+FROM burn WHERE c >= 1
+ORDER BY py, px"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -14964,4 +15007,5 @@ REGISTRY: dict[str, tuple] = {
     "morphology": (q_morphology, o_morphology),
     "component_stats": (q_component_stats, o_component_stats),
     "retile_index": (q_retile_index, o_retile_index),
+    "raster_xyz": (q_raster_xyz, o_raster_xyz),
 }
