@@ -14719,6 +14719,91 @@ FROM burn WHERE c >= 1
 ORDER BY py, px"""
 
 
+# =================================================================
+# C4 document/line cleaning (Raffel et al. 2020 §2.2 heuristics —
+# the canonical public web-corpus filter set)
+# =================================================================
+
+#: shared line fixture + C4 line/page rules, portable SQL (no
+#: f-string: '{' appears as a literal for the page-brace rule).
+#: Lines per doc: 0 good; 1 unpunctuated (+ '{code}' for %13 pages);
+#: 2 javascript boilerplate for %5; 3 lorem for %11, unpunctuated for
+#: %7, else good; 4 under 5 words; 5 good.
+_C4_LINES = """
+lines AS (
+  SELECT doc_id, 0 AS line_no,
+         substr(text, 1, 60) || ' filler words today.' AS line
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, substr(text, 61, 25) ||
+         CASE WHEN doc_id % 13 = 0 THEN ' {code}' ELSE '' END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, CASE WHEN doc_id % 5 = 0
+      THEN 'Please enable javascript support to view this page.'
+      ELSE substr(text, 86, 50) || ' more good words end.' END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 3, CASE WHEN doc_id % 11 = 0
+      THEN 'Lorem ipsum dolor sit amet consectetur.'
+      WHEN doc_id % 7 = 0 THEN substr(text, 136, 45) || ' no punct here'
+      ELSE substr(text, 136, 45) || ' fine words again here.' END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 4, 'Too short.' FROM documents
+  UNION ALL
+  SELECT doc_id, 5, substr(text, 181, 40) || ' a closing line with words.'
+  FROM documents),
+kept AS (
+  SELECT doc_id, line_no, line FROM lines
+  WHERE substr(line, length(line), 1) IN ('.', '!', '?', '"')
+    AND (length(trim(line)) - length(replace(trim(line), ' ', '')) + 1) >= 5
+    AND lower(line) NOT LIKE '%javascript%'),
+bad_docs AS (
+  SELECT DISTINCT doc_id FROM lines
+  WHERE lower(line) LIKE '%lorem ipsum%' OR line LIKE '%{%')
+"""
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 cleaning (Raffel et al. 2020, 'Exploring the Limits of
+    Transfer Learning', §2.2): retain only lines ending in a terminal
+    punctuation mark with at least 5 words; drop any line containing
+    'javascript'; drop any PAGE containing 'lorem ipsum' or a curly
+    brace; drop pages with fewer than 3 retained sentences. The page
+    is rebuilt from the retained lines in order and fingerprinted.
+
+    Every rule is a codegen'd JVM string predicate over exploded
+    lines — map-only — followed by ONE groupBy(doc_id) (map-side
+    combined) and a broadcast-sized anti-join against the bad-page
+    set. At web scale this is the exact C4 job shape: no Python, no
+    skew (doc-keyed), one shuffle. The line fixture is seeded
+    deterministically (%5 javascript, %11 lorem, %13 brace, %7
+    unpunctuated) so every rule fires and is exactly checkable: %35
+    pages die by the 3-sentence rule specifically."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql("WITH " + _C4_LINES + """
+SELECT k.doc_id, COUNT(*) AS n_kept,
+       CAST(SUM(length(k.line)) AS BIGINT) AS kept_chars,
+       md5(array_join(transform(
+           array_sort(collect_list(struct(k.line_no, k.line))),
+           x -> x.line), chr(10))) AS clean_md5
+FROM kept k LEFT ANTI JOIN bad_docs b ON k.doc_id = b.doc_id
+GROUP BY k.doc_id HAVING COUNT(*) >= 3
+ORDER BY k.doc_id""")
+
+
+def o_c4_filters():
+    return "WITH " + _C4_LINES + """
+SELECT k.doc_id, COUNT(*) AS n_kept,
+       CAST(SUM(length(k.line)) AS BIGINT) AS kept_chars,
+       md5(string_agg(k.line, chr(10) ORDER BY k.line_no)) AS clean_md5
+FROM kept k
+WHERE k.doc_id NOT IN (SELECT doc_id FROM bad_docs)
+GROUP BY k.doc_id HAVING COUNT(*) >= 3
+ORDER BY k.doc_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -15008,4 +15093,5 @@ REGISTRY: dict[str, tuple] = {
     "component_stats": (q_component_stats, o_component_stats),
     "retile_index": (q_retile_index, o_retile_index),
     "raster_xyz": (q_raster_xyz, o_raster_xyz),
+    "c4_filters": (q_c4_filters, o_c4_filters),
 }
