@@ -159,7 +159,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "raster_resize", "mdim_reduce", "classifier_auc",
                  "vocab_growth",
                  # round-3 extension session
-                 "morphology", "component_stats", "retile_index", "raster_xyz", "c4_filters"]:
+                 "morphology", "component_stats", "retile_index", "raster_xyz", "c4_filters",
+                 "hist_match"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -14804,6 +14804,78 @@ GROUP BY k.doc_id HAVING COUNT(*) >= 3
 ORDER BY k.doc_id"""
 
 
+# =================================================================
+# histogram matching (match a band's CDF to a reference band's CDF —
+# the classic radiometric-normalization step before mosaicking;
+# complements hist_equalize, which matches to the UNIFORM cdf)
+# =================================================================
+
+#: reference band over the DEM grid — deliberately a DIFFERENT
+#: histogram than the source band (same grid, shifted+modulated)
+_HM_REF_SQL = ("CAST(FLOOR({elev} / 2 + ((px * 3 + py * 5) % 17)) "
+               "AS BIGINT)")
+
+
+def q_hist_match(spark, sf_dir):
+    """Histogram matching: remap source values so their empirical CDF
+    matches a reference band's CDF — matched(v) = min reference value
+    u with cdf_ref(u) >= cdf_src(v) (the standard specification; the
+    generalization of gdaldem/-equalize-style stretches, which match
+    to the UNIFORM cdf — see hist_equalize). Radiometric
+    normalization before mosaicking neighboring scenes.
+
+    Physical shape: both CDFs live on HISTOGRAMS (one map-side-
+    combined groupBy per band — the raster never leaves its scan),
+    the running CDF windows run on histogram-sized relations, and the
+    quantile lookup is a broadcast theta-join histogram x histogram.
+    At a 10^12-pixel raster the only full-data pass is the initial
+    value-count; everything after is metadata-sized. Oracle computes
+    the lookup INDEPENDENTLY via a correlated MIN subquery instead of
+    the join+groupBy."""
+    from gdal_spark.operators import dem as dem_op
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    d = dem_op.dem_df(spark).selectExpr(
+        "px", "py",
+        "CAST(FLOOR(elev) AS BIGINT) AS v",
+        _HM_REF_SQL.format(elev=DEM_ELEV_SQL) + " AS r")
+    tot = DEM_W * DEM_H
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    src = (d.groupBy("v").agg(F.count("*").alias("cnt"))
+           .withColumn("cdf_s", F.round(
+               F.sum("cnt").over(w).cast("double") / tot, 9)))
+    wr = Window.orderBy("u").rowsBetween(Window.unboundedPreceding, 0)
+    ref = (d.groupBy(F.col("r").alias("u")).agg(F.count("*").alias("rcnt"))
+           .withColumn("cdf_r", F.round(
+               F.sum("rcnt").over(wr).cast("double") / tot, 9)))
+    j = src.join(F.broadcast(ref), F.col("cdf_r") >= F.col("cdf_s"))
+    return (j.groupBy("v", "cnt", "cdf_s")
+            .agg(F.min("u").alias("matched"))
+            .orderBy("v"))
+
+
+def o_hist_match():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    ref = _HM_REF_SQL.format(elev=DEM_ELEV_SQL)
+    return f"""
+WITH dem AS (
+  SELECT px, py, CAST(FLOOR({DEM_ELEV_SQL}) AS BIGINT) AS v, {ref} AS r
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py)),
+src AS (
+  SELECT v, COUNT(*) AS cnt,
+         ROUND(CAST(CAST(SUM(COUNT(*)) OVER (ORDER BY v) AS BIGINT)
+               AS DOUBLE) / {DEM_W * DEM_H}, 9) AS cdf_s
+  FROM dem GROUP BY v),
+ref AS (
+  SELECT r AS u,
+         ROUND(CAST(CAST(SUM(COUNT(*)) OVER (ORDER BY r) AS BIGINT)
+               AS DOUBLE) / {DEM_W * DEM_H}, 9) AS cdf_r
+  FROM dem GROUP BY r)
+SELECT s.v, s.cnt, s.cdf_s,
+       (SELECT MIN(u) FROM ref WHERE cdf_r >= s.cdf_s) AS matched
+FROM src s ORDER BY s.v"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -15094,4 +15166,5 @@ REGISTRY: dict[str, tuple] = {
     "retile_index": (q_retile_index, o_retile_index),
     "raster_xyz": (q_raster_xyz, o_raster_xyz),
     "c4_filters": (q_c4_filters, o_c4_filters),
+    "hist_match": (q_hist_match, o_hist_match),
 }
