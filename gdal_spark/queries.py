@@ -1771,7 +1771,9 @@ def q_warp_resample(spark, sf_dir):
     d = (dst.join(F.broadcast(bx), "dx").join(F.broadcast(by), "dy")
          .filter((F.col("sx") >= 0) & (F.col("sx") < ZRAST_W)
                  & (F.col("sy") >= 0) & (F.col("sy") < ZRAST_H)))
-    return (d.join(F.broadcast(src), ["sy", "sx"], "left")
+    # no broadcast hint on the source raster (rationale at
+    # q_warp_bilinear): AQE picks broadcast when it really is small
+    return (d.join(src, ["sy", "sx"], "left")
             .select("dy", "dx", F.coalesce(F.col("burn"), F.lit(0.0)).alias("v")))
 
 
@@ -2132,8 +2134,10 @@ def q_warp_cutline(spark, sf_dir):
         return out
 
     keep = inside(z9["parts"][0], False) & ~inside(z9["holes"][0], True)
+    # no broadcast hint on the source raster (rationale at
+    # q_warp_bilinear): AQE picks broadcast when it really is small
     return (d.filter(keep)
-            .join(F.broadcast(src), ["sy", "sx"], "left")
+            .join(src, ["sy", "sx"], "left")
             .select("dy", "dx", F.coalesce(F.col("burn"), F.lit(0.0)).alias("v")))
 
 
