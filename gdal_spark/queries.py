@@ -14880,6 +14880,109 @@ SELECT s.v, s.cnt, s.cdf_s,
 FROM src s ORDER BY s.v"""
 
 
+# =================================================================
+# cross-document exact substring runs (ExactSubstr dedup, Lee et al.
+# 2022 §4.1 — find the actual shared token RUNS between doc pairs,
+# not just the per-doc duplicated-window fraction dup_spans reports)
+# =================================================================
+
+SSD_K = 5      # gram width (tokens) — run seeds
+SSD_CAP = 8    # stop-gram cap: grams in more docs than this are skipped
+SSD_MIN = 8    # minimum reported run length (tokens)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Cross-document exact substring runs (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr: suffix-array matches >= 50 BPE tokens shared between
+    documents; scaled-down min-run here). Re-expression without the
+    suffix array: positional word-5-gram seeds, equi-join seeds across
+    doc pairs, then merge consecutive matches on each (pair, offset)
+    DIAGONAL into maximal runs via the pos - row_number grouping
+    trick. Emits per ordered pair: run count, longest run, duplicated
+    window total.
+
+    Scale shape: the only corpus-sized stages are the shingle explode
+    and one gram-keyed groupBy (the same intermediate minhash_lsh
+    materializes). The seed self-join is bounded by the stop-gram cap
+    (nd <= 8 ⇒ <= nd² pairs per gram — the standard frequency-cap
+    trick), the run windows partition by (pair, offset) so no
+    partition exceeds a document's length, and nothing touches the
+    driver. At 10^12 docs this is shuffle-keyed end to end."""
+    from gdal_spark.functions.text import tokens_col
+    df = docs_df(spark, sf_dir)
+    t = tokens_col(F.col("text"))
+    K = SSD_K
+    idx = F.sequence(F.lit(1), F.size(t) - (K - 1))
+    gram = F.transform(idx, lambda i: F.struct(
+        i.cast("long").alias("pos"),
+        F.concat_ws(" ", *[F.element_at(t, (i + j).cast("int"))
+                           for j in range(K)]).alias("s")))
+    shp = (df.filter(F.size(t) >= K)
+           .select("doc_id", F.explode(gram).alias("g"))
+           .select("doc_id", F.col("g.pos").alias("pos"),
+                   F.col("g.s").alias("s")))
+    nd = (shp.groupBy("s")
+          .agg(F.countDistinct("doc_id").alias("nd"))
+          .filter((F.col("nd") >= 2) & (F.col("nd") <= SSD_CAP)))
+    keep = shp.join(nd, "s").persist()
+    a = keep.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"),
+                    "s")
+    b = keep.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"),
+                    "s")
+    pairs = (a.join(b, "s")
+             .filter(F.col("da") < F.col("db"))
+             .select("da", "db", "pa", (F.col("pa") - F.col("pb"))
+                     .alias("off")))
+    w = Window.partitionBy("da", "db", "off").orderBy("pa")
+    runs = (pairs
+            .withColumn("grp", F.col("pa") - F.row_number().over(w))
+            .groupBy("da", "db", "off", "grp")
+            .agg((F.count("*") + (K - 1)).alias("run_tokens")))
+    return (runs.filter(F.col("run_tokens") >= SSD_MIN)
+            .groupBy("da", "db")
+            .agg(F.count("*").alias("n_runs"),
+                 F.max("run_tokens").alias("longest_run"),
+                 F.sum(F.col("run_tokens") - (K - 1))
+                  .cast("bigint").alias("dup_windows"))
+            .orderBy("da", "db"))
+
+
+def o_substring_dedup():
+    K = SSD_K
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(K))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+shp AS (
+  SELECT doc_id, i AS pos, {gram} AS s
+  FROM toks, UNNEST(range(1, len(t) - {K - 2})) AS u(i)
+  WHERE len(t) >= {K}),
+nd AS (
+  SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM shp
+                 GROUP BY s)
+  WHERE nd BETWEEN 2 AND {SSD_CAP}),
+keep AS (SELECT shp.* FROM shp JOIN nd ON nd.s = shp.s),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+         a.pos - b.pos AS off
+  FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT da, db, off,
+         pa - ROW_NUMBER() OVER (PARTITION BY da, db, off ORDER BY pa)
+           AS grp
+  FROM pairs),
+rl AS (
+  SELECT da, db, COUNT(*) + {K - 1} AS run_tokens
+  FROM runs GROUP BY da, db, off, grp)
+SELECT da, db, COUNT(*) AS n_runs, MAX(run_tokens) AS longest_run,
+       CAST(SUM(run_tokens - {K - 1}) AS BIGINT) AS dup_windows
+FROM rl WHERE run_tokens >= {SSD_MIN}
+GROUP BY da, db ORDER BY da, db"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -15171,4 +15274,5 @@ REGISTRY: dict[str, tuple] = {
     "raster_xyz": (q_raster_xyz, o_raster_xyz),
     "c4_filters": (q_c4_filters, o_c4_filters),
     "hist_match": (q_hist_match, o_hist_match),
+    "substring_dedup": (q_substring_dedup, o_substring_dedup),
 }
