@@ -14983,6 +14983,107 @@ FROM rl WHERE run_tokens >= {SSD_MIN}
 GROUP BY da, db ORDER BY da, db"""
 
 
+# =================================================================
+# perceptual-hash (aHash) image near-dup over the multimodal column
+# =================================================================
+
+PH_HAM = 3     # hamming threshold; 4 x 16-bit bands are pigeonhole-
+               # complete for h <= 3 (some band must be diff-free)
+
+
+def _ph_pixel_sql() -> str:
+    """Deterministic fake decode: 8x8 grayscale pixel from md5 of
+    (base image id, cell) — the IDENTICAL SQL text runs in Spark and
+    DuckDB (the _HEXV idiom). Twin images (img_id >= 100000) perturb
+    every 23rd cell by +40 — seeded near-dups for non-vacuity. A
+    deployment swaps this for a codec decode in mapInPandas with the
+    same (img_id, cell, v) batch shape (functions/multimodal.py
+    decode_image)."""
+    h = "md5(concat(base, '-', cell))"
+    return (f"CAST({_HEXV.format(h=h, i=1)} * 16 "
+            f"+ {_HEXV.format(h=h, i=2)} "
+            "+ CASE WHEN img_id >= 100000 AND cell % 23 = 0 "
+            "THEN 40 ELSE 0 END AS BIGINT) % 256")
+
+
+def q_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate images (average hash: 8x8
+    grayscale, bit = pixel > mean — the classic aHash of pHash/
+    imagehash fame) with banded hamming LSH: the 64-bit signature
+    splits into 4 x 16-bit band keys; candidate pairs come from a
+    band-key equi-join (pigeonhole: hamming <= 3 forces >= 1 clean
+    band, so the join is COMPLETE for the threshold — same guarantee
+    simhash_lsh rides); exact hamming verify runs on candidates only
+    via bit_count(xor). Integer-only math end to end (bit = 64*v >
+    sum, no float mean), so cross-engine parity is exact.
+
+    Scale shape: pixels/signatures are per-image column math + one
+    map-side-combined groupBy; the self-join is keyed by (band, key)
+    buckets — no all-pairs anywhere; chance 16-bit band collisions add
+    verify work, never wrong output. The oracle is an INDEPENDENT
+    formulation: brute-force all-pairs hamming in DuckDB."""
+    d = docs_df(spark, sf_dir).select("doc_id")
+    ids = (d.selectExpr("doc_id AS img_id", "doc_id AS base")
+           .unionByName(
+               d.filter(F.col("doc_id") % 13 == 0)
+               .selectExpr("doc_id + 100000 AS img_id",
+                           "doc_id AS base")))
+    cells = spark.range(64).select(F.col("id").alias("cell"))
+    px = (ids.crossJoin(F.broadcast(cells))
+          .select("img_id", "cell", F.expr(_ph_pixel_sql()).alias("v")))
+    tot = px.groupBy("img_id").agg(F.sum("v").alias("total"))
+    bits = (px.join(tot, "img_id")
+            .select("img_id", "cell",
+                    (F.col("v") * 64 > F.col("total"))
+                    .cast("bigint").alias("bit")))
+    bands = (bits.groupBy(
+        "img_id", F.expr("CAST(cell DIV 16 AS INT)").alias("band"))
+        .agg(F.expr("SUM(bit * shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(cell % 16 AS INT)))").alias("key"))
+        .persist())
+    a = bands.select(F.col("img_id").alias("ida"), "band",
+                     F.col("key").alias("ka"))
+    b = bands.select(F.col("img_id").alias("idb"), "band",
+                     F.col("key").alias("kb"))
+    cand = (a.join(b, (a["band"] == b["band"]) & (a["ka"] == b["kb"])
+                   & (F.col("ida") < F.col("idb")))
+            .select("ida", "idb").distinct())
+    va = bands.select(F.col("img_id").alias("ida"), "band",
+                      F.col("key").alias("ka"))
+    vb = bands.select(F.col("img_id").alias("idb"), "band",
+                      F.col("key").alias("kb"))
+    ham = (cand.join(va, "ida").join(vb, ["idb", "band"])
+           .groupBy("ida", "idb")
+           .agg(F.sum(F.bit_count(F.col("ka").bitwiseXOR(F.col("kb"))))
+                .cast("bigint").alias("hamming")))
+    return ham.filter(F.col("hamming") <= PH_HAM).orderBy("ida", "idb")
+
+
+def o_phash_neardup():
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS img_id, doc_id AS base FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 13 = 0),
+cells AS (SELECT UNNEST(RANGE(0, 64)) AS cell),
+px AS (
+  SELECT img_id, cell, {_ph_pixel_sql()} AS v
+  FROM ids CROSS JOIN cells),
+tot AS (SELECT img_id, SUM(v) AS total FROM px GROUP BY img_id),
+bits AS (
+  SELECT px.img_id, cell,
+         CASE WHEN v * 64 > total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot ON tot.img_id = px.img_id),
+ham AS (
+  SELECT a.img_id AS ida, b.img_id AS idb,
+         CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+              AS BIGINT) AS hamming
+  FROM bits a JOIN bits b ON a.cell = b.cell AND a.img_id < b.img_id
+  GROUP BY a.img_id, b.img_id)
+SELECT ida, idb, hamming FROM ham WHERE hamming <= {PH_HAM}
+ORDER BY ida, idb"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -15275,4 +15376,5 @@ REGISTRY: dict[str, tuple] = {
     "c4_filters": (q_c4_filters, o_c4_filters),
     "hist_match": (q_hist_match, o_hist_match),
     "substring_dedup": (q_substring_dedup, o_substring_dedup),
+    "phash_neardup": (q_phash_neardup, o_phash_neardup),
 }
