@@ -14984,6 +14984,91 @@ GROUP BY da, db ORDER BY da, db"""
 
 
 # =================================================================
+# count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# =================================================================
+
+CMS_D = 4        # hash rows
+CMS_W = 16       # buckets per row — deliberately small so the
+                 # fixture's 31-token vocab actually collides and the
+                 # overestimate/min semantics are exercised
+CMS_T = 400      # heavy-hitter report threshold (estimated count)
+
+
+def _cms_bucket_sql(j: int, col: str = "tok") -> str:
+    """Row-j bucket: one md5 hex digit (the shared _HEXV idiom) —
+    identical SQL text in both engines."""
+    return _HEXV.format(h=f"md5(concat('{j}:', {col}))", i=1)
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan
+    2005, "An improved data stream summary"): each token increments
+    D={CMS_D} counters (row j, bucket h_j(t)); the estimate is the MIN
+    over rows; report tokens whose ESTIMATE clears the threshold,
+    alongside their exact counts (overestimates from collisions are
+    part of the defined semantics, exactly reproduced by the oracle —
+    the bloom_dedup discipline). The sketch here is the shuffle
+    formulation: ONE map-side-combined groupBy((j, bucket)) builds all
+    D*W={CMS_D * CMS_W} counters — corpus-sized data is touched once;
+    estimation joins the DISTINCT-token relation against the
+    metadata-sized counter table (broadcast), and the exact-count pass
+    is restricted to the candidate tokens. At 10^12 docs the sketch
+    table is still {CMS_D * CMS_W} rows — that is the point."""
+    from gdal_spark.functions.text import tokens_col
+    df = docs_df(spark, sf_dir)
+    toks = (df.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+            .filter(F.col("tok") != "").persist())
+    rows = toks.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.expr(_cms_bucket_sql(j)).alias("bucket"))
+        for j in range(CMS_D)])).alias("r")).select("r.j", "r.bucket")
+    cms = rows.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    dt = toks.distinct()
+    probes = dt.select("tok", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.expr(_cms_bucket_sql(j)).alias("bucket"))
+        for j in range(CMS_D)])).alias("r")).select("tok", "r.j", "r.bucket")
+    est = (probes.join(F.broadcast(cms), ["j", "bucket"])
+           .groupBy("tok").agg(F.min("cnt").alias("est_count"))
+           .filter(F.col("est_count") >= CMS_T))
+    exact = (toks.join(F.broadcast(est.select("tok")), "tok")
+             .groupBy("tok").agg(F.count("*").alias("exact_count")))
+    return (est.join(exact, "tok")
+            .select("tok", "est_count", "exact_count")
+            .orderBy("tok"))
+
+
+def o_cms_heavy_hitters():
+    buckets = ", ".join(
+        f"{_cms_bucket_sql(j)} AS b{j}" for j in range(CMS_D))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, {j} AS j, b{j} AS bucket FROM tb"
+        for j in range(CMS_D))
+    return f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+tnz AS (SELECT tok FROM toks WHERE tok <> ''),
+tb AS (SELECT tok, {buckets} FROM (SELECT DISTINCT tok FROM tnz)),
+inc AS (SELECT tok, {buckets} FROM tnz),
+cms AS (
+  SELECT j, bucket, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(f"SELECT {j} AS j, b{j} AS bucket FROM inc" for j in range(CMS_D))})
+  GROUP BY j, bucket),
+probes AS ({probe_rows}),
+est AS (
+  SELECT tok, MIN(cnt) AS est_count
+  FROM probes JOIN cms USING (j, bucket)
+  GROUP BY tok HAVING MIN(cnt) >= {CMS_T}),
+exact AS (
+  SELECT tnz.tok, COUNT(*) AS exact_count FROM tnz
+  JOIN est ON est.tok = tnz.tok GROUP BY tnz.tok)
+SELECT est.tok, est.est_count, exact.exact_count
+FROM est JOIN exact ON est.tok = exact.tok
+ORDER BY est.tok"""
+
+
+# =================================================================
 # perceptual-hash (aHash) image near-dup over the multimodal column
 # =================================================================
 
@@ -15377,4 +15462,5 @@ REGISTRY: dict[str, tuple] = {
     "hist_match": (q_hist_match, o_hist_match),
     "substring_dedup": (q_substring_dedup, o_substring_dedup),
     "phash_neardup": (q_phash_neardup, o_phash_neardup),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, o_cms_heavy_hitters),
 }
