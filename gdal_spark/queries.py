@@ -14984,6 +14984,63 @@ GROUP BY da, db ORDER BY da, db"""
 
 
 # =================================================================
+# SCD2 dimension history (Kimball type-2 slowly changing dimension)
+# =================================================================
+
+
+def q_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension history build (Kimball): the
+    events change log per user_id collapses runs of the UNCHANGED
+    tracked attribute (event_type), then each surviving change opens a
+    version interval [valid_from, valid_to) closed by the next change
+    (NULL = current) — the interval-history complement of cdc_latest's
+    last-writer snapshot. Deterministic version order (ts, event_id).
+
+    Scale shape: ONE shuffle on user_id; the lag/lead/row_number
+    windows all share that partitioning, so Catalyst runs them in a
+    single exchange + sorts — no per-version joins, no driver state.
+    At 10^12 log rows this is the standard warehouse dimension
+    rebuild, bounded by the key shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (ev.withColumn("prev", F.lag("event_type").over(w))
+           .filter(F.col("prev").isNull()
+                   | (F.col("prev") != F.col("event_type"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (chg.select(
+        "user_id",
+        F.row_number().over(w2).alias("version_no"),
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"))
+        .withColumn("is_current",
+                    F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .orderBy("user_id", "version_no"))
+
+
+def o_scd2_history():
+    return """
+WITH v AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+chg AS (SELECT * FROM v WHERE prev IS NULL OR prev <> event_type),
+scd AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS version_no,
+         event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg)
+SELECT user_id, CAST(version_no AS BIGINT) AS version_no, event_type,
+       valid_from, valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+FROM scd ORDER BY user_id, version_no"""
+
+
+# =================================================================
 # count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
 # =================================================================
 
@@ -15463,4 +15520,5 @@ REGISTRY: dict[str, tuple] = {
     "substring_dedup": (q_substring_dedup, o_substring_dedup),
     "phash_neardup": (q_phash_neardup, o_phash_neardup),
     "cms_heavy_hitters": (q_cms_heavy_hitters, o_cms_heavy_hitters),
+    "scd2_history": (q_scd2_history, o_scd2_history),
 }
