@@ -14984,6 +14984,104 @@ GROUP BY da, db ORDER BY da, db"""
 
 
 # =================================================================
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — MOSS)
+# =================================================================
+
+WIN_K = 3     # gram width (tokens)
+WIN_W = 4     # winnowing window (grams)
+# rightmost-min argmin encoded into ONE orderable integer so a single
+# MIN() window frame does the whole selection portably: hash*1e5 +
+# (99999 - pos); decode fp = m DIV 1e5, pos = 99999 - m % 1e5
+_WIN_ENC = "(h * 100000 + (99999 - pos))"
+
+
+def q_winnowing(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word-{WIN_K}-gram,
+    slide a window of {WIN_W} gram hashes, select the RIGHTMOST
+    minimal hash per window, dedupe selections. Guarantee: any two
+    documents sharing a run of >= w+k-1 = {WIN_W + WIN_K - 1} tokens
+    share a fingerprint; expected density 2/(w+1). Complements the
+    bottom-k `fingerprint` sketch (global mins) with position-aware
+    local sampling. Emits per doc: gram/window/fingerprint counts,
+    the selected-density, and a fingerprint checksum.
+
+    Scale shape: per-doc windows only — one shuffle on doc_id shared
+    by the frame window and the aggregation; the rightmost-min argmin
+    is encoded into a single MIN() over a bounded {WIN_W}-row frame
+    (no join-back, no UDF). At 10^12 docs nothing exceeds a document
+    in partition width."""
+    from gdal_spark.functions.text import tokens_col
+    df = docs_df(spark, sf_dir)
+    t = tokens_col(F.col("text"))
+    K = WIN_K
+    idx = F.sequence(F.lit(1), F.size(t) - (K - 1))
+    gram = F.transform(idx, lambda i: F.struct(
+        i.cast("long").alias("pos"),
+        F.concat_ws(" ", *[F.element_at(t, (i + j).cast("int"))
+                           for j in range(K)]).alias("s")))
+    grams = (df.filter(F.size(t) >= K)
+             .select("doc_id", F.explode(gram).alias("g"))
+             .select("doc_id", F.col("g.pos").alias("pos"),
+                     F.col("g.s").alias("s"))
+             .withColumn("h", F.expr(
+                 f"CAST({_HEXV.format(h='md5(s)', i=1)} * 256 "
+                 f"+ {_HEXV.format(h='md5(s)', i=2)} * 16 "
+                 f"+ {_HEXV.format(h='md5(s)', i=3)} AS BIGINT)")))
+    wf = (Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(0, WIN_W - 1))
+    wn = Window.partitionBy("doc_id")
+    sel = (grams
+           .withColumn("m", F.min(F.expr(_WIN_ENC)).over(wf))
+           .withColumn("n_grams", F.count("*").over(wn))
+           .filter(F.col("pos") <= F.col("n_grams") - (WIN_W - 1))
+           .select("doc_id", "n_grams",
+                   F.expr("m DIV 100000").alias("fp"),
+                   F.expr("99999 - m % 100000").alias("sel_pos"))
+           .distinct())
+    return (sel.groupBy("doc_id", "n_grams")
+            .agg(F.count("*").alias("n_fp"),
+                 F.sum("fp").cast("bigint").alias("fp_checksum"))
+            .selectExpr(
+                "doc_id", "n_grams", "n_fp", "fp_checksum",
+                f"ROUND(CAST(n_fp AS DOUBLE) / "
+                f"CAST(n_grams - {WIN_W - 1} AS DOUBLE), 6) AS density")
+            .orderBy("doc_id"))
+
+
+def o_winnowing():
+    K = WIN_K
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(K))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST({_HEXV.format(h=f"md5({gram})", i=1)} * 256
+          + {_HEXV.format(h=f"md5({gram})", i=2)} * 16
+          + {_HEXV.format(h=f"md5({gram})", i=3)} AS BIGINT) AS h
+  FROM toks, UNNEST(range(1, len(t) - {K - 2})) AS u(i)
+  WHERE len(t) >= {K}),
+winmin AS (
+  SELECT doc_id, pos,
+         MIN({_WIN_ENC}) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS m,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams, m // 100000 AS fp,
+         99999 - m % 100000 AS sel_pos
+  FROM winmin WHERE pos <= n_grams - {WIN_W - 1})
+SELECT doc_id, n_grams, COUNT(*) AS n_fp,
+       CAST(SUM(fp) AS BIGINT) AS fp_checksum,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(n_grams - {WIN_W - 1} AS DOUBLE), 6) AS density
+FROM sel GROUP BY doc_id, n_grams ORDER BY doc_id"""
+
+
+# =================================================================
 # SCD2 dimension history (Kimball type-2 slowly changing dimension)
 # =================================================================
 
@@ -15521,4 +15619,5 @@ REGISTRY: dict[str, tuple] = {
     "phash_neardup": (q_phash_neardup, o_phash_neardup),
     "cms_heavy_hitters": (q_cms_heavy_hitters, o_cms_heavy_hitters),
     "scd2_history": (q_scd2_history, o_scd2_history),
+    "winnowing": (q_winnowing, o_winnowing),
 }
