@@ -161,7 +161,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  # round-3 extension session
                  "morphology", "component_stats", "retile_index", "raster_xyz", "c4_filters",
                  "hist_match", "substring_dedup", "phash_neardup",
-                 "cms_heavy_hitters", "scd2_history", "winnowing"]:
+                 "cms_heavy_hitters", "scd2_history", "winnowing",
+                 "mdim_mosaic"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

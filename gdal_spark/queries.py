@@ -14984,6 +14984,82 @@ GROUP BY da, db ORDER BY da, db"""
 
 
 # =================================================================
+# mdim mosaic (gdal mdim mosaic — apps/gdalalg_mdim_mosaic.cpp)
+# =================================================================
+
+#: slab B value rule + extents — overlaps A on y 8..15, x 10..19
+MDM_VAL_B = "(100 + 2 * {y} + 3 * {x} + 11 * {t})"
+MDM_BY = (8, 19)    # slab B y extent (inclusive)
+MDM_BX = (10, 25)   # slab B x extent (inclusive)
+
+
+def q_mdim_mosaic(spark, sf_dir):
+    """Multidim mosaic (gdal mdim mosaic, apps/gdalalg_mdim_mosaic.cpp;
+    same last-source-wins precedence as gdalalg_raster_mosaic): two
+    (t, y, x) hypercube slabs with overlapping extents combine into
+    one array; where both define a cell the LATER source wins. The
+    long-format union resolves precedence with ONE map-side-combinable
+    argmax per cell (max(struct(rank, val)) — no window), then reduces
+    to per-(t, y) row stats so the gate checks every resolution.
+
+    Scale shape: union → one groupBy((t,y,x)) → one groupBy((t,y));
+    both shuffles keyed, no driver state; slab reads stay
+    partition-prunable predicates at 10^12 cells. Oracle: CLOSED FORM
+    — resolves precedence by extent CASE, never building the union."""
+    a = spark.range(MD_T * MD_H * MD_W).select(
+        (F.col("id") / (MD_H * MD_W)).cast("int").alias("t"),
+        ((F.col("id") / MD_W) % MD_H).cast("int").alias("y"),
+        (F.col("id") % MD_W).cast("int").alias("x"))
+    a = a.selectExpr("t", "y", "x",
+                     MD_VAL.format(t="t", y="y", x="x") + " AS val") \
+         .withColumn("rank", F.lit(0))
+    (by0, by1), (bx0, bx1) = MDM_BY, MDM_BX
+    bh, bw = by1 - by0 + 1, bx1 - bx0 + 1
+    b = spark.range(MD_T * bh * bw).select(
+        (F.col("id") / (bh * bw)).cast("int").alias("t"),
+        ((F.col("id") / bw) % bh + by0).cast("int").alias("y"),
+        (F.col("id") % bw + bx0).cast("int").alias("x"))
+    b = b.selectExpr("t", "y", "x",
+                     MDM_VAL_B.format(t="t", y="y", x="x") + " AS val") \
+         .withColumn("rank", F.lit(1))
+    cells = (a.unionByName(b)
+             .groupBy("t", "y", "x")
+             .agg(F.max(F.struct("rank", "val")).alias("m"))
+             .select("t", "y", "x", F.col("m.val").alias("val")))
+    return (cells.groupBy("t", "y")
+            .agg(F.count("*").cast("bigint").alias("n_cells"),
+                 F.sum("val").cast("bigint").alias("sum_val"),
+                 F.min("val").cast("bigint").alias("min_val"),
+                 F.max("val").cast("bigint").alias("max_val"))
+            .orderBy("t", "y"))
+
+
+def o_mdim_mosaic():
+    (by0, by1), (bx0, bx1) = MDM_BY, MDM_BX
+    va = MD_VAL.format(t="t", y="y", x="x")
+    vb = MDM_VAL_B.format(t="t", y="y", x="x")
+    return f"""
+WITH ys AS (SELECT UNNEST(RANGE(0, {max(MD_H, by1 + 1)})) AS y),
+xs AS (SELECT UNNEST(RANGE(0, {max(MD_W, bx1 + 1)})) AS x),
+ts AS (SELECT UNNEST(RANGE(0, {MD_T})) AS t),
+grid AS (
+  SELECT t, y, x FROM ts CROSS JOIN ys CROSS JOIN xs
+  WHERE (y < {MD_H} AND x < {MD_W})
+     OR (y BETWEEN {by0} AND {by1} AND x BETWEEN {bx0} AND {bx1})),
+cells AS (
+  SELECT t, y, x,
+         CASE WHEN y BETWEEN {by0} AND {by1}
+               AND x BETWEEN {bx0} AND {bx1}
+              THEN {vb} ELSE {va} END AS val
+  FROM grid)
+SELECT t, y, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       CAST(MIN(val) AS BIGINT) AS min_val,
+       CAST(MAX(val) AS BIGINT) AS max_val
+FROM cells GROUP BY t, y ORDER BY t, y"""
+
+
+# =================================================================
 # winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — MOSS)
 # =================================================================
 
@@ -15620,4 +15696,5 @@ REGISTRY: dict[str, tuple] = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, o_cms_heavy_hitters),
     "scd2_history": (q_scd2_history, o_scd2_history),
     "winnowing": (q_winnowing, o_winnowing),
+    "mdim_mosaic": (q_mdim_mosaic, o_mdim_mosaic),
 }
