@@ -14984,6 +14984,62 @@ GROUP BY da, db ORDER BY da, db"""
 
 
 # =================================================================
+# Zevenbergen–Thorne curvature (profile / plan / general)
+# =================================================================
+
+
+def _zt_curv_sql() -> dict:
+    """Zevenbergen & Thorne (1987) quadratic-surface curvature over
+    the win0..win8 3x3 window (win1 = north row; L = 1 cell):
+    D=((Z4+Z6)/2−Z5)/L², E=((Z2+Z8)/2−Z5)/L², F=(−Z1+Z3+Z7−Z9)/4L²,
+    G=(−Z4+Z6)/2L, H=(Z2−Z8)/2L; profile = −2(DG²+EH²+FGH)/(G²+H²),
+    plan = 2(DH²+EG²−FGH)/(G²+H²), general = −2(D+E). Flat cells
+    (G=H=0) are NULL. IDENTICAL SQL text in both engines — the same
+    discipline every dem_* query uses (gdaldem has slope/aspect/TRI/
+    TPI from this fit; curvature is the classic extension of the same
+    surface, ESRI Curvature semantics without the x100 scale)."""
+    d = "(((win3 + win5) / 2.0) - win4)"
+    e = "(((win1 + win7) / 2.0) - win4)"
+    f_ = "(((- win0) + win2 + win6 - win8) / 4.0)"
+    g = "(((- win3) + win5) / 2.0)"
+    h = "((win1 - win7) / 2.0)"
+    den = f"({g} * {g} + {h} * {h})"
+    prof = (f"(CASE WHEN {den} = 0.0 THEN NULL ELSE "
+            f"(-2.0) * ({d} * {g} * {g} + {e} * {h} * {h} "
+            f"+ {f_} * {g} * {h}) / {den} END)")
+    plan = (f"(CASE WHEN {den} = 0.0 THEN NULL ELSE "
+            f"2.0 * ({d} * {h} * {h} + {e} * {g} * {g} "
+            f"- {f_} * {g} * {h}) / {den} END)")
+    gen = f"((-2.0) * ({d} + {e}))"
+    return {"prof": prof, "plan": plan, "gen": gen}
+
+
+def q_dem_curvature(spark, sf_dir):
+    """Profile / plan / general curvature from the Zevenbergen–Thorne
+    surface fit (_zt_curv_sql) — the natural completion of gdaldem's
+    Z-T family (slope/aspect ship in gdaldem_lib.cpp:1390,1495; the
+    same 1987 fit defines curvature). Same scale shape as every dem_*
+    kernel: the 3x3 window comes from the scatter-pivot neighbors9
+    (one bounded-key shuffle), the curvature itself is codegen'd
+    column math — no Python, no join beyond the window build."""
+    nb, _ = _dem_win(spark)
+    c = _zt_curv_sql()
+    return nb.select(
+        "py", "px",
+        F.round(F.expr(c["prof"]), 6).alias("curv_profile"),
+        F.round(F.expr(c["plan"]), 6).alias("curv_plan"),
+        F.round(F.expr(c["gen"]), 6).alias("curv_general"))
+
+
+def o_dem_curvature():
+    c = _zt_curv_sql()
+    return (f"WITH {_o_dem_win_cte()} SELECT py, px, "
+            f"ROUND({c['prof']}, 6) AS curv_profile, "
+            f"ROUND({c['plan']}, 6) AS curv_plan, "
+            f"ROUND({c['gen']}, 6) AS curv_general FROM w")
+
+
+# =================================================================
 # mdim mosaic (gdal mdim mosaic — apps/gdalalg_mdim_mosaic.cpp)
 # =================================================================
 
@@ -15697,4 +15753,5 @@ REGISTRY: dict[str, tuple] = {
     "scd2_history": (q_scd2_history, o_scd2_history),
     "winnowing": (q_winnowing, o_winnowing),
     "mdim_mosaic": (q_mdim_mosaic, o_mdim_mosaic),
+    "dem_curvature": (q_dem_curvature, o_dem_curvature),
 }
