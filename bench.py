@@ -162,7 +162,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "morphology", "component_stats", "retile_index", "raster_xyz", "c4_filters",
                  "hist_match", "substring_dedup", "phash_neardup",
                  "cms_heavy_hitters", "scd2_history", "winnowing",
-                 "mdim_mosaic", "dem_curvature", "component_moments"]:
+                 "mdim_mosaic", "dem_curvature", "component_moments",
+                 "token_pmi"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -14984,6 +14984,72 @@ GROUP BY da, db ORDER BY da, db"""
 
 
 # =================================================================
+# token co-occurrence PMI (Church & Hanks 1990)
+# =================================================================
+
+PMI_MIN_DF = 10   # minimum joint document frequency reported
+
+
+def q_token_pmi(spark, sf_dir):
+    """Pointwise mutual information of token pairs by document
+    co-occurrence (Church & Hanks 1990, "Word association norms"):
+    PMI(a,b) = ln(N * df_ab / (df_a * df_b)) over document presence —
+    the collocation/phrase-mining primitive (word2vec's SGNS
+    factorizes exactly this matrix, Levy & Goldberg 2014). Exact
+    integer counts feed ONE LN — no float accumulation, so parity is
+    a single-transcendental round.
+
+    Scale shape: distinct (doc, token) → per-doc pair explode (self-
+    join on doc_id, a < b) → one groupBy((a,b)) with map-side combine.
+    Pair fan-out is bounded by per-doc DISTINCT vocabulary (real
+    corpora restrict to a top-V vocabulary first — the df join here
+    is that gate); nothing is all-pairs across docs."""
+    from gdal_spark.functions.text import tokens_col
+    df = docs_df(spark, sf_dir)
+    n_docs = df.count()
+    dt = (df.select("doc_id",
+                    F.explode(tokens_col(F.col("text"))).alias("tok"))
+          .filter(F.col("tok") != "").distinct().persist())
+    dfreq = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    a = dt.select("doc_id", F.col("tok").alias("a"))
+    b = dt.select("doc_id", F.col("tok").alias("b"))
+    ab = (a.join(b, "doc_id").filter(F.col("a") < F.col("b"))
+          .groupBy("a", "b").agg(F.count("*").alias("df_ab"))
+          .filter(F.col("df_ab") >= PMI_MIN_DF))
+    j = (ab.join(F.broadcast(dfreq.selectExpr("tok AS a", "df AS df_a")),
+                 "a")
+         .join(F.broadcast(dfreq.selectExpr("tok AS b", "df AS df_b")),
+               "b"))
+    return (j.selectExpr(
+        "a", "b", "df_ab", "df_a", "df_b",
+        f"ROUND(LN(CAST({n_docs} AS DOUBLE) * df_ab "
+        f"/ (df_a * {sqlexpr.dlit(1.0)} * df_b)), 6) AS pmi")
+        .orderBy("a", "b"))
+
+
+def o_token_pmi():
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+tnz AS (SELECT doc_id, tok FROM dt WHERE tok <> ''),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tnz GROUP BY tok),
+ab AS (
+  SELECT x.tok AS a, y.tok AS b, COUNT(*) AS df_ab
+  FROM tnz x JOIN tnz y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY x.tok, y.tok HAVING COUNT(*) >= {PMI_MIN_DF})
+SELECT ab.a, ab.b, ab.df_ab, fa.df AS df_a, fb.df AS df_b,
+       ROUND(LN(CAST(n.n_docs AS DOUBLE) * df_ab
+             / (fa.df * {sqlexpr.dlit(1.0)} * fb.df)), 6) AS pmi
+FROM ab JOIN dfreq fa ON fa.tok = ab.a
+        JOIN dfreq fb ON fb.tok = ab.b
+CROSS JOIN n
+ORDER BY ab.a, ab.b"""
+
+
+# =================================================================
 # per-component image moments (region orientation / eccentricity)
 # =================================================================
 
@@ -15836,4 +15902,5 @@ REGISTRY: dict[str, tuple] = {
     "mdim_mosaic": (q_mdim_mosaic, o_mdim_mosaic),
     "dem_curvature": (q_dem_curvature, o_dem_curvature),
     "component_moments": (q_component_moments, o_component_moments),
+    "token_pmi": (q_token_pmi, o_token_pmi),
 }
