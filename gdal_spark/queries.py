@@ -14984,6 +14984,35 @@ GROUP BY da, db ORDER BY da, db"""
 
 
 # =================================================================
+# streaming count-min sketch (constant-state streaming aggregate)
+# =================================================================
+
+
+def q_stream_cms(spark, sf_dir):
+    """Count-min sketch maintained BY the stream (gdal_spark/
+    streaming/events.cms_stream): the running aggregation state is
+    the D x 16 counter table itself — constant in stream length, the
+    sketch's raison d'être (contrast stream_rollup, whose windowed
+    state needs a watermark to stay bounded). availableNow drain ==
+    batch construction, so the oracle is exact."""
+    from gdal_spark.streaming.events import cms_stream
+    return cms_stream(spark, sf_dir)
+
+
+def o_stream_cms():
+    from gdal_spark.streaming.events import (SCMS_D, SCMS_KEY_SQL,
+                                             scms_bucket_sql)
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {scms_bucket_sql(j)} AS bucket FROM ev"
+        for j in range(SCMS_D))
+    return f"""
+WITH ev AS (SELECT {SCMS_KEY_SQL} AS k FROM events),
+rows_ AS ({rows})
+SELECT j, bucket, COUNT(*) AS cnt FROM rows_
+GROUP BY j, bucket ORDER BY j, bucket"""
+
+
+# =================================================================
 # token co-occurrence PMI (Church & Hanks 1990)
 # =================================================================
 
@@ -15903,4 +15932,5 @@ REGISTRY: dict[str, tuple] = {
     "dem_curvature": (q_dem_curvature, o_dem_curvature),
     "component_moments": (q_component_moments, o_component_moments),
     "token_pmi": (q_token_pmi, o_token_pmi),
+    "stream_cms": (q_stream_cms, o_stream_cms),
 }

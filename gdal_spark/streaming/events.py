@@ -236,3 +236,57 @@ def interval_join_stream(spark: SparkSession, sf_dir: str,
             return spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# streaming count-min sketch: key rule + geometry shared verbatim
+# with the DuckDB oracle (queries.o_stream_cms)
+SCMS_D = 4
+SCMS_KEY_SQL = ("concat(event_type, ':', "
+                "CAST(user_id % 97 AS STRING))")
+
+
+def scms_bucket_sql(j: int) -> str:
+    """Row-j bucket (0..15): one md5 hex digit of ('j:' || key) — the
+    same portable instr-on-hex-alphabet idiom the batch
+    cms_heavy_hitters uses."""
+    return (f"(instr('0123456789abcdef', "
+            f"substr(md5(concat('{j}:', k)), 1, 1)) - 1)")
+
+
+def cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch (Cormode & Muthukrishnan 2005) over
+    the event stream: every event increments {D} counters (row j,
+    bucket h_j(key)); the running aggregation state IS the sketch —
+    D x 16 counters, so state is CONSTANT in stream length (the
+    sketch's entire reason to exist: no watermark needed, unlike
+    keyed-window aggs whose state grows with key cardinality).
+    availableNow + complete mode drains the file replay so the
+    drained counter table equals the batch construction exactly —
+    the oracle rebuilds it in DuckDB."""
+    name = f"scms_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_stream_ckpt_")
+    try:
+        with utc_session(spark):
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            src = (spark.readStream.schema(schema)
+                   .option("pathGlobFilter", "events.parquet")
+                   .parquet(sf_dir)
+                   .withColumn("k", F.expr(SCMS_KEY_SQL)))
+            rows = src.select(F.explode(F.array(*[
+                F.struct(F.lit(j).alias("j"),
+                         F.expr(scms_bucket_sql(j)).alias("bucket"))
+                for j in range(SCMS_D)])).alias("r")) \
+                .select("r.j", "r.bucket")
+            agg = rows.groupBy("j", "bucket").agg(
+                F.count("*").alias("cnt"))
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("complete")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            return (spark.table(name)
+                    .orderBy("j", "bucket")
+                    .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
