@@ -14984,6 +14984,57 @@ GROUP BY da, db ORDER BY da, db"""
 
 
 # =================================================================
+# vector export-schema (gdal vector export-schema)
+# =================================================================
+
+ES_TABLES = ["region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _spark_to_sql_type(dt) -> str:
+    """Spark DataType → ANSI/DuckDB type name (the fixed dialect map a
+    schema exporter ships; information_schema vocabulary)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.ArrayType):
+        return _spark_to_sql_type(dt.elementType) + "[]"
+    return {"long": "BIGINT", "int": "INTEGER", "integer": "INTEGER",
+            "short": "SMALLINT", "byte": "TINYINT", "string": "VARCHAR",
+            "double": "DOUBLE", "float": "FLOAT", "boolean": "BOOLEAN",
+            "date": "DATE", "timestamp_ntz": "TIMESTAMP",
+            "timestamp": "TIMESTAMP WITH TIME ZONE",
+            "binary": "BLOB"}[dt.typeName()]
+
+
+def q_export_schema(spark, sf_dir):
+    """Schema export (gdal vector export-schema,
+    apps/gdalalg_vector_export_schema.cpp — emit every layer's field
+    names/types in a machine-readable form): one row per column of
+    every registered table, with the ANSI type name. Schemas are
+    parquet-footer metadata — the 'scan' reads zero data pages at any
+    table size; the oracle is DuckDB's own information_schema view of
+    the same files, so the gate proves the dialect map is faithful."""
+    rows = []
+    for t in ES_TABLES:
+        sch = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+        for i, f_ in enumerate(sch.fields, start=1):
+            rows.append((t, i, f_.name, _spark_to_sql_type(f_.dataType)))
+    return (spark.createDataFrame(
+        rows, "table_name string, ordinal_position int, "
+              "column_name string, data_type string")
+        .orderBy("table_name", "ordinal_position"))
+
+
+def o_export_schema():
+    tl = ", ".join(f"'{t}'" for t in ES_TABLES)
+    return f"""
+SELECT table_name, CAST(ordinal_position AS INT) AS ordinal_position,
+       column_name, data_type
+FROM information_schema.columns
+WHERE table_name IN ({tl})
+ORDER BY table_name, ordinal_position"""
+
+
+# =================================================================
 # streaming count-min sketch (constant-state streaming aggregate)
 # =================================================================
 
@@ -15933,4 +15984,5 @@ REGISTRY: dict[str, tuple] = {
     "component_moments": (q_component_moments, o_component_moments),
     "token_pmi": (q_token_pmi, o_token_pmi),
     "stream_cms": (q_stream_cms, o_stream_cms),
+    "export_schema": (q_export_schema, o_export_schema),
 }
