@@ -163,7 +163,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "hist_match", "substring_dedup", "phash_neardup",
                  "cms_heavy_hitters", "scd2_history", "winnowing",
                  "mdim_mosaic", "dem_curvature", "component_moments",
-                 "token_pmi", "stream_cms", "export_schema"]:
+                 "token_pmi", "stream_cms", "export_schema",
+                 "d8_flow"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

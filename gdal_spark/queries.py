@@ -14984,6 +14984,89 @@ GROUP BY da, db ORDER BY da, db"""
 
 
 # =================================================================
+# D8 flow direction (O'Callaghan & Mark 1984; ESRI direction codes)
+# =================================================================
+
+#: (code, win slot, dx, dy, diagonal?) — ESRI D8 encoding, py south
+_D8 = [(1, 5, 1, 0, False), (2, 8, 1, 1, True), (4, 7, 0, 1, False),
+       (8, 6, -1, 1, True), (16, 3, -1, 0, False),
+       (32, 0, -1, -1, True), (64, 1, 0, -1, False),
+       (128, 2, 1, -1, True)]
+
+
+def _d8_sql() -> tuple:
+    """Shared-SQL D8 kernel: 8 distance-weighted drops (diagonals /
+    SQRT(2.0)), steepest wins, ties break to the SMALLEST code via
+    first-match CASE — identical text both engines."""
+    drops = {c: (f"((win4 - win{s}) / SQRT(2.0))" if diag
+                 else f"(win4 - win{s})")
+             for c, s, dx, dy, diag in _D8}
+    best = "GREATEST(" + ", ".join(drops[c] for c, *_ in _D8) + ")"
+    dir_ = ("(CASE WHEN " + best + " <= 0.0 THEN 0 "
+            + " ".join(f"WHEN {drops[c]} = {best} THEN {c}"
+                       for c, *_ in _D8) + " END)")
+    return dir_, best
+
+
+def q_d8_flow(spark, sf_dir):
+    """D8 flow direction (O'Callaghan & Mark 1984, the standard
+    hydrology first stage; ESRI FlowDirection codes 1..128, pits = 0):
+    steepest distance-weighted drop over the 3x3 window, plus each
+    cell's DONOR count (how many neighbors drain into it — the
+    in-degree the flow-accumulation iteration starts from). gdaldem
+    ships the same-window slope/aspect family; D8 is the drainage
+    companion built on the identical scatter-pivot window.
+
+    Scale shape: window build (one bounded-key shuffle) + column
+    math; the donor count is one groupBy on the receiver key joined
+    back — all keyed, no iteration here."""
+    nb, _ = _dem_win(spark)
+    dir_, best = _d8_sql()
+    flow = nb.selectExpr(
+        "py", "px", f"CAST({dir_} AS INT) AS dir",
+        f"ROUND({best}, 6) AS drop_max").persist()
+    dx = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dxx}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    dy = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dyy}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    rec = flow.filter(F.col("dir") > 0).selectExpr(
+        f"px + {dx} AS rx", f"py + {dy} AS ry")
+    donors = (rec.groupBy("ry", "rx")
+              .agg(F.count("*").cast("bigint").alias("n_donors")))
+    return (flow.join(donors, (flow["py"] == donors["ry"])
+                      & (flow["px"] == donors["rx"]), "left")
+            .select("py", "px", "dir", "drop_max",
+                    F.coalesce(F.col("n_donors"), F.lit(0))
+                    .cast("bigint").alias("n_donors"))
+            .orderBy("py", "px"))
+
+
+def o_d8_flow():
+    dir_, best = _d8_sql()
+    dx = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dxx}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    dy = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dyy}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    return f"""
+WITH {_o_dem_win_cte()},
+flow AS (
+  SELECT py, px, CAST({dir_} AS INT) AS dir,
+         ROUND({best}, 6) AS drop_max
+  FROM w),
+donors AS (
+  SELECT py + {dy} AS ry, px + {dx} AS rx, COUNT(*) AS n_donors
+  FROM flow WHERE dir > 0 GROUP BY 1, 2)
+SELECT f.py, f.px, f.dir, f.drop_max,
+       CAST(COALESCE(d.n_donors, 0) AS BIGINT) AS n_donors
+FROM flow f LEFT JOIN donors d ON d.ry = f.py AND d.rx = f.px
+ORDER BY f.py, f.px"""
+
+
+# =================================================================
 # vector export-schema (gdal vector export-schema)
 # =================================================================
 
@@ -15985,4 +16068,5 @@ REGISTRY: dict[str, tuple] = {
     "token_pmi": (q_token_pmi, o_token_pmi),
     "stream_cms": (q_stream_cms, o_stream_cms),
     "export_schema": (q_export_schema, o_export_schema),
+    "d8_flow": (q_d8_flow, o_d8_flow),
 }
