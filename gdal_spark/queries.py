@@ -15067,6 +15067,90 @@ ORDER BY f.py, f.px"""
 
 
 # =================================================================
+# watershed delineation (D8 outlets by pointer doubling)
+# =================================================================
+
+
+def q_watershed(spark, sf_dir):
+    """Watershed delineation over the D8 drainage graph: every cell
+    resolves to its OUTLET (pit, or first off-interior receiver) and
+    the catchment size per outlet — the hydrology companion of
+    d8_flow (ESRI Watershed/Basin semantics). Resolution by POINTER
+    DOUBLING (the redirect_resolve idiom, here on a spatial graph):
+    3 self-join rounds square the resolved distance (2^3 = 8 >= the
+    fixture's max path 4); D8 paths strictly descend elevation, so
+    the graph is acyclic and doubling is exact. At a 10^12-cell DEM
+    this is O(log maxpath) keyed shuffle rounds — never a per-hop
+    walk. Off-interior receivers are terminals via LEFT-join
+    coalesce. Oracle: the same graph walked ONE hop at a time by a
+    recursive CTE — an independent formulation."""
+    nb, _ = _dem_win(spark)
+    dir_, best = _d8_sql()
+    dx = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dxx}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    dy = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dyy}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    st = (nb.selectExpr("py", "px", f"CAST({dir_} AS INT) AS dir")
+          .selectExpr(
+              "py", "px",
+              f"CASE WHEN dir > 0 THEN py + {dy} ELSE py END AS ny",
+              f"CASE WHEN dir > 0 THEN px + {dx} ELSE px END AS nx",
+              "CAST(CASE WHEN dir > 0 THEN 1 ELSE 0 END AS BIGINT)"
+              " AS hops"))
+    for _ in range(3):
+        nx = st.select(F.col("py").alias("_y"), F.col("px").alias("_x"),
+                       F.col("ny").alias("_ny"), F.col("nx").alias("_nx"),
+                       F.col("hops").alias("_h"))
+        st = (st.join(nx, (st.ny == nx._y) & (st.nx == nx._x), "left")
+              .select("py", "px",
+                      F.coalesce(F.col("_ny"), F.col("ny")).alias("ny"),
+                      F.coalesce(F.col("_nx"), F.col("nx")).alias("nx"),
+                      (F.col("hops") + F.coalesce(F.col("_h"), F.lit(0)))
+                      .alias("hops")))
+    w = Window.partitionBy("ny", "nx")
+    return (st.select("py", "px",
+                      F.col("ny").alias("out_py"),
+                      F.col("nx").alias("out_px"),
+                      F.col("hops").cast("int").alias("path_hops"),
+                      F.count("*").over(w).cast("bigint")
+                      .alias("catchment_cells"))
+            .orderBy("py", "px"))
+
+
+def o_watershed():
+    dir_, best = _d8_sql()
+    dx = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dxx}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    dy = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dyy}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    return f"""
+WITH RECURSIVE {_o_dem_win_cte()},
+flow AS (SELECT py, px, CAST({dir_} AS INT) AS dir FROM w),
+ptr AS (
+  SELECT py, px, py + {dy} AS ny, px + {dx} AS nx
+  FROM flow WHERE dir > 0),
+walk(py, px, cy, cx, h) AS (
+  SELECT py, px, py, px, 0 FROM flow
+  UNION ALL
+  SELECT w2.py, w2.px, p.ny, p.nx, w2.h + 1
+  FROM walk w2 JOIN ptr p ON p.py = w2.cy AND p.px = w2.cx),
+fin AS (
+  SELECT py, px, cy, cx, h FROM (
+    SELECT py, px, cy, cx, h,
+           ROW_NUMBER() OVER (PARTITION BY py, px ORDER BY h DESC)
+             AS rn
+    FROM walk) t WHERE rn = 1)
+SELECT py, px, cy AS out_py, cx AS out_px, CAST(h AS INT) AS path_hops,
+       CAST(COUNT(*) OVER (PARTITION BY cy, cx) AS BIGINT)
+         AS catchment_cells
+FROM fin ORDER BY py, px"""
+
+
+# =================================================================
 # vector export-schema (gdal vector export-schema)
 # =================================================================
 
@@ -16069,4 +16153,5 @@ REGISTRY: dict[str, tuple] = {
     "stream_cms": (q_stream_cms, o_stream_cms),
     "export_schema": (q_export_schema, o_export_schema),
     "d8_flow": (q_d8_flow, o_d8_flow),
+    "watershed": (q_watershed, o_watershed),
 }
