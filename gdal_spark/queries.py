@@ -15151,6 +15151,79 @@ FROM fin ORDER BY py, px"""
 
 
 # =================================================================
+# D8 flow accumulation (synchronous upstream-count sweep)
+# =================================================================
+
+FACC_ROUNDS = 6   # >= drainage depth (fixture max path 4; each round
+                  # finalizes one more upstream level)
+
+
+def q_flow_accumulation(spark, sf_dir):
+    """D8 flow accumulation (ESRI FlowAccumulation: for every cell,
+    how many upstream cells drain through it — counting the cell
+    itself, i.e. catchment area in cells): synchronous fixpoint
+    acc_{{t+1}} = 1 + sum(acc_t over donors), exact once t reaches
+    the drainage depth ({FACC_ROUNDS} rounds covers the fixture's
+    depth-4 tree). Each round is ONE receiver-keyed groupBy + join —
+    the shortest_paths/Bellman-Ford discipline on the drainage graph;
+    depth-bounded rounds are the honest cost of tree aggregation
+    (contrast watershed's pointer doubling, which resolves OUTLETS in
+    log rounds but cannot count path-through visits). Oracle:
+    INDEPENDENT — the recursive-CTE walk counts the nodes whose path
+    visits each cell."""
+    nb, _ = _dem_win(spark)
+    dir_, best = _d8_sql()
+    dx = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dxx}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    dy = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dyy}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    ptr = (nb.selectExpr("py", "px", f"CAST({dir_} AS INT) AS dir")
+           .selectExpr("py", "px", "dir",
+                       f"py + {dy} AS ny", f"px + {dx} AS nx")
+           .persist())
+    acc = ptr.select("py", "px", F.lit(1).cast("bigint").alias("acc"))
+    for _ in range(FACC_ROUNDS):
+        up = (ptr.filter(F.col("dir") > 0)
+              .join(acc, ["py", "px"])
+              .groupBy(F.col("ny").alias("py"), F.col("nx").alias("px"))
+              .agg(F.sum("acc").alias("from_up")))
+        acc = (ptr.select("py", "px")
+               .join(up, ["py", "px"], "left")
+               .select("py", "px",
+                       (F.lit(1) + F.coalesce(F.col("from_up"),
+                                              F.lit(0)))
+                       .cast("bigint").alias("acc")))
+    return acc.orderBy("py", "px")
+
+
+def o_flow_accumulation():
+    dir_, best = _d8_sql()
+    dx = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dxx}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    dy = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dyy}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    return f"""
+WITH RECURSIVE {_o_dem_win_cte()},
+flow AS (SELECT py, px, CAST({dir_} AS INT) AS dir FROM w),
+ptr AS (
+  SELECT py, px, py + {dy} AS ny, px + {dx} AS nx
+  FROM flow WHERE dir > 0),
+walk(py, px, cy, cx) AS (
+  SELECT py, px, py, px FROM flow
+  UNION ALL
+  SELECT w2.py, w2.px, p.ny, p.nx
+  FROM walk w2 JOIN ptr p ON p.py = w2.cy AND p.px = w2.cx),
+vis AS (SELECT cy, cx, COUNT(*) AS acc FROM walk GROUP BY cy, cx)
+SELECT f.py, f.px, CAST(COALESCE(v.acc, 1) AS BIGINT) AS acc
+FROM flow f LEFT JOIN vis v ON v.cy = f.py AND v.cx = f.px
+ORDER BY f.py, f.px"""
+
+
+# =================================================================
 # vector export-schema (gdal vector export-schema)
 # =================================================================
 
@@ -16154,4 +16227,5 @@ REGISTRY: dict[str, tuple] = {
     "export_schema": (q_export_schema, o_export_schema),
     "d8_flow": (q_d8_flow, o_d8_flow),
     "watershed": (q_watershed, o_watershed),
+    "flow_accumulation": (q_flow_accumulation, o_flow_accumulation),
 }
