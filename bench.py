@@ -164,7 +164,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "cms_heavy_hitters", "scd2_history", "winnowing",
                  "mdim_mosaic", "dem_curvature", "component_moments",
                  "token_pmi", "stream_cms", "export_schema",
-                 "d8_flow", "watershed", "flow_accumulation"]:
+                 "d8_flow", "watershed", "flow_accumulation",
+                 "segment_intersections"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

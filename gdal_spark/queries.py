@@ -15151,6 +15151,84 @@ FROM fin ORDER BY py, px"""
 
 
 # =================================================================
+# segment-intersection points (cross-feature boundary crossings)
+# =================================================================
+
+
+def _seg_int_sql() -> dict:
+    """Proper segment-segment crossing test (4 orientation signs) and
+    the parametric intersection point, over columns (ax1, ay1, ax2,
+    ay2) / (bx1, by1, bx2, by2) — IDENTICAL SQL text both engines
+    (O'Rourke, Computational Geometry in C §7.2; the GEOS
+    LineIntersector semantics restricted to proper crossings)."""
+    d1 = "((ax2-ax1)*(by1-ay1)-(ay2-ay1)*(bx1-ax1))"
+    d2 = "((ax2-ax1)*(by2-ay1)-(ay2-ay1)*(bx2-ax1))"
+    d3 = "((bx2-bx1)*(ay1-by1)-(by2-by1)*(ax1-bx1))"
+    d4 = "((bx2-bx1)*(ay2-by1)-(by2-by1)*(ax2-bx1))"
+    proper = f"({d1}*{d2} < 0 AND {d3}*{d4} < 0)"
+    den = "((ax2-ax1)*(by2-by1)-(ay2-ay1)*(bx2-bx1))"
+    t = f"(((bx1-ax1)*(by2-by1)-(by1-ay1)*(bx2-bx1)) / {den})"
+    return {"proper": proper,
+            "ix": f"(ax1 + {t} * (ax2-ax1))",
+            "iy": f"(ay1 + {t} * (ay2-ay1))"}
+
+
+def q_segment_intersections(spark, sf_dir):
+    """Cross-feature boundary crossing points: every PROPER crossing
+    between ring edges of DIFFERENT zones, with the parametric
+    intersection coordinates — the pairwise core of overlay node
+    insertion (GEOS noding; check_geometry's self-intersection test
+    is the within-ring sibling). Spark shape: edges scatter to the 1°
+    grid cells their bbox overlaps, pairs form INSIDE cells only
+    (equi-join on the cell key — never all-pairs), duplicates from
+    multi-cell spans collapse with DISTINCT before the exact test.
+    At 10^12 edges this is the standard spatial-join plan; the oracle
+    is the INDEPENDENT brute-force all-pairs formulation."""
+    e = _ring_edges_df(spark)
+    cells = e.select(
+        "zone_fid", "edge", "x1", "y1", "x2", "y2",
+        F.explode(F.sequence(
+            F.floor(F.least("x1", "x2")).cast("int"),
+            F.floor(F.greatest("x1", "x2")).cast("int"))).alias("cx"))
+    cells = cells.select(
+        "*", F.explode(F.sequence(
+            F.floor(F.least("y1", "y2")).cast("int"),
+            F.floor(F.greatest("y1", "y2")).cast("int"))).alias("cy"))
+    a = cells.selectExpr("zone_fid AS za", "edge AS ea", "x1 AS ax1",
+                         "y1 AS ay1", "x2 AS ax2", "y2 AS ay2",
+                         "cx", "cy")
+    b = cells.selectExpr("zone_fid AS zb", "edge AS eb", "x1 AS bx1",
+                         "y1 AS by1", "x2 AS bx2", "y2 AS by2",
+                         "cx", "cy")
+    s = _seg_int_sql()
+    pairs = (a.join(b, ["cx", "cy"])
+             .filter(F.col("za") < F.col("zb"))
+             .drop("cx", "cy").distinct())
+    return (pairs.filter(F.expr(s["proper"]))
+            .selectExpr("za", "ea", "zb", "eb",
+                        f"ROUND({s['ix']}, 6) AS ix",
+                        f"ROUND({s['iy']}, 6) AS iy")
+            .orderBy("za", "ea", "zb", "eb"))
+
+
+def o_segment_intersections():
+    from gdal_spark.fixtures import zone_ring_edges_sql
+    s = _seg_int_sql()
+    return f"""
+WITH zedges AS (SELECT * FROM {zone_ring_edges_sql()}),
+p AS (
+  SELECT a.zone_fid AS za, a.edge AS ea, a.x1 AS ax1, a.y1 AS ay1,
+         a.x2 AS ax2, a.y2 AS ay2,
+         b.zone_fid AS zb, b.edge AS eb, b.x1 AS bx1, b.y1 AS by1,
+         b.x2 AS bx2, b.y2 AS by2
+  FROM zedges a JOIN zedges b ON a.zone_fid < b.zone_fid)
+SELECT za, ea, zb, eb, ROUND({s['ix']}, 6) AS ix,
+       ROUND({s['iy']}, 6) AS iy
+FROM p WHERE {s['proper']}
+ORDER BY za, ea, zb, eb"""
+
+
+# =================================================================
 # D8 flow accumulation (synchronous upstream-count sweep)
 # =================================================================
 
@@ -16228,4 +16306,6 @@ REGISTRY: dict[str, tuple] = {
     "d8_flow": (q_d8_flow, o_d8_flow),
     "watershed": (q_watershed, o_watershed),
     "flow_accumulation": (q_flow_accumulation, o_flow_accumulation),
+    "segment_intersections": (q_segment_intersections,
+                              o_segment_intersections),
 }
