@@ -15151,6 +15151,99 @@ FROM fin ORDER BY py, px"""
 
 
 # =================================================================
+# Strahler stream order (bottom-up sweep on the D8 tree)
+# =================================================================
+
+
+def q_strahler_order(spark, sf_dir):
+    """Strahler stream order over the D8 drainage tree (Strahler 1957;
+    ESRI StreamOrder): leaves are order 1; a cell's order is its max
+    donor order, +1 when two or more donors tie at that max. Computed
+    by the depth-bounded synchronous sweep (same discipline as
+    flow_accumulation — {FACC_ROUNDS} rounds cover the fixture's
+    depth-4 tree; each round is one donor groupBy for the max, one
+    join-back for the tie count). The oracle replays the identical
+    sweep as unrolled CTE rounds — an expression twin (no independent
+    closed form exists for Strahler)."""
+    nb, _ = _dem_win(spark)
+    dir_, best = _d8_sql()
+    dx = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dxx}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    dy = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dyy}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    ptr = (nb.selectExpr("py", "px", f"CAST({dir_} AS INT) AS dir")
+           .selectExpr("py", "px", "dir",
+                       f"py + {dy} AS ny", f"px + {dx} AS nx")
+           .persist())
+    cells = ptr.select("py", "px")
+    ordd = cells.select("py", "px", F.lit(1).cast("int").alias("o"))
+    for _ in range(FACC_ROUNDS):
+        dn = (ptr.filter(F.col("dir") > 0)
+              .join(ordd, ["py", "px"])
+              .select(F.col("ny").alias("py"), F.col("nx").alias("px"),
+                      "o"))
+        dm = dn.groupBy("py", "px").agg(F.max("o").alias("mx"))
+        dk = (dn.join(dm, ["py", "px"])
+              .filter(F.col("o") == F.col("mx"))
+              .groupBy("py", "px")
+              .agg(F.max("mx").alias("mx"),
+                   F.count("*").alias("k")))
+        ordd = (cells.join(dk, ["py", "px"], "left")
+                .select("py", "px",
+                        F.coalesce(
+                            F.when(F.col("k") >= 2, F.col("mx") + 1)
+                            .otherwise(F.col("mx")), F.lit(1))
+                        .cast("int").alias("o"))
+                # truncate lineage: each round reads the previous
+                # TWICE — an uncut plan re-expands the window join
+                # 2^t times (the component table is tiny)
+                .localCheckpoint(eager=True))
+    return ordd.orderBy("py", "px")
+
+
+def o_strahler_order():
+    dir_, best = _d8_sql()
+    dx = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dxx}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    dy = ("(CASE " + " ".join(f"WHEN dir = {c} THEN {dyy}"
+                              for c, s, dxx, dyy, d in _D8)
+          + " ELSE 0 END)")
+    rounds = []
+    prev = "r0"
+    for t in range(1, FACC_ROUNDS + 1):
+        # MATERIALIZED: each round reads the previous twice — inlined
+        # CTEs would re-expand the 8-way window join 2^t times
+        rounds.append(f"""
+dn{t} AS MATERIALIZED (
+  SELECT p.ny AS py, p.nx AS px, o.o
+  FROM ptr p JOIN {prev} o ON o.py = p.py AND o.px = p.px),
+dm{t} AS (SELECT py, px, MAX(o) AS mx FROM dn{t} GROUP BY py, px),
+dk{t} AS (
+  SELECT d.py, d.px, MAX(m.mx) AS mx, COUNT(*) AS k
+  FROM dn{t} d JOIN dm{t} m ON m.py = d.py AND m.px = d.px
+  WHERE d.o = m.mx GROUP BY d.py, d.px),
+r{t} AS MATERIALIZED (
+  SELECT c.py, c.px,
+         CAST(COALESCE(CASE WHEN k.k >= 2 THEN k.mx + 1 ELSE k.mx END,
+                       1) AS INT) AS o
+  FROM cells c LEFT JOIN dk{t} k ON k.py = c.py AND k.px = c.px)""")
+        prev = f"r{t}"
+    return f"""
+WITH {_o_dem_win_cte()},
+flow AS MATERIALIZED (
+  SELECT py, px, CAST({dir_} AS INT) AS dir FROM w),
+cells AS (SELECT py, px FROM flow),
+ptr AS (
+  SELECT py, px, py + {dy} AS ny, px + {dx} AS nx
+  FROM flow WHERE dir > 0),
+r0 AS (SELECT py, px, CAST(1 AS INT) AS o FROM cells),{",".join(rounds)}
+SELECT py, px, o FROM {prev} ORDER BY py, px"""
+
+
+# =================================================================
 # segment-intersection points (cross-feature boundary crossings)
 # =================================================================
 
@@ -16308,4 +16401,5 @@ REGISTRY: dict[str, tuple] = {
     "flow_accumulation": (q_flow_accumulation, o_flow_accumulation),
     "segment_intersections": (q_segment_intersections,
                               o_segment_intersections),
+    "strahler_order": (q_strahler_order, o_strahler_order),
 }

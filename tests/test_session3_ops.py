@@ -219,3 +219,36 @@ def test_flow_conservation(spark):
     # donors conserve: every draining cell with an interior receiver
     # is counted exactly once
     assert flow.n_donors.sum() <= (flow.dir > 0).sum()
+
+
+def test_strahler_order_invariants(spark):
+    """Order 1 exactly at cells with no donors; order can only grow
+    downstream and is bounded by log2(catchment)+1 (Strahler's
+    defining property)."""
+    import numpy as np
+    from gdal_spark.queries import (q_d8_flow, q_flow_accumulation,
+                                    q_strahler_order)
+    so = q_strahler_order(spark, SF_SMOKE).toPandas()
+    fl = q_d8_flow(spark, SF_SMOKE).toPandas()
+    acc = q_flow_accumulation(spark, SF_SMOKE).toPandas()
+    m = so.merge(fl, on=["py", "px"]).merge(acc, on=["py", "px"])
+    assert ((m.n_donors == 0) == (m.o == 1)).all() or \
+        (m.loc[m.n_donors == 0, "o"] == 1).all()
+    # a stream of order k needs >= 2^(k-1) upstream cells
+    assert (m.acc >= 2 ** (m.o - 1)).all()
+    assert m.o.min() == 1
+
+
+def test_segment_intersections_points_lie_on_both_segments(spark):
+    """Every reported intersection point must lie inside both
+    segments' bounding boxes (strictly, for proper crossings)."""
+    from gdal_spark.operators import spatial_join  # noqa: F401
+    from gdal_spark.queries import (_ring_edges_df,
+                                    q_segment_intersections)
+    pts = q_segment_intersections(spark, SF_SMOKE).toPandas()
+    edges = _ring_edges_df(spark).toPandas()
+    for _, r in pts.iterrows():
+        for z, e, tag in [(r.za, r.ea, "a"), (r.zb, r.eb, "b")]:
+            s = edges[(edges.zone_fid == z) & (edges.edge == e)].iloc[0]
+            assert min(s.x1, s.x2) - 1e-9 <= r.ix <= max(s.x1, s.x2) + 1e-9
+            assert min(s.y1, s.y2) - 1e-9 <= r.iy <= max(s.y1, s.y2) + 1e-9
