@@ -165,7 +165,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "mdim_mosaic", "dem_curvature", "component_moments",
                  "token_pmi", "stream_cms", "export_schema",
                  "d8_flow", "watershed", "flow_accumulation",
-                 "segment_intersections", "strahler_order"]:
+                 "segment_intersections", "strahler_order",
+                 "ema_smoothing"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

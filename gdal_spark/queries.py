@@ -15151,6 +15151,54 @@ FROM fin ORDER BY py, px"""
 
 
 # =================================================================
+# exponential moving average (ordered non-commutative fold)
+# =================================================================
+
+EMA_ALPHA = 0.25   # dyadic: 0.25/0.75 multiplies are exact halvings
+
+
+def q_ema_smoothing(spark, sf_dir):
+    """Per-user exponential moving average of event values (the
+    classic streaming smoother: s_0 = x_0, s_t = a*x_t + (1-a)*s_t-1)
+    — a NON-commutative order-sensitive fold, executed with the
+    proven ordered-fold parity idiom (sort_array + aggregate in
+    Spark == list(ORDER BY) + list_reduce in DuckDB, identical float
+    op sequence; alpha 0.25 is dyadic so each step is exact IEEE).
+    One groupBy(user_id) shuffle; per-user state is one array —
+    bounded by a user's history, the same contract as sessionize."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arr = F.sort_array(F.collect_list(
+        F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda s: s["value"])
+    a, b = EMA_ALPHA, 1.0 - EMA_ALPHA
+    g = ev.groupBy("user_id").agg(vals.alias("vs"))
+    ema = F.aggregate(
+        F.slice(F.col("vs"), 2, F.size("vs") - 1),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.lit(a) * x + F.lit(b) * acc)
+    return (g.select(
+        "user_id", F.size("vs").cast("bigint").alias("n_obs"),
+        F.round(F.element_at("vs", 1), 6).alias("first_v"),
+        F.round(F.element_at("vs", -1), 6).alias("last_v"),
+        F.round(ema, 6).alias("ema"))
+        .orderBy("user_id"))
+
+
+def o_ema_smoothing():
+    a, b = sqlexpr.dlit(EMA_ALPHA), sqlexpr.dlit(1.0 - EMA_ALPHA)
+    return f"""
+WITH g AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_obs,
+       ROUND(vs[1], 6) AS first_v,
+       ROUND(vs[-1], 6) AS last_v,
+       ROUND(list_reduce(vs, (acc, x) -> {a} * x + {b} * acc), 6)
+         AS ema
+FROM g ORDER BY user_id"""
+
+
+# =================================================================
 # Strahler stream order (bottom-up sweep on the D8 tree)
 # =================================================================
 
@@ -16402,4 +16450,5 @@ REGISTRY: dict[str, tuple] = {
     "segment_intersections": (q_segment_intersections,
                               o_segment_intersections),
     "strahler_order": (q_strahler_order, o_strahler_order),
+    "ema_smoothing": (q_ema_smoothing, o_ema_smoothing),
 }
