@@ -15151,6 +15151,63 @@ FROM fin ORDER BY py, px"""
 
 
 # =================================================================
+# Theil–Sen robust trend (median of pairwise slopes)
+# =================================================================
+
+
+def q_theil_sen(spark, sf_dir):
+    """Per-user Theil–Sen trend estimator (Theil 1950 / Sen 1968 —
+    the robust regression slope: median over all pairwise slopes;
+    29%-breakdown alternative to OLS for noisy event streams).
+    Observations are sequenced per user by (ts, event_id) so slopes
+    have exact integer denominators; the LOWER median (element
+    ceil(m/2) of the sorted slope list) keeps everything
+    element-exact — no averaging, perfect cross-engine parity.
+    Shape: one user_id shuffle for the sequencing window, a per-user
+    pair self-join (fan-out bounded by a user's history — same
+    contract as sessionize), one groupBy. Oracle mirrors with
+    list(ORDER BY)[idx]."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (ev.select("user_id", "value",
+                   F.row_number().over(w).alias("i"))
+         .persist())
+    a = s.selectExpr("user_id", "i AS ia", "value AS va")
+    b = s.selectExpr("user_id", "i AS ib", "value AS vb")
+    slopes = (a.join(b, "user_id")
+              .filter(F.col("ia") < F.col("ib"))
+              .select("user_id",
+                      ((F.col("vb") - F.col("va"))
+                       / (F.col("ib") - F.col("ia"))).alias("slope")))
+    g = slopes.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("slope")).alias("ss"))
+    med = F.element_at(
+        "ss", F.floor((F.size("ss") + 1) / 2).cast("int"))
+    return (g.select("user_id",
+                     F.size("ss").cast("bigint").alias("n_pairs"),
+                     F.round(med, 6).alias("ts_slope"))
+            .orderBy("user_id"))
+
+
+def o_theil_sen():
+    return """
+WITH s AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events),
+sl AS (
+  SELECT a.user_id, (b.value - a.value) / (b.i - a.i) AS slope
+  FROM s a JOIN s b ON b.user_id = a.user_id AND a.i < b.i),
+g AS (
+  SELECT user_id, list(slope ORDER BY slope) AS ss
+  FROM sl GROUP BY user_id)
+SELECT user_id, CAST(len(ss) AS BIGINT) AS n_pairs,
+       ROUND(ss[CAST(FLOOR((len(ss) + 1) / 2) AS INT)], 6) AS ts_slope
+FROM g ORDER BY user_id"""
+
+
+# =================================================================
 # exponential moving average (ordered non-commutative fold)
 # =================================================================
 
@@ -16451,4 +16508,5 @@ REGISTRY: dict[str, tuple] = {
                               o_segment_intersections),
     "strahler_order": (q_strahler_order, o_strahler_order),
     "ema_smoothing": (q_ema_smoothing, o_ema_smoothing),
+    "theil_sen": (q_theil_sen, o_theil_sen),
 }
