@@ -166,7 +166,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "token_pmi", "stream_cms", "export_schema",
                  "d8_flow", "watershed", "flow_accumulation",
                  "segment_intersections", "strahler_order",
-                 "ema_smoothing", "theil_sen"]:
+                 "ema_smoothing", "theil_sen",
+                 "transform_geolocs", "buildvrt_grid", "soft_dedup"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

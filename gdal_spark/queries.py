@@ -16199,6 +16199,223 @@ SELECT ida, idb, hamming FROM ham WHERE hamming <= {PH_HAM}
 ORDER BY ida, idb"""
 
 
+# =================================================================
+# GDALTransformGeolocations (alg/gdaltransformgeolocs.cpp)
+# =================================================================
+
+
+def _transform_geolocs_sql(dialect: str) -> str:
+    """Shared SQL text (engine range generators differ): the swath
+    geolocation arrays of operators/geoloc.py with the closed-form
+    4326 -> 3857 transform applied to every (lon, lat) element."""
+    from gdal_spark.operators.geoloc import geoloc_cte
+    mx = "((lon) * (PI() * 6378137)) / 180.0"
+    my = ("(LN(TAN((90.0 + (lat)) * PI() / 360.0)) / (PI() / 180.0))"
+          " * (PI() * 6378137) / 180.0")
+    return f"""WITH {geoloc_cte(dialect)}
+SELECT CAST(gl AS INT) AS gl, CAST(gp AS INT) AS gp,
+       ROUND({mx}, 6) AS geo_x, ROUND({my}, 6) AS geo_y
+FROM geoloc ORDER BY gl, gp"""
+
+
+def q_transform_geolocs(spark, sf_dir):
+    """GDALTransformGeolocations (alg/gdaltransformgeolocs.cpp:40-150):
+    transform the X/Y values held in geolocation-array bands through a
+    coordinate transformer and write them back — the missing-SRS swath
+    preprocessing step before gdalwarp GEOLOC warps. The transformer
+    here is the closed-form 4326 -> 3857 pair (the container has no
+    PROJ — same documented scope as utm_transform/polar_stereo); the
+    geoloc bands are the swath fixture of operators/geoloc.py. Pure
+    per-element column math (one map-only stage over the band table —
+    at 100 TB the bands partition freely, nothing shuffles); both
+    engines run the IDENTICAL expression text, outputs rounded to 6
+    (JVM vs libm LN/TAN agree well past that at these magnitudes)."""
+    return spark.sql(_transform_geolocs_sql("spark"))
+
+
+def o_transform_geolocs():
+    return _transform_geolocs_sql("duck")
+
+
+# =================================================================
+# gdalbuildvrt mosaic grid planning (apps/gdalbuildvrt_lib.cpp)
+# =================================================================
+
+#: -te sub-window for the 'highest_te' mode: excludes source 0 entirely
+#: (right edge -16 < 0 — the GetSrcDstWin skip path) and clips several
+#: others on both axes (the SrcXOff > 0 branch). Dyadic, like every
+#: fixture coordinate here, so all grid arithmetic is IEEE-exact and
+#: order-free in both engines.
+BV_TE = (0.0, -4.0, 30.0, 12.0)
+
+
+def _buildvrt_sql(dialect: str) -> str:
+    if dialect == "duck":
+        rng = "(SELECT UNNEST(RANGE(0, 8)) AS src_id)"
+    else:
+        rng = "(SELECT explode(sequence(0, 7)) AS src_id)"
+    te = ", ".join(f"{v}e0" for v in BV_TE)
+    return f"""WITH srcs AS (
+  SELECT src_id,
+         -20.0e0 + CAST(src_id AS DOUBLE) * 7.25e0 AS tlx,
+         15.0e0 - CAST(src_id % 3 AS DOUBLE) * 3.5e0 AS tly,
+         0.25e0 * CAST(1 + src_id % 4 AS DOUBLE) AS wres,
+         -0.25e0 * CAST(1 + (src_id * 2) % 5 AS DOUBLE) AS nsres,
+         CAST(16 + 8 * (src_id % 3) AS INT) AS w,
+         CAST(12 + 4 * (src_id % 2) AS INT) AS h
+  FROM {rng} t),
+ext AS (
+  SELECT MIN(tlx) AS uminx, MAX(tlx + w * wres) AS umaxx,
+         MAX(tly) AS umaxy, MIN(tly + h * nsres) AS uminy,
+         AVG(wres) AS avg_we, AVG(nsres) AS avg_ns,
+         MIN(wres) AS hi_we, MAX(nsres) AS hi_ns,
+         MAX(wres) AS lo_we, MIN(nsres) AS lo_ns
+  FROM srcs),
+grids AS (
+  SELECT 'average' AS mode, avg_we AS we, avg_ns AS ns, uminx AS gminx,
+         uminy AS gminy, umaxx AS gmaxx, umaxy AS gmaxy, 0 AS tap FROM ext
+  UNION ALL
+  SELECT 'highest_tap', hi_we, hi_ns, uminx, uminy, umaxx, umaxy, 1 FROM ext
+  UNION ALL
+  SELECT 'lowest', lo_we, lo_ns, uminx, uminy, umaxx, umaxy, 0 FROM ext
+  UNION ALL
+  SELECT 'highest_te', hi_we, hi_ns, {te}, 0 FROM ext),
+snapped AS (
+  SELECT mode, we, ns,
+    CASE WHEN tap = 1 THEN FLOOR(gminx / we) * we ELSE gminx END AS minx,
+    CASE WHEN tap = 1 THEN CEIL(gmaxx / we) * we ELSE gmaxx END AS maxx,
+    CASE WHEN tap = 1 THEN FLOOR(gminy / (-ns)) * (-ns) ELSE gminy
+         END AS miny,
+    CASE WHEN tap = 1 THEN CEIL(gmaxy / (-ns)) * (-ns) ELSE gmaxy
+         END AS maxy
+  FROM grids),
+sized AS (
+  SELECT *, CAST(FLOOR(0.5e0 + (maxx - minx) / we) AS INT) AS xsize,
+            CAST(FLOOR(0.5e0 + (maxy - miny) / (-ns)) AS INT) AS ysize
+  FROM snapped),
+win0 AS (
+  SELECT g.mode, s.src_id, g.we, g.ns, g.minx, g.maxy, g.xsize, g.ysize,
+         s.tlx, s.tly, s.wres, s.nsres, s.w, s.h
+  FROM sized g CROSS JOIN srcs s
+  WHERE s.tlx + s.w * s.wres > g.minx AND s.tlx < g.maxx
+    AND s.tly + s.h * s.nsres < g.maxy AND s.tly > g.miny),
+win1 AS (
+  SELECT *,
+    CASE WHEN tlx < minx THEN (minx - tlx) / wres ELSE 0.0e0 END AS sxoff,
+    CASE WHEN tlx < minx THEN 0.0e0 ELSE (tlx - minx) / we END AS dxoff,
+    CASE WHEN maxy < tly THEN (tly - maxy) / (-nsres) ELSE 0.0e0
+         END AS syoff,
+    CASE WHEN maxy < tly THEN 0.0e0 ELSE (maxy - tly) / (-ns) END AS dyoff
+  FROM win0),
+win2 AS (
+  SELECT *,
+    CAST(w AS DOUBLE)
+      - (CASE WHEN sxoff > 0.0e0 THEN sxoff ELSE 0.0e0 END) AS sxsize0,
+    CAST(h AS DOUBLE)
+      - (CASE WHEN syoff > 0.0e0 THEN syoff ELSE 0.0e0 END) AS sysize0
+  FROM win1),
+win3 AS (
+  SELECT *, sxsize0 * (wres / we) AS dxsize0,
+            sysize0 * (nsres / ns) AS dysize0
+  FROM win2),
+win4 AS (
+  SELECT *,
+    CASE WHEN dxoff + dxsize0 > CAST(xsize AS DOUBLE)
+         THEN CAST(xsize AS DOUBLE) - dxoff ELSE dxsize0 END AS dxsize,
+    CASE WHEN dyoff + dysize0 > CAST(ysize AS DOUBLE)
+         THEN CAST(ysize AS DOUBLE) - dyoff ELSE dysize0 END AS dysize
+  FROM win3),
+win5 AS (
+  SELECT *,
+    CASE WHEN dxoff + dxsize0 > CAST(xsize AS DOUBLE)
+         THEN dxsize / (wres / we) ELSE sxsize0 END AS sxsize,
+    CASE WHEN dyoff + dysize0 > CAST(ysize AS DOUBLE)
+         THEN dysize / (nsres / ns) ELSE sysize0 END AS sysize
+  FROM win4)
+SELECT mode, CAST(src_id AS INT) AS src_id, xsize, ysize,
+       ROUND(we, 9) AS we_res, ROUND(ns, 9) AS ns_res,
+       ROUND(minx, 9) AS minx, ROUND(maxy, 9) AS maxy,
+       ROUND(sxoff, 9) AS src_xoff, ROUND(syoff, 9) AS src_yoff,
+       ROUND(sxsize, 9) AS src_xsize, ROUND(sysize, 9) AS src_ysize,
+       ROUND(dxoff, 9) AS dst_xoff, ROUND(dyoff, 9) AS dst_yoff,
+       ROUND(dxsize, 9) AS dst_xsize, ROUND(dysize, 9) AS dst_ysize
+FROM win5
+WHERE sxsize > 0.0e0 AND dxsize > 0.0e0
+  AND sysize > 0.0e0 AND dysize > 0.0e0
+ORDER BY mode, src_id"""
+
+
+def q_buildvrt_grid(spark, sf_dir):
+    """gdalbuildvrt mosaic grid planning (apps/gdalbuildvrt_lib.cpp):
+    the resolution strategies verbatim — AVERAGE / HIGHEST (min we_res,
+    max ns_res — ns is negative) / LOWEST (:1083-1146) — over the union
+    extent of the source geotransforms, -tap snapping (floor/ceil to
+    the resolution grid, :1890-1897), the int(0.5 + extent/res) output
+    sizing (:1898-1899), and GetSrcDstWin's per-source src/dst window
+    derivation with both clip branches and the non-intersecting skip
+    (:120-200). Fixture: 8 mixed-resolution dyadic sources; the
+    'highest_te' mode replays the -te path (source 0 skipped, western
+    sources clipped with src_xoff > 0). Every coordinate is dyadic, so
+    AVG is order-free-exact and the whole plan is bit-identical across
+    engines with no ordered-fold machinery.
+
+    Scale shape: this is the PLANNING stage of a 100 TB mosaic — one
+    tiny aggregate over source metadata (#sources rows, map-side
+    combined) cross-joined back to emit per-source target windows; the
+    windows are exactly what drives downstream partition pruning, so
+    the expensive pixel stage reads only intersecting sources."""
+    return spark.sql(_buildvrt_sql("spark"))
+
+
+def o_buildvrt_grid():
+    return _buildvrt_sql("duck")
+
+
+# =================================================================
+# SoftDeDup: duplicate down-weighting instead of removal
+# =================================================================
+
+
+def q_soft_dedup(spark, sf_dir):
+    """Soft deduplication (SoftDeDup, He et al. 2024: down-weight
+    duplicated documents at sampling time instead of dropping them):
+    exact-hash clusters via md5(text), per-document sampling weight
+    1 / cluster_size — the corpus keeps every byte but contributes
+    each unique text with total weight 1. Seeded %13 constant-text
+    twins make the clusters non-vacuous (same idiom as the other dedup
+    gates). Cluster sizes here are powers of two, so the weights are
+    dyadic and cross-engine exact.
+
+    Scale shape: one hash groupBy (map-side combined) + one equi-join
+    back on the hash — identical physical plan to dedup_exact, no
+    all-pairs, no skew beyond the duplicate clusters themselves."""
+    d = docs_df(spark, sf_dir)
+    docs = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 13 == 0)
+         .selectExpr("doc_id + 500000 AS doc_id", "text"))
+    hashed = docs.select("doc_id", F.md5(F.col("text").cast("binary"))
+                         .alias("h"))
+    sizes = hashed.groupBy("h").agg(F.count("*").alias("n_dup"))
+    return (hashed.join(sizes, "h")
+            .select("doc_id", F.col("n_dup").cast("bigint").alias("n_dup"),
+                    F.round(F.lit(1.0) / F.col("n_dup"), 9).alias("weight"))
+            .orderBy("doc_id"))
+
+
+def o_soft_dedup():
+    return """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 13 = 0),
+hashed AS (SELECT doc_id, MD5(text) AS h FROM all_docs),
+sizes AS (SELECT h, COUNT(*) AS n_dup FROM hashed GROUP BY h)
+SELECT hashed.doc_id, CAST(sizes.n_dup AS BIGINT) AS n_dup,
+       ROUND(1.0e0 / sizes.n_dup, 9) AS weight
+FROM hashed JOIN sizes ON sizes.h = hashed.h
+ORDER BY hashed.doc_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -16509,4 +16726,7 @@ REGISTRY: dict[str, tuple] = {
     "strahler_order": (q_strahler_order, o_strahler_order),
     "ema_smoothing": (q_ema_smoothing, o_ema_smoothing),
     "theil_sen": (q_theil_sen, o_theil_sen),
+    "transform_geolocs": (q_transform_geolocs, o_transform_geolocs),
+    "buildvrt_grid": (q_buildvrt_grid, o_buildvrt_grid),
+    "soft_dedup": (q_soft_dedup, o_soft_dedup),
 }
