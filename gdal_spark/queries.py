@@ -16200,6 +16200,212 @@ ORDER BY ida, idb"""
 
 
 # =================================================================
+# gdallocationinfo -r cubic|cubicspline (GDALInterpolateAtPoint 4x4)
+# =================================================================
+
+
+def _ps_cubic_weights(fe: str) -> list[str]:
+    """CubicKernel (alg/gdalresamplingkernels.h:23-42) at the four tap
+    distances (1+f, f, 1-f, 2-f) of the fractional offset column
+    ``fe`` — the reference's exact textual form per branch (t<=1:
+    t^2*(1.5t-2.5)+1; 1<t<=2: t^2*(-0.5t+2.5)-4t+2), branches resolved
+    statically since f is in [0,1). Pure polynomials: bit-identical
+    across engines with no libm involved."""
+    d = sqlexpr.dlit
+    t0, t1, t2, t3 = f"({d(1.0)} + {fe})", f"({fe})", \
+        f"({d(1.0)} - {fe})", f"({d(2.0)} - {fe})"
+    far = (lambda t: f"(({t} * {t}) * ({d(-0.5)} * {t} + {d(2.5)})"
+           f" - {d(4.0)} * {t} + {d(2.0)})")
+    near = (lambda t: f"(({t} * {t}) * ({d(1.5)} * {t} - {d(2.5)})"
+            f" + {d(1.0)})")
+    return [far(t0), near(t1), near(t2), far(t3)]
+
+
+def _ps_bspline_weights(fe: str) -> list[str]:
+    """CubicSplineKernel (alg/gdalresamplingkernels.h:45-60) at signed
+    tap offsets (-1-f, -f, 1-f, 2-f): the <=0 cube guards resolve
+    statically for f in [0,1) (dropped zero terms are exact no-ops),
+    leaving the reference's a-4b+6c-4d accumulation order."""
+    d = sqlexpr.dlit
+    C = d(0.16666666666666666667)
+    cu = lambda e: f"(({e}) * ({e}) * ({e}))"
+    f1 = lambda k: f"({d(float(k))} - {fe})"
+    return [
+        f"({C} * {cu(f1(1))})",
+        f"({C} * ({cu(f1(2))} - ({d(4.0)} * {cu(f1(1))})))",
+        f"({C} * ({cu(f1(3))} - ({d(4.0)} * {cu(f1(2))})"
+        f" + ({d(6.0)} * {cu(f1(1))})))",
+        f"({C} * ({cu(f1(4))} - ({d(4.0)} * {cu(f1(3))})"
+        f" + ({d(6.0)} * {cu(f1(2))}) - ({d(4.0)} * {cu(f1(1))})))",
+    ]
+
+
+def _ps_cubic_combine(val, fx: str, fy: str) -> tuple[str, str]:
+    """(v_cubic, v_cubicspline) expressions: the reference's y-outer /
+    x-inner accumulation over the 16 taps (apply4x4Kernel,
+    alg/gdal_interpolateatpoint.cpp:303-340 — sum(v*w) / sum(w), both
+    sums in k = 4*ki + kj order), with ``val(k)`` naming tap k's pixel
+    value in the calling query's shape."""
+    out = []
+    for wfn in (_ps_cubic_weights, _ps_bspline_weights):
+        wx, wy = wfn(fx), wfn(fy)
+        terms, wsum = [], []
+        for ki in range(4):
+            for kj in range(4):
+                w = f"({wx[kj]} * {wy[ki]})"
+                terms.append(f"{val(4 * ki + kj)} * {w}")
+                wsum.append(w)
+        out.append(f"ROUND(({' + '.join(terms)}) / "
+                   f"({' + '.join(wsum)}), 6)")
+    return out[0], out[1]
+
+
+def q_point_sample_cubic(spark, sf_dir):
+    """gdallocationinfo / gdal raster pixel-info -r cubic|cubicspline
+    over a point batch (GDALInterpolateAtPoint,
+    alg/gdal_interpolateatpoint.cpp:303-360: center-of-pixel shift,
+    d = floor(loc-0.5), 4x4 window anchored at d-1, weight =
+    CubicKernel(kx-1-fx)*CubicKernel(ky-1-fy), result =
+    sum(v*w)/sum(w)) — the 16-tap companion of q_point_sample's
+    bilinear. The reference loops points serially; here the 16 taps
+    explode into rows resolved by ONE equi-join against the pixel
+    table, then a scatter-pivot groupBy reassembles the window — at
+    10^12 points one shuffle join, no per-point lookups. Interior
+    points only (window fully in-raster; the reference's
+    dragReadDataInBorder edge replication is documented out of
+    contract, same scope rule as q_point_sample). The oracle joins the
+    16 taps explicitly; both engines evaluate the identical
+    polynomial text, so parity is exact with no libm in play."""
+    from gdal_spark.operators import dem as dem_op
+    d = sqlexpr.dlit
+    pts = _ps_pts(spark).selectExpr(
+        "pt_id",
+        f"(x - {d(PS_X0)}) / {d(PS_DX)} AS pxf",
+        f"(y - {d(PS_Y0)}) / {d(PS_DY)} AS pyf").selectExpr(
+        "pt_id",
+        "CAST(FLOOR(pxf - 0.5) AS INT) AS ix",
+        "CAST(FLOOR(pyf - 0.5) AS INT) AS iy",
+        "(pxf - 0.5) - FLOOR(pxf - 0.5) AS fx",
+        "(pyf - 0.5) - FLOOR(pyf - 0.5) AS fy").filter(
+        "ix >= 1 AND iy >= 1")
+    taps = F.array(*[
+        F.struct(F.lit(4 * ki + kj).alias("k"),
+                 (F.col("ix") - 1 + kj).alias("tx"),
+                 (F.col("iy") - 1 + ki).alias("ty"))
+        for ki in range(4) for kj in range(4)])
+    e = (pts.select("pt_id", "fx", "fy", F.explode(taps).alias("t"))
+         .select("pt_id", "fx", "fy", F.col("t.k").alias("k"),
+                 F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty")))
+    dem = dem_op.dem_df(spark)
+    j = e.join(dem, (e.tx == dem.px) & (e.ty == dem.py), "inner")
+    g = j.groupBy("pt_id").agg(
+        F.max("fx").alias("fx"), F.max("fy").alias("fy"),
+        *[F.max(F.when(F.col("k") == k, F.col("elev"))).alias(f"e{k}")
+          for k in range(16)])
+    vc, vs = _ps_cubic_combine(lambda k: f"e{k}", "fx", "fy")
+    return g.selectExpr("pt_id", f"{vc} AS v_cubic",
+                        f"{vs} AS v_cubicspline").orderBy("pt_id")
+
+
+def o_point_sample_cubic():
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    d = sqlexpr.dlit
+    joins = "\n".join(
+        f"JOIN dem e{4 * ki + kj} ON e{4 * ki + kj}.px = p.ix - 1 + {kj}"
+        f" AND e{4 * ki + kj}.py = p.iy - 1 + {ki}"
+        for ki in range(4) for kj in range(4))
+    vc, vs = _ps_cubic_combine(lambda k: f"e{k}.elev", "p.fx", "p.fy")
+    return f"""
+WITH {_ps_pts_sql()},
+dem AS (
+  SELECT px, py, {DEM_ELEV_SQL} AS elev
+  FROM (SELECT UNNEST(RANGE(0, {DEM_W})) AS px) xs
+  CROSS JOIN (SELECT UNNEST(RANGE(0, {DEM_H})) AS py) ys),
+pf AS (
+  SELECT pt_id,
+         (x - {d(PS_X0)}) / {d(PS_DX)} AS pxf,
+         (y - {d(PS_Y0)}) / {d(PS_DY)} AS pyf
+  FROM pts),
+pc AS (
+  SELECT pt_id,
+         CAST(FLOOR(pxf - 0.5) AS INT) AS ix,
+         CAST(FLOOR(pyf - 0.5) AS INT) AS iy,
+         (pxf - 0.5) - FLOOR(pxf - 0.5) AS fx,
+         (pyf - 0.5) - FLOOR(pyf - 0.5) AS fy
+  FROM pf
+  WHERE CAST(FLOOR(pxf - 0.5) AS INT) >= 1
+    AND CAST(FLOOR(pyf - 0.5) AS INT) >= 1)
+SELECT p.pt_id, {vc} AS v_cubic, {vs} AS v_cubicspline
+FROM pc p
+{joins}
+ORDER BY p.pt_id"""
+
+
+# =================================================================
+# Anchor-text index over the extracted web graph
+# =================================================================
+
+
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text index build — the classic web-search signal
+    (Brin & Page 1998 §2.2: index the text OF inbound links under the
+    target document; CC pipelines derive this table from WAT/html).
+    The engine parses (target-id, anchor-text) pairs back out of the
+    page markup (two regexp_extract_all passes over one html scan,
+    zipped), explodes to edges, and aggregates per target: inlink
+    count + majority anchor text (count-desc, text-asc tiebreak via
+    the min(struct) argmax idiom). The oracle regenerates the edge set
+    ARITHMETICALLY from html_cte's anchor-emission rule without
+    reading html, so the gate proves the parser recovers both target
+    id and anchor bytes exactly. The index is keyed per SITE (the
+    100-doc host block of the target id — the domain-level roll-up
+    real pipelines also build), so multi-inlink groups with competing
+    anchor texts occur at every SF and the majority/tiebreak path is
+    non-vacuous. Scale: parse is map-only; the single shuffle is
+    groupBy(site) after map-side partials."""
+    pat = 'href="https://doc-([0-9]+)[.][a-z]+/p">(r[0-9])</a>'
+    ids = F.regexp_extract_all("html", F.lit(pat), 1)
+    txts = F.regexp_extract_all("html", F.lit(pat), 2)
+    edges = (_htmlpages_df(spark, sf_dir)
+             .select(F.explode(F.arrays_zip(
+                 ids.alias("dst"), txts.alias("a"))).alias("z"))
+             .selectExpr(
+                 "CAST(FLOOR(CAST(z.dst AS BIGINT) / 100.0) AS INT)"
+                 " AS site",
+                 "z.a AS anchor"))
+    counts = (edges.groupBy("site", "anchor")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (counts.groupBy("site")
+            .agg(F.sum("n").cast("bigint").alias("n_inlinks"),
+                 F.min(F.struct((-F.col("n")).alias("neg"),
+                                F.col("anchor").alias("anchor"))).alias("m"))
+            .select("site", "n_inlinks",
+                    F.col("m.anchor").alias("top_anchor"))
+            .orderBy("site"))
+
+
+def o_anchor_text_index():
+    return f"""WITH {sqlexpr.pages_cte()},
+links AS (
+  SELECT CAST(FLOOR(((p.doc_id * 7919 + i.i * 104729) % 100000) / 100.0)
+              AS INT) AS site,
+         'r' || CAST(i.i AS VARCHAR) AS anchor
+  FROM pages p
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 3)) AS i) i
+  WHERE p.doc_id % 4 > i.i),
+counts AS (
+  SELECT site, anchor, COUNT(*) AS n FROM links GROUP BY site, anchor),
+ranked AS (
+  SELECT site, anchor, n,
+         ROW_NUMBER() OVER (PARTITION BY site
+                            ORDER BY n DESC, anchor) AS rn,
+         SUM(n) OVER (PARTITION BY site) AS tot
+  FROM counts)
+SELECT site, CAST(tot AS BIGINT) AS n_inlinks, anchor AS top_anchor
+FROM ranked WHERE rn = 1 ORDER BY site"""
+
+
+# =================================================================
 # GDALTransformGeolocations (alg/gdaltransformgeolocs.cpp)
 # =================================================================
 
@@ -16729,4 +16935,6 @@ REGISTRY: dict[str, tuple] = {
     "transform_geolocs": (q_transform_geolocs, o_transform_geolocs),
     "buildvrt_grid": (q_buildvrt_grid, o_buildvrt_grid),
     "soft_dedup": (q_soft_dedup, o_soft_dedup),
+    "point_sample_cubic": (q_point_sample_cubic, o_point_sample_cubic),
+    "anchor_text_index": (q_anchor_text_index, o_anchor_text_index),
 }
