@@ -16200,6 +16200,201 @@ ORDER BY ida, idb"""
 
 
 # =================================================================
+# Quadtree cover compaction (H3 compactCells analog on XYZ tiles)
+# =================================================================
+
+CCOMPACT_LEVELS = 6   # finest level; cells live in [0, 2^6) — the
+                      # 40x40 burn grid fits with headroom
+
+
+def q_cover_compact(spark, sf_dir):
+    """Compact a quadtree cell cover to mixed resolutions: wherever
+    all 4 children of a parent tile are present, replace them by the
+    parent, repeated to the top (the XYZ-scheme analog of H3
+    compactCells / S2 CellUnion::Normalize — public APIs; also the
+    shape of gdal2tiles' base-to-overview pyramid collapse,
+    gdal2tiles.py). Input cover = the distinct burned pixels of the
+    zone rasterization treated as level-6 cells; polygon interiors
+    are dense, so thousands of quads complete and multi-level output
+    is guaranteed non-vacuous.
+
+    Why it matters at scale: the flagship PIP join broadcasts a
+    polygon cell cover — compaction shrinks a dense-interior cover by
+    ~4x per completed level, directly cutting broadcast bytes and
+    probe-table size. Shape: 6 depth-bounded rounds, each ONE
+    map-side-combined groupBy(parent) + one anti-join back; lineage
+    cut per round (localCheckpoint) since each round's frame is read
+    twice — the 2^t plan-blowup lesson. Oracle: independent unrolled
+    MATERIALIZED-CTE formulation in DuckDB."""
+    burned = (q_rasterize_zones(spark, sf_dir)
+              .select(F.col("px").cast("int").alias("x"),
+                      F.col("py").cast("int").alias("y"))
+              .distinct())
+    cur = burned.localCheckpoint(eager=True)
+    parts = []
+    for lvl in range(CCOMPACT_LEVELS, 0, -1):
+        prom = (cur.groupBy(
+            F.expr("CAST(x DIV 2 AS INT)").alias("x"),
+            F.expr("CAST(y DIV 2 AS INT)").alias("y"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == 4).drop("n")
+            .localCheckpoint(eager=True))
+        kept = cur.join(
+            prom.selectExpr("x AS kx", "y AS ky"),
+            (F.expr("CAST(x DIV 2 AS INT)") == F.col("kx"))
+            & (F.expr("CAST(y DIV 2 AS INT)") == F.col("ky")),
+            "left_anti")
+        parts.append(kept.select(F.lit(lvl).alias("lvl"), "x", "y"))
+        cur = prom
+    parts.append(cur.select(F.lit(0).alias("lvl"), "x", "y"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("lvl", "y", "x")
+
+
+def o_cover_compact():
+    inner = o_rasterize_zones()
+    rounds = []
+    for lvl in range(CCOMPACT_LEVELS, 0, -1):
+        rounds.append(f"""prom{lvl} AS MATERIALIZED (
+  SELECT CAST(x // 2 AS INT) AS x, CAST(y // 2 AS INT) AS y
+  FROM c{lvl} GROUP BY 1, 2 HAVING COUNT(*) = 4),
+keep{lvl} AS (
+  SELECT c.x, c.y FROM c{lvl} c
+  LEFT JOIN prom{lvl} p
+    ON p.x = CAST(c.x // 2 AS INT) AND p.y = CAST(c.y // 2 AS INT)
+  WHERE p.x IS NULL),
+c{lvl - 1} AS MATERIALIZED (SELECT x, y FROM prom{lvl})""")
+    selects = " UNION ALL ".join(
+        [f"SELECT {lvl} AS lvl, x, y FROM keep{lvl}"
+         for lvl in range(CCOMPACT_LEVELS, 0, -1)]
+        + ["SELECT 0 AS lvl, x, y FROM c0"])
+    return f"""WITH burned AS MATERIALIZED ({inner}),
+c{CCOMPACT_LEVELS} AS MATERIALIZED (
+  SELECT DISTINCT CAST(px AS INT) AS x, CAST(py AS INT) AS y FROM burned),
+{", ".join(rounds)}
+SELECT lvl, x, y FROM ({selects}) t ORDER BY lvl, y, x"""
+
+
+# =================================================================
+# gdalwarp -geoloc: warp the swath raster through the backmap
+# =================================================================
+
+
+def q_geoloc_warp(spark, sf_dir):
+    """gdalwarp -geoloc nearest composition: the geolocation backmap
+    (GenerateBackMap, alg/gdalgeoloc.cpp:1019-1160 — built by
+    q_geoloc_backmap's shared-text construction) consumed the way the
+    warper consumes it (GDALGeoLocTransform inverse direction,
+    alg/gdalgeoloc.cpp:1163+): each non-empty output cell's averaged
+    fractional geoloc position maps to a source raster pixel
+    (pixel = pos / PIXEL_STEP, nearest via the floor(x+0.5) midpoint
+    discipline, edge-clamped), which samples a deterministic swath
+    value formula. One map-only stage after the backmap's single
+    scatter groupBy — the output grid never joins the raster, so at
+    swath scale the only shuffle is the backmap build itself."""
+    return spark.sql(_geoloc_warp_sql("spark"))
+
+
+def _geoloc_warp_sql(dialect: str) -> str:
+    from gdal_spark.operators.geoloc import (PIXEL_STEP, RAST_H, RAST_W,
+                                             backmap_sql)
+    d = sqlexpr.dlit
+    def near(col, step, n):
+        return (f"LEAST(GREATEST(CAST(FLOOR({col} / {d(step)} + 0.5e0) "
+                f"AS INT), 0), {n - 1})")
+    inx = near("avg_pixel", PIXEL_STEP, RAST_W)
+    iny = near("avg_line", PIXEL_STEP, RAST_H)
+    return f"""WITH bmq AS ({backmap_sql(dialect)})
+SELECT bmy, bmx, inx, iny,
+       CAST(inx * 7 + iny * 13 + (inx * iny) % 17 AS INT) AS v
+FROM (SELECT bmy, bmx, {inx} AS inx, {iny} AS iny FROM bmq) t
+ORDER BY bmy, bmx"""
+
+
+def o_geoloc_warp():
+    return _geoloc_warp_sql("duck")
+
+
+# =================================================================
+# Mojibake detection + repair (ftfy-style encoding fix)
+# =================================================================
+
+#: the classic UTF-8-read-as-latin1/cp1252 artifacts and their
+#: intended characters (the ftfy core cases; sequences embedded as
+#: UTF-8 string literals — never chr(n>255), which is mod-256 in
+#: Spark). Order matters: longer sequences first so 'â€™' never
+#: half-matches after a shorter rule fires.
+MOJI_MAP = [
+    ("â€™", "’"),   # â€™ -> right single quote
+    ("â€“", "–"),   # â€“ -> en dash
+    ("Ã©", "é"),         # Ã© -> é
+    ("Ã¨", "è"),         # Ã¨ -> è
+]
+#: seeded per-doc mojibake suffix (doc_id % 11 == 0): exercises every
+#: mapping, including the adjacent-sequence case.
+MOJI_SEED = (" cafÃ© crÃ¨me"
+             " itâ€™s â€“x")
+
+
+def _moji_exprs(t: str) -> tuple[str, str]:
+    """(fixed_expr, n_moji_expr) over a text column ref ``t`` —
+    chained plain REPLACEs (no regexp: backslash-literal rules differ
+    across engines) in MOJI_MAP order; the artifact count falls out of
+    the per-step length deltas (each rule i shrinks by len-1 per
+    hit)."""
+    fixed = t
+    deltas = []
+    for src, dst in MOJI_MAP:
+        s, ds = src.replace("'", "''"), dst.replace("'", "''")
+        nxt = f"REPLACE({fixed}, '{s}', '{ds}')"
+        deltas.append(
+            f"(LENGTH({fixed}) - LENGTH({nxt})) / {len(src) - 1}")
+        fixed = nxt
+    n = " + ".join(f"CAST(FLOOR({e}) AS INT)" for e in deltas)
+    return fixed, f"({n})"
+
+
+def q_encoding_fix(spark, sf_dir):
+    """Mojibake detection + repair — the ftfy pass of a webtext
+    pipeline (Speer, ftfy: fixes UTF-8 decoded as latin-1/cp1252;
+    same artifact table W3C and the Unicode FAQ document). Seeded
+    suffix on every 11th doc plants all four classic artifacts
+    (Ã©/Ã¨/â€™/â€“); the engine repairs them with ordered chained
+    REPLACEs (longest first) and reports the artifact count per doc
+    plus an md5 of the repaired text. Pure codegen'd string ops, one
+    map-only stage — no shuffle at any corpus size. The oracle
+    replays the identical rule chain in DuckDB, so the gate pins both
+    the detector counts and the repaired bytes."""
+    seed = MOJI_SEED.replace("'", "''")
+    d = docs_df(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"text || CASE WHEN doc_id % 11 = 0 THEN '{seed}' "
+        "ELSE '' END AS t")
+    fixed, n = _moji_exprs("t")
+    return d.selectExpr(
+        "doc_id", f"{n} AS n_moji",
+        f"CAST(LENGTH(t) - LENGTH({fixed}) AS INT) AS n_chars_removed",
+        f"md5(CAST({fixed} AS BINARY)) AS fixed_md5").orderBy("doc_id")
+
+
+def o_encoding_fix():
+    seed = MOJI_SEED.replace("'", "''")
+    fixed, n = _moji_exprs("t")
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 11 = 0 THEN '{seed}'
+                 ELSE '' END AS t
+  FROM documents)
+SELECT doc_id, {n} AS n_moji,
+       CAST(LENGTH(t) - LENGTH({fixed}) AS INT) AS n_chars_removed,
+       MD5({fixed}) AS fixed_md5
+FROM seeded ORDER BY doc_id"""
+
+
+# =================================================================
 # gdallocationinfo -r cubic|cubicspline (GDALInterpolateAtPoint 4x4)
 # =================================================================
 
@@ -16937,4 +17132,7 @@ REGISTRY: dict[str, tuple] = {
     "soft_dedup": (q_soft_dedup, o_soft_dedup),
     "point_sample_cubic": (q_point_sample_cubic, o_point_sample_cubic),
     "anchor_text_index": (q_anchor_text_index, o_anchor_text_index),
+    "cover_compact": (q_cover_compact, o_cover_compact),
+    "geoloc_warp": (q_geoloc_warp, o_geoloc_warp),
+    "encoding_fix": (q_encoding_fix, o_encoding_fix),
 }
