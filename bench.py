@@ -169,7 +169,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "ema_smoothing", "theil_sen",
                  "transform_geolocs", "buildvrt_grid", "soft_dedup",
                  "point_sample_cubic", "anchor_text_index",
-                 "cover_compact", "geoloc_warp", "encoding_fix"]:
+                 "cover_compact", "geoloc_warp", "encoding_fix",
+                 "lsh_curve", "doc_shuffle"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -16200,6 +16200,180 @@ ORDER BY ida, idb"""
 
 
 # =================================================================
+# LSH banding S-curve measurement (dedup eval harness)
+# =================================================================
+
+
+def _lsh_twin_text(dialect: str) -> str:
+    """Twin text = the first 50-90% of the base doc's tokens (keep
+    fraction (5 + doc_id % 5)/10, floor midpoint discipline, >= 3
+    tokens) — a controlled-Jaccard near-dup: prefix shingles are a
+    subset of the base's, so exact j spreads monotonically with the
+    keep fraction."""
+    d = sqlexpr.dlit
+    if dialect == "duck":
+        arr = "regexp_split_to_array(trim(text), '\\s+')"
+        return (f"array_to_string(list_slice({arr}, 1, GREATEST("
+                f"CAST(FLOOR(LEN({arr}) * (CAST(5 + doc_id % 5 AS DOUBLE)"
+                f" / {d(10.0)})) AS INT), 3)), ' ')")
+    arr = r"split(trim(text), '\\s+')"
+    return (f"array_join(slice({arr}, 1, GREATEST("
+            f"CAST(FLOOR(size({arr}) * (CAST(5 + doc_id % 5 AS DOUBLE)"
+            f" / {d(10.0)})) AS INT), 3)), ' ')")
+
+
+def q_lsh_curve(spark, sf_dir):
+    """Measured MinHash-LSH banding S-curve — the dedup-tuning eval
+    every pipeline runs before committing band parameters (catch
+    probability 1-(1-j^r)^b, Leskovec/Rajaraman/Ullman MMDS §3.4,
+    measured instead of assumed): every 13th doc gets a planted twin
+    whose text is a controlled prefix (keep fraction 0.5-0.9 by
+    doc_id%5), giving a deterministic spread of exact Jaccard values;
+    the stock signature/banding construction (same n_perm=8, b=4, r=2
+    as minhash_lsh) then either catches each planted pair in >= 1 band
+    or misses it. Output per j-decile: planted pairs, band-caught
+    pairs, catch rate — the empirical S-curve. Deterministic end to
+    end (fixed hash family), so the DuckDB replay is exact. Scale: the
+    planted-pair join is keyed by base id; everything else is the
+    minhash_lsh plan itself."""
+    from gdal_spark.functions.text import minhash_signature, shingles3
+    base = docs_df(spark, sf_dir).select("doc_id", "text")
+    twins = base.filter("doc_id % 13 = 0").selectExpr(
+        "doc_id + 500000 AS doc_id",
+        _lsh_twin_text("spark") + " AS text")
+    seeded = base.unionByName(twins)
+    sh = shingles3(seeded, "doc_id", "text").persist()
+    sig = minhash_signature(sh, "doc_id", 8)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat(F.col(f"h{2 * b}"),
+                                    F.col(f"h{2 * b + 1}"))).alias("bkey"))
+            for b in range(4)])).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.bkey").alias("bkey"))
+    caught = (bands.selectExpr("doc_id AS id_a", "band", "bkey")
+              .join(bands.selectExpr("doc_id - 500000 AS id_a",
+                                     "band", "bkey"),
+                    ["id_a", "band", "bkey"])
+              .select("id_a").distinct()
+              .select("id_a", F.lit(1).alias("caught")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (sh.selectExpr("doc_id AS id_a", "s")
+             .join(sh.selectExpr("doc_id - 500000 AS id_a", "s"),
+                   ["id_a", "s"])
+             .groupBy("id_a").agg(F.count("*").alias("c")))
+    planted = (inter
+               .join(sizes.selectExpr("doc_id AS id_a",
+                                      "n AS na"), "id_a")
+               .join(sizes.selectExpr("doc_id - 500000 AS id_a",
+                                      "n AS nb"), "id_a")
+               .join(caught, "id_a", "left")
+               .selectExpr(
+                   "CAST(FLOOR(CAST(c AS DOUBLE) / (na + nb - c)"
+                   " * 10.0) AS INT) AS j_bucket",
+                   "COALESCE(caught, 0) AS caught"))
+    return (planted.groupBy("j_bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"),
+                 F.sum("caught").cast("bigint").alias("n_caught"))
+            .selectExpr("j_bucket", "n_planted", "n_caught",
+                        "ROUND(CAST(n_caught AS DOUBLE)"
+                        " / n_planted, 6) AS catch_rate")
+            .orderBy("j_bucket"))
+
+
+def o_lsh_curve():
+    mins = ", ".join(f"MIN(md5('{p}:' || s)) AS h{p}" for p in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS bkey"
+        " FROM sig" for b in range(4))
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, {_lsh_twin_text('duck')}
+  FROM documents WHERE doc_id % 13 = 0),
+toks AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         FROM seeded),
+sh AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+caught AS (
+  SELECT DISTINCT a.doc_id AS id_a, 1 AS caught
+  FROM bands a JOIN bands b
+    ON b.doc_id - 500000 = a.doc_id
+   AND b.band = a.band AND b.bkey = a.bkey),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, COUNT(*) AS c
+  FROM sh a JOIN sh b ON b.doc_id - 500000 = a.doc_id AND b.s = a.s
+  GROUP BY a.doc_id),
+planted AS (
+  SELECT CAST(FLOOR(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c)
+              * 10.0) AS INT) AS j_bucket,
+         COALESCE(cg.caught, 0) AS caught
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.id_a
+  JOIN sz sb ON sb.doc_id = i.id_a + 500000
+  LEFT JOIN caught cg ON cg.id_a = i.id_a)
+SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(SUM(caught) AS BIGINT) AS n_caught,
+       ROUND(CAST(SUM(caught) AS DOUBLE) / COUNT(*), 6) AS catch_rate
+FROM planted GROUP BY j_bucket ORDER BY j_bucket"""
+
+
+# =================================================================
+# Deterministic corpus shuffle (training-order assignment)
+# =================================================================
+
+
+def q_doc_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle — the training-order pass
+    of an LLM data pipeline (reproducible epoch order without a
+    materialized permutation: rank by a seeded content-free hash; the
+    TeraSort shape). Position = rank of k = md5('ep1-' || doc_id);
+    shard = position % 8 (the writer fan-out). The global rank is the
+    scale-correct TWO-PHASE form (the sequence_pack discipline), not a
+    single-partition window: the hash's leading 2 hex chars bucket the
+    corpus into 256 lexicographic ranges (md5 is uniform, so buckets
+    are balanced — no sampling pass needed), per-bucket counts feed an
+    exclusive prefix over the tiny bucket table, and the within-bucket
+    row_number is partitioned. No stage sees the corpus in one
+    task."""
+    d = (docs_df(spark, sf_dir)
+         .selectExpr("doc_id",
+                     "md5('ep1-' || CAST(doc_id AS STRING)) AS k")
+         .withColumn("bucket", F.substring("k", 1, 2)))
+    bcnt = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bcnt.select("bucket",
+                       F.coalesce(F.sum("bn").over(wb), F.lit(0))
+                       .alias("boff"))
+    wd = Window.partitionBy("bucket").orderBy("k")
+    return (d.join(F.broadcast(boff), "bucket")
+            .withColumn("pos", (F.col("boff")
+                                + F.row_number().over(wd)).cast("bigint"))
+            .selectExpr("doc_id", "pos",
+                        "CAST(pos % 8 AS INT) AS shard")
+            .orderBy("pos"))
+
+
+def o_doc_shuffle():
+    return """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5('ep1-' || CAST(doc_id AS VARCHAR)))
+            AS BIGINT) AS pos,
+       CAST(pos % 8 AS INT) AS shard
+FROM documents ORDER BY pos"""
+
+
+# =================================================================
 # Quadtree cover compaction (H3 compactCells analog on XYZ tiles)
 # =================================================================
 
@@ -17135,4 +17309,6 @@ REGISTRY: dict[str, tuple] = {
     "cover_compact": (q_cover_compact, o_cover_compact),
     "geoloc_warp": (q_geoloc_warp, o_geoloc_warp),
     "encoding_fix": (q_encoding_fix, o_encoding_fix),
+    "lsh_curve": (q_lsh_curve, o_lsh_curve),
+    "doc_shuffle": (q_doc_shuffle, o_doc_shuffle),
 }
