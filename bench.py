@@ -170,7 +170,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "transform_geolocs", "buildvrt_grid", "soft_dedup",
                  "point_sample_cubic", "anchor_text_index",
                  "cover_compact", "geoloc_warp", "encoding_fix",
-                 "lsh_curve", "doc_shuffle"]:
+                 "lsh_curve", "doc_shuffle",
+                 # round-3 final session
+                 "cutline_blend"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -16991,6 +16991,124 @@ FROM hashed JOIN sizes ON sizes.h = hashed.h
 ORDER BY hashed.doc_id"""
 
 
+# =================================================================
+# Cutline blend (gdalwarp -cblend): feathered cutline density mask
+# =================================================================
+
+
+def _z9_pixel_edges():
+    """Zone-9 ring edges (outer quad + hole) converted to ZRAST pixel
+    coordinates via the inverse geotransform — the cutline geometry in
+    the mask grid's own units, as GDAL's cutline masker rasterizes it
+    (blend distance is specified in PIXELS)."""
+    g = ZRAST_GT
+    z9 = next(z for z in ZONES if z["zone_fid"] == 9)
+    out = []
+    for is_hole, ring in ((0, z9["parts"][0]), (1, z9["holes"][0])):
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            out.append((is_hole,
+                        (x1 - g[0]) / g[1], (y1 - g[3]) / g[5],
+                        (x2 - g[0]) / g[1], (y2 - g[3]) / g[5]))
+    return out
+
+
+CBLEND_PX = 2.0  # -cblend distance, in mask-grid pixels
+
+
+def _cutline_blend_sql(dialect: str) -> str:
+    """Shared SQL (identical arithmetic text both engines) for the
+    blend-density mask: per pixel center, signed distance to the
+    cutline boundary (min point-segment distance over every ring edge,
+    sign + inside / - outside), density = clamp(0.5 + d/(2*blend)) —
+    the exact ramp of GDAL's BlendMaskGenerator
+    (alg/gdalwarper.cpp:~300, CUTLINE_BLEND_DIST: inner buffer -> 1,
+    outer buffer -> 0, linear in signed distance between)."""
+    g = ZRAST_GT
+    d0, d1 = sqlexpr.dlit(0.0), sqlexpr.dlit(1.0)
+    fx = f"((lon - {sqlexpr.dlit(g[0])}) / {sqlexpr.dlit(g[1])})"
+    fy = f"((lat - {sqlexpr.dlit(g[3])}) / {sqlexpr.dlit(g[5])})"
+    if dialect == "spark":
+        grid = (f"grid AS (SELECT CAST(id DIV {ZRAST_W} AS BIGINT) AS py, "
+                f"CAST(id % {ZRAST_W} AS BIGINT) AS px "
+                f"FROM range({ZRAST_W * ZRAST_H}))")
+    else:
+        grid = (f"grid AS (SELECT CAST(r.range // {ZRAST_W} AS BIGINT) AS py, "
+                f"CAST(r.range % {ZRAST_W} AS BIGINT) AS px "
+                f"FROM range({ZRAST_W * ZRAST_H}) r)")
+    erows = []
+    for is_hole, x1, y1, x2, y2 in _z9_pixel_edges():
+        ex, ey = x2 - x1, y2 - y1
+        l2 = ex * ex + ey * ey
+        erows.append(f"({is_hole}, {sqlexpr.dlit(x1)}, {sqlexpr.dlit(y1)}, "
+                     f"{sqlexpr.dlit(ex)}, {sqlexpr.dlit(ey)}, "
+                     f"{sqlexpr.dlit(l2)})")
+    edges = ("(VALUES " + ", ".join(erows)
+             + ") AS e(is_hole, x1, y1, ex, ey, l2)")
+    cx, cy = f"(CAST(grid.px AS DOUBLE) + 0.5e0)", f"(CAST(grid.py AS DOUBLE) + 0.5e0)"
+    t = (f"LEAST({d1}, GREATEST({d0}, "
+         f"(({cx} - e.x1) * e.ex + ({cy} - e.y1) * e.ey) / e.l2))")
+    cross = f"(e.ex * ({cy} - e.y1) - e.ey * ({cx} - e.x1))"
+    twob = sqlexpr.dlit(2.0 * CBLEND_PX)
+    return f"""
+WITH {sqlexpr.pages_cte(dialect=dialect)},
+burn AS (
+  SELECT CAST(FLOOR({fy}) AS BIGINT) AS py, CAST(FLOOR({fx}) AS BIGINT) AS px,
+         COUNT(*) AS c
+  FROM pages
+  WHERE lat IS NOT NULL AND {fx} >= 0 AND {fx} < {ZRAST_W}
+    AND {fy} >= 0 AND {fy} < {ZRAST_H}
+  GROUP BY 1, 2),
+{grid},
+ed AS (
+  SELECT grid.py, grid.px, e.is_hole,
+         ({cx} - (e.x1 + {t} * e.ex)) * ({cx} - (e.x1 + {t} * e.ex))
+       + ({cy} - (e.y1 + {t} * e.ey)) * ({cy} - (e.y1 + {t} * e.ey)) AS d2,
+         CASE WHEN {cross} <= {d0} THEN 1 ELSE 0 END AS inc,
+         CASE WHEN {cross} < {d0} THEN 1 ELSE 0 END AS strict_in
+  FROM grid, {edges}),
+a AS (
+  SELECT py, px, MIN(d2) AS d2min,
+         MIN(CASE WHEN is_hole = 0 THEN inc ELSE 1 END) AS in_part,
+         MIN(CASE WHEN is_hole = 1 THEN strict_in ELSE 1 END) AS in_hole
+  FROM ed GROUP BY py, px),
+dens AS (
+  SELECT py, px,
+         LEAST({d1}, GREATEST({d0}, 0.5e0 +
+           (CASE WHEN in_part = 1 AND in_hole = 0 THEN {d1} ELSE -{d1} END)
+           * SQRT(d2min) / {twob})) AS density
+  FROM a)
+SELECT dens.py, dens.px, ROUND(dens.density, 6) AS density,
+       ROUND(dens.density * COALESCE(CAST(b.c AS DOUBLE), {d0}), 6) AS v
+FROM dens LEFT JOIN burn b ON b.py = dens.py AND b.px = dens.px
+WHERE dens.density > {d0}"""
+
+
+def q_cutline_blend(spark, sf_dir):
+    """gdalwarp -cblend feathering (alg/gdalwarper.cpp cutline masker
+    with CUTLINE_BLEND_DIST): instead of warp_cutline's hard keep/drop,
+    every mask pixel gets a density in [0,1] — 1 inside the cutline
+    beyond the blend distance, 0 outside beyond it, and the reference's
+    linear ramp 0.5 + signed_dist/(2*blend) in the feather band (blend
+    distance in pixels, hole edges feather too). Output: the blended
+    page-count burn v = density * count for every pixel with density>0.
+
+    Scale shape: the pages table is scanned ONCE into a map-side
+    combined burn aggregate; the density mask is pure column math over
+    a tiny broadcast edge VALUES relation (8 edges) cross the pixel
+    lattice — no per-pixel Python, no shuffle beyond the one burn
+    groupBy; the mask-lattice side grows with raster area, never with
+    corpus size."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(_cutline_blend_sql("spark"))
+
+
+def o_cutline_blend():
+    return _cutline_blend_sql("duck")
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -17311,4 +17429,5 @@ REGISTRY: dict[str, tuple] = {
     "encoding_fix": (q_encoding_fix, o_encoding_fix),
     "lsh_curve": (q_lsh_curve, o_lsh_curve),
     "doc_shuffle": (q_doc_shuffle, o_doc_shuffle),
+    "cutline_blend": (q_cutline_blend, o_cutline_blend),
 }
