@@ -17109,6 +17109,185 @@ def o_cutline_blend():
     return _cutline_blend_sql("duck")
 
 
+# =================================================================
+# GCP refinement (-refine_gcps): iterative worst-outlier rejection
+# =================================================================
+
+
+def _gcp_refine_fixture():
+    """24 control points on an EXACT affine (e = 100 + 0.5x + 0.03y,
+    n = 200 - 0.4y + 0.02x) with 4 seeded outliers (i % 6 == 1):
+    the refine loop must remove exactly those and recover the affine."""
+    rows = []
+    for i in range(24):
+        x = float((i * 13 + 5) % 64)
+        y = float((i * 19 + 7) % 64)
+        e = 100.0 + 0.5 * x + 0.03 * y
+        n = 200.0 - 0.4 * y + 0.02 * x
+        if i % 6 == 1:
+            e += (i % 3 + 1) * 0.8
+            n -= (i % 4 + 1) * 0.6
+        rows.append((i, x, y, e, n))
+    return rows
+
+
+def _det3(a, b, c, d, e, f, g, h, i) -> str:
+    return (f"({a}) * (({e}) * ({i}) - ({f}) * ({h})) "
+            f"- ({b}) * (({d}) * ({i}) - ({f}) * ({g})) "
+            f"+ ({c}) * (({d}) * ({h}) - ({e}) * ({g}))")
+
+
+GCP_REFINE_TOL = 0.5  # geo-space residual tolerance, as gdal -refine_gcps
+GCP_REFINE_ROUNDS = 5
+
+
+def _gcp_refine_sql(dialect: str) -> str:
+    """Shared chained-CTE SQL for GDAL's remove_outliers loop
+    (alg/gdal_crs.cpp, gdal_translate/gdalwarp -refine_gcps tolerance):
+    per round, least-squares affine fit (3x3 normal equations solved by
+    Cramer), per-GCP geo-space residual, drop the single worst GCP iff
+    its residual exceeds the tolerance, refit. Fixed ROUNDS rounds make
+    the loop a static plan; a round with no point above tolerance is a
+    no-op, which is exactly GDAL's loop-until-stable termination on
+    this fixture. Identical arithmetic text in both engines; reused
+    round CTEs are MATERIALIZED in DuckDB (inlining would re-expand
+    the chain exponentially)."""
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    vals = ", ".join(
+        f"({gid}, {sqlexpr.dlit(x)}, {sqlexpr.dlit(y)}, "
+        f"{sqlexpr.dlit(e)}, {sqlexpr.dlit(n)})"
+        for gid, x, y, e, n in _gcp_refine_fixture())
+    tol2 = sqlexpr.dlit(GCP_REFINE_TOL * GCP_REFINE_TOL)
+    parts = [f"g0 AS (SELECT * FROM (VALUES {vals}) "
+             f"AS t(gid, x, y, e, n))"]
+
+    def fit_cte(name, src):
+        return (f"{name} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS sn, "
+                f"SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, "
+                f"SUM(x * y) AS sxy, SUM(y * y) AS syy, "
+                f"SUM(e) AS se, SUM(x * e) AS sxe, SUM(y * e) AS sye, "
+                f"SUM(n) AS sq, SUM(x * n) AS sxq, SUM(y * n) AS syq "
+                f"FROM {src})")
+
+    def coef_cte(name, src):
+        dd = _det3("sn", "sx", "sy", "sx", "sxx", "sxy", "sy", "sxy", "syy")
+        a0e = _det3("se", "sx", "sy", "sxe", "sxx", "sxy", "sye", "sxy", "syy")
+        a1e = _det3("sn", "se", "sy", "sx", "sxe", "sxy", "sy", "sye", "syy")
+        a2e = _det3("sn", "sx", "se", "sx", "sxx", "sxe", "sy", "sxy", "sye")
+        a0n = _det3("sq", "sx", "sy", "sxq", "sxx", "sxy", "syq", "sxy", "syy")
+        a1n = _det3("sn", "sq", "sy", "sx", "sxq", "sxy", "sy", "syq", "syy")
+        a2n = _det3("sn", "sx", "sq", "sx", "sxx", "sxq", "sy", "sxy", "syq")
+        return (f"{name} AS (SELECT ({a0e}) / ({dd}) AS a0e, "
+                f"({a1e}) / ({dd}) AS a1e, ({a2e}) / ({dd}) AS a2e, "
+                f"({a0n}) / ({dd}) AS a0n, ({a1n}) / ({dd}) AS a1n, "
+                f"({a2n}) / ({dd}) AS a2n FROM {src})")
+
+    resid = ("((c.a0e + c.a1e * g.x + c.a2e * g.y - g.e) "
+             "* (c.a0e + c.a1e * g.x + c.a2e * g.y - g.e) "
+             "+ (c.a0n + c.a1n * g.x + c.a2n * g.y - g.n) "
+             "* (c.a0n + c.a1n * g.x + c.a2n * g.y - g.n))")
+    for r in range(1, GCP_REFINE_ROUNDS + 1):
+        parts.append(fit_cte(f"f{r}", f"g{r - 1}"))
+        parts.append(coef_cte(f"c{r}", f"f{r}"))
+        parts.append(
+            f"rs{r} AS {mat}(SELECT g.gid, g.x, g.y, g.e, g.n, "
+            f"{resid} AS r2 FROM g{r - 1} g, c{r} c)")
+        parts.append(
+            f"g{r} AS {mat}(SELECT gid, x, y, e, n FROM rs{r} WHERE gid <> "
+            f"(SELECT COALESCE(MIN(a.gid), -1) FROM rs{r} a, "
+            f"(SELECT MAX(r2) AS m FROM rs{r}) w "
+            f"WHERE a.r2 = w.m AND w.m > {tol2}))")
+    last = GCP_REFINE_ROUNDS
+    parts.append(fit_cte("ff", f"g{last}"))
+    parts.append(coef_cte("cf", "ff"))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT g.gid, g.x, g.y, g.e, g.n, "
+              f"ROUND({resid}, 9) AS resid2, "
+              f"ROUND(c.a0e, 6) AS a0e, ROUND(c.a1e, 6) AS a1e, "
+              f"ROUND(c.a2e, 6) AS a2e, ROUND(c.a0n, 6) AS a0n, "
+              f"ROUND(c.a1n, 6) AS a1n, ROUND(c.a2n, 6) AS a2n "
+              f"FROM g{last} g, cf c")
+
+
+def _gcp_fit_exprs():
+    """(sum_exprs, coef_exprs, resid_expr) — the same text fragments
+    _gcp_refine_sql renders, for the DataFrame driver loop."""
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS sn", "SUM(x) AS sx", "SUM(y) AS sy",
+            "SUM(x * x) AS sxx", "SUM(x * y) AS sxy", "SUM(y * y) AS syy",
+            "SUM(e) AS se", "SUM(x * e) AS sxe", "SUM(y * e) AS sye",
+            "SUM(n) AS sq", "SUM(x * n) AS sxq", "SUM(y * n) AS syq"]
+    dd = _det3("sn", "sx", "sy", "sx", "sxx", "sxy", "sy", "sxy", "syy")
+    coefs = []
+    for nm, r0, r1, r2 in (("a0e", "se", "sxe", "sye"),
+                           ("a0n", "sq", "sxq", "syq")):
+        coefs.append(f"({_det3(r0, 'sx', 'sy', r1, 'sxx', 'sxy', r2, 'sxy', 'syy')}) / ({dd}) AS {nm}")
+    for nm, r0, r1, r2 in (("a1e", "se", "sxe", "sye"),
+                           ("a1n", "sq", "sxq", "syq")):
+        coefs.append(f"({_det3('sn', r0, 'sy', 'sx', r1, 'sxy', 'sy', r2, 'syy')}) / ({dd}) AS {nm}")
+    for nm, r0, r1, r2 in (("a2e", "se", "sxe", "sye"),
+                           ("a2n", "sq", "sxq", "syq")):
+        coefs.append(f"({_det3('sn', 'sx', r0, 'sx', 'sxx', r1, 'sy', 'sxy', r2)}) / ({dd}) AS {nm}")
+    resid = ("((a0e + a1e * x + a2e * y - e) "
+             "* (a0e + a1e * x + a2e * y - e) "
+             "+ (a0n + a1n * x + a2n * y - n) "
+             "* (a0n + a1n * x + a2n * y - n))")
+    return sums, coefs, resid
+
+
+def q_gcp_refine(spark, sf_dir):
+    """gdal_translate/gdalwarp -refine_gcps (remove_outliers in
+    alg/gdal_crs.cpp): iteratively least-squares-fit an affine GCP
+    transform, drop the single worst GCP while its residual exceeds
+    the tolerance, and refit — returning the surviving GCPs with their
+    final residuals and the recovered affine coefficients (the fixture
+    plants 4 outliers on an exact affine; the loop must remove exactly
+    those and recover a0e=100, a1e=0.5, a2e=0.03, a0n=200, a1n=0.02,
+    a2n=-0.4). Same per-round arithmetic text as the DuckDB oracle's
+    chained CTEs (_gcp_refine_sql).
+
+    Scale shape: each round is one map-side-combined 12-sum aggregate
+    over the GCP table plus a 1-row coefficient broadcast back — no
+    window over the full table, no driver collect; the drop step is a
+    1-row argmin broadcast. Each round is localCheckpoint'ed: an uncut
+    lineage re-expands the 3-reference round chain 3^t times (the
+    strahler lesson — the first spark.sql chained-CTE form of this
+    query took 130 s on 24 rows; this form takes ~3 s)."""
+    sums, coefs, resid = _gcp_fit_exprs()
+    tol2 = GCP_REFINE_TOL * GCP_REFINE_TOL
+    vals = ", ".join(
+        f"({gid}, {sqlexpr.dlit(x)}, {sqlexpr.dlit(y)}, "
+        f"{sqlexpr.dlit(e)}, {sqlexpr.dlit(n)})"
+        for gid, x, y, e, n in _gcp_refine_fixture())
+    g = spark.sql(f"SELECT * FROM (VALUES {vals}) AS t(gid, x, y, e, n)") \
+             .localCheckpoint(eager=True)
+
+    def fit(df):
+        return df.selectExpr(*sums).selectExpr(*coefs) \
+                 .localCheckpoint(eager=True)
+
+    for _ in range(GCP_REFINE_ROUNDS):
+        rs = (g.crossJoin(F.broadcast(fit(g)))
+              .withColumn("r2", F.expr(resid)))
+        wid = (rs.filter(F.col("r2") > tol2)
+               .selectExpr("MAX(r2) AS m")
+               .join(rs, F.expr("r2 = m"), "left")
+               .selectExpr("COALESCE(MIN(gid), -1) AS wid"))
+        g = (g.crossJoin(F.broadcast(wid))
+             .filter("gid <> wid")
+             .select("gid", "x", "y", "e", "n")
+             .localCheckpoint(eager=True))
+    return (g.crossJoin(F.broadcast(fit(g)))
+            .selectExpr("gid", "x", "y", "e", "n",
+                        f"ROUND({resid}, 9) AS resid2",
+                        "ROUND(a0e, 6) AS a0e", "ROUND(a1e, 6) AS a1e",
+                        "ROUND(a2e, 6) AS a2e", "ROUND(a0n, 6) AS a0n",
+                        "ROUND(a1n, 6) AS a1n", "ROUND(a2n, 6) AS a2n"))
+
+
+def o_gcp_refine():
+    return _gcp_refine_sql("duck")
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -17430,4 +17609,5 @@ REGISTRY: dict[str, tuple] = {
     "lsh_curve": (q_lsh_curve, o_lsh_curve),
     "doc_shuffle": (q_doc_shuffle, o_doc_shuffle),
     "cutline_blend": (q_cutline_blend, o_cutline_blend),
+    "gcp_refine": (q_gcp_refine, o_gcp_refine),
 }
