@@ -17288,6 +17288,97 @@ def o_gcp_refine():
     return _gcp_refine_sql("duck")
 
 
+# =================================================================
+# LineMerge: stitch segments at degree-2 nodes (OGR/GEOS LineMerge)
+# =================================================================
+
+
+def _line_merge_base_sql() -> str:
+    """Shared CTE text (both engines): zone-boundary segments, their
+    quantized endpoint nodes, node degrees, and the merge adjacency
+    (two segments link iff they share a node of degree EXACTLY 2 —
+    GEOS LineMergers merge rule; duplicate shared-boundary edges give
+    their endpoints degree 4 and break the chain there)."""
+    return f"""
+segs AS (SELECT zone_fid * 100 + ring_id * 10 + edge AS seg,
+                x1 AS ax, y1 AS ay, x2 AS bx, y2 AS byy
+         FROM {zone_ring_edges_sql()}),
+ep AS (SELECT seg, CAST(ROUND(ax * 100) AS BIGINT) AS nx,
+              CAST(ROUND(ay * 100) AS BIGINT) AS ny FROM segs
+       UNION ALL
+       SELECT seg, CAST(ROUND(bx * 100) AS BIGINT),
+              CAST(ROUND(byy * 100) AS BIGINT) FROM segs),
+deg AS (SELECT nx, ny, COUNT(*) AS d FROM ep GROUP BY 1, 2),
+adj AS (SELECT a.seg AS s1, b.seg AS s2
+        FROM ep a JOIN ep b ON a.nx = b.nx AND a.ny = b.ny
+        JOIN deg g ON g.nx = a.nx AND g.ny = a.ny
+        WHERE g.d = 2 AND a.seg <> b.seg)"""
+
+
+_LINE_MERGE_OUT = """
+SELECT s.line_id, s.n_segs, q.n_nodes,
+       CASE WHEN q.n_nodes = s.n_segs THEN 1 ELSE 0 END AS is_ring,
+       s.length
+FROM (SELECT l.line_id, COUNT(*) AS n_segs,
+             ROUND(SUM(SQRT((bx - ax) * (bx - ax)
+                          + (byy - ay) * (byy - ay))), 6) AS length
+      FROM lbl l JOIN segs ON segs.seg = l.seg GROUP BY l.line_id) s
+JOIN (SELECT l.line_id, COUNT(DISTINCT ep.nx * 100000 + ep.ny) AS n_nodes
+      FROM lbl l JOIN ep ON ep.seg = l.seg GROUP BY l.line_id) q
+ON q.line_id = s.line_id"""
+
+
+def q_line_merge(spark, sf_dir):
+    """OGR LineMerge (GEOS LineMerger; `gdal vector dissolve` on line
+    layers, apps/gdalalg_vector_dissolve.cpp line-merge branch): stitch
+    the zone-boundary segment soup into maximal linestrings, merging
+    only through nodes of degree exactly 2. Closed rings come back as
+    single rings (is_ring=1, n_nodes == n_segs); the zone-4/zone-6
+    shared edge makes two degree-4 nodes that cut both quads into a
+    1-segment piece plus a 3-segment path. Output per merged line:
+    min-seg label, segment/node counts, ring flag, total length.
+
+    Scale shape: node keys are quantized coordinates, so degree and
+    adjacency are two bounded-key shuffles (no all-pairs); component
+    labels spread by min-label rounds over the degree-2 adjacency —
+    O(longest chain) rounds, each one join + one groupBy, lineage cut
+    per round (the strahler lesson). Ring fixture chains are <= 6
+    segments; 6 rounds is the measured fixpoint + margin."""
+    base = spark.sql(
+        "WITH " + _line_merge_base_sql()
+        + " SELECT segs.seg, segs.ax, segs.ay, segs.bx, segs.byy, "
+          "adj.s2 FROM segs LEFT JOIN adj ON adj.s1 = segs.seg")
+    segs = base.select("seg", "ax", "ay", "bx", "byy").distinct() \
+               .localCheckpoint(eager=True)
+    adj = base.filter(F.col("s2").isNotNull()) \
+              .select(F.col("seg").alias("s1"), "s2") \
+              .localCheckpoint(eager=True)
+    lab = segs.select("seg", F.col("seg").alias("lab"))
+    for _ in range(6):
+        nb = (lab.join(adj, lab.seg == adj.s2)
+              .select(F.col("s1").alias("seg"), "lab"))
+        lab = (lab.unionByName(nb).groupBy("seg")
+               .agg(F.min("lab").alias("lab"))
+               .localCheckpoint(eager=True))
+    lab.createOrReplaceTempView("lm_lab")
+    return spark.sql(
+        "WITH " + _line_merge_base_sql()
+        + ", lbl AS (SELECT seg, lab AS line_id FROM lm_lab)"
+        + _LINE_MERGE_OUT)
+
+
+def o_line_merge():
+    return ("WITH " + _line_merge_base_sql() + f""",
+r AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT seg, seg FROM segs
+    UNION
+    SELECT reach.src, adj.s2 FROM reach JOIN adj ON adj.s1 = reach.dst)
+  SELECT * FROM reach),
+lbl AS (SELECT src AS seg, MIN(dst) AS line_id FROM r GROUP BY src)
+{_LINE_MERGE_OUT}""")
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -17610,4 +17701,5 @@ REGISTRY: dict[str, tuple] = {
     "doc_shuffle": (q_doc_shuffle, o_doc_shuffle),
     "cutline_blend": (q_cutline_blend, o_cutline_blend),
     "gcp_refine": (q_gcp_refine, o_gcp_refine),
+    "line_merge": (q_line_merge, o_line_merge),
 }
