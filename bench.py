@@ -172,7 +172,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "cover_compact", "geoloc_warp", "encoding_fix",
                  "lsh_curve", "doc_shuffle",
                  # round-3 final session
-                 "cutline_blend", "gcp_refine", "line_merge"]:
+                 "cutline_blend", "gcp_refine", "line_merge",
+                 "ndcg_eval"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

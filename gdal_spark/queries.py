@@ -17379,6 +17379,86 @@ lbl AS (SELECT src AS seg, MIN(dst) AS line_id FROM r GROUP BY src)
 {_LINE_MERGE_OUT}""")
 
 
+# =================================================================
+# Retrieval eval: NDCG@10 / MRR over a deterministic ranking
+# =================================================================
+
+
+def _ndcg_sql() -> str:
+    """One shared text for BOTH engines (windows + integer-derived
+    floats only). 8 probe queries; per query a seeded candidate pool
+    with graded relevance 0-3 and a noisy-but-correlated system score,
+    so per-query NDCG spreads over (0,1) instead of sitting at a
+    degenerate 0/1."""
+    qids = ", ".join(f"({q})" for q in range(8))
+    log2rank = "(LN(CAST(rnk + 1 AS DOUBLE)) / LN(2.0e0))"
+    return f"""
+WITH pool AS (
+  SELECT q.qid, d.doc_id,
+         CASE WHEN (d.doc_id + q.qid) % 7 = 0 THEN 3
+              WHEN (d.doc_id + q.qid) % 7 = 1 THEN 2
+              WHEN (d.doc_id + q.qid) % 7 IN (2, 3) THEN 1
+              ELSE 0 END AS rel,
+         CAST((d.doc_id * 37 + q.qid * 101) % 400 AS DOUBLE)
+           + CAST(CASE WHEN (d.doc_id + q.qid) % 7 = 0 THEN 3
+                       WHEN (d.doc_id + q.qid) % 7 = 1 THEN 2
+                       WHEN (d.doc_id + q.qid) % 7 IN (2, 3) THEN 1
+                       ELSE 0 END AS DOUBLE) * 150.0e0 AS score
+  FROM documents d, (VALUES {qids}) AS q(qid)
+  WHERE (d.doc_id * 31 + q.qid) % 11 < 2),
+ranked AS (
+  SELECT qid, doc_id, rel, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM pool),
+ideal AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY rel DESC, doc_id) AS rnk
+  FROM pool),
+gains AS (SELECT qid,
+                 SUM(CASE WHEN rnk <= 10 THEN
+                     CAST(CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3
+                          WHEN 1 THEN 1 ELSE 0 END AS DOUBLE)
+                     / {log2rank} ELSE 0.0e0 END) AS dcg10,
+                 MIN(CASE WHEN rel >= 2 AND rnk <= 10 THEN rnk END) AS fr
+          FROM ranked GROUP BY qid),
+igains AS (SELECT qid,
+                  SUM(CASE WHEN rnk <= 10 THEN
+                      CAST(CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3
+                           WHEN 1 THEN 1 ELSE 0 END AS DOUBLE)
+                      / {log2rank} ELSE 0.0e0 END) AS idcg10
+           FROM ideal GROUP BY qid),
+np AS (SELECT qid, COUNT(*) AS n_pool FROM pool GROUP BY qid)
+SELECT g.qid, np.n_pool, ROUND(g.dcg10, 6) AS dcg10,
+       ROUND(i.idcg10, 6) AS idcg10,
+       ROUND(g.dcg10 / i.idcg10, 6) AS ndcg10,
+       ROUND(COALESCE(1.0e0 / CAST(g.fr AS DOUBLE), 0.0e0), 6) AS mrr
+FROM gains g JOIN igains i ON i.qid = g.qid JOIN np ON np.qid = g.qid"""
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """Retrieval-quality evaluation (NDCG@10 / MRR / DCG — the eval a
+    training-data curator runs over a search or dedup-retrieval system;
+    Järvelin & Kekäläinen 2002): graded relevance 0-3 with exact
+    integer gains 2^rel - 1, log2 discounts, per-query ideal
+    re-ranking for the normalizer, and MRR on the first rel>=2 hit in
+    the top 10. The pool/labels/scores are seeded from doc_id
+    arithmetic (the fixture non-vacuity idiom) so per-query NDCG
+    spreads across (0,1).
+
+    Scale shape: one scan of documents fanned to 8 query pools; both
+    rank windows partition by qid (bounded keys, never a global
+    window); gains aggregate map-side. Pool membership is a pushed
+    predicate — at 10^12 docs the pool filter is the scan."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(_ndcg_sql())
+
+
+def o_ndcg_eval():
+    return _ndcg_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -17702,4 +17782,5 @@ REGISTRY: dict[str, tuple] = {
     "cutline_blend": (q_cutline_blend, o_cutline_blend),
     "gcp_refine": (q_gcp_refine, o_gcp_refine),
     "line_merge": (q_line_merge, o_line_merge),
+    "ndcg_eval": (q_ndcg_eval, o_ndcg_eval),
 }
