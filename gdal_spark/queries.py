@@ -17459,6 +17459,63 @@ def o_ndcg_eval():
     return _ndcg_sql()
 
 
+# =================================================================
+# Luhn-validated credit-card PII detection
+# =================================================================
+
+
+def _luhn_cc_sql() -> str:
+    """One shared text for BOTH engines. For a fixed-length-16 PAN the
+    Luhn weights are static: 1-based positions 1,3,..,15 are doubled
+    (with the >9 fold); valid iff the weighted digit sum % 10 == 0."""
+    terms = []
+    for i in range(1, 17):
+        d = f"CAST(SUBSTR(cc, {i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(f"(2 * {d} - CASE WHEN {d} >= 5 THEN 9 ELSE 0 END)")
+        else:
+            terms.append(d)
+    luhn_sum = " + ".join(terms)
+    aug = ("concat(text,"
+           " CASE WHEN doc_id % 3 = 0 THEN concat(' card ',"
+           "   lpad(CAST((doc_id * 2654435761) % 10000000000000000"
+           "        AS STRING), 16, '0')) ELSE '' END,"
+           " CASE WHEN doc_id % 10 = 0 THEN ' pan 4539148803436467'"
+           " ELSE '' END)")
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS t FROM documents),
+cand AS (SELECT doc_id, regexp_extract(t, '[0-9]{{16}}', 0) AS cc
+         FROM aug),
+hit AS (SELECT doc_id, cc, CAST({luhn_sum} AS INT) AS luhn_sum
+        FROM cand WHERE cc <> '')
+SELECT doc_id, cc, luhn_sum,
+       CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END AS luhn_valid,
+       CASE WHEN luhn_sum % 10 = 0
+            THEN concat('************', SUBSTR(cc, 13, 4))
+            ELSE cc END AS masked
+FROM hit"""
+
+
+def q_luhn_cc(spark, sf_dir):
+    """Credit-card PII detection with Luhn checksum validation — the
+    step real scrub pipelines add on top of pii_redact's regex classes
+    (a 16-digit run is only a PAN if the ISO/IEC 7812 check digit
+    holds; validated hits get masked to the last four). The fixture
+    appends a doc_id-derived 16-digit run to every 3rd doc (valid at
+    whatever rate Luhn says, a deterministic ~10% mix) and a known
+    Luhn-valid test PAN to every 10th, so both verdict classes are
+    exercised and exactly checkable.
+
+    Scale shape: map-only — one regexp extract + a fixed 16-term
+    digit-weight expression, all codegen, no shuffle, no Python."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(_luhn_cc_sql())
+
+
+def o_luhn_cc():
+    return _luhn_cc_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -17783,4 +17840,5 @@ REGISTRY: dict[str, tuple] = {
     "gcp_refine": (q_gcp_refine, o_gcp_refine),
     "line_merge": (q_line_merge, o_line_merge),
     "ndcg_eval": (q_ndcg_eval, o_ndcg_eval),
+    "luhn_cc": (q_luhn_cc, o_luhn_cc),
 }
