@@ -173,7 +173,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "lsh_curve", "doc_shuffle",
                  # round-3 final session
                  "cutline_blend", "gcp_refine", "line_merge",
-                 "ndcg_eval", "luhn_cc"]:
+                 "ndcg_eval", "luhn_cc", "addo_plan",
+                 "kwic_snippets", "char_entropy"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

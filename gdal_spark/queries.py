@@ -17516,6 +17516,173 @@ def o_luhn_cc():
     return _luhn_cc_sql()
 
 
+# =================================================================
+# gdaladdo overview level planning
+# =================================================================
+
+
+def _addo_plan_sql(dialect: str) -> str:
+    if dialect == "duck":
+        srcs = "(SELECT UNNEST(RANGE(0, 8)) AS src_id)"
+        lvls = "(SELECT UNNEST(RANGE(1, 8)) AS k)"
+    else:
+        srcs = "(SELECT explode(sequence(0, 7)) AS src_id)"
+        lvls = "(SELECT explode(sequence(1, 7)) AS k)"
+    # ceil(a / l) on exact-int doubles (magnitudes << 2^53)
+    def ceildiv(a, l):
+        return (f"CAST(CEIL(CAST({a} AS DOUBLE) / CAST({l} AS DOUBLE)) "
+                f"AS INT)")
+    lvl = "CAST(POWER(2.0e0, CAST(k AS DOUBLE)) AS INT)"
+    prev = "CAST(POWER(2.0e0, CAST(k - 1 AS DOUBLE)) AS INT)"
+    return f"""
+WITH dims AS (
+  SELECT src_id,
+         CAST(900 * (1 + src_id % 5) + 137 AS INT) AS w,
+         CAST(700 * (1 + src_id % 3) + 89 AS INT) AS h
+  FROM {srcs} s),
+cand AS (
+  SELECT src_id, w, h, CAST(k AS INT) AS k, {lvl} AS level,
+         {ceildiv('w', lvl)} AS ow, {ceildiv('h', lvl)} AS oh,
+         {ceildiv('w', prev)} AS pw, {ceildiv('h', prev)} AS ph
+  FROM dims, {lvls} l),
+plan AS (
+  SELECT src_id, w, h, level, ow, oh,
+         CAST(ow AS BIGINT) * CAST(oh AS BIGINT) * 2 AS ovr_bytes
+  FROM cand WHERE pw > 256 OR ph > 256)
+SELECT src_id, w, h, level, ow, oh, ovr_bytes,
+       CAST(COUNT(*) OVER (PARTITION BY src_id) AS INT) AS n_levels,
+       CAST(SUM(ovr_bytes) OVER (PARTITION BY src_id) AS BIGINT)
+         AS total_bytes
+FROM plan"""
+
+
+def q_addo_plan(spark, sf_dir):
+    """gdaladdo default overview-level planning (apps/gdaladdo.cpp
+    -minsize logic / GDALDefaultOverviews): keep doubling the decimation
+    factor while the PREVIOUS level still exceeds 256 px on either
+    axis; each planned level records its ceil-divided dims and an
+    int16 .ovr byte estimate, with per-source level counts and total
+    sidecar size as window sums. 8 mixed-size sources plan 3-5 levels
+    each — the exact level lists gdaladdo would build.
+
+    Scale shape: pure integer column math over a source-catalog scan
+    fanned by a 7-row level relation; the per-source windows partition
+    on src_id. This is the PLANNING stage — its output drives which
+    overview_modes/tile_content_pyramid jobs run at all."""
+    return spark.sql(_addo_plan_sql("spark"))
+
+
+def o_addo_plan():
+    return _addo_plan_sql("duck")
+
+
+# =================================================================
+# KWIC snippets: keyword-in-context extraction around a probe term
+# =================================================================
+
+KWIC_TERM = "vector"
+KWIC_CTX = 3
+
+
+def q_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context (KWIC) snippet extraction — the corpus-audit
+    view behind every search-result preview: for documents containing
+    the probe term, the first hit's token position plus the
+    KWIC_CTX-token context windows on each side. Pure integer/array
+    column math (split → array_position → slice), different builtin
+    spellings per engine but exact string/int semantics, so the
+    compare is bit-trivial.
+
+    Scale shape: map-only, no shuffle; the contains-filter pushes to
+    the scan, and only matching docs pay the split."""
+    d = docs_df(spark, sf_dir)
+    arr = F.split(F.col("text"), " ")
+    pos = F.array_position(arr, KWIC_TERM)
+    d = (d.select("doc_id", arr.alias("a"),
+                  pos.cast("int").alias("pos"),
+                  F.size(arr).alias("n_toks"))
+         .filter(F.col("pos") > 0))
+    start = F.greatest(F.lit(1), F.col("pos") - KWIC_CTX)
+    endp = F.least(F.col("n_toks"), F.col("pos") + KWIC_CTX)
+    return d.select(
+        "doc_id", "pos", "n_toks",
+        F.array_join(F.slice(F.col("a"), start, F.col("pos") - start),
+                     " ").alias("pre"),
+        F.array_join(F.slice(F.col("a"), F.col("pos") + 1,
+                             endp - F.col("pos")), " ").alias("post"))
+
+
+def o_kwic_snippets():
+    return f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS a,
+         CAST(COALESCE(LIST_POSITION(STRING_SPLIT(text, ' '),
+                                     '{KWIC_TERM}'), 0) AS INT) AS pos,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_toks
+  FROM documents)
+SELECT doc_id, pos, n_toks,
+       COALESCE(ARRAY_TO_STRING(
+         a[GREATEST(1, pos - {KWIC_CTX}):pos - 1], ' '), '') AS pre,
+       COALESCE(ARRAY_TO_STRING(
+         a[pos + 1:LEAST(n_toks, pos + {KWIC_CTX})], ' '), '') AS post
+FROM toks WHERE pos > 0"""
+
+
+# =================================================================
+# Character-class entropy quality signal
+# =================================================================
+
+
+def _char_entropy_sql() -> str:
+    """One shared text for BOTH engines: per-letter counts via the
+    length-minus-replace trick (26+1 static codegen scans, no explode),
+    then Shannon entropy in bits over the letter+space distribution as
+    a FIXED-ORDER 27-term expression (left-assoc in both engines —
+    bit-identical)."""
+    letters = [chr(c) for c in range(97, 123)] + [" "]
+    names = [f"c{i}" for i in range(len(letters))]
+    cnts = ", ".join(
+        f"CAST(LENGTH(text) - LENGTH(REPLACE(text, '{ch}', '')) "
+        f"AS BIGINT) AS {nm}"
+        for ch, nm in zip(letters, names))
+    p = "(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
+    terms = " + ".join(
+        f"(CASE WHEN {nm} > 0 THEN {p.format(c=nm)} * LN({p.format(c=nm)}) "
+        f"ELSE 0.0e0 END)"
+        for nm in names)
+    tot = " + ".join(names)
+    vowels = " + ".join(f"c{ord(v) - 97}" for v in "aeiou")
+    return f"""
+WITH cnt AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n, {cnts}
+  FROM documents WHERE LENGTH(text) > 0)
+SELECT doc_id, n,
+       ROUND(-({terms}) / LN(2.0e0), 6) AS entropy_bits,
+       ROUND(CAST(c26 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS space_ratio,
+       ROUND(CAST({vowels} AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS vowel_ratio,
+       CAST(n - ({tot}) AS BIGINT) AS n_other
+FROM cnt"""
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-class Shannon entropy + space/vowel ratios — the
+    cheap quality signal that separates natural prose (~4.1 bits) from
+    boilerplate, base64 blobs and repeated-char spam (the CCNet/Gopher
+    family's character-level filters). Computed WITHOUT exploding
+    characters: 27 static length-minus-replace counts, then a
+    fixed-order entropy expression — all whole-stage codegen.
+
+    Scale shape: map-only, zero shuffles, zero Python; 27 linear
+    string scans per row is the entire cost."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(_char_entropy_sql())
+
+
+def o_char_entropy():
+    return _char_entropy_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -17841,4 +18008,7 @@ REGISTRY: dict[str, tuple] = {
     "line_merge": (q_line_merge, o_line_merge),
     "ndcg_eval": (q_ndcg_eval, o_ndcg_eval),
     "luhn_cc": (q_luhn_cc, o_luhn_cc),
+    "addo_plan": (q_addo_plan, o_addo_plan),
+    "kwic_snippets": (q_kwic_snippets, o_kwic_snippets),
+    "char_entropy": (q_char_entropy, o_char_entropy),
 }
