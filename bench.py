@@ -174,7 +174,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  # round-3 final session
                  "cutline_blend", "gcp_refine", "line_merge",
                  "ndcg_eval", "luhn_cc", "addo_plan",
-                 "kwic_snippets", "char_entropy"]:
+                 "kwic_snippets", "char_entropy",
+                 "line_zonal_length"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

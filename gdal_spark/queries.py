@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from gdal_spark import sqlexpr
 from gdal_spark.fixtures import (
     KNN_QUERIES, ZONES, idlink_values_sql, knn_queries_sql,
-    zone_part_edges_sql, zone_ring_edges_sql, zones_values_sql,
+    zone_bbox_values_sql, zone_part_edges_sql, zone_ring_edges_sql,
+    zones_values_sql,
 )
 from gdal_spark.operators import knn as knn_op
 from gdal_spark.operators import rasterize as rast_op
@@ -17683,6 +17684,92 @@ def o_char_entropy():
     return _char_entropy_sql()
 
 
+# =================================================================
+# Line-in-polygon clipped length per zone (Liang-Barsky parametric)
+# =================================================================
+
+
+def _line_zonal_sql(dialect: str) -> str:
+    """Zone-boundary 'road' segments clipped to every zone's convex
+    parts (holes subtract) by the Liang-Barsky parametric interval:
+    each polygon edge's half-plane value is affine in t along the
+    segment, f(t) = f0 + t*(f1-f0), so the clip is t in
+    [max entering -f0/df, min leaving -f0/df] — one bound per edge,
+    assembled with a MAX/MIN aggregate. Boundary semantics: parts are
+    boundary-inclusive (GEOS Intersects), holes subtract their OPEN
+    interior only (a road lying exactly on a hole ring keeps its full
+    length — the f0 > 0 parallel rule)."""
+    d0, d1 = sqlexpr.dlit(0.0), sqlexpr.dlit(1.0)
+    f0 = "((x2 - x1) * (ay - y1) - (y2 - y1) * (ax - x1))"
+    f1 = "((x2 - x1) * (byy - y1) - (y2 - y1) * (bx - x1))"
+    if dialect == "duck":
+        fold = "list_reduce(list(v ORDER BY k), (a, b) -> a + b)"
+    else:
+        fold = ("aggregate(sort_array(collect_list(struct(k, v))), "
+                f"CAST({d0} AS DOUBLE), (acc, x) -> acc + x.v)")
+    return f"""
+roads AS (SELECT zone_fid * 100 + ring_id * 10 + edge AS seg,
+                 x1 AS ax, y1 AS ay, x2 AS bx, y2 AS byy,
+                 SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+                   AS slen
+          FROM {zone_ring_edges_sql()}),
+cand AS (SELECT r.seg, r.ax, r.ay, r.bx, r.byy, r.slen,
+                zbox.zone_fid AS zf
+         FROM roads r JOIN {zone_bbox_values_sql()}
+         ON LEAST(r.ax, r.bx) <= zbox.xmax AND GREATEST(r.ax, r.bx) >= zbox.xmin
+        AND LEAST(r.ay, r.byy) <= zbox.ymax AND GREATEST(r.ay, r.byy) >= zbox.ymin),
+cons AS (SELECT r.seg, r.slen, zpe.zone_fid, zpe.part_id, zpe.is_hole,
+                {f0} AS f0, {f1} - {f0} AS df
+         FROM cand r JOIN {zone_part_edges_sql()}
+         ON zpe.zone_fid = r.zf),
+itv AS (
+  SELECT seg, slen, zone_fid, part_id, is_hole,
+         GREATEST({d0}, COALESCE(MAX(CASE WHEN df > {d0}
+                                     THEN -f0 / df END), {d0})) AS tlo,
+         LEAST({d1}, COALESCE(MIN(CASE WHEN df < {d0}
+                                  THEN -f0 / df END), {d1})) AS thi,
+         MIN(CASE WHEN df = {d0} THEN
+               (CASE WHEN is_hole = 1 THEN
+                  (CASE WHEN f0 > {d0} THEN 1 ELSE 0 END)
+                ELSE (CASE WHEN f0 >= {d0} THEN 1 ELSE 0 END) END)
+             ELSE 1 END) AS par_ok
+  FROM cons GROUP BY seg, slen, zone_fid, part_id, is_hole),
+clen AS (
+  SELECT zone_fid, seg, is_hole,
+         CAST(is_hole * 1000000 + part_id * 10000 + seg AS BIGINT) AS k,
+         (CASE WHEN is_hole = 1 THEN -{d1} ELSE {d1} END)
+         * (CASE WHEN par_ok = 1 AND thi > tlo
+                 THEN (thi - tlo) * slen ELSE {d0} END) AS v
+  FROM itv)
+SELECT zone_fid,
+       CAST(COUNT(CASE WHEN is_hole = 0 AND v > {d0} THEN 1 END) AS INT)
+         AS n_pieces,
+       ROUND({fold}, 6) AS road_len
+FROM clen GROUP BY zone_fid"""
+
+
+def q_line_zonal_length(spark, sf_dir):
+    """Line-in-polygon clipped length per zone (the line counterpart
+    of algebra_pieces / ogr layer-algebra INTERSECTION on a line
+    layer; what GIS calls road density per zone): every zone-boundary
+    segment is clipped to every zone's convex parts by the
+    Liang-Barsky parametric interval (pure column math — no Python
+    geometry), holes subtract their open interior, per-zone float sums
+    run as ORDERED folds for cross-engine bit parity.
+
+    Scale shape: candidate pairs come from a bbox prefilter against
+    the tiny broadcast zone-bbox relation (at corpus scale the
+    cell-bucket pairing of segment_intersections replaces it — never
+    all-pairs); the interval assembly is one bounded-key groupBy; the
+    zone rollup is a second. Shared SQL text, dialect-split only on
+    the ordered-fold spelling."""
+    return spark.sql("WITH " + _line_zonal_sql("spark").lstrip())
+
+
+def o_line_zonal_length():
+    return "WITH " + _line_zonal_sql("duck").lstrip()
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -18011,4 +18098,5 @@ REGISTRY: dict[str, tuple] = {
     "addo_plan": (q_addo_plan, o_addo_plan),
     "kwic_snippets": (q_kwic_snippets, o_kwic_snippets),
     "char_entropy": (q_char_entropy, o_char_entropy),
+    "line_zonal_length": (q_line_zonal_length, o_line_zonal_length),
 }

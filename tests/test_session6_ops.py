@@ -130,6 +130,22 @@ def test_ndcg_bounds_and_perfect_ranking_is_1(spark):
     assert (df.dcg10 <= df.idcg10 + 1e-9).all()
 
 
+def test_line_zonal_length_hand_checked_zones(spark):
+    """Zones whose clipped road length is computable by hand: zone 0
+    holds its own 1.9x1.7 quad ring (perimeter 7.2) plus the fully
+    contained zone-7 ring (2.6); zone 7 holds only its own ring; the
+    isolated mid-ocean zone 5 holds its 24x28 ring (104); and a road
+    lying exactly ON the zone-9 hole ring keeps its FULL length (holes
+    subtract their open interior only)."""
+    from gdal_spark.queries import q_line_zonal_length
+    df = (q_line_zonal_length(spark, SF_SMOKE).toPandas()
+          .set_index("zone_fid"))
+    assert abs(df.road_len[0] - 9.8) < 1e-6
+    assert abs(df.road_len[7] - 2.6) < 1e-6
+    assert abs(df.road_len[5] - 104.0) < 1e-6
+    assert df.road_len[9] > 10.5 - 1e-6  # outer 8.0 + hole ring 2.5 + overlaps
+
+
 def test_luhn_matches_python_reference(spark):
     from gdal_spark.queries import q_luhn_cc
     df = q_luhn_cc(spark, SF_SMOKE).toPandas()
