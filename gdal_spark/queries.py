@@ -17821,11 +17821,15 @@ def q_str_pack(spark, sf_dir):
                          F.coalesce(F.sum("bn").over(wb2), F.lit(0))
                          .alias("boff2"))
     wd2 = Window.partitionBy("slice", "by2").orderBy("lat", "doc_id")
+    # persist: the three level aggregates (leaf/slice/root) would each
+    # re-run the whole two-phase rank pipeline (measured: 103 exchanges
+    # in the executed plan vs 40 with the cache)
     leaves = (d2.join(F.broadcast(boff2), ["slice", "by2"])
               .withColumn("ry", (F.col("boff2")
                                  + F.row_number().over(wd2)).cast("bigint"))
               .withColumn("leaf", F.expr(
-                  f"CAST((ry - 1) DIV {STR_LEAF_CAP} AS BIGINT)")))
+                  f"CAST((ry - 1) DIV {STR_LEAF_CAP} AS BIGINT)"))
+              .select("slice", "leaf", "lon", "lat").persist())
     lv0 = leaves.groupBy("slice", "leaf").agg(
         F.count(F.lit(1)).alias("n_pts"), F.min("lon").alias("xmin"),
         F.min("lat").alias("ymin"), F.max("lon").alias("xmax"),
