@@ -175,7 +175,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "cutline_blend", "gcp_refine", "line_merge",
                  "ndcg_eval", "luhn_cc", "addo_plan",
                  "kwic_snippets", "char_entropy",
-                 "line_zonal_length", "str_pack", "zipf_fit"]:
+                 "line_zonal_length", "str_pack", "zipf_fit",
+                 "bloom_fpr", "stats_approx"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -17955,6 +17955,140 @@ SELECT CAST(n AS INT) AS n_terms,
 FROM s"""
 
 
+# =================================================================
+# Bloom-filter FPR measurement (eval twin of bloom_dedup)
+# =================================================================
+
+
+def _bloom_fpr_sql() -> str:
+    """One shared text for BOTH engines: train on 'k:'||doc_id keys
+    (doc_id even), probe with disjoint 'p:'||doc_id keys (odd) —
+    measured false-positive rate vs the analytic
+    (1 - (1 - 1/M)^(K*n))^K."""
+    k_bits = " UNION ALL ".join(
+        f"SELECT doc_id, {_bloom_pos_sql(j)} AS bit FROM train"
+        for j in range(BLOOM_K))
+    p_bits = " UNION ALL ".join(
+        f"SELECT doc_id, {_bloom_pos_sql(j)} AS bit FROM probe"
+        for j in range(BLOOM_K))
+    inv_m = f"(1.0e0 - {sqlexpr.dlit(1.0 / BLOOM_M)})"
+    return f"""
+WITH train AS (SELECT doc_id, concat('k:', CAST(doc_id AS STRING)) AS t
+               FROM documents WHERE doc_id % 2 = 0),
+probe AS (SELECT doc_id, concat('p:', CAST(doc_id AS STRING)) AS t
+          FROM documents WHERE doc_id % 2 = 1),
+filt AS (SELECT DISTINCT bit FROM ({k_bits}) kb),
+pb AS ({p_bits}),
+hits AS (
+  SELECT pb.doc_id,
+         CAST(COUNT(filt.bit) AS INT) AS n_hit
+  FROM pb LEFT JOIN filt ON filt.bit = pb.bit
+  GROUP BY pb.doc_id),
+cnt AS (SELECT CAST((SELECT COUNT(*) FROM train) AS BIGINT) AS n_train,
+               CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+               CAST((SELECT COUNT(*) FROM filt) AS BIGINT) AS bits_set,
+               CAST((SELECT COUNT(*) FROM hits WHERE n_hit = {BLOOM_K})
+                    AS BIGINT) AS n_fp)
+SELECT n_train, n_probe, bits_set,
+       ROUND(CAST(bits_set AS DOUBLE) / {BLOOM_M}.0e0, 6) AS fill_ratio,
+       n_fp,
+       ROUND(CAST(n_fp AS DOUBLE) / CAST(n_probe AS DOUBLE), 6)
+         AS measured_fpr,
+       ROUND(POWER(1.0e0 - POWER({inv_m},
+             CAST({BLOOM_K} * n_train AS DOUBLE)), {BLOOM_K}.0e0), 6)
+         AS theoretical_fpr
+FROM cnt"""
+
+
+def q_bloom_fpr(spark, sf_dir):
+    """Bloom-filter false-positive-rate measurement — the sizing eval
+    every memory-bounded dedup pass (bloom_dedup's Dolma/BFF shape)
+    runs before choosing M and K: train the M={BLOOM_M}/K={BLOOM_K}
+    filter on half the corpus's keys, probe with a DISJOINT key set,
+    and report measured FPR beside the analytic
+    (1-(1-1/M)^(Kn))^K. The same measured-vs-theory discipline as
+    lsh_curve's S-curve gate.
+
+    Scale shape: the filter is the bounded DISTINCT-bit relation
+    (≤ M rows, broadcast to the probe join); probes aggregate
+    map-side; no per-executor filter state."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(_bloom_fpr_sql())
+
+
+def o_bloom_fpr():
+    return _bloom_fpr_sql()
+
+
+# =================================================================
+# gdalinfo -approx_stats: subsampled vs exact raster statistics
+# =================================================================
+
+
+def _stats_approx_sql(dialect: str) -> str:
+    from gdal_spark.operators.dem import DEM_ELEV_SQL, DEM_H, DEM_W
+    if dialect == "duck":
+        grid = (f"grid AS (SELECT CAST(r.range % {DEM_W} AS INT) AS px, "
+                f"CAST(r.range // {DEM_W} AS INT) AS py "
+                f"FROM range({DEM_W * DEM_H}) r)")
+    else:
+        grid = (f"grid AS (SELECT CAST(id % {DEM_W} AS INT) AS px, "
+                f"CAST(id DIV {DEM_W} AS INT) AS py "
+                f"FROM range({DEM_W * DEM_H}))")
+
+    def stats(pred):
+        return (f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+                f"MIN(elev) AS mn, MAX(elev) AS mx, "
+                f"CAST(SUM(CAST(elev AS BIGINT)) AS BIGINT) AS s, "
+                f"CAST(SUM(CAST(elev AS BIGINT) * CAST(elev AS BIGINT)) "
+                f"AS BIGINT) AS ss "
+                f"FROM dem WHERE {pred}")
+
+    mean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    std = (f"SQRT(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) "
+           f"- {mean} * {mean})")
+    return f"""
+WITH {grid},
+dem AS (SELECT py, px, {DEM_ELEV_SQL} AS elev FROM grid),
+ex AS ({stats('TRUE')}),
+ap AS ({stats('py % 4 = 0 AND px % 4 = 0')})
+SELECT ex.n AS n_full, ex.mn AS exact_min, ex.mx AS exact_max,
+       ROUND(CAST(ex.s AS DOUBLE) / CAST(ex.n AS DOUBLE), 6)
+         AS exact_mean,
+       ROUND(SQRT(CAST(ex.ss AS DOUBLE) / CAST(ex.n AS DOUBLE)
+         - (CAST(ex.s AS DOUBLE) / CAST(ex.n AS DOUBLE))
+         * (CAST(ex.s AS DOUBLE) / CAST(ex.n AS DOUBLE))), 6)
+         AS exact_std,
+       ap.n AS n_sample, ap.mn AS approx_min, ap.mx AS approx_max,
+       ROUND(CAST(ap.s AS DOUBLE) / CAST(ap.n AS DOUBLE), 6)
+         AS approx_mean,
+       ROUND(SQRT(CAST(ap.ss AS DOUBLE) / CAST(ap.n AS DOUBLE)
+         - (CAST(ap.s AS DOUBLE) / CAST(ap.n AS DOUBLE))
+         * (CAST(ap.s AS DOUBLE) / CAST(ap.n AS DOUBLE))), 6)
+         AS approx_std
+FROM ex, ap"""
+
+
+def q_stats_approx(spark, sf_dir):
+    """gdalinfo -approx_stats / GDALComputeRasterStatistics with
+    bApproxOK (gcore/rasterband.cpp): statistics on a decimated
+    sample grid (every 4th row/col — GDAL's overview-decimation
+    sampling) beside the exact full-scan statistics, population
+    std-dev as the reference computes it. The DEM fixture is
+    integer-valued, so both sums run as exact BIGINT aggregates and
+    only the final mean/std divisions are float (identical text both
+    engines).
+
+    Scale shape: two map-side-combined aggregates over one scan each;
+    the decimation predicate prunes 15/16 of the sample scan at the
+    source."""
+    return spark.sql(_stats_approx_sql("spark"))
+
+
+def o_stats_approx():
+    return _stats_approx_sql("duck")
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -18286,4 +18420,6 @@ REGISTRY: dict[str, tuple] = {
     "line_zonal_length": (q_line_zonal_length, o_line_zonal_length),
     "str_pack": (q_str_pack, o_str_pack),
     "zipf_fit": (q_zipf_fit, o_zipf_fit),
+    "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
+    "stats_approx": (q_stats_approx, o_stats_approx),
 }
