@@ -176,7 +176,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "ndcg_eval", "luhn_cc", "addo_plan",
                  "kwic_snippets", "char_entropy",
                  "line_zonal_length", "str_pack", "zipf_fit",
-                 "bloom_fpr", "stats_approx"]:
+                 "bloom_fpr", "stats_approx",
+                 # round-3 continuation session
+                 "sql_not_in_null", "warp_nodata", "warc_records",
+                 "bitext_mine"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

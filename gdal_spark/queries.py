@@ -18089,6 +18089,332 @@ def o_stats_approx():
     return _stats_approx_sql("duck")
 
 
+# =================================================================
+# round-3 continuation session
+# =================================================================
+
+
+_SQL_NOT_IN_NULL = """
+SELECT 'no_recent' AS kind, CAST(c_nationkey AS BIGINT) AS k, COUNT(*) AS n
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= DATE '2000-09-01')
+GROUP BY c_nationkey
+UNION ALL
+SELECT 'notin_all_null' AS kind, CAST(-1 AS BIGINT) AS k, COUNT(*) AS n
+FROM customer
+WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, o_custkey) FROM orders)
+UNION ALL
+SELECT 'notexists_null' AS kind, CAST(-1 AS BIGINT) AS k, COUNT(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE NULLIF(o.o_custkey, o.o_custkey) = c.c_custkey)
+ORDER BY kind, k"""
+
+
+def q_sql_not_in_null(spark, sf_dir):
+    """NOT IN vs NOT EXISTS under SQL three-valued logic — the
+    classic 3VL trap the reference's SQLite dialect executes natively
+    (ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp; the native swq
+    dialect documents IN in swq_op_general.cpp). Three arms: (a)
+    customers with no recent orders per nation — the useful anti-join
+    (cutoff picked so every nation contributes at gate scale);
+    (b) the same NOT IN against an all-NULL subquery — every
+    comparison is UNKNOWN, so the count is provably 0; (c) NOT EXISTS
+    with the identical correlated predicate — NULL = x is UNKNOWN so
+    no match EXISTS, and every customer survives. (b) ≠ (c) on the
+    same data is the semantics being pinned.
+
+    Physical shape: arm (a) plans as a null-aware anti join (the
+    o_custkey column is nullable in the parquet footer, so Spark must
+    keep the null-aware path even though no actual NULL arrives);
+    arms (b)/(c) collapse at runtime — (b)'s null-aware build side
+    short-circuits every probe row, (c) decorrelates to an anti join
+    whose join predicate is statically UNKNOWN. One shuffle for (a),
+    broadcast builds for the probes."""
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SQL_NOT_IN_NULL)
+
+
+def o_sql_not_in_null():
+    return _SQL_NOT_IN_NULL
+
+
+def q_warp_nodata(spark, sf_dir):
+    """gdalwarp bilinear with srcnodata — the masked-kernel weight
+    renormalization (GWKBilinearResample, alg/gdalwarpkernel.cpp:
+    valid taps accumulate value*weight AND weight into
+    dfAccumulatorDivisor; the result is accumulator/divisor when the
+    divisor clears the 1e-15 threshold, else dst stays nodata). The
+    point-density source treats absent cells as NODATA here (contrast
+    q_warp_bilinear, where absent = valid 0): taps join LEFT against
+    the burn table, a 0/1 validity mask rides each tap, the numerator
+    is the plain bilinear sum over coalesced-to-0 values and the
+    denominator re-sums the SAME fixed-order weight expression over
+    the masks — so partial windows renormalize exactly as the
+    reference does and all-nodata windows emit NULL.
+
+    Scale shape: identical to q_warp_bilinear — per-axis tap/weight
+    maps broadcast (metadata-sized), the source raster never
+    hint-broadcast (AQE decides), dst-grid column math; the mask adds
+    four codegen'd CASE columns, no extra shuffle."""
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.bilinear_dim_maps(env, ZRAST_GT)
+    src = _warp_src_burn(spark, sf_dir)
+    xm = spark.createDataFrame(xs, "dx long, sx0 long, sx1 long, wx double")
+    ym = spark.createDataFrame(ys, "dy long, sy0 long, sy1 long, wy double")
+    dst = spark.range(env["width"] * env["height"]).select(
+        (F.col("id") / env["width"]).cast("long").alias("dy"),
+        (F.col("id") % env["width"]).alias("dx"))
+    d = dst.join(F.broadcast(xm), "dx").join(F.broadcast(ym), "dy")
+    for tap, (syc, sxc) in {"v00": ("sy0", "sx0"), "v01": ("sy0", "sx1"),
+                            "v10": ("sy1", "sx0"), "v11": ("sy1", "sx1")}.items():
+        b = src.select(F.col("sy").alias(f"_{tap}_y"),
+                       F.col("sx").alias(f"_{tap}_x"),
+                       F.col("burn").alias(tap))
+        d = (d.join(b,
+                    (F.col(syc) == F.col(f"_{tap}_y"))
+                    & (F.col(sxc) == F.col(f"_{tap}_x")), "left")
+             .drop(f"_{tap}_y", f"_{tap}_x")
+             .withColumn(f"m{tap[1:]}",
+                         F.when(F.col(tap).isNull(), F.lit(0.0))
+                          .otherwise(F.lit(1.0)))
+             .withColumn(tap, F.coalesce(F.col(tap), F.lit(0))))
+    wx, wy = F.col("wx"), F.col("wy")
+    num = ((1.0 - wy) * ((1.0 - wx) * F.col("v00") + wx * F.col("v01"))
+           + wy * ((1.0 - wx) * F.col("v10") + wx * F.col("v11")))
+    den = ((1.0 - wy) * ((1.0 - wx) * F.col("m00") + wx * F.col("m01"))
+           + wy * ((1.0 - wx) * F.col("m10") + wx * F.col("m11")))
+    v = F.when(den > 1e-15, num / den).otherwise(F.lit(None).cast("double"))
+    return d.select("dy", "dx", v.alias("v"))
+
+
+def o_warp_nodata():
+    from gdal_spark.geo import warp as W_
+    env = W_.suggested_warp_output(ZRAST_GT, ZRAST_W, ZRAST_H)
+    xs, ys = W_.bilinear_dim_maps(env, ZRAST_GT)
+    xv = ", ".join(f"({dx}, {s0}, {s1}, {sqlexpr.dlit(w)})"
+                   for dx, s0, s1, w in xs)
+    yv = ", ".join(f"({dy}, {s0}, {s1}, {sqlexpr.dlit(w)})"
+                   for dy, s0, s1, w in ys)
+    return f"""
+{_burn_cte_sql()},
+xm AS (SELECT * FROM (VALUES {xv}) AS t(dx, sx0, sx1, wx)),
+ym AS (SELECT * FROM (VALUES {yv}) AS t(dy, sy0, sy1, wy)),
+d AS (
+  SELECT ym.dy, xm.dx, xm.wx, ym.wy,
+         COALESCE(b00.c, 0) AS v00, COALESCE(b01.c, 0) AS v01,
+         COALESCE(b10.c, 0) AS v10, COALESCE(b11.c, 0) AS v11,
+         CASE WHEN b00.c IS NULL THEN 0.0 ELSE 1.0 END AS m00,
+         CASE WHEN b01.c IS NULL THEN 0.0 ELSE 1.0 END AS m01,
+         CASE WHEN b10.c IS NULL THEN 0.0 ELSE 1.0 END AS m10,
+         CASE WHEN b11.c IS NULL THEN 0.0 ELSE 1.0 END AS m11
+  FROM xm CROSS JOIN ym
+  LEFT JOIN burn b00 ON b00.py = ym.sy0 AND b00.px = xm.sx0
+  LEFT JOIN burn b01 ON b01.py = ym.sy0 AND b01.px = xm.sx1
+  LEFT JOIN burn b10 ON b10.py = ym.sy1 AND b10.px = xm.sx0
+  LEFT JOIN burn b11 ON b11.py = ym.sy1 AND b11.px = xm.sx1
+)
+SELECT CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx,
+       CASE WHEN ((1.0 - wy) * ((1.0 - wx) * m00 + wx * m01)
+                  + wy * ((1.0 - wx) * m10 + wx * m11)) > 1e-15
+            THEN ((1.0 - wy) * ((1.0 - wx) * v00 + wx * v01)
+                  + wy * ((1.0 - wx) * v10 + wx * v11))
+                 / ((1.0 - wy) * ((1.0 - wx) * m00 + wx * m01)
+                    + wy * ((1.0 - wx) * m10 + wx * m11))
+            ELSE NULL END AS v
+FROM d"""
+
+
+def _warc_sql(dialect: str) -> str:
+    """WARC round-trip: synthesize one WARC envelope per document,
+    concatenate per shard file, then RECOVER the records — the record
+    split, header parse, Content-Length payload slice and byte-exact
+    payload verification every Common-Crawl-style job front-ends."""
+    crlf = "(chr(13) || chr(10))"
+    if dialect == "spark":
+        tostr = "CAST({} AS STRING)"
+        files = ("SELECT file_id, concat_ws('', transform(array_sort("
+                 "collect_list(struct(doc_id, rec))), s -> s.rec)) AS blob "
+                 "FROM rec GROUP BY file_id")
+        parts = ("SELECT file_id, pos - 1 AS rec_idx, part FROM files "
+                 "LATERAL VIEW posexplode(split(blob, 'WARC/1\\\\.0')) "
+                 "AS pos, part WHERE pos >= 1")
+    else:
+        tostr = "CAST({} AS VARCHAR)"
+        files = ("SELECT file_id, string_agg(rec, '' ORDER BY doc_id) "
+                 "AS blob FROM rec GROUP BY file_id")
+        parts = ("SELECT file_id, idx - 2 AS rec_idx, part "
+                 "FROM (SELECT file_id, unnest(ps) AS part, "
+                 "             generate_subscripts(ps, 1) AS idx "
+                 "      FROM (SELECT file_id, "
+                 "                   string_split(blob, 'WARC/1.0') AS ps "
+                 "            FROM files)) WHERE idx >= 2")
+    did, clen = tostr.format("doc_id"), tostr.format("length(text)")
+    return f"""
+rec AS (
+  SELECT doc_id, doc_id % 8 AS file_id,
+         'WARC/1.0' || {crlf}
+         || 'WARC-Target-URI: urn:doc:' || {did} || {crlf}
+         || 'Content-Length: ' || {clen} || {crlf} || {crlf}
+         || text || {crlf} || {crlf} AS rec
+  FROM documents),
+files AS ({files}),
+parts AS ({parts}),
+fields AS (
+  SELECT file_id, rec_idx,
+         CAST(NULLIF(regexp_extract(part, 'urn:doc:([0-9]+)', 1), '')
+              AS BIGINT) AS doc_id,
+         CAST(NULLIF(regexp_extract(part, 'Content-Length: ([0-9]+)', 1),
+                     '') AS BIGINT) AS clen,
+         POSITION({crlf} || {crlf} IN part) AS he, part
+  FROM parts)
+SELECT f.file_id, CAST(f.rec_idx AS BIGINT) AS rec_idx, f.doc_id, f.clen,
+       CASE WHEN length(f.part) = f.he - 1 + 4 + f.clen + 4
+            THEN 1 ELSE 0 END AS len_ok,
+       CASE WHEN md5(substr(f.part, f.he + 4, f.clen)) = md5(d.text)
+            THEN 1 ELSE 0 END AS payload_ok
+FROM fields f JOIN documents d ON d.doc_id = f.doc_id
+ORDER BY f.file_id, f.rec_idx"""
+
+
+def q_warc_records(spark, sf_dir):
+    """WARC record synthesis + recovery round-trip — the front door
+    of every Common-Crawl-scale corpus job (ISO 28500 WARC/1.0: CRLF
+    header block, Content-Length octet count, record terminated by
+    two CRLFs). One envelope is synthesized per document, records are
+    concatenated into 8 shard files (ordered collect per shard), and
+    the parse then RECOVERS each record: split on the version magic,
+    header fields by anchored regexp, payload sliced by the declared
+    Content-Length, and two independent validations — the length
+    equation (header bytes + blank line + Content-Length + terminator
+    must tile the record exactly) and byte-exact payload recovery
+    (md5 vs the source text joined back on the parsed URI).
+
+    Deviations, documented: production readers stream records by
+    Content-Length alone (no magic scan); the split-on-magic form is
+    the fixture-safe analog and the len_ok equation is exactly the
+    check that would expose a payload-embedded magic. The ASCII
+    fixture makes char length == octet length. At corpus scale every
+    stage is per-shard map work after one groupBy(file_id); shard
+    blobs are bounded by construction (docs/8 per shard here; real
+    WARCs cap at 1 GiB)."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(f"WITH {_warc_sql('spark')}")
+
+
+def o_warc_records():
+    return f"WITH {_warc_sql('duck')}"
+
+
+BITEXT_K = 4  # neighborhood size for the margin normalizer
+
+
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, ACL
+    P19-1309 — the CCMatrix/LASER pairing rule): split the embedding
+    table into source (even vec_id) and target (odd) sides, score
+    every candidate pair by the RATIO margin — cos(x,y) divided by
+    the mean of the k-NN-average similarities of both endpoints — and
+    emit each source's best target with its margin and the
+    mutual-best flag (the 'intersection' strategy from the paper).
+
+    Exactness discipline: cosines are rounded at 1e-6 then scaled to
+    exact BIGINT micro-units, so the k-NN sums are integer-exact and
+    the margin is a single float division of integer-derived values
+    (one ROUND(.,6) at the end) — bit-identical across engines.
+    ROW_NUMBER ties break on the integer cosine then id.
+
+    Scale shape: candidate generation here is the sf-scale brute
+    cross join; at corpus scale the candidate set comes from the SAME
+    IVF cell-probe plan as ivf_ann/semdedup (nprobe cells per query,
+    bounded per-cell fan-out) and the margin math below is unchanged.
+    The k-NN windows partition on src/tgt id — bounded keys, never a
+    global window."""
+    df = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+          .select("vec_id", F.col("embedding").cast("array<double>")
+                  .alias("v")))
+    src = (df.filter(F.col("vec_id") % 2 == 0)
+           .select(F.col("vec_id").alias("src_id"), F.col("v").alias("va")))
+    tgt = (df.filter(F.col("vec_id") % 2 == 1)
+           .select(F.col("vec_id").alias("tgt_id"), F.col("v").alias("vb")))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with(F.col("va"), F.col("va"),
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(F.col("vb"), F.col("vb"),
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos_i = F.floor(F.round(dot / (na * nb), 6) * 1e6 + 0.5).cast("long")
+    p = src.crossJoin(tgt).select("src_id", "tgt_id", cos_i.alias("cos_i"))
+    wf = Window.partitionBy("src_id").orderBy(F.col("cos_i").desc(),
+                                              F.col("tgt_id").asc())
+    wb = Window.partitionBy("tgt_id").orderBy(F.col("cos_i").desc(),
+                                              F.col("src_id").asc())
+    fwd = p.withColumn("rf", F.row_number().over(wf))
+    bwd = p.withColumn("rb", F.row_number().over(wb))
+    sum_f = (fwd.filter(F.col("rf") <= BITEXT_K).groupBy("src_id")
+             .agg(F.sum("cos_i").alias("sum_f")))
+    sum_b = (bwd.filter(F.col("rb") <= BITEXT_K).groupBy("tgt_id")
+             .agg(F.sum("cos_i").alias("sum_b")))
+    best = fwd.filter(F.col("rf") == 1).select("src_id", "tgt_id", "cos_i")
+    bb = (bwd.filter(F.col("rb") == 1)
+          .select(F.col("tgt_id").alias("_bt"),
+                  F.col("src_id").alias("best_src")))
+    margin = F.round(
+        F.col("cos_i").cast("double")
+        / ((F.col("sum_f") + F.col("sum_b")) / F.lit(8.0)), 6)
+    return (best.join(sum_f, "src_id")
+            .join(sum_b, "tgt_id")
+            .join(bb, best["tgt_id"] == F.col("_bt"))
+            .select("src_id", "tgt_id",
+                    (F.col("cos_i").cast("double") / F.lit(1e6)).alias("cos"),
+                    margin.alias("margin"),
+                    F.when(F.col("best_src") == F.col("src_id"), 1)
+                     .otherwise(0).alias("mutual"))
+            .orderBy("src_id"))
+
+
+def o_bitext_mine():
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+src AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+tgt AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
+p AS (
+  SELECT s.src_id, t.tgt_id,
+         CAST(FLOOR(ROUND(
+             list_sum(list_transform(list_zip(s.v, t.v), z -> z[1] * z[2]))
+             / (SQRT(list_sum(list_transform(s.v, x -> x * x)))
+                * SQRT(list_sum(list_transform(t.v, x -> x * x)))), 6)
+           * 1e6 + 0.5) AS BIGINT) AS cos_i
+  FROM src s CROSS JOIN tgt t),
+f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                   ORDER BY cos_i DESC, tgt_id) AS rf
+      FROM p),
+b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                   ORDER BY cos_i DESC, src_id) AS rb
+      FROM p),
+sf AS (SELECT src_id, SUM(cos_i) AS sum_f FROM f WHERE rf <= {BITEXT_K}
+       GROUP BY src_id),
+sb AS (SELECT tgt_id, SUM(cos_i) AS sum_b FROM b WHERE rb <= {BITEXT_K}
+       GROUP BY tgt_id),
+best AS (SELECT src_id, tgt_id, cos_i FROM f WHERE rf = 1),
+bb AS (SELECT tgt_id, src_id AS best_src FROM b WHERE rb = 1)
+SELECT best.src_id, best.tgt_id,
+       CAST(best.cos_i AS DOUBLE) / 1e6 AS cos,
+       ROUND(CAST(best.cos_i AS DOUBLE)
+             / ((sf.sum_f + sb.sum_b) / 8.0), 6) AS margin,
+       CASE WHEN bb.best_src = best.src_id THEN 1 ELSE 0 END AS mutual
+FROM best
+JOIN sf ON sf.src_id = best.src_id
+JOIN sb ON sb.tgt_id = best.tgt_id
+JOIN bb ON bb.tgt_id = best.tgt_id
+ORDER BY best.src_id"""
+
+
 REGISTRY: dict[str, tuple] = {
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
@@ -18420,6 +18746,11 @@ REGISTRY: dict[str, tuple] = {
     "line_zonal_length": (q_line_zonal_length, o_line_zonal_length),
     "str_pack": (q_str_pack, o_str_pack),
     "zipf_fit": (q_zipf_fit, o_zipf_fit),
+    # --- round-3 continuation session
+    "sql_not_in_null": (q_sql_not_in_null, o_sql_not_in_null),
+    "warp_nodata": (q_warp_nodata, o_warp_nodata),
+    "warc_records": (q_warc_records, o_warc_records),
+    "bitext_mine": (q_bitext_mine, o_bitext_mine),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }

@@ -1,0 +1,118 @@
+"""Invariant tests for the round-3 continuation operators.
+
+The exact-value gate is tests/test_queries_oracle.py + tools/run_gate.py;
+these tests pin the SEMANTIC claims each docstring makes, independently
+of the oracle (which shares the SQL text for some of them).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gdal_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from gdal_spark.session import get_spark
+    return get_spark()
+
+
+def test_not_in_null_3vl(spark):
+    """NOT IN vs NOT EXISTS against an all-NULL set: the 3VL split."""
+    rows = {(r["kind"], r["k"]): r["n"]
+            for r in Q.q_sql_not_in_null(spark, SF).collect()}
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    # NOT IN (all-NULL set) is UNKNOWN for every row -> empty
+    assert rows[("notin_all_null", -1)] == 0
+    # NOT EXISTS with the same predicate keeps every customer
+    assert rows[("notexists_null", -1)] == n_cust
+    # the useful anti-join arm is non-vacuous
+    assert sum(n for (kind, _), n in rows.items() if kind == "no_recent") > 0
+
+
+def test_warp_nodata_renormalizes(spark):
+    """Masked bilinear: NULL only where all four taps are nodata;
+    valid outputs renormalize (a partial window over a constant field
+    returns the constant, not a scaled-down value)."""
+    df = Q.q_warp_nodata(spark, SF).collect()
+    vals = [r["v"] for r in df]
+    assert any(v is None for v in vals)        # all-nodata windows exist
+    live = [v for v in vals if v is not None]
+    assert live and all(v > 0 for v in live)   # burn counts are >= 1
+    # renormalization bound: masked bilinear output never exceeds the
+    # max valid tap (a convex combination of VALID values only) -- the
+    # unmasked variant with implicit 0s would undershoot instead.
+    bil = {(r["dy"], r["dx"]): r["v"]
+           for r in Q.q_warp_bilinear(spark, SF).collect()}
+    nod = {(r["dy"], r["dx"]): r["v"] for r in df}
+    assert all(nod[k] >= bil[k] - 1e-9 for k in nod if nod[k] is not None)
+
+
+def test_warc_roundtrip_all_valid(spark):
+    """Every synthesized record is recovered byte-exactly and its
+    length equation tiles the record."""
+    df = Q.q_warc_records(spark, SF)
+    agg = df.agg(F.count("*").alias("n"),
+                 F.sum("len_ok").alias("lo"),
+                 F.sum("payload_ok").alias("po")).collect()[0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert agg["n"] == n_docs
+    assert agg["lo"] == n_docs and agg["po"] == n_docs
+    # rec_idx is a dense 0..k-1 sequence per shard file
+    per = (df.groupBy("file_id")
+           .agg(F.count("*").alias("c"), F.min("rec_idx").alias("mn"),
+                F.max("rec_idx").alias("mx")).collect())
+    assert all(r["mn"] == 0 and r["mx"] == r["c"] - 1 for r in per)
+
+
+def test_warc_length_check_catches_corruption(spark):
+    """The len_ok equation is a real validator: a record whose payload
+    embeds the version magic splits wrong and fails the check."""
+    spark.createDataFrame(
+        [(0, "clean text here", "en", "w", 15),
+         (1, "bad WARC/1.0\r\n mid-payload", "en", "w", 26),
+         (8, "other shard", "en", "w", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    from gdal_spark.queries import _warc_sql
+    rows = spark.sql(f"WITH {_warc_sql('spark')}").collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[0]["len_ok"] == 1 and by_doc[0]["payload_ok"] == 1
+    assert by_doc[8]["len_ok"] == 1
+    # the corrupted record's length equation fails
+    assert by_doc[1]["len_ok"] == 0
+    spark.catalog.dropTempView("documents")
+
+
+def test_bitext_margin_semantics(spark):
+    df = Q.q_bitext_mine(spark, SF).collect()
+    n_src = (spark.read.parquet(f"{SF}/embeddings.parquet")
+             .filter(F.col("vec_id") % 2 == 0).count())
+    assert len(df) == n_src                     # one best target per source
+    assert all(r["tgt_id"] % 2 == 1 for r in df)
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in df)
+    # margin > 0 and the mutual flag is a strict subset
+    assert all(r["margin"] > 0 for r in df)
+    assert 0 < sum(r["mutual"] for r in df) <= len(df)
+
+
+def test_bitext_best_is_argmax(spark):
+    """The emitted target really is the cosine argmax over the target
+    side (brute-force recheck on the small fixture)."""
+    import numpy as np
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+    out = {r["src_id"]: r["tgt_id"]
+           for r in Q.q_bitext_mine(spark, SF).collect()}
+    tgts = sorted(i for i in emb if i % 2 == 1)
+    for src in list(out)[:20]:
+        va = emb[src]
+        cos = [(round(float(va @ emb[t]
+                            / (np.linalg.norm(va) * np.linalg.norm(emb[t]))),
+                      6), t) for t in tgts]
+        best = max(cos, key=lambda ct: (ct[0], -ct[1]))[1]
+        assert out[src] == best
