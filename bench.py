@@ -179,7 +179,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "bloom_fpr", "stats_approx",
                  # round-3 continuation session
                  "sql_not_in_null", "warp_nodata", "warc_records",
-                 "bitext_mine"]:
+                 "bitext_mine", "cdx_index", "mime_filter"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

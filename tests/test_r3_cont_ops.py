@@ -88,6 +88,34 @@ def test_warc_length_check_catches_corruption(spark):
     spark.catalog.dropTempView("documents")
 
 
+def test_cdx_block_index(spark):
+    """zipnum secondary index: blocks tile the sorted record space."""
+    import math
+    rows = Q.q_cdx_index(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    assert len(rows) == math.ceil(n_docs / Q.CDX_BLOCK)
+    keys = [r["first_key"] for r in rows]
+    assert keys == sorted(keys)                  # index is ordered
+    assert all(r["n"] == Q.CDX_BLOCK for r in rows[:-1])  # full blocks
+    # SURT keys are host-reversed: every key starts with a reversed TLD
+    assert all(k.split(",")[0] in ("com", "org", "net") for k in keys)
+
+
+def test_mime_filter_gate(spark):
+    rows = Q.q_mime_filter(spark, SF).collect()
+    for r in rows:
+        want = 1 if (r["doc_id"] % 7 not in (3, 5, 6)
+                     and r["doc_id"] % 4 != 3) else 0
+        assert r["keep"] == want, r
+        if r["doc_id"] % 7 == 3:
+            assert r["status"] == 301 and r["redirect"].startswith("https://")
+        if r["doc_id"] % 4 == 2:                 # no charset param
+            assert r["charset"] == "UTF-8"       # RFC default applied
+        if r["doc_id"] % 4 == 1:
+            assert r["charset"] == "ISO-8859-1"  # uppercased param
+
+
 def test_bitext_margin_semantics(spark):
     df = Q.q_bitext_mine(spark, SF).collect()
     n_src = (spark.read.parquet(f"{SF}/embeddings.parquet")
