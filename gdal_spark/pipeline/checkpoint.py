@@ -60,7 +60,13 @@ class SnapshotStore:
             return spark.read.parquet(path)
 
         t0 = time.monotonic()
-        df = fn()
+        # Observation rides the WRITE action itself (df.observe), so the
+        # row metric costs zero extra passes — on a 10^12-row stage a
+        # post-write recount would be a second full scan of the output.
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        obs = Observation(f"stage_{stage}")
+        df = fn().observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
@@ -68,9 +74,11 @@ class SnapshotStore:
         wall = time.monotonic() - t0
 
         out = spark.read.parquet(path)
-        total = out.count()
+        total = obs.get["rows"]
         per_part = {}
         if partition_by:
+            # partition-column-only scan: reads no data pages, the
+            # partition values come from the directory layout
             for r in out.groupBy(partition_by).count().collect():
                 per_part[str(r[0])] = r[1]
 

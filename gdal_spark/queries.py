@@ -18559,6 +18559,32 @@ FROM parsed
 ORDER BY doc_id"""
 
 
+def q_stream_upsert(spark, sf_dir):
+    """Streaming CDC apply: foreachBatch incremental MERGE of the
+    event log (replayed as 4 real micro-batches, one file per
+    trigger) into a versioned snapshot table — latest-per-user by
+    (ts, event_id) argmax plus a version counter; the drained final
+    table is batch-boundary-independent and equals the batch argmax
+    (streaming/events.upsert_stream; merge loop = Iceberg MERGE INTO,
+    resume = last complete version + stream checkpoint)."""
+    from gdal_spark.streaming.events import upsert_stream
+    return upsert_stream(spark, sf_dir)
+
+
+def o_stream_upsert():
+    return """
+WITH r AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nv
+  FROM events)
+SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_us,
+       event_id AS last_event_id, value AS last_value,
+       CAST(nv AS BIGINT) AS n_versions
+FROM r WHERE rn = 1 ORDER BY user_id"""
+
+
 def q_mime_filter(spark, sf_dir):
     """HTTP response-header parse + fetch gate — the keep/drop step a
     Common-Crawl-style pipeline runs on every fetched page before
@@ -18917,6 +18943,7 @@ REGISTRY: dict[str, tuple] = {
     "bitext_mine": (q_bitext_mine, o_bitext_mine),
     "cdx_index": (q_cdx_index, o_cdx_index),
     "mime_filter": (q_mime_filter, o_mime_filter),
+    "stream_upsert": (q_stream_upsert, o_stream_upsert),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }

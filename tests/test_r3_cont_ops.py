@@ -116,6 +116,23 @@ def test_mime_filter_gate(spark):
             assert r["charset"] == "ISO-8859-1"  # uppercased param
 
 
+def test_stream_upsert_final_state(spark):
+    """foreachBatch CDC apply: the drained table is the batch argmax
+    regardless of micro-batch boundaries."""
+    import pyspark.sql.functions as FF
+    got = {r["user_id"]: r for r in Q.q_stream_upsert(spark, SF).collect()}
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("ts", FF.col("ts").cast("timestamp")))
+    want = (ev.groupBy("user_id")
+            .agg(FF.max(FF.struct("ts", "event_id")).alias("s"),
+                 FF.count("*").alias("nv")).collect())
+    assert len(got) == len(want)
+    for r in want:
+        g = got[r["user_id"]]
+        assert g["last_event_id"] == r["s"]["event_id"]
+        assert g["n_versions"] == r["nv"]
+
+
 def test_bitext_margin_semantics(spark):
     df = Q.q_bitext_mine(spark, SF).collect()
     n_src = (spark.read.parquet(f"{SF}/embeddings.parquet")
