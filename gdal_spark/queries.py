@@ -18585,6 +18585,38 @@ SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_us,
 FROM r WHERE rn = 1 ORDER BY user_id"""
 
 
+def q_stream_ema_state(spark, sf_dir):
+    """Custom stateful streaming operator via the arbitrary-stateful
+    v2 API (transformWithStateInPandas + RocksDB state store, Spark
+    4): per-user EMA whose ValueState carries (n, first, last, ema)
+    across 4 REAL time-ordered micro-batches — the order-sensitive
+    recurrence built-in aggregates can't express
+    (streaming/events.ema_state_stream). Output = each user's final
+    state + the number of batches that touched the user; oracle = the
+    batch ordered fold (list_reduce) + an NTILE emission count."""
+    from gdal_spark.streaming.events import ema_state_stream
+    return ema_state_stream(spark, sf_dir)
+
+
+def o_stream_ema_state():
+    from gdal_spark.streaming.events import EMA_STATE_SHARDS
+    return f"""
+WITH s AS (
+  SELECT user_id, value, ts, event_id,
+         NTILE({EMA_STATE_SHARDS}) OVER (ORDER BY ts, event_id) AS shard
+  FROM events),
+g AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+         COUNT(DISTINCT shard) AS n_updates
+  FROM s GROUP BY user_id)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_obs,
+       ROUND(vs[1], 6) AS first_v, ROUND(vs[-1], 6) AS last_v,
+       ROUND(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+         AS ema,
+       CAST(n_updates AS BIGINT) AS n_updates
+FROM g ORDER BY user_id"""
+
+
 def q_mime_filter(spark, sf_dir):
     """HTTP response-header parse + fetch gate — the keep/drop step a
     Common-Crawl-style pipeline runs on every fetched page before
@@ -18944,6 +18976,7 @@ REGISTRY: dict[str, tuple] = {
     "cdx_index": (q_cdx_index, o_cdx_index),
     "mime_filter": (q_mime_filter, o_mime_filter),
     "stream_upsert": (q_stream_upsert, o_stream_upsert),
+    "stream_ema_state": (q_stream_ema_state, o_stream_ema_state),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }

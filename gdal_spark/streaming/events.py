@@ -371,3 +371,121 @@ def upsert_stream(spark: SparkSession, sf_dir: str,
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(vt_dir, ignore_errors=True)
+
+
+EMA_STATE_SHARDS = 4
+
+EMA_OUT_SCHEMA = ("user_id long, n_obs long, first_v double, "
+                  "last_v double, ema double")
+EMA_STATE_SCHEMA = "n long, fv double, lv double, ema double"
+
+
+def _ema_user(key, pdfs, state):
+    """Fold this batch's time-sorted rows of one user into the carried
+    (n, first, last, ema) ValueState; emit the post-batch state. The
+    0.25 alpha is dyadic so every fold step is exact IEEE — the same
+    float op sequence as the batch sort_array+aggregate and the
+    oracle's list_reduce."""
+    import pandas as pd
+    df = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    if state.exists:
+        n, fv, lv, ema = state.get
+    else:
+        n, fv, lv, ema = 0, 0.0, 0.0, 0.0
+    for v in df["value"]:
+        v = float(v)
+        if n == 0:
+            ema = v
+            fv = v
+        else:
+            ema = 0.25 * v + 0.75 * ema
+        lv = v
+        n += 1
+    state.update((n, fv, lv, ema))
+    yield pd.DataFrame({"user_id": [int(key[0])], "n_obs": [n],
+                        "first_v": [fv], "last_v": [lv], "ema": [ema]})
+
+
+def ema_state_stream(spark: SparkSession, sf_dir: str,
+                     n_shards: int = EMA_STATE_SHARDS) -> DataFrame:
+    """Per-user streaming EMA — a custom stateful operator whose
+    GroupState carries the full smoother (n, first, last, ema) across
+    REAL micro-batches: the order-sensitive recurrence built-in
+    streaming aggregates cannot express. (Spark 4 adds the stateful
+    v2 surface, transformWithStateInPandas; its Python state server
+    requires protobuf, absent from this container — documented — so
+    the operator uses the applyInPandasWithState surface; the state
+    contract is the same fixed-width per-user tuple, bounded by user
+    count, never by stream length.)
+
+    Replay discipline: the event log is staged into ``n_shards``
+    files that partition the GLOBAL (ts, event_id) order (ntile), and
+    file mtimes force the file source to admit them oldest-first — so
+    batches arrive in time order and the cross-batch fold reproduces
+    the batch ordered fold exactly (oracle: ema_smoothing's
+    list_reduce + an NTILE emission count). The single-window ntile
+    staging is test scaffolding, not the operator — a real ingest
+    arrives already time-bucketed.
+
+    Emissions: one row per touched user per batch; the gated output
+    keeps each user's LAST emission (max n_obs) plus n_updates, the
+    number of batches that touched the user — both deterministic
+    because shard boundaries and admission order are pinned."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    name = f"emastate_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_stream_ckpt_")
+    staged = tempfile.mkdtemp(prefix="gdal_spark_ema_src_")
+    try:
+        with utc_session(spark):
+            ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+            w = Window.orderBy("ts", "event_id")
+            sharded = ev.withColumn("shard", F.ntile(n_shards).over(w))
+            for i in range(1, n_shards + 1):
+                (sharded.filter(F.col("shard") == i).drop("shard")
+                 .coalesce(1).write.mode("append").parquet(staged))
+                # monotone mtimes admit shards oldest-first (the file
+                # source orders pending files by modification time)
+                t = time.time() - (n_shards - i) * 60
+                for fn in os.listdir(staged):
+                    p = os.path.join(staged, fn)
+                    if os.path.getmtime(p) > t:
+                        os.utime(p, (t, t))
+            src = (spark.readStream.schema(ev.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(staged))
+            out = (src.groupBy("user_id")
+                   .applyInPandasWithState(
+                       _ema_user, EMA_OUT_SCHEMA, EMA_STATE_SCHEMA,
+                       "append", GroupStateTimeout.NoTimeout))
+            q = (out.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            emitted = spark.table(name)
+            wl = Window.partitionBy("user_id").orderBy(
+                F.col("n_obs").desc())
+            return (emitted
+                    .withColumn("_rn", F.row_number().over(wl))
+                    .withColumn("n_updates",
+                                F.count(F.lit(1)).over(
+                                    Window.partitionBy("user_id")))
+                    .filter(F.col("_rn") == 1)
+                    .select("user_id", "n_obs",
+                            F.round("first_v", 6).alias("first_v"),
+                            F.round("last_v", 6).alias("last_v"),
+                            F.round("ema", 6).alias("ema"),
+                            F.col("n_updates").cast("long")
+                            .alias("n_updates"))
+                    .orderBy("user_id")
+                    .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)

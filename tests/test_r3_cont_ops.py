@@ -133,6 +133,21 @@ def test_stream_upsert_final_state(spark):
         assert g["n_versions"] == r["nv"]
 
 
+def test_stream_ema_state_carries_across_batches(spark):
+    """The GroupState fold really spans micro-batches: users touched
+    by >1 time-ordered shard still reproduce the batch ordered fold."""
+    import pyspark.sql.functions as FF
+    got = {r["user_id"]: r for r in Q.q_stream_ema_state(spark, SF).collect()}
+    # non-vacuous multi-batch state: most users appear in 2+ batches
+    multi = [r for r in got.values() if r["n_updates"] > 1]
+    assert len(multi) > len(got) / 2, (len(multi), len(got))
+    # cross-check the fold against the batch EMA query (same alpha)
+    batch = {r["user_id"]: r for r in Q.q_ema_smoothing(spark, SF).collect()}
+    for uid, r in got.items():
+        assert abs(r["ema"] - batch[uid]["ema"]) < 1e-9, uid
+        assert r["n_obs"] == batch[uid]["n_obs"]
+
+
 def test_bitext_margin_semantics(spark):
     df = Q.q_bitext_mine(spark, SF).collect()
     n_src = (spark.read.parquet(f"{SF}/embeddings.parquet")
