@@ -18617,6 +18617,41 @@ SELECT user_id, CAST(len(vs) AS BIGINT) AS n_obs,
 FROM g ORDER BY user_id"""
 
 
+def q_stream_interval_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join: unmatched views emit a
+    null-padded row ONLY once the global watermark proves no future
+    match can arrive (buffered-row expiry v_ts + 1h behind
+    min(max view ts, max click ts) − 2h); unmatched-but-young views
+    emit NOTHING at drain — the real streaming outcome, exactly
+    computable from the fixture, which the oracle reproduces by
+    deriving the same final watermark and splitting the LEFT JOIN on
+    the expiry rule (2 of the 183 unmatched views at sf0.001 are
+    suppressed — the non-vacuous case). See
+    streaming/events.interval_join_outer_stream."""
+    from gdal_spark.streaming.events import interval_join_outer_stream
+    return interval_join_outer_stream(spark, sf_dir)
+
+
+def o_stream_interval_outer():
+    return """
+WITH v AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'click'),
+wm AS (SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM c))
+              - INTERVAL 2 HOUR AS w),
+m AS (SELECT v.event_id AS v_id, c.event_id AS c_id, v.ts AS v_ts,
+             CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT)
+               AS lag_us
+      FROM v LEFT JOIN c
+        ON c.user_id = v.user_id AND c.ts >= v.ts
+       AND c.ts <= v.ts + INTERVAL 1 HOUR)
+SELECT v_id, c_id, lag_us FROM m
+WHERE c_id IS NOT NULL
+   OR v_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+ORDER BY v_id, c_id"""
+
+
 def q_mime_filter(spark, sf_dir):
     """HTTP response-header parse + fetch gate — the keep/drop step a
     Common-Crawl-style pipeline runs on every fetched page before
@@ -18977,6 +19012,8 @@ REGISTRY: dict[str, tuple] = {
     "mime_filter": (q_mime_filter, o_mime_filter),
     "stream_upsert": (q_stream_upsert, o_stream_upsert),
     "stream_ema_state": (q_stream_ema_state, o_stream_ema_state),
+    "stream_interval_outer": (q_stream_interval_outer,
+                              o_stream_interval_outer),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }

@@ -489,3 +489,63 @@ def ema_state_stream(spark: SparkSession, sf_dir: str,
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def interval_join_outer_stream(spark: SparkSession, sf_dir: str,
+                               watermark: str = "2 hours",
+                               window: str = "1 hour") -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics the
+    inner variant (interval_join_stream) can't show: a view row with
+    NO click inside its window emits a null-padded row, but ONLY once
+    the global watermark proves no future match can arrive (the
+    buffered row's expiry v_ts + window falls behind the watermark,
+    min(max seen view ts, max seen click ts) − delay). Views younger
+    than that stay in state and emit NOTHING when an availableNow
+    replay drains — unmatched-but-not-yet-provably-unmatched is a
+    real, documented streaming outcome, and it is exactly computable:
+    the oracle derives the final watermark from the same fixture and
+    splits the LEFT JOIN accordingly. The no-data final micro-batch
+    (noDataMicroBatches, on by default) is what flushes the expired
+    rows after the last data batch."""
+    name = f"ivjo_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_stream_ckpt_")
+    try:
+        with utc_session(spark):
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+            def src():
+                return (spark.readStream.schema(schema)
+                        .option("pathGlobFilter", "events.parquet")
+                        .parquet(sf_dir)
+                        .withColumn("ts", F.col("ts").cast("timestamp")))
+
+            views = (src().filter(F.col("event_type") == "view")
+                     .select(F.col("user_id").alias("v_user"),
+                             F.col("ts").alias("v_ts"),
+                             F.col("event_id").alias("v_id"))
+                     .withWatermark("v_ts", watermark))
+            clicks = (src().filter(F.col("event_type") == "click")
+                      .select(F.col("user_id").alias("c_user"),
+                              F.col("ts").alias("c_ts"),
+                              F.col("event_id").alias("c_id"))
+                      .withWatermark("c_ts", watermark))
+            j = (views.join(
+                clicks,
+                (F.col("c_user") == F.col("v_user"))
+                & (F.col("c_ts") >= F.col("v_ts"))
+                & (F.col("c_ts") <= F.col("v_ts")
+                   + F.expr(f"INTERVAL {window}")), "leftOuter")
+                .select("v_id", "c_id",
+                        F.expr("timestampdiff(MICROSECOND, v_ts, c_ts)")
+                        .alias("lag_us")))
+            q = (j.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            return (spark.table(name)
+                    .orderBy("v_id", "c_id")
+                    .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -148,6 +148,24 @@ def test_stream_ema_state_carries_across_batches(spark):
         assert r["n_obs"] == batch[uid]["n_obs"]
 
 
+def test_stream_interval_outer_suppression(spark):
+    """The outer join's watermark rule is non-vacuous: some unmatched
+    views are provably expired (emit null rows) and some are too
+    young to prove unmatched (emit nothing)."""
+    import pyspark.sql.functions as FF
+    got = Q.q_stream_interval_outer(spark, SF)
+    n_null = got.filter(FF.col("c_id").isNull()).count()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    v = ev.filter(FF.col("event_type") == "view").alias("v")
+    c = ev.filter(FF.col("event_type") == "click").alias("c")
+    all_unmatched = (v.join(
+        c, (FF.col("c.user_id") == FF.col("v.user_id"))
+        & (FF.col("c.ts") >= FF.col("v.ts"))
+        & (FF.col("c.ts") <= FF.col("v.ts") + FF.expr("INTERVAL 1 HOUR")),
+        "left_anti").count())
+    assert 0 < n_null < all_unmatched   # expiry emitted AND suppression real
+
+
 def test_bitext_margin_semantics(spark):
     df = Q.q_bitext_mine(spark, SF).collect()
     n_src = (spark.read.parquet(f"{SF}/embeddings.parquet")
