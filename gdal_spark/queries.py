@@ -18652,6 +18652,62 @@ WHERE c_id IS NOT NULL
 ORDER BY v_id, c_id"""
 
 
+def q_wet_scan(spark, sf_dir):
+    """Custom FORMAT DRIVER scan — GDAL's core extension point
+    (SURVEY §2.1: GDALDriver/OGRSFDriver registration,
+    gcore/gdaldriver.cpp; ~220 drivers) re-expressed as a Spark 4
+    Python DataSource: a from-scratch WET reader
+    (gdal_spark/sources/wet.py) registered with
+    ``spark.dataSource.register`` and scanned via
+    ``spark.read.format("wet")``. The documents table is staged into
+    4 gzip WET shards (the Common-Crawl *.warc.wet.gz layout), then
+    recovered through the source: one InputPartition per gzip member
+    (unsplittable-file scan — why CC shards WET at ~1 GiB), records
+    consumed by the PRODUCTION contract (header parse +
+    Content-Length slice, never payload magic scans).
+
+    The oracle derives the expected (shard, rec_idx, doc_id, length,
+    md5) directly from the parquet — so the gate proves the entire
+    write→gzip→partition→parse loop recovers every payload
+    byte-exactly."""
+    import shutil
+    import tempfile
+
+    from gdal_spark.sources.wet import WetDataSource, write_wet_shards
+    staged = tempfile.mkdtemp(prefix="gdal_spark_wet_")
+    try:
+        rows = [(r["doc_id"], r["text"]) for r in
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text").collect()]
+        write_wet_shards(rows, staged)
+        spark.dataSource.register(WetDataSource)
+        out = (spark.read.format("wet").load(staged)
+               .select(F.regexp_extract("file", "shard-([0-9]+)", 1)
+                       .cast("int").alias("shard"),
+                       "rec_idx",
+                       F.regexp_extract("url", "urn:doc:([0-9]+)", 1)
+                       .cast("bigint").alias("doc_id"),
+                       "content_length",
+                       F.md5("text").alias("text_md5"))
+               .orderBy("shard", "rec_idx"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+def o_wet_scan():
+    return """
+WITH d AS (
+  SELECT doc_id, text, doc_id % 4 AS shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+                            ORDER BY doc_id) - 1 AS rec_idx
+  FROM documents)
+SELECT CAST(shard AS INT) AS shard, CAST(rec_idx AS BIGINT) AS rec_idx,
+       doc_id, CAST(length(text) AS BIGINT) AS content_length,
+       md5(text) AS text_md5
+FROM d ORDER BY shard, rec_idx"""
+
+
 def q_mime_filter(spark, sf_dir):
     """HTTP response-header parse + fetch gate — the keep/drop step a
     Common-Crawl-style pipeline runs on every fetched page before
@@ -19014,6 +19070,7 @@ REGISTRY: dict[str, tuple] = {
     "stream_ema_state": (q_stream_ema_state, o_stream_ema_state),
     "stream_interval_outer": (q_stream_interval_outer,
                               o_stream_interval_outer),
+    "wet_scan": (q_wet_scan, o_wet_scan),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }

@@ -1,0 +1,130 @@
+"""WET-format Spark data source — a from-scratch format driver for
+the WARC conversion format (ISO 28500; the *.warc.wet.gz sidecars
+Common Crawl publishes: one ``WARC/1.0`` record per page, CRLF header
+block with ``Content-Length`` octet count, body = the extracted plain
+text, record closed by two CRLFs).
+
+Reader contract (the PRODUCTION one — contrast queries.q_warc_records,
+which documents its split-on-magic deviation): records are consumed
+strictly by header parse + Content-Length slice, never by scanning the
+payload for the version magic — a payload containing ``WARC/1.0`` is
+handled correctly here. Files are gzip members, decompressed
+streamwise in the reader.
+
+Scan model: ONE InputPartition per .wet.gz file — GDAL's one-dataset-
+per-file sequential scan (gcore/rasterband GetLockedBlockRef ordering;
+ogrsf sequential ReadNextFeature), which is also how a 10^12-record
+WET corpus parallelizes: Spark schedules files across executors, each
+file decompresses as one stream (gzip members are not splittable —
+the same reason CC shards WET files at ~1 GiB).
+
+GDAL analog cited for parity: frmts/ driver registration +
+Identify/Open contract (gcore/gdaldriver.cpp); the reader here plays
+OGRSFDriver::Open + GetNextFeature for a text format.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+CRLF = "\r\n"
+
+
+def wet_record(url: str, text: str) -> str:
+    """One WARC conversion record, octet-exact Content-Length (ASCII
+    fixture: char count == octet count, asserted by the writer)."""
+    return (f"WARC/1.0{CRLF}"
+            f"WARC-Type: conversion{CRLF}"
+            f"WARC-Target-URI: {url}{CRLF}"
+            f"Content-Length: {len(text)}{CRLF}"
+            f"{CRLF}{text}{CRLF}{CRLF}")
+
+
+def write_wet_shards(rows, out_dir: str, n_shards: int = 4) -> list[str]:
+    """Synthesize .wet.gz shards from (doc_id, text) rows — the test
+    scaffolding that stands in for the crawler's WET writer. Shard =
+    doc_id % n_shards, records in doc_id order within a shard."""
+    paths = []
+    shards: dict[int, list] = {i: [] for i in range(n_shards)}
+    for doc_id, text in rows:
+        assert len(text) == len(text.encode("ascii"))
+        shards[doc_id % n_shards].append((doc_id, text))
+    for i in range(n_shards):
+        p = os.path.join(out_dir, f"shard-{i:05d}.warc.wet.gz")
+        with gzip.open(p, "wt", encoding="ascii", newline="") as f:
+            for doc_id, text in sorted(shards[i]):
+                f.write(wet_record(f"urn:doc:{doc_id}", text))
+        paths.append(p)
+    return paths
+
+
+def parse_wet_stream(fh):
+    """Sequential record reader: header lines to the blank line, then
+    EXACTLY Content-Length chars of body, then the 2-CRLF terminator.
+    Yields (rec_idx, url, content_length, text)."""
+    idx = 0
+    while True:
+        line = fh.readline()
+        if not line:
+            return
+        if line.strip() == "":
+            continue
+        if line.rstrip(CRLF) != "WARC/1.0":
+            raise ValueError(f"bad record start: {line!r}")
+        url = ""
+        clen = -1
+        while True:
+            h = fh.readline().rstrip(CRLF)
+            if h == "":
+                break
+            k, _, v = h.partition(": ")
+            if k == "WARC-Target-URI":
+                url = v
+            elif k == "Content-Length":
+                clen = int(v)
+        if clen < 0:
+            raise ValueError("record missing Content-Length")
+        body = fh.read(clen)
+        if len(body) != clen:
+            raise ValueError("truncated record body")
+        term = fh.read(4)
+        if term != CRLF + CRLF:
+            raise ValueError(f"bad record terminator: {term!r}")
+        yield idx, url, clen, body
+        idx += 1
+
+
+class WetReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".wet.gz"))
+
+    def partitions(self):
+        # one partition per gzip member — the unsplittable-file scan
+        return [InputPartition(f) for f in self.files]
+
+    def read(self, partition):
+        fname = os.path.basename(partition.value)
+        with gzip.open(partition.value, "rt",
+                       encoding="ascii", newline="") as fh:
+            for idx, url, clen, text in parse_wet_stream(fh):
+                yield fname, idx, url, clen, text
+
+
+class WetDataSource(DataSource):
+    """spark.read.format("wet").load(dir) over *.warc.wet.gz shards."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wet"
+
+    def schema(self) -> str:
+        return ("file string, rec_idx bigint, url string, "
+                "content_length bigint, text string")
+
+    def reader(self, schema):
+        return WetReader(self.options["path"])

@@ -166,6 +166,46 @@ def test_stream_interval_outer_suppression(spark):
     assert 0 < n_null < all_unmatched   # expiry emitted AND suppression real
 
 
+def test_wet_source_scan_model(spark):
+    """Format-driver scan: one input partition per gzip shard."""
+    import shutil
+    import tempfile
+
+    from gdal_spark.sources.wet import WetDataSource, write_wet_shards
+    staged = tempfile.mkdtemp()
+    try:
+        write_wet_shards([(i, f"doc {i} text") for i in range(20)],
+                         staged, n_shards=4)
+        spark.dataSource.register(WetDataSource)
+        df = spark.read.format("wet").load(staged)
+        assert df.rdd.getNumPartitions() == 4
+        assert df.count() == 20
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_wet_reader_handles_magic_in_payload():
+    """The Content-Length contract (not magic scanning): a payload
+    containing 'WARC/1.0' round-trips byte-exactly — the case
+    q_warc_records' split-on-magic analog documents as its deviation."""
+    import gzip
+    import io
+
+    from gdal_spark.sources.wet import parse_wet_stream, wet_record
+    evil = "before WARC/1.0\r\n after"
+    blob = wet_record("urn:doc:1", evil) + wet_record("urn:doc:2", "plain")
+    fh = io.StringIO(blob)
+    recs = list(parse_wet_stream(fh))
+    assert [(r[1], r[3]) for r in recs] == [("urn:doc:1", evil),
+                                            ("urn:doc:2", "plain")]
+    # truncated body raises rather than silently mis-framing
+    bad = io.StringIO(blob[:-30])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        list(parse_wet_stream(bad))
+    assert gzip  # imported for parity with the reader's stream mode
+
+
 def test_bitext_margin_semantics(spark):
     df = Q.q_bitext_mine(spark, SF).collect()
     n_src = (spark.read.parquet(f"{SF}/embeddings.parquet")
