@@ -28,7 +28,9 @@ from __future__ import annotations
 import gzip
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 
 CRLF = "\r\n"
 
@@ -128,3 +130,57 @@ class WetDataSource(DataSource):
 
     def reader(self, schema):
         return WetReader(self.options["path"])
+
+    def writer(self, schema, overwrite: bool):
+        path = self.options["path"]
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(path):
+                if f.endswith(".wet.gz"):
+                    os.remove(os.path.join(path, f))
+        return WetWriter(path)
+
+
+class WetCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class WetWriter(DataSourceWriter):
+    """Per-task WET shard writer with the two-phase commit protocol —
+    the sink half of the format driver (GDAL: Driver::Create /
+    CreateCopy, gcore/gdaldriver.cpp; OGR partitioned sink SURVEY
+    §2.1). Each task streams its partition into a TEMPORARY gzip
+    member; ``commit`` renames the temps into place atomically once
+    every task reports success, ``abort`` removes them — no partial
+    dataset is ever visible, the same all-or-nothing contract an
+    Iceberg/parquet sink gives."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        import uuid as _uuid
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path,
+                           f"_tmp-{pid:05d}-{_uuid.uuid4().hex}.wet.gz")
+        n = 0
+        with gzip.open(tmp, "wt", encoding="ascii", newline="") as f:
+            for row in iterator:
+                f.write(wet_record(row.url, row.text))
+                n += 1
+        return WetCommit(tmp, n)
+
+    def commit(self, messages):
+        for i, m in enumerate(sorted(messages, key=lambda m: m.path)):
+            final = os.path.join(self.path, f"part-{i:05d}.warc.wet.gz")
+            os.replace(m.path, final)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+

@@ -206,6 +206,36 @@ def test_wet_reader_handles_magic_in_payload():
     assert gzip  # imported for parity with the reader's stream mode
 
 
+def test_wet_writer_roundtrip(spark):
+    """Sink half of the format driver: df.write.format('wet') →
+    read back through the reader, byte-exact, with the two-phase
+    commit leaving no temp files behind."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as FF
+
+    from gdal_spark.sources.wet import WetDataSource
+    spark.dataSource.register(WetDataSource)
+    out = tempfile.mkdtemp()
+    try:
+        src = (spark.read.parquet(f"{SF}/documents.parquet")
+               .select(FF.concat(FF.lit("urn:doc:"), FF.col("doc_id"))
+                       .alias("url"), "text")
+               .repartition(3))
+        src.write.format("wet").mode("overwrite").save(out)
+        files = [f for f in os.listdir(out) if f.endswith(".wet.gz")]
+        assert len(files) == 3 and all(f.startswith("part-") for f in files)
+        assert not any(f.startswith("_tmp") for f in os.listdir(out))
+        back = spark.read.format("wet").load(out)
+        a = {(r["url"], r["text"]) for r in back.collect()}
+        b = {(r["url"], r["text"]) for r in src.collect()}
+        assert a == b
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_bitext_margin_semantics(spark):
     df = Q.q_bitext_mine(spark, SF).collect()
     n_src = (spark.read.parquet(f"{SF}/embeddings.parquet")
