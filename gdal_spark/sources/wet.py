@@ -30,6 +30,7 @@ import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceWriter, InputPartition,
+                                    SimpleDataSourceStreamReader,
                                     WriterCommitMessage)
 
 CRLF = "\r\n"
@@ -131,6 +132,9 @@ class WetDataSource(DataSource):
     def reader(self, schema):
         return WetReader(self.options["path"])
 
+    def simpleStreamReader(self, schema):
+        return WetStreamReader(self.options["path"])
+
     def writer(self, schema, overwrite: bool):
         path = self.options["path"]
         os.makedirs(path, exist_ok=True)
@@ -184,3 +188,53 @@ class WetWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+
+
+class WetStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the format driver — the crawler-ingest tail
+    reader (spark.readStream.format("wet")): the offset is the sorted
+    list position of the last consumed shard, so each micro-batch
+    admits exactly the files that appeared since the previous one and
+    a restarted query resumes from the checkpointed offset without
+    re-reading consumed shards. The same micro-batch file-admission
+    model as Spark's built-in FileStreamSource, expressed in ~30
+    lines over the WET record framing.
+
+    Contract: shard names must arrive in sorted order (new files sort
+    after consumed ones) — the positional offset assumes a
+    monotone-named tail, which real WET shards (timestamped names)
+    satisfy; an out-of-order name would shift positions of consumed
+    files."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _files(self):
+        return sorted(f for f in os.listdir(self.path)
+                      if f.endswith(".wet.gz"))
+
+    def initialOffset(self) -> dict:
+        return {"n_consumed": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        end = {"n_consumed": len(files)}
+        return iter(self._rows(files[start["n_consumed"]:])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return self._rows(files[start["n_consumed"]:end["n_consumed"]])
+
+    def _rows(self, names):
+        # materialized (picklable) rows: the simple stream reader runs
+        # on the DRIVER and Spark caches the batch for replay — the
+        # documented model for low-throughput tail sources; a
+        # firehose-rate source implements the partitioned streamReader
+        # instead (same framing, executor-side)
+        out = []
+        for fname in names:
+            with gzip.open(os.path.join(self.path, fname), "rt",
+                           encoding="ascii", newline="") as fh:
+                for idx, url, clen, text in parse_wet_stream(fh):
+                    out.append((fname, idx, url, clen, text))
+        return out

@@ -236,6 +236,44 @@ def test_wet_writer_roundtrip(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_wet_stream_reader_tail_resume(spark):
+    """Streaming half of the format driver: a drained query consumes
+    all shards; a RESUMED query (same checkpoint) admits only the
+    shard that appeared since — the crawler-ingest tail contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from gdal_spark.sources.wet import WetDataSource, write_wet_shards
+    spark.dataSource.register(WetDataSource)
+    d, ck, out = (tempfile.mkdtemp() for _ in range(3))
+
+    def drain():
+        q = (spark.readStream.format("wet").load(d)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    try:
+        write_wet_shards([(i, f"text {i}") for i in range(30)],
+                         d, n_shards=3)
+        assert drain() == 30
+        late = tempfile.mkdtemp()
+        write_wet_shards([(100 + i, f"late {i}") for i in range(6)],
+                         late, n_shards=1)
+        # arrives under a name sorting AFTER the consumed shards (the
+        # monotone-name contract of the tail reader)
+        os.rename(os.path.join(late, "shard-00000.warc.wet.gz"),
+                  os.path.join(d, "zlate.warc.wet.gz"))
+        assert drain() == 36          # only the new shard was admitted
+    finally:
+        for p in (d, ck, out):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def test_bitext_margin_semantics(spark):
     df = Q.q_bitext_mine(spark, SF).collect()
     n_src = (spark.read.parquet(f"{SF}/embeddings.parquet")
