@@ -18326,50 +18326,79 @@ def q_bitext_mine(spark, sf_dir):
     (one ROUND(.,6) at the end) — bit-identical across engines.
     ROW_NUMBER ties break on the integer cosine then id.
 
-    Scale shape: candidate generation here is the sf-scale brute
-    cross join; at corpus scale the candidate set comes from the SAME
-    IVF cell-probe plan as ivf_ann/semdedup (nprobe cells per query,
-    bounded per-cell fan-out) and the margin math below is unchanged.
-    The k-NN windows partition on src/tgt id — bounded keys, never a
-    global window."""
+    Scale shape: pair scoring is a CHUNKED MATRIX MULTIPLY — the
+    opposite side's normalized matrix ships to every task (bounded:
+    n×64 float64; the broadcast-dim discipline), each partition of
+    the query side scores its chunk with ONE numpy matmul inside
+    mapInPandas, and per-row top-k/argmax stay inside the same Arrow
+    batch. The first formulation — a 6.25M-row crossJoin with an
+    interpreted per-pair aggregate/zip_with fold + two windows —
+    measured 33 s at sf0.1; this kernel replaces it with two map-only
+    passes and one broadcast join of the two per-row result tables
+    (MEASURED 2.8 s warm, 12×). At corpus scale the candidate set
+    comes from the
+    SAME IVF cell-probe plan as ivf_ann/semdedup and this matmul is
+    exactly the per-cell scoring kernel. Cosines are rounded at 1e-6
+    and scaled to exact BIGINT micro-units BEFORE ranking, so top-k,
+    ties (cos desc, id asc — one composite int key) and sums are
+    integer-deterministic; matmul reassociation lives ~1e-15 below
+    the rounding grain."""
+    import numpy as np
+    import pandas as pd
+
     df = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
           .select("vec_id", F.col("embedding").cast("array<double>")
                   .alias("v")))
-    src = (df.filter(F.col("vec_id") % 2 == 0)
-           .select(F.col("vec_id").alias("src_id"), F.col("v").alias("va")))
-    tgt = (df.filter(F.col("vec_id") % 2 == 1)
-           .select(F.col("vec_id").alias("tgt_id"), F.col("v").alias("vb")))
-    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
-                                 lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.zip_with(F.col("va"), F.col("va"),
-                                       lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.zip_with(F.col("vb"), F.col("vb"),
-                                       lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    cos_i = F.floor(F.round(dot / (na * nb), 6) * 1e6 + 0.5).cast("long")
-    p = src.crossJoin(tgt).select("src_id", "tgt_id", cos_i.alias("cos_i"))
-    wf = Window.partitionBy("src_id").orderBy(F.col("cos_i").desc(),
-                                              F.col("tgt_id").asc())
-    wb = Window.partitionBy("tgt_id").orderBy(F.col("cos_i").desc(),
-                                              F.col("src_id").asc())
-    fwd = p.withColumn("rf", F.row_number().over(wf))
-    bwd = p.withColumn("rb", F.row_number().over(wb))
-    sum_f = (fwd.filter(F.col("rf") <= BITEXT_K).groupBy("src_id")
-             .agg(F.sum("cos_i").alias("sum_f")))
-    sum_b = (bwd.filter(F.col("rb") <= BITEXT_K).groupBy("tgt_id")
-             .agg(F.sum("cos_i").alias("sum_b")))
-    best = fwd.filter(F.col("rf") == 1).select("src_id", "tgt_id", "cos_i")
-    bb = (bwd.filter(F.col("rb") == 1)
-          .select(F.col("tgt_id").alias("_bt"),
-                  F.col("src_id").alias("best_src")))
+    n_parts = spark.sparkContext.defaultParallelism
+    src = df.filter(F.col("vec_id") % 2 == 0).repartition(n_parts)
+    tgt = df.filter(F.col("vec_id") % 2 == 1).repartition(n_parts)
+
+    def side_matrix(side_df):
+        pdf = side_df.toPandas()  # the broadcast side only (n×64)
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy())
+        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        order = np.argsort(ids)
+        return ids[order], m[order]
+
+    def knn_pass(query_df, b_ids, b_m, k):
+        def gen(pdf_iter):
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["vec_id"].to_numpy()
+                q = np.stack(pdf["v"].to_numpy())
+                q = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
+                cos = q @ b_m.T
+                ci = np.floor(np.round(cos, 6) * 1e6 + 0.5) \
+                       .astype(np.int64)
+                # composite key = (cos desc, id asc); ids < 2^21
+                key = ci * (1 << 21) - b_ids[None, :]
+                tk_idx = np.argpartition(-key, k - 1, axis=1)[:, :k]
+                tk_key = np.take_along_axis(key, tk_idx, axis=1)
+                best = tk_idx[np.arange(len(ids)),
+                              np.argmax(tk_key, axis=1)]
+                sums = np.take_along_axis(ci, tk_idx, axis=1).sum(axis=1)
+                yield pd.DataFrame({
+                    "qid": ids, "best_id": b_ids[best],
+                    "best_ci": ci[np.arange(len(ids)), best],
+                    "sum_k": sums})
+
+        return query_df.mapInPandas(
+            gen, "qid long, best_id long, best_ci long, sum_k long")
+
+    t_ids, t_m = side_matrix(tgt)
+    s_ids, s_m = side_matrix(src)
+    fwd = knn_pass(src, t_ids, t_m, BITEXT_K).select(
+        F.col("qid").alias("src_id"), F.col("best_id").alias("tgt_id"),
+        F.col("best_ci").alias("cos_i"), F.col("sum_k").alias("sum_f"))
+    bwd = knn_pass(tgt, s_ids, s_m, BITEXT_K).select(
+        F.col("qid").alias("_bt"), F.col("best_id").alias("best_src"),
+        F.col("sum_k").alias("sum_b"))
     margin = F.round(
         F.col("cos_i").cast("double")
         / ((F.col("sum_f") + F.col("sum_b")) / F.lit(8.0)), 6)
-    return (best.join(sum_f, "src_id")
-            .join(sum_b, "tgt_id")
-            .join(bb, best["tgt_id"] == F.col("_bt"))
+    return (fwd.join(F.broadcast(bwd), fwd["tgt_id"] == F.col("_bt"))
             .select("src_id", "tgt_id",
                     (F.col("cos_i").cast("double") / F.lit(1e6)).alias("cos"),
                     margin.alias("margin"),
@@ -18650,6 +18679,126 @@ SELECT v_id, c_id, lag_us FROM m
 WHERE c_id IS NOT NULL
    OR v_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
 ORDER BY v_id, c_id"""
+
+
+def q_warp_nodata_avg(spark, sf_dir):
+    """gdalwarp -r average with srcnodata — the masked aggregate
+    kernel (GWKAverageOrModeThread, alg/gdalwarpkernel.cpp: invalid
+    source pixels are skipped, the accumulator divides by the weight
+    of VALID pixels only, and a window with no valid pixel stays
+    dstnodata). Here the sparse burn table IS the valid set (contrast
+    q_warp_average, whose densified source makes absent cells real
+    zeros): contributions scatter from valid pixels only, the per-dst
+    fold renormalizes by the valid weight, and dst cells with zero
+    valid coverage emit NULL via a LEFT join against the full dst
+    grid. w_valid (the covered fraction) rides along — it is the
+    density band a masked warp writes.
+
+    Exactness: r=2.5 makes every overlap weight dyadic and burns are
+    integers, so all sums are order-free exact (warp_agg fold
+    discipline); the one division is deterministic."""
+    from gdal_spark.operators import warp_agg
+    src = _warp_src_burn(spark, sf_dir).select(
+        "sy", "sx", F.col("burn").cast("double").alias("v"))
+    c = warp_agg.scatter_contributions(src, WDEC_R)
+    agg = (c.groupBy("dy", "dx")
+           .agg((F.sum(F.col("w") * F.col("v")) / F.sum("w")).alias("v"),
+                F.sum("w").alias("w_valid")))
+    dst = spark.range(WDEC_H * WDEC_W).select(
+        (F.col("id") / WDEC_W).cast("long").alias("dy"),
+        (F.col("id") % WDEC_W).alias("dx"))
+    return (dst.join(agg, ["dy", "dx"], "left")
+            .select("dy", "dx", "v",
+                    F.coalesce(F.col("w_valid"), F.lit(0.0))
+                    .alias("w_valid")))
+
+
+def o_warp_nodata_avg():
+    r = "2.5"
+    return f"""
+{_burn_cte_sql()},
+srcv AS (SELECT py AS sy, px AS sx, CAST(c AS DOUBLE) AS v FROM burn),
+d AS (SELECT CAST(r1.range AS BIGINT) AS dy, CAST(r2.range AS BIGINT) AS dx
+      FROM range({WDEC_H}) r1, range({WDEC_W}) r2),
+contrib AS (
+  SELECT d.dy, d.dx, s.v,
+         (LEAST(CAST(s.sx + 1 AS DOUBLE), (d.dx + 1) * {r})
+          - GREATEST(CAST(s.sx AS DOUBLE), d.dx * {r}))
+       * (LEAST(CAST(s.sy + 1 AS DOUBLE), (d.dy + 1) * {r})
+          - GREATEST(CAST(s.sy AS DOUBLE), d.dy * {r})) AS w
+  FROM d JOIN srcv s
+    ON s.sx < (d.dx + 1) * {r} AND s.sx + 1 > d.dx * {r}
+   AND s.sy < (d.dy + 1) * {r} AND s.sy + 1 > d.dy * {r}
+),
+agg AS (SELECT dy, dx, SUM(w * v) / SUM(w) AS v, SUM(w) AS w_valid
+        FROM contrib GROUP BY dy, dx)
+SELECT d.dy, d.dx, a.v, COALESCE(a.w_valid, 0.0) AS w_valid
+FROM d LEFT JOIN agg a ON a.dy = d.dy AND a.dx = d.dx"""
+
+
+HASHCLF_BUCKETS = 1024
+
+
+def _hashclf_sql(dialect: str) -> str:
+    """CTE chain ending in scored(doc_id, n_grams, score_sum, mean):
+    hashed-bigram linear model, all map-side."""
+    g = "g"
+    bucket = f"({_hex8_bigint_sql(f'md5({g})')}) % {HASHCLF_BUCKETS}"
+    # dyadic per-bucket weight in [-0.5, 0.5): exact in binary, so the
+    # gram-weight sum is order-free exact at any document length
+    w = f"(CAST(({bucket}) % 256 AS DOUBLE) - 128.0) / 256.0"
+    if dialect == "spark":
+        grams = ("zip_with(slice(ws, 1, size(ws) - 1), "
+                 "slice(ws, 2, size(ws) - 1), "
+                 "(a, b) -> concat(a, '_', b))")
+        fold = f"aggregate(transform(grams, {g} -> {w}), " \
+               f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        n = "size(grams)"
+    else:
+        grams = ("list_transform(list_zip(ws[1:len(ws) - 1], "
+                 "ws[2:len(ws)]), z -> z[1] || '_' || z[2])")
+        fold = f"list_sum(list_transform(grams, {g} -> {w}))"
+        n = "len(grams)"
+    return f"""
+tok AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+gr AS (SELECT doc_id, {grams} AS grams FROM tok),
+scored AS (
+  SELECT doc_id, CAST({n} AS BIGINT) AS n_grams,
+         {fold} AS score_sum
+  FROM gr)"""
+
+
+def q_hashclf_score(spark, sf_dir):
+    """fastText-style hashed-bigram linear classifier INFERENCE
+    (Joulin et al. 2016 'Bag of Tricks'; feature hashing per
+    Weinberger et al. 2009): bigrams hash into a fixed bucket space
+    (md5-head mod 1024 — the engine's shared-hash idiom), each bucket
+    carries a deterministic dyadic weight (stand-in for a broadcast
+    trained-weight table — langid shows the real-join variant), the
+    document score is the gram-weight mean and the probability a
+    sigmoid. The whole scorer is ONE map-side higher-order fold per
+    document — no explode, no shuffle, no UDF: the serving shape that
+    lets a quality classifier run inline with the corpus scan at
+    10^12 documents. Label thresholds on the EXACT mean sign (not the
+    rounded sigmoid), so the decision is bit-deterministic."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(f"""
+WITH {_hashclf_sql('spark')}
+SELECT doc_id, n_grams, score_sum,
+       ROUND(1.0 / (1.0 + EXP(-(score_sum / n_grams) * 4.0)), 6)
+         AS prob,
+       CASE WHEN score_sum > 0 THEN 1 ELSE 0 END AS label
+FROM scored ORDER BY doc_id""")
+
+
+def o_hashclf_score():
+    return f"""
+WITH {_hashclf_sql('duck')}
+SELECT doc_id, n_grams, score_sum,
+       ROUND(1.0 / (1.0 + EXP(-(score_sum / n_grams) * 4.0)), 6)
+         AS prob,
+       CASE WHEN score_sum > 0 THEN 1 ELSE 0 END AS label
+FROM scored ORDER BY doc_id"""
 
 
 def q_wet_scan(spark, sf_dir):
@@ -19071,6 +19220,8 @@ REGISTRY: dict[str, tuple] = {
     "stream_interval_outer": (q_stream_interval_outer,
                               o_stream_interval_outer),
     "wet_scan": (q_wet_scan, o_wet_scan),
+    "warp_nodata_avg": (q_warp_nodata_avg, o_warp_nodata_avg),
+    "hashclf_score": (q_hashclf_score, o_hashclf_score),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }

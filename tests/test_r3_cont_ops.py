@@ -274,6 +274,31 @@ def test_wet_stream_reader_tail_resume(spark):
             shutil.rmtree(p, ignore_errors=True)
 
 
+def test_warp_nodata_avg_mask_semantics(spark):
+    """Masked average: NULL exactly where no valid source coverage;
+    valid outputs bounded by the window max; coverage ≤ window area."""
+    rows = Q.q_warp_nodata_avg(spark, SF).collect()
+    assert any(r["v"] is None for r in rows)
+    for r in rows:
+        assert (r["v"] is None) == (r["w_valid"] == 0.0)
+        assert r["w_valid"] <= 2.5 * 2.5 + 1e-9
+        if r["v"] is not None:
+            assert r["v"] >= 1.0        # means of burn counts >= 1
+
+
+def test_hashclf_decision_is_exact(spark):
+    rows = Q.q_hashclf_score(spark, SF).collect()
+    ndocs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == ndocs
+    for r in rows:
+        assert r["label"] == (1 if r["score_sum"] > 0 else 0)
+        assert 0.0 < r["prob"] < 1.0
+        # dyadic weights: score_sum * 256 is integral (exact fold)
+        assert abs(r["score_sum"] * 256 - round(r["score_sum"] * 256)) < 1e-9
+    labels = {r["label"] for r in rows}
+    assert labels == {0, 1}             # both classes fire
+
+
 def test_bitext_margin_semantics(spark):
     df = Q.q_bitext_mine(spark, SF).collect()
     n_src = (spark.read.parquet(f"{SF}/embeddings.parquet")
