@@ -18801,6 +18801,143 @@ SELECT doc_id, n_grams, score_sum,
 FROM scored ORDER BY doc_id"""
 
 
+def _geojsonseq_lines_sql(dialect: str) -> str:
+    """CTE ``lines(doc_id, line)`` — one RFC 7946 Feature per page,
+    newline-delimited (RFC 8142 GeoJSON text sequences), coordinates
+    printf'd at 6 decimals so the text is byte-identical across
+    engines."""
+    fmt = ("format_string('%.6f', {})" if dialect == "spark"
+           else "printf('%.6f', {})")
+    lon, lat = fmt.format("lon"), fmt.format("lat")
+    did = ("CAST(doc_id AS STRING)" if dialect == "spark"
+           else "CAST(doc_id AS VARCHAR)")
+    return f"""
+{sqlexpr.pages_cte(dialect=dialect)},
+lines AS (
+  SELECT doc_id,
+         '{{"type": "Feature", "geometry": {{"type": "Point", '
+         || '"coordinates": [' || {lon} || ', ' || {lat} || ']}}, '
+         || '"properties": {{"doc_id": ' || {did} || ', "tld": "'
+         || tld || '"}}}}' AS line
+  FROM pages WHERE lat IS NOT NULL)"""
+
+
+def q_geojsonseq_scan(spark, sf_dir):
+    """GeoJSONSeq vector driver (OGR's line-delimited GeoJSON,
+    ogr/ogrsf_frmts/geojson — RFC 8142 text sequences; the format
+    exists precisely because whole-file GeoJSON cannot be split):
+    geocoded pages serialize to one RFC 7946 Feature per line, then
+    the PARSE recovers geometry type, coordinates and properties.
+    Spark-first: a line-delimited format needs NO custom source —
+    text lines + from_json is whole-stage-codegen'd and scans
+    parallel by line splits (contrast sources/wet.py, where
+    length-prefixed framing genuinely needs a custom reader). The
+    oracle re-parses the SAME byte-identical lines with DuckDB's JSON
+    machinery, so the gate proves serialize→parse round-trips exactly
+    (coordinates printf'd at 6 decimals ⇒ parsed doubles are equal
+    bit-for-bit)."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(f"""
+WITH {_geojsonseq_lines_sql('spark')},
+p AS (SELECT doc_id,
+             from_json(line, 'struct<geometry: struct<type: string,
+                              coordinates: array<double>>,
+                              properties: struct<doc_id: bigint,
+                              tld: string>>') AS f
+      FROM lines)
+SELECT doc_id, f.geometry.type AS gtype,
+       f.geometry.coordinates[0] AS lon,
+       f.geometry.coordinates[1] AS lat,
+       f.properties.doc_id AS prop_doc_id, f.properties.tld AS tld
+FROM p ORDER BY doc_id""")
+
+
+def o_geojsonseq_scan():
+    return f"""
+WITH {_geojsonseq_lines_sql('duck')}
+SELECT doc_id, json_extract_string(line, '$.geometry.type') AS gtype,
+       CAST(json_extract(line, '$.geometry.coordinates[0]') AS DOUBLE)
+         AS lon,
+       CAST(json_extract(line, '$.geometry.coordinates[1]') AS DOUBLE)
+         AS lat,
+       CAST(json_extract(line, '$.properties.doc_id') AS BIGINT)
+         AS prop_doc_id,
+       json_extract_string(line, '$.properties.tld') AS tld
+FROM lines ORDER BY doc_id"""
+
+
+def q_gdalinfo_report(spark, sf_dir):
+    """gdalinfo -stats report (apps/gdalinfo_lib.cpp: size, geotransform
+    corner coordinates, per-band MIN/MAX/MEAN/STDDEV over ALL pixels —
+    GDALRasterBand::ComputeStatistics, gcore/rasterband.cpp — plus the
+    non-default-valued pixel count): one metadata row for the page-
+    density raster. Sums run as exact BIGINT over the SPARSE burn scan
+    (absent cells are zero, so the dense-grid moments need no dense
+    join: n = W*H literal); corner coords are geotransform arithmetic
+    injected as literals; the float mean/std expressions mirror the
+    oracle's op order exactly. Single map-side-combined aggregate,
+    one row out."""
+    n = ZRAST_W * ZRAST_H
+    gt = ZRAST_GT
+    b = _warp_src_burn(spark, sf_dir)
+    agg = b.agg(
+        F.count(F.lit(1)).alias("n_nonzero"),
+        F.sum(F.col("burn").cast("long")).cast("long").alias("s"),
+        F.sum(F.col("burn").cast("long") * F.col("burn").cast("long"))
+         .cast("long").alias("ss"),
+        F.min("burn").alias("mn"), F.max("burn").alias("mx"))
+    mean = F.col("s").cast("double") / F.lit(float(n))
+    return agg.select(
+        F.lit("GSPK/PageDensity").alias("driver"),
+        F.lit(ZRAST_W).alias("width"), F.lit(ZRAST_H).alias("height"),
+        F.lit(1).alias("n_bands"),
+        F.lit(gt[0]).alias("ulx"), F.lit(gt[3]).alias("uly"),
+        F.lit(gt[0] + ZRAST_W * gt[1]).alias("lrx"),
+        F.lit(gt[3] + ZRAST_H * gt[5]).alias("lry"),
+        F.lit(gt[1]).alias("pixel_w"), F.lit(gt[5]).alias("pixel_h"),
+        F.when(F.col("n_nonzero") < n, F.lit(0).cast("long"))
+         .otherwise(F.col("mn").cast("long")).alias("stat_min"),
+        F.col("mx").cast("long").alias("stat_max"),
+        F.round(mean, 6).alias("stat_mean"),
+        F.round(F.sqrt(F.col("ss").cast("double") / F.lit(float(n))
+                       - mean * mean), 6).alias("stat_std"),
+        F.col("n_nonzero"), F.col("s").alias("sum_burn"))
+
+
+def _gdalinfo_sql() -> str:
+    gt, w, h = ZRAST_GT, ZRAST_W, ZRAST_H
+    ulx, uly = gt[0], gt[3]
+    lrx = gt[0] + w * gt[1]
+    lry = gt[3] + h * gt[5]
+    n = w * h
+    mean = f"(CAST(s AS DOUBLE) / {n}.0)"
+    return f"""
+{_burn_cte_sql()},
+agg AS (SELECT COUNT(*) AS n_nonzero,
+               CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(c AS BIGINT) * CAST(c AS BIGINT)) AS BIGINT)
+                 AS ss,
+               MIN(c) AS mn, MAX(c) AS mx
+        FROM burn)
+SELECT 'GSPK/PageDensity' AS driver, {w} AS width, {h} AS height,
+       1 AS n_bands,
+       {sqlexpr.dlit(ulx)} AS ulx, {sqlexpr.dlit(uly)} AS uly,
+       {sqlexpr.dlit(lrx)} AS lrx, {sqlexpr.dlit(lry)} AS lry,
+       {sqlexpr.dlit(gt[1])} AS pixel_w, {sqlexpr.dlit(gt[5])} AS pixel_h,
+       CASE WHEN n_nonzero < {n} THEN CAST(0 AS BIGINT)
+            ELSE CAST(mn AS BIGINT) END AS stat_min,
+       CAST(mx AS BIGINT) AS stat_max,
+       ROUND({mean}, 6) AS stat_mean,
+       ROUND(SQRT(CAST(ss AS DOUBLE) / {n}.0 - {mean} * {mean}), 6)
+         AS stat_std,
+       n_nonzero, s AS sum_burn
+FROM agg"""
+
+
+def o_gdalinfo_report():
+    return _gdalinfo_sql()
+
+
 def q_wet_scan(spark, sf_dir):
     """Custom FORMAT DRIVER scan — GDAL's core extension point
     (SURVEY §2.1: GDALDriver/OGRSFDriver registration,
@@ -19222,6 +19359,8 @@ REGISTRY: dict[str, tuple] = {
     "wet_scan": (q_wet_scan, o_wet_scan),
     "warp_nodata_avg": (q_warp_nodata_avg, o_warp_nodata_avg),
     "hashclf_score": (q_hashclf_score, o_hashclf_score),
+    "geojsonseq_scan": (q_geojsonseq_scan, o_geojsonseq_scan),
+    "gdalinfo_report": (q_gdalinfo_report, o_gdalinfo_report),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }
