@@ -18938,6 +18938,51 @@ def o_gdalinfo_report():
     return _gdalinfo_sql()
 
 
+def q_session_window_agg(spark, sf_dir):
+    """Built-in SESSION WINDOWS (F.session_window — dynamic-gap
+    session aggregation inside the native hash aggregate): per-user
+    30-minute-gap sessions as ONE groupBy, no window functions, no
+    custom state. Complements stream_sessions, which implements the
+    same semantics as a custom stateful operator — this is the
+    built-in Spark should get first crack at (UDFs and custom state
+    are the slow path). Spark's session semantics are [start,
+    start+gap): an event at EXACTLY gap distance opens a new session,
+    so the islands oracle breaks on >= gap (contrast the custom
+    operator's documented > break), and the window end is
+    last_event + gap, which the oracle reproduces. Runs on
+    TimestampNTZ straight from parquet — no session-timezone
+    dependence anywhere."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "event_id", "ts"))
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("start_ts"),
+                    F.col("w.end").alias("end_ts"), "n_events")
+            .orderBy("user_id", "start_ts"))
+
+
+def o_session_window_agg():
+    return """
+WITH m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m)
+SELECT user_id, MIN(ts) AS start_ts,
+       MAX(ts) + INTERVAL 30 MINUTE AS end_ts,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sess
+ORDER BY user_id, start_ts"""
+
+
 def q_wet_scan(spark, sf_dir):
     """Custom FORMAT DRIVER scan — GDAL's core extension point
     (SURVEY §2.1: GDALDriver/OGRSFDriver registration,
@@ -19361,6 +19406,7 @@ REGISTRY: dict[str, tuple] = {
     "hashclf_score": (q_hashclf_score, o_hashclf_score),
     "geojsonseq_scan": (q_geojsonseq_scan, o_geojsonseq_scan),
     "gdalinfo_report": (q_gdalinfo_report, o_gdalinfo_report),
+    "session_window_agg": (q_session_window_agg, o_session_window_agg),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }
