@@ -181,7 +181,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "sql_not_in_null", "warp_nodata", "warc_records",
                  "bitext_mine", "cdx_index", "mime_filter",
                  "warp_nodata_avg", "hashclf_score",
-                 "geojsonseq_scan", "gdalinfo_report", "session_window_agg"]:
+                 "geojsonseq_scan", "gdalinfo_report", "session_window_agg",
+                 "sql_udf_registered"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

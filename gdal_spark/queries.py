@@ -18983,6 +18983,53 @@ FROM g GROUP BY user_id, sess
 ORDER BY user_id, start_ts"""
 
 
+def q_sql_udf_registered(spark, sf_dir):
+    """Custom SQL function registration — the swq custom-func surface
+    (ogr/ogr_swq.h:225-232 swq_custom_func_registrar; SQLite-dialect
+    sqlite3_create_function spatial UDFs,
+    ogrsqlitesqlfunctions.cpp:1111+): a VECTORIZED pandas UDF
+    (Arrow-batched numpy haversine, no per-row Python) registered
+    under a SQL name and called from plain SQL text, exactly how an
+    OGR dialect exposes ST_* helpers. The oracle evaluates the same
+    haversine formula in pure SQL — so the gate proves the registered
+    UDF computes what the declarative twin computes (distances
+    rounded at 1e-6 km absorb the engines' ~1-ulp trig differences)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def gspk_haversine_km(lat1: pd.Series, lon1: pd.Series,
+                          lat2: pd.Series, lon2: pd.Series) -> pd.Series:
+        r = np.radians
+        a = (np.sin(r(lat2 - lat1) / 2.0) ** 2
+             + np.cos(r(lat1)) * np.cos(r(lat2))
+             * np.sin(r(lon2 - lon1) / 2.0) ** 2)
+        return pd.Series(2.0 * 6371.0 * np.arcsin(np.sqrt(a)))
+
+    spark.udf.register("gspk_haversine_km", gspk_haversine_km)
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(f"""
+WITH {sqlexpr.pages_cte(dialect='spark')}
+SELECT doc_id,
+       ROUND(gspk_haversine_km(lat, lon, CAST(51.5074 AS DOUBLE),
+                               CAST(-0.1278 AS DOUBLE)), 6)
+         AS dist_london_km
+FROM pages WHERE lat IS NOT NULL ORDER BY doc_id""")
+
+
+def o_sql_udf_registered():
+    hav = ("2.0 * 6371.0 * ASIN(SQRT("
+           "POW(SIN(RADIANS(51.5074 - lat) / 2.0), 2)"
+           " + COS(RADIANS(lat)) * COS(RADIANS(51.5074))"
+           " * POW(SIN(RADIANS(-0.1278 - lon) / 2.0), 2)))")
+    return f"""
+WITH {sqlexpr.pages_cte(dialect='duck')}
+SELECT doc_id, ROUND({hav}, 6) AS dist_london_km
+FROM pages WHERE lat IS NOT NULL ORDER BY doc_id"""
+
+
 def q_wet_scan(spark, sf_dir):
     """Custom FORMAT DRIVER scan — GDAL's core extension point
     (SURVEY §2.1: GDALDriver/OGRSFDriver registration,
@@ -19407,6 +19454,7 @@ REGISTRY: dict[str, tuple] = {
     "geojsonseq_scan": (q_geojsonseq_scan, o_geojsonseq_scan),
     "gdalinfo_report": (q_gdalinfo_report, o_gdalinfo_report),
     "session_window_agg": (q_session_window_agg, o_session_window_agg),
+    "sql_udf_registered": (q_sql_udf_registered, o_sql_udf_registered),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }
