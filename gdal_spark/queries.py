@@ -19030,6 +19030,49 @@ SELECT doc_id, ROUND({hav}, 6) AS dist_london_km
 FROM pages WHERE lat IS NOT NULL ORDER BY doc_id"""
 
 
+def q_grouped_agg_udaf(spark, sf_dir):
+    """Custom AGGREGATE function (the UDAF half of SURVEY §2.14): a
+    GROUPED_AGG pandas UDF — vectorized numpy over each group's Arrow
+    batch — computing the per-TLD GEOMETRIC mean of document lengths
+    (the multiplicative average a skewed length distribution wants;
+    no Spark built-in computes it). Usable in groupBy().agg() exactly
+    like a native aggregate; partial aggregation does NOT apply to
+    grouped-agg UDFs (each group's values ship to one task — the
+    documented trade: custom aggregates are the slow path, bounded
+    here by group cardinality, and the built-in twin
+    EXP(AVG(LN(x))) is what you'd deploy — the oracle IS that twin,
+    so the gate proves the custom aggregate equals the declarative
+    form; ROUND 6 absorbs summation-order ulps)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(x: pd.Series) -> float:
+        return float(np.exp(np.log(x.to_numpy(dtype=np.float64)).mean()))
+
+    @pandas_udf("long")
+    def n_vals(x: pd.Series) -> int:
+        # grouped-agg UDFs cannot mix with native aggregates in one
+        # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides as a
+        # second custom aggregate instead of a second shuffle
+        return len(x)
+
+    d = docs_df(spark, sf_dir).select("lang", "source", "n_chars")
+    return (d.groupBy("lang", "source")
+            .agg(F.round(geomean(F.col("n_chars")), 6).alias("geo_mean"),
+                 n_vals(F.col("n_chars")).alias("n"))
+            .orderBy("lang", "source"))
+
+
+def o_grouped_agg_udaf():
+    return """
+SELECT lang, source, ROUND(EXP(AVG(LN(n_chars))), 6) AS geo_mean,
+       COUNT(*) AS n
+FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
+
 def q_wet_scan(spark, sf_dir):
     """Custom FORMAT DRIVER scan — GDAL's core extension point
     (SURVEY §2.1: GDALDriver/OGRSFDriver registration,
@@ -19455,6 +19498,7 @@ REGISTRY: dict[str, tuple] = {
     "gdalinfo_report": (q_gdalinfo_report, o_gdalinfo_report),
     "session_window_agg": (q_session_window_agg, o_session_window_agg),
     "sql_udf_registered": (q_sql_udf_registered, o_sql_udf_registered),
+    "grouped_agg_udaf": (q_grouped_agg_udaf, o_grouped_agg_udaf),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }
