@@ -182,7 +182,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "bitext_mine", "cdx_index", "mime_filter",
                  "warp_nodata_avg", "hashclf_score",
                  "geojsonseq_scan", "gdalinfo_report", "session_window_agg",
-                 "sql_udf_registered", "grouped_agg_udaf"]:
+                 "sql_udf_registered", "grouped_agg_udaf",
+                 "udtf_url_segments"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

@@ -19073,6 +19073,57 @@ SELECT lang, source, ROUND(EXP(AVG(LN(n_chars))), 6) AS geo_mean,
 FROM documents GROUP BY lang, source ORDER BY lang, source"""
 
 
+def q_udtf_url_segments(spark, sf_dir):
+    """TABLE-producing SQL function (the UDTF third of SURVEY §2.14 —
+    the reference's 'driver as UDTF': ogr_datasource_load_layers,
+    ogrsqlitesqlfunctions.cpp:476, a SQL function that returns a
+    table): a Python UDTF registered with spark.udtf.register and
+    invoked as a LATERAL table function from SQL, exploding each
+    synthesized URL into ordered path segments plus a depth column.
+    The oracle reproduces the expansion relationally (string_split +
+    generate_subscripts) — proving the imperative table function
+    equals its relational twin. UDTFs run row-at-a-time in Python —
+    the slow path by design; the gate exists to pin the SURFACE, and
+    the relational form beside it is what a hot path would use."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_idx int, segment string, depth int")
+    class UrlSegs:
+        def eval(self, url: str):
+            rest = url.split("://", 1)[-1]
+            path = rest.split("?", 1)[0].split("#", 1)[0]
+            parts = [p for p in path.split("/")[1:] if p != ""]
+            for i, p in enumerate(parts):
+                yield i, p, len(parts)
+
+    spark.udtf.register("gspk_url_segments", UrlSegs)
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(f"""
+WITH u AS (SELECT doc_id, {URL_SYNTH_SQL} AS url FROM documents)
+SELECT u.doc_id, s.seg_idx, s.segment, s.depth
+FROM u, LATERAL gspk_url_segments(url) s
+ORDER BY doc_id, seg_idx""")
+
+
+def o_udtf_url_segments():
+    return f"""
+WITH u AS (SELECT doc_id, {URL_SYNTH_SQL.replace('AS STRING', 'AS VARCHAR')}
+                  AS url FROM documents),
+p AS (SELECT doc_id,
+             string_split(string_split(string_split(
+                 string_split(url, '://')[-1], '?')[1], '#')[1],
+                 '/')[2:] AS raw
+      FROM u),
+f AS (SELECT doc_id, list_filter(raw, x -> x <> '') AS segs FROM p),
+e AS (SELECT doc_id, unnest(segs) AS segment,
+             generate_subscripts(segs, 1) - 1 AS seg_idx,
+             len(segs) AS depth
+      FROM f WHERE len(segs) > 0)
+SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx, segment,
+       CAST(depth AS INT) AS depth
+FROM e ORDER BY doc_id, seg_idx"""
+
+
 def q_wet_scan(spark, sf_dir):
     """Custom FORMAT DRIVER scan — GDAL's core extension point
     (SURVEY §2.1: GDALDriver/OGRSFDriver registration,
@@ -19499,6 +19550,7 @@ REGISTRY: dict[str, tuple] = {
     "session_window_agg": (q_session_window_agg, o_session_window_agg),
     "sql_udf_registered": (q_sql_udf_registered, o_sql_udf_registered),
     "grouped_agg_udaf": (q_grouped_agg_udaf, o_grouped_agg_udaf),
+    "udtf_url_segments": (q_udtf_url_segments, o_udtf_url_segments),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }
