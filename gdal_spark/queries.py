@@ -19124,6 +19124,68 @@ SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx, segment,
 FROM e ORDER BY doc_id, seg_idx"""
 
 
+def _variant_json_sql(dialect: str) -> str:
+    """CTE ``j(event_id, event_type, jtxt)`` — a nested JSON document
+    synthesized per event (object + string + array + nested object +
+    %.4f float), identical text across engines."""
+    fmt = ("format_string('%.4f', value)" if dialect == "spark"
+           else "printf('%.4f', value)")
+    tostr = ("CAST({} AS STRING)" if dialect == "spark"
+             else "CAST({} AS VARCHAR)")
+    return f"""
+j AS (
+  SELECT event_id, event_type,
+         '{{"k": ' || {tostr.format('(event_id % 97)')}
+         || ', "type": "' || event_type
+         || '", "tags": ["u' || {tostr.format('(user_id % 8)')}
+         || '", "e' || {tostr.format('(event_id % 5)')}
+         || '"], "m": {{"v": ' || {fmt} || '}}}}' AS jtxt
+  FROM events)"""
+
+
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured VARIANT columns (Spark 4 / Iceberg v3 VARIANT:
+    parse_json ONCE into the binary variant encoding, then typed
+    variant_get extractions — the crawl-metadata shape every CC-scale
+    table carries; contrast props_extract, which re-parses text per
+    field). A nested JSON doc is synthesized per event, parsed to
+    VARIANT, and four typed paths extract scalar/string/array-element/
+    nested-object fields; the rollup aggregates per event type with
+    the float path scaled to exact 1e-4 BIGINT units (the %.4f
+    round-trip is exact, so sums are order-free). The oracle runs the
+    same paths through DuckDB's JSON machinery over byte-identical
+    text."""
+    _views(spark, sf_dir, ("events",))
+    return spark.sql(f"""
+WITH {_variant_json_sql('spark')},
+v AS (SELECT event_id, parse_json(jtxt) AS pv FROM j),
+x AS (SELECT event_id,
+             variant_get(pv, '$.k', 'long') AS k,
+             variant_get(pv, '$.type', 'string') AS etype,
+             variant_get(pv, '$.tags[0]', 'string') AS tag0,
+             CAST(FLOOR(variant_get(pv, '$.m.v', 'double') * 10000.0
+                        + 0.5) AS BIGINT) AS v4
+      FROM v)
+SELECT etype, COUNT(*) AS n, SUM(k) AS sum_k,
+       COUNT(DISTINCT tag0) AS n_tags, SUM(v4) AS sum_v4
+FROM x GROUP BY etype ORDER BY etype""")
+
+
+def o_variant_extract():
+    return f"""
+WITH {_variant_json_sql('duck')},
+x AS (SELECT event_id,
+             CAST(json_extract(jtxt, '$.k') AS BIGINT) AS k,
+             json_extract_string(jtxt, '$.type') AS etype,
+             json_extract_string(jtxt, '$.tags[0]') AS tag0,
+             CAST(FLOOR(CAST(json_extract(jtxt, '$.m.v') AS DOUBLE)
+                        * 10000.0 + 0.5) AS BIGINT) AS v4
+      FROM j)
+SELECT etype, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT tag0) AS n_tags, CAST(SUM(v4) AS BIGINT) AS sum_v4
+FROM x GROUP BY etype ORDER BY etype"""
+
+
 def q_wet_scan(spark, sf_dir):
     """Custom FORMAT DRIVER scan — GDAL's core extension point
     (SURVEY §2.1: GDALDriver/OGRSFDriver registration,
@@ -19551,6 +19613,7 @@ REGISTRY: dict[str, tuple] = {
     "sql_udf_registered": (q_sql_udf_registered, o_sql_udf_registered),
     "grouped_agg_udaf": (q_grouped_agg_udaf, o_grouped_agg_udaf),
     "udtf_url_segments": (q_udtf_url_segments, o_udtf_url_segments),
+    "variant_extract": (q_variant_extract, o_variant_extract),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }
