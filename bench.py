@@ -183,7 +183,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "warp_nodata_avg", "hashclf_score",
                  "geojsonseq_scan", "gdalinfo_report", "session_window_agg",
                  "sql_udf_registered", "grouped_agg_udaf",
-                 "udtf_url_segments", "variant_extract"]:
+                 "udtf_url_segments", "variant_extract", "recursive_cte"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

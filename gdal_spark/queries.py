@@ -19186,6 +19186,41 @@ SELECT etype, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
 FROM x GROUP BY etype ORDER BY etype"""
 
 
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE walk(node, root, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 4
+  UNION ALL
+  SELECT d.doc_id, w.root, w.depth + 1
+  FROM documents d JOIN walk w
+    ON CAST(FLOOR(d.doc_id / 4.0) AS BIGINT) = w.node
+  WHERE d.doc_id >= 4
+)
+SELECT root, COUNT(*) AS n_desc, MAX(depth) AS max_depth,
+       CAST(SUM(node) AS BIGINT) AS sum_ids
+FROM walk GROUP BY root ORDER BY root"""
+
+
+def q_recursive_cte(spark, sf_dir):
+    """NATIVE recursive CTE (WITH RECURSIVE, new in Spark 4): the
+    quaternary id hierarchy (parent = floor(id/4)) walked to its
+    roots with per-root descendant counts and depth — the SAME
+    recursive SQL text runs in BOTH engines, so for the first time in
+    this suite the RECURSION itself executes inside Spark instead of
+    being re-expressed as an iterative DataFrame loop. Spark plans it
+    as depth-bounded iterative unions (each step one co-partitioned
+    join) — right for moderate-depth hierarchy walks like this
+    (depth ≈ log4 N); unbounded-diameter graphs keep the engine's
+    pointer-doubling operators (watershed, line_merge) as the scale
+    path. Many oracles in this suite are DuckDB recursive CTEs; this
+    query closes the loop by running one natively."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+def o_recursive_cte():
+    return _RECURSIVE_CTE_SQL
+
+
 def q_wet_scan(spark, sf_dir):
     """Custom FORMAT DRIVER scan — GDAL's core extension point
     (SURVEY §2.1: GDALDriver/OGRSFDriver registration,
@@ -19614,6 +19649,7 @@ REGISTRY: dict[str, tuple] = {
     "grouped_agg_udaf": (q_grouped_agg_udaf, o_grouped_agg_udaf),
     "udtf_url_segments": (q_udtf_url_segments, o_udtf_url_segments),
     "variant_extract": (q_variant_extract, o_variant_extract),
+    "recursive_cte": (q_recursive_cte, o_recursive_cte),
     "bloom_fpr": (q_bloom_fpr, o_bloom_fpr),
     "stats_approx": (q_stats_approx, o_stats_approx),
 }
