@@ -18757,7 +18757,10 @@ def _hashclf_sql(dialect: str) -> str:
     else:
         grams = ("list_transform(list_zip(ws[1:len(ws) - 1], "
                  "ws[2:len(ws)]), z -> z[1] || '_' || z[2])")
-        fold = f"list_sum(list_transform(grams, {g} -> {w}))"
+        # COALESCE: DuckDB list_sum([]) is NULL while the Spark fold's
+        # 0.0 seed yields 0.0 — a 1-token doc must agree across engines
+        fold = f"COALESCE(list_sum(list_transform(grams, {g} -> {w})), " \
+               f"CAST(0.0 AS DOUBLE))"
         n = "len(grams)"
     return f"""
 tok AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
@@ -18785,18 +18788,22 @@ def q_hashclf_score(spark, sf_dir):
     return spark.sql(f"""
 WITH {_hashclf_sql('spark')}
 SELECT doc_id, n_grams, score_sum,
-       ROUND(1.0 / (1.0 + EXP(-(score_sum / n_grams) * 4.0)), 6)
-         AS prob,
+       CASE WHEN n_grams > 0
+            THEN ROUND(1.0 / (1.0 + EXP(-(score_sum / n_grams) * 4.0)), 6)
+            ELSE NULL END AS prob,
        CASE WHEN score_sum > 0 THEN 1 ELSE 0 END AS label
 FROM scored ORDER BY doc_id""")
 
 
 def o_hashclf_score():
+    # the n_grams guard mirrors the Spark text: a 1-token doc has no
+    # bigrams, and ANSI-mode Spark errors on a bare 0/0 division
     return f"""
 WITH {_hashclf_sql('duck')}
 SELECT doc_id, n_grams, score_sum,
-       ROUND(1.0 / (1.0 + EXP(-(score_sum / n_grams) * 4.0)), 6)
-         AS prob,
+       CASE WHEN n_grams > 0
+            THEN ROUND(1.0 / (1.0 + EXP(-(score_sum / n_grams) * 4.0)), 6)
+            ELSE NULL END AS prob,
        CASE WHEN score_sum > 0 THEN 1 ELSE 0 END AS label
 FROM scored ORDER BY doc_id"""
 

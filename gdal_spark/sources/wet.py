@@ -102,9 +102,12 @@ def parse_wet_stream(fh):
 
 class WetReader(DataSourceReader):
     def __init__(self, path: str):
+        # names starting with '_' or '.' are hidden (in-flight temps,
+        # markers) — the Hadoop convention; a crashed task's orphaned
+        # _tmp-*.wet.gz must never be listed as data
         self.files = sorted(
             os.path.join(path, f) for f in os.listdir(path)
-            if f.endswith(".wet.gz"))
+            if f.endswith(".wet.gz") and not f.startswith(("_", ".")))
 
     def partitions(self):
         # one partition per gzip member — the unsplittable-file scan
@@ -138,11 +141,10 @@ class WetDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         path = self.options["path"]
         os.makedirs(path, exist_ok=True)
-        if overwrite:
-            for f in os.listdir(path):
-                if f.endswith(".wet.gz"):
-                    os.remove(os.path.join(path, f))
-        return WetWriter(path)
+        # overwrite is deferred to commit(): deleting here, at
+        # job-planning time, would destroy the old dataset before any
+        # task has succeeded — a failed job must leave it intact
+        return WetWriter(path, overwrite)
 
 
 class WetCommit(WriterCommitMessage):
@@ -157,12 +159,17 @@ class WetWriter(DataSourceWriter):
     CreateCopy, gcore/gdaldriver.cpp; OGR partitioned sink SURVEY
     §2.1). Each task streams its partition into a TEMPORARY gzip
     member; ``commit`` renames the temps into place atomically once
-    every task reports success, ``abort`` removes them — no partial
-    dataset is ever visible, the same all-or-nothing contract an
-    Iceberg/parquet sink gives."""
+    every task reports success (and only then applies an overwrite's
+    deletion of prior parts), ``abort`` removes the temps — neither a
+    partial dataset nor a destroyed-then-unreplaced one is ever
+    visible, the all-or-nothing contract an Iceberg/parquet sink
+    gives. Append mode numbers new parts AFTER the existing ones, so
+    successive appends never clobber earlier shards (the ogr2ogr
+    ACCESS_APPEND analog)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, overwrite: bool = True):
         self.path = path
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import uuid as _uuid
@@ -178,8 +185,23 @@ class WetWriter(DataSourceWriter):
         return WetCommit(tmp, n)
 
     def commit(self, messages):
+        import re as _re
+        existing = [f for f in os.listdir(self.path)
+                    if f.endswith(".wet.gz") and not f.startswith("_")]
+        if self.overwrite:
+            for f in existing:
+                os.remove(os.path.join(self.path, f))
+            start = 0
+        else:
+            # next index past the highest committed part — robust to
+            # gaps and to externally-named shards (which can never
+            # collide with the part- prefix)
+            idxs = [int(m.group(1)) for f in existing
+                    if (m := _re.match(r"part-(\d+)\.warc\.wet\.gz$", f))]
+            start = max(idxs) + 1 if idxs else 0
         for i, m in enumerate(sorted(messages, key=lambda m: m.path)):
-            final = os.path.join(self.path, f"part-{i:05d}.warc.wet.gz")
+            final = os.path.join(
+                self.path, f"part-{start + i:05d}.warc.wet.gz")
             os.replace(m.path, final)
 
     def abort(self, messages):
@@ -211,7 +233,8 @@ class WetStreamReader(SimpleDataSourceStreamReader):
 
     def _files(self):
         return sorted(f for f in os.listdir(self.path)
-                      if f.endswith(".wet.gz"))
+                      if f.endswith(".wet.gz")
+                      and not f.startswith(("_", ".")))
 
     def initialOffset(self) -> dict:
         return {"n_consumed": 0}

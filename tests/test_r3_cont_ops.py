@@ -232,6 +232,18 @@ def test_wet_writer_roundtrip(spark):
         a = {(r["url"], r["text"]) for r in back.collect()}
         b = {(r["url"], r["text"]) for r in src.collect()}
         assert a == b
+        # append numbers new parts after the existing ones — earlier
+        # shards must survive (the ogr2ogr ACCESS_APPEND analog)
+        extra = (spark.createDataFrame([("urn:doc:x1", "extra one")],
+                                       "url string, text string")
+                 .coalesce(1))
+        extra.write.format("wet").mode("append").save(out)
+        names = sorted(f for f in os.listdir(out) if f.endswith(".wet.gz"))
+        assert len(names) == 4 and names[-1] == "part-00003.warc.wet.gz"
+        assert spark.read.format("wet").load(out).count() == len(b) + 1
+        # overwrite replaces the dataset only at commit time
+        extra.write.format("wet").mode("overwrite").save(out)
+        assert spark.read.format("wet").load(out).count() == 1
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
