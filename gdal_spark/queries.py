@@ -14,6 +14,8 @@ on integer ids.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -19304,7 +19306,258 @@ def o_mime_filter():
     return f"WITH {_mime_sql('duck')}"
 
 
+# --- MVT tile geometry encoding -----------------------------------------
+
+_MVT_Z = 5
+_MVT_OS = repr(math.pi * 6378137)  # mercator origin shift, meters
+_MVT_DIM = repr(2 * math.pi * 6378137 / 2 ** _MVT_Z)  # tile width, meters
+
+
+def _mvt_sql(dialect: str) -> str:
+    """CTE chain ending in ``enc(tx, ty, rn, pair, nb)`` — the zigzag
+    delta pairs and their varint byte counts for each z5 tile's
+    MULTIPOINT feature. Tile assignment reuses sqlexpr.tile_sql's
+    exact expression text (gdal2tiles ceil−1 rule) so mvt tiles agree
+    with tile_assign; local coords follow ConvertToTileCoords
+    (ogrmvtdataset.cpp:3734-3751): round((x−topX)·extent/dim) with y
+    measured DOWN from the tile's top edge."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    os_, dim, z = _MVT_OS, _MVT_DIM, _MVT_Z
+    mx = "((lon) * (PI() * 6378137)) / 180.0"
+    my = ("(LN(TAN((90.0 + (lat)) * PI() / 360.0)) / (PI() / 180.0))"
+          " * (PI() * 6378137) / 180.0")
+    res = f"(2.0 * PI() * 6378137 / 256.0 / POWER(2.0, {z}))"
+    return f"""
+pm AS (SELECT doc_id, {mx} AS mx, {my} AS my
+       FROM pages WHERE lat IS NOT NULL),
+tt AS (SELECT doc_id, mx, my,
+              CAST(CEIL(((mx + PI() * 6378137) / {res}) / 256.0) AS BIGINT)
+              - 1 AS txr,
+              {2 ** z - 1} - (CAST(CEIL(((my + PI() * 6378137) / {res})
+                                        / 256.0) AS BIGINT) - 1) AS ty
+       FROM pm),
+lc AS (SELECT doc_id, txr AS tx, ty,
+              CAST(ROUND((mx - (txr * {dim} - {os_})) * 4096.0 / {dim})
+                   AS BIGINT) AS lx,
+              CAST(ROUND((({os_} - ty * {dim}) - my) * 4096.0 / {dim})
+                   AS BIGINT) AS ly
+       FROM tt),
+dp AS (SELECT DISTINCT tx, ty, lx, ly FROM lc),
+seq AS (SELECT tx, ty, lx, ly,
+               ROW_NUMBER() OVER (PARTITION BY tx, ty
+                                  ORDER BY lx, ly) AS rn,
+               lx - LAG(lx, 1, 0) OVER (PARTITION BY tx, ty
+                                        ORDER BY lx, ly) AS dx,
+               ly - LAG(ly, 1, 0) OVER (PARTITION BY tx, ty
+                                        ORDER BY lx, ly) AS dy
+        FROM dp),
+zz AS (SELECT tx, ty, rn,
+              CASE WHEN dx >= 0 THEN 2 * dx ELSE -2 * dx - 1 END AS zx,
+              CASE WHEN dy >= 0 THEN 2 * dy ELSE -2 * dy - 1 END AS zy
+       FROM seq),
+enc AS (SELECT tx, ty, rn,
+               CAST(zx AS {s}) || ',' || CAST(zy AS {s}) AS pair,
+               CASE WHEN zx < 128 THEN 1 WHEN zx < 16384 THEN 2
+                    ELSE 3 END
+               + CASE WHEN zy < 128 THEN 1 WHEN zy < 16384 THEN 2
+                      ELSE 3 END AS nb
+        FROM zz)"""
+
+
+_MVT_BYTES = """CASE WHEN COUNT(*) * 8 + 1 < 128 THEN 1
+            WHEN COUNT(*) * 8 + 1 < 16384 THEN 2 ELSE 3 END"""
+
+
+def q_mvt_encode(spark, sf_dir):
+    """Mapbox Vector Tile geometry encoding (ogr/ogrsf_frmts/mvt/
+    ogrmvtdataset.cpp — the OGR MVT writer): geocoded pages snap to
+    integer extent-4096 tile coordinates (ConvertToTileCoords,
+    :3734-3751: round((x−topX)·extent/dim), y axis DOWNWARD from the
+    tile top), one MULTIPOINT feature per z5 tile whose command
+    stream is (MOVETO | n<<3) (GetCmdCountCombined :3757, knCMD_MOVETO
+    mvt_tile.h:52) followed by zigzag deltas (EncodeSInt) from the
+    (0,0) cursor, consecutive zero-deltas dropped (:3838-3846 —
+    realized here as DISTINCT snapped positions under the sorted
+    (lx, ly) normalization a distributed writer needs; the reference
+    keeps arrival order). Emits the command stream as comma text plus
+    its exact packed-varint byte size; geo/mvt.py proves those are
+    the true wire bytes by round-tripping the full protobuf tile
+    (tests/test_mvt.py), hand-rolled varints exactly like the
+    reference (mvt_tile.cpp:234-449).
+
+    Scale: everything is codegen'd column math until one
+    groupBy(tile) — bounded keys (2^2z tiles), per-tile state bounded
+    by the 4096² snapped-distinct positions, so a 10^12-page corpus
+    encodes in one shuffle; hot tiles are the salted_agg story and
+    per-tile output is capped by extent, not corpus size."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(f"""
+WITH {sqlexpr.pages_cte(dialect='spark')},
+{_mvt_sql('spark')}
+SELECT CAST({_MVT_Z} AS BIGINT) AS z, tx, ty, COUNT(*) AS n_points,
+       CAST(COUNT(*) * 8 + 1 AS STRING) || ',' ||
+       array_join(transform(array_sort(collect_list(struct(rn, pair))),
+                            p -> p.pair), ',') AS geom_cmds,
+       CAST({_MVT_BYTES} + SUM(nb) AS BIGINT) AS geom_bytes
+FROM enc GROUP BY tx, ty ORDER BY tx, ty""")
+
+
+def o_mvt_encode():
+    return f"""
+WITH {sqlexpr.pages_cte()},
+{_mvt_sql('duck')}
+SELECT CAST({_MVT_Z} AS BIGINT) AS z, tx, ty, COUNT(*) AS n_points,
+       CAST(COUNT(*) * 8 + 1 AS VARCHAR) || ',' ||
+       string_agg(pair, ',' ORDER BY rn) AS geom_cmds,
+       CAST({_MVT_BYTES} + SUM(nb) AS BIGINT) AS geom_bytes
+FROM enc GROUP BY tx, ty ORDER BY tx, ty"""
+
+
+# --- sitemap parse + crawl frontier --------------------------------------
+
+
+def _sitemap_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    ent = ("'<url><loc>' || url || '</loc><lastmod>' || lm"
+           " || '</lastmod></url>' || CASE WHEN doc_id % 3 = 0 THEN"
+           " '<url><loc>' || url || '-alt</loc><lastmod>' || lm"
+           " || '</lastmod></url>' ELSE '' END")
+    if dialect == "spark":
+        agg = ("array_join(transform(array_sort(collect_list("
+               "struct(doc_id, e))), p -> p.e), '')")
+        unn = ("SELECT host, explode(regexp_extract_all(xml,"
+               " '<url>(.*?)</url>', 1)) AS b FROM sm")
+    else:
+        agg = "string_agg(e, '' ORDER BY doc_id)"
+        unn = ("SELECT host, unnest(regexp_extract_all(xml,"
+               " '<url>(.*?)</url>', 1)) AS b FROM sm")
+    return f"""
+d AS (SELECT doc_id,
+             'www.s' || CAST(doc_id % 7 AS {s}) || '.' || tld AS host,
+             'https://www.s' || CAST(doc_id % 7 AS {s}) || '.' || tld
+             || '/doc/' || CAST(doc_id AS {s}) AS url,
+             '2026-0' || CAST(1 + doc_id % 9 AS {s}) || '-'
+             || CASE WHEN doc_id % 28 < 9 THEN '0' ELSE '' END
+             || CAST(1 + doc_id % 28 AS {s}) AS lm
+      FROM pages),
+e0 AS (SELECT host, doc_id, {ent} AS e FROM d),
+sm AS (SELECT host, '<urlset>' || {agg} || '</urlset>' AS xml
+       FROM e0 GROUP BY host),
+blocks AS ({unn}),
+parsed AS (SELECT host,
+                  regexp_extract(b, '<loc>([^<]+)</loc>', 1) AS url,
+                  regexp_extract(b, '<lastmod>([^<]+)</lastmod>', 1)
+                  AS lastmod
+           FROM blocks)
+SELECT p.host, p.url, p.lastmod
+FROM parsed p
+WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.url = p.url)
+ORDER BY p.url"""
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap-driven crawl-frontier discovery — the step a
+    Common-Crawl-style crawler runs between robots_filter and the
+    fetch queue (sitemaps.org protocol: per-host urlset XML of
+    <loc>/<lastmod> entries). Per-host sitemap documents are
+    synthesized in-engine (every third doc plants an uncrawled
+    '-alt' URL), parsed back with regexp_extract_all over the <url>
+    blocks, and anti-joined against the crawl log with NOT EXISTS —
+    Spark plans the ANSI subquery as a hash anti join, no UDF, no
+    driver loop. Output = the frontier (host, url, lastmod).
+
+    Scale: sitemap fetches arrive as ordinary documents, so the
+    parse side is map-only (regexp + explode); the anti join shuffles
+    on url — at 10^12 rows a production crawler co-partitions both
+    sides by host, which the identical plan expresses by adding host
+    to the join key (the planted URLs keep their host)."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(f"WITH {sqlexpr.pages_cte(dialect='spark')},"
+                     f"{_sitemap_sql('spark')}")
+
+
+def o_sitemap_urls():
+    return f"WITH {sqlexpr.pages_cte()},{_sitemap_sql('duck')}"
+
+
+# --- WET shard cut planning ----------------------------------------------
+
+_SHARD_TARGET = 32768  # bytes per shard at the gate scale
+
+
+_SHARD_FINAL = """
+SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS bytes,
+       MIN(k) AS first_key, MAX(k) AS last_key,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM sh GROUP BY shard_id ORDER BY shard_id"""
+
+
+def q_shard_plan(spark, sf_dir):
+    """WET shard cut planning — how a Common-Crawl-style writer
+    decides segment boundaries before the sink runs (the WET members
+    gdal_spark/sources/wet.py reads are ~1 GiB because the writer
+    cuts whenever the running byte total crosses the limit; CC's
+    crawl segments are cut the same way over SURT order). Records
+    take the cdx_index SURT keys (one domain packs contiguously),
+    record bytes = text + key + fixed header; shard_id =
+    floor(exclusive-prefix-bytes / target), so a record that crosses
+    the limit finishes its shard — exactly the sequential writer's
+    rule, computed declaratively.
+
+    The global byte prefix-sum is the TWO-PHASE form (the cdx_index /
+    sequence_pack discipline): order-preserving 12-char key-prefix
+    buckets → per-bucket byte totals → exclusive offsets over the
+    tiny bucket table → partitioned within-bucket running sums. No
+    stage sees the corpus in one task; the oracle is the single-window
+    formulation, proving the two-phase plan IS the sequential cut."""
+    _views(spark, sf_dir, ("documents",))
+    return spark.sql(f"""
+WITH {_cdx_sql('spark')},
+sz AS (SELECT r.doc_id, r.k,
+              CAST(d.n_chars + LENGTH(r.k) + 64 AS BIGINT) AS bytes
+       FROM rec r JOIN documents d ON d.doc_id = r.doc_id),
+rb AS (SELECT doc_id, k, bytes, substr(k, 1, 12) AS bucket FROM sz),
+b AS (SELECT bucket, SUM(bytes) AS bb FROM rb GROUP BY bucket),
+boff AS (SELECT bucket,
+                COALESCE(SUM(bb) OVER (ORDER BY bucket
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS bo
+         FROM b),
+cum AS (SELECT rb.doc_id, rb.k, rb.bytes,
+               o.bo + COALESCE(SUM(rb.bytes) OVER (
+                   PARTITION BY rb.bucket ORDER BY rb.k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+        FROM rb JOIN boff o ON o.bucket = rb.bucket),
+sh AS (SELECT doc_id, k, bytes,
+              CAST(FLOOR(cum_before / {_SHARD_TARGET}.0) AS BIGINT)
+              AS shard_id
+       FROM cum)
+{_SHARD_FINAL}""")
+
+
+def o_shard_plan():
+    return f"""
+WITH {_cdx_sql('duck')},
+sz AS (SELECT r.doc_id, r.k,
+              CAST(d.n_chars + LENGTH(r.k) + 64 AS BIGINT) AS bytes
+       FROM rec r JOIN documents d ON d.doc_id = r.doc_id),
+cum AS (SELECT doc_id, k, bytes,
+               COALESCE(SUM(bytes) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+        FROM sz),
+sh AS (SELECT doc_id, k, bytes,
+              CAST(FLOOR(cum_before / {_SHARD_TARGET}.0) AS BIGINT)
+              AS shard_id
+       FROM cum)
+{_SHARD_FINAL}"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "mvt_encode": (q_mvt_encode, o_mvt_encode),
+    "sitemap_urls": (q_sitemap_urls, o_sitemap_urls),
+    "shard_plan": (q_shard_plan, o_shard_plan),
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
     # --- verified in r1/r2 (VERDICT r2 item 2); rotation continues
