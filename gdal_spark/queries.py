@@ -19413,6 +19413,75 @@ SELECT CAST({_MVT_Z} AS BIGINT) AS z, tx, ty, COUNT(*) AS n_points,
 FROM enc GROUP BY tx, ty ORDER BY tx, ty"""
 
 
+# --- raster attribute table ----------------------------------------------
+
+RAT_ROW0, RAT_BIN, RAT_ROWS = 0.5, 2.0, 16
+
+
+def q_rat_table(spark, sf_dir):
+    """Raster Attribute Table build (gcore/gdal_rat.cpp
+    GDALDefaultRasterAttributeTable): linear binning per
+    GetRowOfValue(double) — iBin = floor((v − row0Min)/binSize),
+    out-of-range rows dropped (returns −1, gdal_rat.cpp:3095-3110) —
+    over the 64×64 point-burn raster; one RAT row per bin carrying
+    the GFU-role fields (gcore/gdal.h:2394-2406): GFU_Min/GFU_Max
+    class range, GFU_PixelCount, data min/max/mean inside the bin,
+    and GFU_Red/Green/Blue class colors (the color ramp a paletted
+    band serves to renderers, InitializeFromColorTable's shape).
+    Mean is exact: burns are small integers in doubles, so the sum
+    is order-free. One groupBy on a bounded key (≤16 rows) after the
+    burn aggregation — two shuffles total at any raster size."""
+    pts = points_df(spark, sf_dir)
+    burn = rast_op.burn_points(pts, GRID_GT, GRID_W, GRID_H)
+    row = F.floor((F.col("burn") - F.lit(RAT_ROW0)) / F.lit(RAT_BIN))
+    return (burn.withColumn("row", row.cast("long"))
+            .filter((F.col("row") >= 0) & (F.col("row") < RAT_ROWS))
+            .groupBy("row")
+            .agg(F.count("*").alias("n_pixels"),
+                 F.min("burn").alias("v_min"),
+                 F.max("burn").alias("v_max"),
+                 (F.sum("burn") / F.count("*")).alias("v_mean"))
+            .select("row",
+                    (F.lit(RAT_ROW0) + F.col("row") * F.lit(RAT_BIN))
+                    .alias("bin_min"),
+                    (F.lit(RAT_ROW0) + (F.col("row") + 1) * F.lit(RAT_BIN))
+                    .alias("bin_max"),
+                    "n_pixels", "v_min", "v_max", "v_mean",
+                    (F.lit(255) - F.col("row") * F.lit(16)).alias("red"),
+                    (F.col("row") * F.lit(12)).alias("green"),
+                    (F.lit(64) + F.col("row") * F.lit(8)).alias("blue"))
+            .orderBy("row"))
+
+
+def o_rat_table():
+    g = GRID_GT
+    fx = f"((lon - ({g[0]!r})) / {g[1]!r})"
+    fy = f"((lat - ({g[3]!r})) / ({g[5]!r}))"
+    return f"""
+WITH {sqlexpr.points_cte()},
+px AS (SELECT CAST(FLOOR({fy}) AS BIGINT) AS py,
+              CAST(FLOOR({fx}) AS BIGINT) AS px,
+              CAST(COUNT(*) AS DOUBLE) AS burn
+       FROM points
+       WHERE lat IS NOT NULL AND {fx} >= 0 AND {fx} < {GRID_W}
+         AND {fy} >= 0 AND {fy} < {GRID_H}
+       GROUP BY 1, 2),
+r AS (SELECT CAST(FLOOR((burn - {RAT_ROW0!r}) / {RAT_BIN!r}) AS BIGINT)
+             AS row, burn
+      FROM px),
+agg AS (SELECT row, COUNT(*) AS n_pixels, MIN(burn) AS v_min,
+               MAX(burn) AS v_max,
+               SUM(burn) / COUNT(*) AS v_mean
+        FROM r WHERE row >= 0 AND row < {RAT_ROWS} GROUP BY row)
+SELECT row, {RAT_ROW0!r} + row * {RAT_BIN!r} AS bin_min,
+       {RAT_ROW0!r} + (row + 1) * {RAT_BIN!r} AS bin_max,
+       n_pixels, v_min, v_max, v_mean,
+       CAST(255 - row * 16 AS INT) AS red,
+       CAST(row * 12 AS INT) AS green,
+       CAST(64 + row * 8 AS INT) AS blue
+FROM agg ORDER BY row"""
+
+
 # --- sitemap parse + crawl frontier --------------------------------------
 
 
@@ -19558,6 +19627,7 @@ REGISTRY: dict[str, tuple] = {
     "mvt_encode": (q_mvt_encode, o_mvt_encode),
     "sitemap_urls": (q_sitemap_urls, o_sitemap_urls),
     "shard_plan": (q_shard_plan, o_shard_plan),
+    "rat_table": (q_rat_table, o_rat_table),
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
     # --- verified in r1/r2 (VERDICT r2 item 2); rotation continues
