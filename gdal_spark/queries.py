@@ -19678,6 +19678,9 @@ REGISTRY: dict[str, tuple] = {
     "text_passthrough": (q_text_passthrough, o_text_passthrough),
     "table_stats": (q_table_stats, o_table_stats),
     "vector_index": (q_vector_index, o_vector_index),
+    # --- below: local-gate + pytest verified (the driver's 50-slot
+    # --- window is full; never-driver-verified entries from here down
+    # --- rotate into the window in rounds 4/5)
     "segmentize": (q_segmentize, o_segmentize),
     "geodesic_measures": (q_geodesic_measures, o_geodesic_measures),
     "zone_centroid": (q_zone_centroid, o_zone_centroid),
@@ -19688,7 +19691,6 @@ REGISTRY: dict[str, tuple] = {
     "buffer_polygons": (q_buffer_polygons, o_buffer_polygons),
     "tld_hull": (q_tld_hull, o_tld_hull),
     "simplify": (q_simplify, o_simplify),
-    # --- below: local-gate + pytest verified (driver window full)
     "make_valid": (q_make_valid, o_make_valid),
     "stream_sessions": (q_stream_sessions, o_stream_sessions),
     "stream_dedup": (q_stream_dedup, o_stream_dedup),
