@@ -488,12 +488,15 @@ def footprint(labels: DataFrame, min_pixels: int = 2) -> DataFrame:
                                   "hull_area double"))
 
 
-def adjacency_edges(labels: DataFrame) -> DataFrame:
+def adjacency_edges(labels: DataFrame, connect8: bool = False) -> DataFrame:
     """Directed label adjacency (a, b) for 4-adjacent pixels with
     DIFFERENT final labels, both orientations. Two coordinate
     equi-joins over the pixel table — the different-label pairs are
     exactly the inter-component perimeter, so the output is
-    O(perimeter) even though the join input is the full table."""
+    O(perimeter) even though the join input is the full table.
+    ``connect8`` adds the two forward diagonals (the sieve filter's
+    neighbour scan follows the enumerator's connectedness,
+    alg/gdalsievefilter.cpp:414-438 8-connected branch)."""
     r = labels.select("py", "px", "label")
     h = r.alias("a").join(
         r.alias("b"),
@@ -504,14 +507,61 @@ def adjacency_edges(labels: DataFrame) -> DataFrame:
     pairs = (h.select(F.col("a.label").alias("a"), F.col("b.label").alias("b"))
              .unionByName(v.select(F.col("a.label").alias("a"),
                                    F.col("b.label").alias("b"))))
+    if connect8:
+        for ddx in (1, -1):
+            d = r.alias("a").join(
+                r.alias("b"),
+                (F.col("a.py") + 1 == F.col("b.py"))
+                & (F.col("a.px") + ddx == F.col("b.px")))
+            pairs = pairs.unionByName(
+                d.select(F.col("a.label").alias("a"),
+                         F.col("b.label").alias("b")))
     sym = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     return sym.filter(F.col("a") != F.col("b")).distinct()
 
 
+def adjacency_events(labels: DataFrame, width: int,
+                     connect8: bool = False) -> DataFrame:
+    """Directed label adjacency with the reference sieve's ENCOUNTER
+    ORDER: (a, b, t) where t is the scan index of the first
+    CompareNeighbour call touching the pair
+    (alg/gdalsievefilter.cpp:412-438: at pixel (y, x) the comparisons
+    run up / up-left / up-right / left in that order, so the event
+    index is (y*width + x) * 4 + k with k in 0..3). CompareNeighbour
+    updates BOTH polygons at each event, so t is symmetric; distinct
+    pairs get distinct t (one event = one pixel pair). O(perimeter)
+    output like adjacency_edges."""
+    r = labels.select("py", "px", "label")
+    ev = F.lit(4) * (F.col("a.py") * width + F.col("a.px"))
+    orient = [((F.col("a.py") - 1 == F.col("b.py"))
+               & (F.col("a.px") == F.col("b.px")), 0)]
+    if connect8:
+        orient += [((F.col("a.py") - 1 == F.col("b.py"))
+                    & (F.col("a.px") - 1 == F.col("b.px")), 1),
+                   ((F.col("a.py") - 1 == F.col("b.py"))
+                    & (F.col("a.px") + 1 == F.col("b.px")), 2)]
+    orient += [((F.col("a.py") == F.col("b.py"))
+                & (F.col("a.px") - 1 == F.col("b.px")), 3)]
+    parts = []
+    for cond, k in orient:
+        d = (r.alias("a").join(r.alias("b"), cond)
+             .select(F.col("a.label").alias("a"),
+                     F.col("b.label").alias("b"), (ev + k).alias("t")))
+        parts.append(d)
+    pairs = parts[0]
+    for d in parts[1:]:
+        pairs = pairs.unionByName(d)
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "t"))
+    return (sym.filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b").agg(F.min("t").alias("t")))
+
+
 def sieve_merge(labels: DataFrame, threshold: int, value_col: str = "v",
                 driver_poly_limit: int = 2_000_000,
-                max_rounds: int = 20) -> DataFrame:
+                max_rounds: int = 20, connect8: bool = False,
+                width: int | None = None) -> DataFrame:
     """GDAL sieve filter, merge-into-largest-neighbor semantics
     (alg/gdalsievefilter.cpp:300-640 "General Plan" steps 2-5):
 
@@ -526,11 +576,17 @@ def sieve_merge(labels: DataFrame, threshold: int, value_col: str = "v",
        rewritten to the final big polygon's value (the reference
        rewrites the raster; it does not re-run the CCL).
 
-    Deviation (documented): the reference's biggest-neighbor tie-break
-    is raster-scan-order dependent (CompareNeighbour keeps the FIRST
-    encountered of equal-size neighbors, gdalsievefilter.cpp:81-130);
-    here ties break deterministically to the smallest neighbor label so
-    the result is engine-order-independent and oracle-replicable.
+    Tie-break: with ``width`` given, equal-size biggest-neighbor ties
+    break by FIRST ENCOUNTER in raster-scan comparison order — the
+    reference's exact rule (CompareNeighbour replaces only on strictly
+    bigger size, gdalsievefilter.cpp:118-126, so the earliest-seen of
+    the max-size neighbors sticks; encounter order from
+    adjacency_events). This is deterministic (a function of raster
+    geometry, not engine order) and oracle-replicable; verified
+    against the reference autotest goldens in
+    tests/test_autotest_parity.py (incl. the tie-heavy "unmergeable"
+    case, checksum 451). Without ``width`` (legacy callers) ties break
+    to the smallest neighbor label.
 
     Scale shape: sizes/edges/pointer tables are all O(#components);
     the walk runs driver-side under ``driver_poly_limit`` (mirroring
@@ -540,12 +596,21 @@ def sieve_merge(labels: DataFrame, threshold: int, value_col: str = "v",
     raster."""
     labels = labels.persist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("n")).persist()
-    # biggest neighbor per polygon: max size, tie -> smallest label
-    nb = (adjacency_edges(labels)
+    # biggest neighbor per polygon: max size; tie -> first scan-order
+    # encounter (reference rule, needs width) or smallest label
+    if width is not None:
+        edges = adjacency_events(labels, width, connect8=connect8)
+        tie = F.col("t")
+    else:
+        edges = adjacency_edges(labels, connect8=connect8) \
+            .withColumn("t", F.col("b"))
+        tie = F.col("b")
+    nb = (edges
           .join(sizes.select(F.col("label").alias("b"),
                              F.col("n").alias("bn")), "b")
           .groupBy("a")
           .agg(F.min(F.struct((-F.col("bn")).alias("neg_n"),
+                              tie.alias("tie"),
                               F.col("b").alias("b"))).alias("m"))
           .select(F.col("a").alias("l"), F.col("m.b").alias("t")))
     # out-edges for SMALL polygons only; polygons >= threshold are

@@ -886,8 +886,9 @@ def q_sieve_merge(spark, sf_dir):
     mask valued by class (3 = hotspot core c>=10, 2 = medium density);
     off-mask pixels are nodata (excluded, exactly the reference's
     GP_NODATA_MARKER polygons). Output = the rewritten value raster.
-    Ties on neighbor size break to the smallest label (deterministic;
-    the reference is scan-order dependent — documented deviation)."""
+    Ties on neighbor size break by FIRST raster-scan encounter — the
+    reference's exact CompareNeighbour rule (verified against the
+    autotest sieve goldens in tests/test_autotest_parity.py)."""
     from gdal_spark.operators import polygonize as poly_op
     pts = points_df(spark, sf_dir)
     valued = (rast_op.burn_points(pts, PGRID_GT, PGRID_W, PGRID_H)
@@ -896,7 +897,7 @@ def q_sieve_merge(spark, sf_dir):
                       F.when(F.col("burn") >= PTARGET_THR, F.lit(3))
                        .otherwise(F.lit(2)).cast("long").alias("v")))
     labels = poly_op.polygonize(valued, PGRID_W, value_col="v")
-    return poly_op.sieve_merge(labels, SIEVE_MERGE_THR, "v")
+    return poly_op.sieve_merge(labels, SIEVE_MERGE_THR, "v", width=PGRID_W)
 
 
 def o_sieve_merge():
@@ -916,16 +917,23 @@ reach(py, px, v, l) AS (
 ),
 lbl AS (SELECT py, px, MIN(v) AS v, MIN(l) AS label FROM reach GROUP BY py, px),
 sz AS (SELECT label, COUNT(*) AS n FROM lbl GROUP BY label),
-adj AS (SELECT a.label AS a, b.label AS b
-        FROM lbl a JOIN lbl b
-          ON (ABS(a.py - b.py) + ABS(a.px - b.px)) = 1
-         AND a.label != b.label
-        GROUP BY 1, 2),
+adjev0 AS (
+  SELECT a.label AS a, b.label AS b, (a.py * {PGRID_W} + a.px) * 4 + 0 AS t
+  FROM lbl a JOIN lbl b ON b.py = a.py - 1 AND b.px = a.px
+  UNION ALL
+  SELECT a.label AS a, b.label AS b, (a.py * {PGRID_W} + a.px) * 4 + 3 AS t
+  FROM lbl a JOIN lbl b ON b.py = a.py AND b.px = a.px - 1
+),
+adjev AS (SELECT a, b, MIN(t) AS t FROM (
+            SELECT a, b, t FROM adjev0
+            UNION ALL
+            SELECT b AS a, a AS b, t FROM adjev0)
+          WHERE a != b GROUP BY a, b),
 bignb AS (SELECT a AS l, b AS t FROM (
-            SELECT adj.a, adj.b,
-                   ROW_NUMBER() OVER (PARTITION BY adj.a
-                                      ORDER BY s.n DESC, adj.b ASC) AS rn
-            FROM adj JOIN sz s ON s.label = adj.b) WHERE rn = 1),
+            SELECT e.a, e.b,
+                   ROW_NUMBER() OVER (PARTITION BY e.a
+                                      ORDER BY s.n DESC, e.t ASC) AS rn
+            FROM adjev e JOIN sz s ON s.label = e.b) WHERE rn = 1),
 walk(src, cur, step) AS (
   SELECT b.l, b.t, 1 FROM bignb b JOIN sz s ON s.label = b.l AND s.n < {thr}
   UNION ALL
