@@ -66,13 +66,28 @@ def column_summaries(grid: DataFrame) -> DataFrame:
         F.first(vv, ignorenulls=True).over(wbot).alias("bot_v"))
 
 
-def fillnodata(grid: DataFrame, maxdist: int) -> DataFrame:
-    """grid(py, px, val, valid) -> (py, px, fill, nq) for every nodata
-    pixel with at least one quadrant hit within maxdist: fill = the
-    reference's 4-quadrant IDW value (round 6), nq = quadrant count."""
+def quadrant_hits(grid: DataFrame, maxdist: float,
+                  width: int | None = None) -> DataFrame:
+    """Per-quadrant winners for every nodata pixel: (py, px, quad,
+    dist2, v) with dist <= maxdist. Column offsets span
+    |d| <= floor(maxdist) — the reference's iStep bound
+    (nMaxSearchDist = floor(dfMaxSearchDist), rasterfill.cpp:411).
+
+    With ``width`` given, pixels on the LAST column replay the
+    reference's edge clamp: iRightX = min(nXSize-1, iX+iStep)
+    (rasterfill.cpp:814) degenerates to the pixel's own column there,
+    so the TOP_RIGHT/BOTTOM_RIGHT quadrants see the own-column
+    candidates too — the same valid pixel then contributes weight in
+    TWO quadrants (pinned by the autotest mask-smoothing golden:
+    corner fill 8.333 = 5@4 once + 10@4 twice). No mirrored quirk on
+    the first column: iLeftX clamps onto the own column, which the
+    left quadrants already include at iStep 0."""
+    import math
+
     s = column_summaries(grid)
     nodata = s.filter(~F.col("valid")).select("py", "px")
-    offs = F.array(*[F.lit(d) for d in range(-maxdist, maxdist + 1)])
+    dmax = int(math.floor(maxdist))
+    offs = F.array(*[F.lit(d) for d in range(-dmax, dmax + 1)])
     cand = (nodata
             .select("py", "px", F.explode(offs).alias("d"))
             .withColumn("cx", F.col("px") + F.col("d"))
@@ -98,26 +113,88 @@ def fillnodata(grid: DataFrame, maxdist: int) -> DataFrame:
          ).alias("dist2"),
         F.col("bot_v").alias("v"))
     quads = top.unionByName(bot)
+    if width is not None:
+        edge = (F.col("px") == width - 1) & (F.col("d") == 0)
+        quads = (quads
+                 .unionByName(top.filter(edge)
+                              .withColumn("quad", F.lit(2)))
+                 .unionByName(bot.filter(edge)
+                              .withColumn("quad", F.lit(3))))
     wq = Window.partitionBy("py", "px", "quad").orderBy("dist2", F.abs("d"))
-    best = (quads.withColumn("rn", F.row_number().over(wq))
+    return (quads.withColumn("rn", F.row_number().over(wq))
             .filter((F.col("rn") == 1)
-                    & (F.col("dist2") <= maxdist * maxdist)))
+                    & (F.col("dist2") <= maxdist * maxdist))
+            .select("py", "px", "quad", "dist2", "v"))
+
+
+def fillnodata(grid: DataFrame, maxdist: float,
+               exclude_value: float | None = None,
+               width: int | None = None) -> DataFrame:
+    """grid(py, px, val, valid) -> (py, px, fill, nq) for every nodata
+    pixel with at least one quadrant hit within maxdist: fill = the
+    reference's 4-quadrant IDW value (round 6), nq = quadrant count.
+
+    ``exclude_value`` is the NODATA option of GDALFillNodata
+    (rasterfill.cpp:381-383,888-898): the exclusion applies AFTER
+    quadrant selection — an excluded winner still occupies its
+    quadrant (shadowing farther pixels) but contributes no weight;
+    when every in-range winner is excluded the pixel is set to the
+    exclude value itself (the fNoData write at :915). ``width``
+    enables the last-column quadrant duplication (see
+    quadrant_hits)."""
+    best = quadrant_hits(grid, maxdist, width=width)
     # pivot the <=4 quadrant hits to fixed columns: the IDW sum then
     # runs in the reference's TL,BL,TR,BR order in BOTH engines
     w_ = F.lit(1.0) / F.sqrt(F.col("dist2").cast("double"))
+    use = F.lit(True) if exclude_value is None \
+        else (F.col("v") != F.lit(float(exclude_value)))
     piv = best.groupBy("py", "px").agg(
-        *[F.coalesce(F.max(F.when(F.col("quad") == q, w_)),
+        *[F.coalesce(F.max(F.when((F.col("quad") == q) & use, w_)),
                      F.lit(0.0)).alias(f"w{q}") for q in range(4)],
-        *[F.coalesce(F.max(F.when(F.col("quad") == q, F.col("v") * w_)),
+        *[F.coalesce(F.max(F.when((F.col("quad") == q) & use,
+                                  F.col("v") * w_)),
                      F.lit(0.0)).alias(f"wv{q}") for q in range(4)],
         F.count("*").alias("nq"))
     num = F.col("wv0") + F.col("wv1") + F.col("wv2") + F.col("wv3")
     den = F.col("w0") + F.col("w1") + F.col("w2") + F.col("w3")
-    return piv.select("py", "px", F.round(num / den, 6).alias("fill"),
+    fill = F.round(num / den, 6) if exclude_value is None else \
+        F.when(den > 0, F.round(num / den, 6)) \
+         .otherwise(F.lit(float(exclude_value)))
+    return piv.select("py", "px", fill.alias("fill"),
                       F.col("nq").cast("int").alias("nq"))
 
 
-def smooth3x3(t: DataFrame, iterations: int) -> DataFrame:
+def fillnodata_nearest(grid: DataFrame, maxdist: float,
+                       exclude_value: float | None = None,
+                       width: int | None = None) -> DataFrame:
+    """INTERPOLATION=NEAREST (rasterfill.cpp:855-884): the fill is the
+    nearest in-range quadrant winner, ties broken by quadrant order
+    TL, BL, TR, BR (the loop takes strictly-closer only, so the first
+    of equals sticks). With ``exclude_value``, excluded winners never
+    update the running nearest (the :862-866 guard skips the value AND
+    the distance update), so the result is the argmin over non-excluded
+    winners; a pixel whose in-range winners are all excluded is set to
+    the exclude value."""
+    best = quadrant_hits(grid, maxdist, width=width)
+    if exclude_value is None:
+        usable = best
+    else:
+        usable = best.filter(F.col("v") != F.lit(float(exclude_value)))
+    wn = Window.partitionBy("py", "px").orderBy("dist2", "quad")
+    near = (usable.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("py", "px", F.col("v").cast("double").alias("fill")))
+    if exclude_value is None:
+        return near
+    blocked = (best.select("py", "px").distinct()
+               .join(near.select("py", "px"), ["py", "px"], "left_anti")
+               .select("py", "px",
+                       F.lit(float(exclude_value)).alias("fill")))
+    return near.unionByName(blocked)
+
+
+def smooth3x3(t: DataFrame, iterations: int,
+              height: int | None = None) -> DataFrame:
     """The reference's post-fill smoothing passes (GDALMultiFilter /
     GDALFilterLine, rasterfill.cpp:41-130,140-316): each iteration
     replaces every INTERPOLATED pixel (fmask) by the plain average of
@@ -127,6 +204,14 @@ def smooth3x3(t: DataFrame, iterations: int) -> DataFrame:
     neighbors9 idiom), summed in the reference's fixed scan order
     (prev row x-1,x,x+1 / current / next) for cross-engine
     bit-reproducibility.
+
+    With ``height`` given, pixels on the FIRST and LAST raster row are
+    never filtered (they still contribute to neighbors): the
+    reference's explicit per-iteration skip in GDALMultiFilter
+    (rasterfill.cpp:258-263 "TODO: Enable first and last line") —
+    pinned by the mask-smoothing golden in
+    tests/test_autotest_parity.py. Left/right edge columns ARE
+    filtered (GDALFilterLine truncates the window).
 
     t: (py, px, val, tmask, fmask) — val may be null on never-filled
     nodata pixels (tmask false); they neither update nor contribute.
@@ -154,9 +239,12 @@ def smooth3x3(t: DataFrame, iterations: int) -> DataFrame:
             hit = F.when(F.col(f"n{k}").isNotNull(), 1).otherwise(0)
             num = term if num is None else num + term
             cnt = hit if cnt is None else cnt + hit
+        apply = F.col("fmask")
+        if height is not None:
+            apply = apply & (F.col("py") >= 1) & (F.col("py") <= height - 2)
         t = (t.join(piv, ["py", "px"], "left")
              .select("py", "px",
-                     F.when(F.col("fmask"), num / cnt)
+                     F.when(apply, num / cnt)
                      .otherwise(F.col("val")).alias("val"),
                      "tmask", "fmask"))
     return t

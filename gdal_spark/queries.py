@@ -6066,12 +6066,14 @@ def q_fillnodata(spark, sf_dir):
     4-quadrant conic nearest search + inverse-distance weighting over
     the DEM fixture with deterministic holes (operators/fillnodata.py
     — window-function column propagation + bounded offset join instead
-    of the reference's serial scanline passes)."""
+    of the reference's serial scanline passes; width enables the
+    reference's last-column quadrant duplication, rasterfill.cpp:814
+    clamp)."""
     from gdal_spark.operators import dem as dem_op
     from gdal_spark.operators.fillnodata import fillnodata
     g = dem_op.dem_df(spark).selectExpr(
         "py", "px", "elev AS val", FILL_VALID_SQL + " AS valid")
-    return fillnodata(g, FILL_MAXDIST)
+    return fillnodata(g, FILL_MAXDIST, width=dem_op.DEM_W)
 
 
 def _fill_ctes():
@@ -6120,6 +6122,14 @@ quads AS (
   SELECT py, px, d, CASE WHEN d <= 0 THEN 1 ELSE 3 END,
          d * d + (bot_y - py) * (bot_y - py), bot_v
   FROM cand WHERE bot_y IS NOT NULL
+  -- last-column clamp (rasterfill.cpp:814): iRightX degenerates to
+  -- the own column, so TR/BR see the own-column candidates too
+  UNION ALL
+  SELECT py, px, d, 2, (py - top_y) * (py - top_y), top_v
+  FROM cand WHERE top_y IS NOT NULL AND d = 0 AND px = {DEM_W - 1}
+  UNION ALL
+  SELECT py, px, d, 3, (bot_y - py) * (bot_y - py), bot_v
+  FROM cand WHERE bot_y IS NOT NULL AND d = 0 AND px = {DEM_W - 1}
 ),
 best AS (
   SELECT * FROM (
@@ -6149,13 +6159,15 @@ def q_fillnodata_smooth(spark, sf_dir):
     alg/rasterfill.cpp:140-316): the 4-quadrant IDW fill followed by
     {FILL_SMOOTH_ITERS} passes of the reference's 3x3 average filter —
     interpolated pixels re-averaged over valid-or-interpolated
-    neighbors in scan order, valid pixels untouched
-    (operators/fillnodata.smooth3x3, one shuffle per pass)."""
+    neighbors in scan order, valid pixels untouched, first/last raster
+    rows never filtered (the reference's explicit GDALMultiFilter skip,
+    rasterfill.cpp:258-263 — pinned by the autotest mask-smoothing
+    golden) (operators/fillnodata.smooth3x3, one shuffle per pass)."""
     from gdal_spark.operators import dem as dem_op
     from gdal_spark.operators.fillnodata import fillnodata, smooth3x3
     g = dem_op.dem_df(spark).selectExpr(
         "py", "px", "elev AS val", FILL_VALID_SQL + " AS valid")
-    f = fillnodata(g, FILL_MAXDIST)
+    f = fillnodata(g, FILL_MAXDIST, width=dem_op.DEM_W)
     t0 = (g.join(f.select("py", "px", "fill"), ["py", "px"], "left")
           .select("py", "px",
                   F.when(F.col("valid"), F.col("val"))
@@ -6163,7 +6175,7 @@ def q_fillnodata_smooth(spark, sf_dir):
                   (F.col("valid") | F.col("fill").isNotNull()).alias("tmask"),
                   (~F.col("valid")
                    & F.col("fill").isNotNull()).alias("fmask")))
-    t = smooth3x3(t0, FILL_SMOOTH_ITERS)
+    t = smooth3x3(t0, FILL_SMOOTH_ITERS, height=dem_op.DEM_H)
     return (t.filter(F.col("fmask"))
             .select("py", "px", F.round("val", 6).alias("sval")))
 
@@ -6178,9 +6190,13 @@ def o_fillnodata_smooth():
         cnt = " + ".join(
             f"(CASE WHEN n{k}.val IS NOT NULL THEN 1 ELSE 0 END)"
             for k in range(9))
+        # first/last raster rows are never filtered (GDALMultiFilter's
+        # explicit skip, rasterfill.cpp:258-263)
+        from gdal_spark.operators.dem import DEM_H
         return f"""{dst} AS (
   SELECT c.py, c.px,
-         CASE WHEN c.fmask THEN ({num}) / ({cnt}) ELSE c.val END AS val,
+         CASE WHEN c.fmask AND c.py >= 1 AND c.py <= {DEM_H - 2}
+              THEN ({num}) / ({cnt}) ELSE c.val END AS val,
          c.tmask, c.fmask
   FROM {src} c
 {joins}

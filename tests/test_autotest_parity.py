@@ -179,9 +179,247 @@ def test_sieve_autotest_8_chain_propagation(spark):
     assert not out.any()
 
 
+def _read_strip_tiff(path: str) -> np.ndarray:
+    """Minimal reader for the reference suite's tiny uncompressed
+    single-strip 8-bit TIFFs (e.g. autotest/alg/data/pat.tif: 25x25,
+    Compression=1, one strip). Enough tags to locate the pixel strip;
+    everything else is validated, not interpreted."""
+    import struct
+
+    b = open(path, "rb").read()
+    bo = "<" if b[:2] == b"II" else ">"
+    ifd = struct.unpack(bo + "I", b[4:8])[0]
+    n = struct.unpack(bo + "H", b[ifd:ifd + 2])[0]
+    tags = {}
+    for i in range(n):
+        e = b[ifd + 2 + 12 * i: ifd + 14 + 12 * i]
+        tag, _typ, _cnt = struct.unpack(bo + "HHI", e[:8])
+        tags[tag] = struct.unpack(bo + "I", e[8:12])[0]
+    w, h = tags[256], tags[257]
+    assert tags.get(259, 1) == 1 and tags.get(258, 8) == 8
+    off, nbytes = tags[273], tags[279]
+    assert nbytes == w * h
+    return np.frombuffer(b[off:off + nbytes],
+                         dtype=np.uint8).reshape(h, w).astype(np.int64)
+
+
+def _proximity_grid(spark, grid: np.ndarray, target_values=None,
+                    maxdist=None, nodata=65535.0, fixed_buf=None,
+                    src_nodata=None) -> np.ndarray:
+    """ComputeProximity call-shape over our distributed operator
+    (alg/gdalproximity.cpp): targets = non-zero pixels (or the VALUES
+    list), proximity = exact Euclidean distance cut INCLUSIVELY at
+    MAXDIST (default xsize+ysize, :144-146), pixels with no target in
+    range get NODATA (default 65535, :180-194), FIXED_BUF_VAL replaces
+    only distances > 0 (:387-388, targets keep 0), USE_INPUT_NODATA
+    pixels never receive a distance (:565-567 guard)."""
+    from gdal_spark.operators.proximity import proximity
+
+    h, w = grid.shape
+    if maxdist is None:
+        maxdist = w + h
+    if target_values is None:
+        tmask = grid != 0
+    else:
+        tmask = np.isin(grid, target_values)
+    pix = spark.createDataFrame(
+        [(int(y), int(x)) for y in range(h) for x in range(w)],
+        "py long, px long")
+    tgt = spark.createDataFrame(
+        [(int(y), int(x)) for y, x in zip(*np.nonzero(tmask))],
+        "py long, px long")
+    out = proximity(pix, tgt, maxdist)
+    res = np.full((h, w), nodata, dtype=np.float64)
+    for r in out.collect():
+        d = r["dist"]
+        res[r["py"], r["px"]] = fixed_buf if (fixed_buf is not None
+                                              and d > 0) else d
+    if src_nodata is not None:
+        res[(grid == src_nodata) & ~tmask] = nodata
+    return res
+
+
+def _as_uint8(vals: np.ndarray) -> np.ndarray:
+    """GDALCopyWords float -> Byte: round half up, clamp to [0, 255]."""
+    return np.clip(np.floor(vals + 0.5), 0, 255).astype(np.int64)
+
+
+def test_proximity_autotest_1_default(spark):
+    """autotest/alg/proximity.py test_proximity_1: all defaults
+    (targets = non-zero, maxdist 50, nodata 65535) into a Byte band."""
+    grid = _read_strip_tiff(
+        "/root/reference/autotest/alg/data/pat.tif")
+    res = _proximity_grid(spark, grid)
+    assert gdal_checksum(_as_uint8(res)) == 1941
+
+
+def test_proximity_autotest_2_options(spark):
+    """autotest/alg/proximity.py test_proximity_2: VALUES=65,64
+    MAXDIST=12 NODATA=-1 FIXED_BUF_VAL=255 into a Float32 band."""
+    grid = _read_strip_tiff(
+        "/root/reference/autotest/alg/data/pat.tif")
+    res = _proximity_grid(spark, grid, target_values=[65, 64], maxdist=12,
+                          nodata=-1.0, fixed_buf=255.0)
+    assert gdal_checksum(res.astype(np.float32)) == 3256
+
+
+def test_proximity_autotest_3_input_nodata(spark):
+    """autotest/alg/proximity.py test_proximity_3: VALUES=65,64
+    MAXDIST=12 USE_INPUT_NODATA=YES NODATA=0 into a Byte band
+    (pat.tif carries GDAL_NODATA=255)."""
+    grid = _read_strip_tiff(
+        "/root/reference/autotest/alg/data/pat.tif")
+    res = _proximity_grid(spark, grid, target_values=[65, 64], maxdist=12,
+                          nodata=0.0, src_nodata=255)
+    assert gdal_checksum(_as_uint8(res)) == 1465
+
+
 def test_sieve_autotest_all_masked(spark):
     """autotest/alg/sieve.py test_sieve_all_masked: every pixel masked
     -> output identical to input."""
     grid = np.ones((10, 10), dtype=np.int64)
     out = _sieve(spark, grid, 4, connect8=False, nodata=1)
     np.testing.assert_array_equal(out, grid)
+
+
+# ---------------------------------------------------------------------------
+# FillNodata — autotest/alg/fillnodata.py parameterized goldens
+# (exact expected arrays from the reference test, Byte output).
+# ---------------------------------------------------------------------------
+
+def _fill(spark, grid, maxdist, nodata, option_nodata=None,
+          smoothing=0, nearest=False, valid_mask=None):
+    """gdal.FillNodata call-shape over our operator: mask = band
+    nodata (or a user mask), NODATA option = post-selection source
+    exclusion, optional 3x3 smoothing passes on filled pixels."""
+    from gdal_spark.operators.fillnodata import (fillnodata,
+                                                 fillnodata_nearest,
+                                                 smooth3x3)
+
+    h, w = grid.shape
+    if valid_mask is None:
+        valid_mask = grid != nodata
+    rows = [(int(y), int(x), float(grid[y, x]), bool(valid_mask[y, x]))
+            for y in range(h) for x in range(w)]
+    df = spark.createDataFrame(rows, "py long, px long, val double, "
+                                     "valid boolean")
+    fn = fillnodata_nearest if nearest else fillnodata
+    filled = fn(df, maxdist, exclude_value=option_nodata, width=w)
+    res = grid.astype(np.float64)
+    fmask = np.zeros((h, w), dtype=bool)
+    for r in filled.collect():
+        res[r["py"], r["px"]] = r["fill"]
+        fmask[r["py"], r["px"]] = True
+    if smoothing:
+        t = spark.createDataFrame(
+            [(int(y), int(x), float(res[y, x]),
+              bool(valid_mask[y, x] or fmask[y, x]), bool(fmask[y, x]))
+             for y in range(h) for x in range(w)],
+            "py long, px long, val double, tmask boolean, fmask boolean")
+        for r in smooth3x3(t, smoothing, height=h).collect():
+            res[r["py"], r["px"]] = r["val"]
+    return res
+
+
+FILLNODATA_CASES = [
+    # (input, maxdist, nodata, option_nodata, expected, smoothing)
+    ([[1]], 1, 0, None, [[1]], 0),
+    ([[0]], 1, 0, None, [[0]], 0),
+    ([[1, 0]], 1, 0, None, [[1, 1]], 0),
+    ([[0, 1]], 1, 0, None, [[1, 1]], 0),
+    ([[2, 0, 4]], 1, 0, None, [[2, 3, 4]], 0),
+    ([[2, 0, 0, 4]], 1, 0, None, [[2, 2, 4, 4]], 0),
+    ([[1], [0]], 1, 0, None, [[1], [1]], 0),
+    ([[0], [1]], 1, 0, None, [[1], [1]], 0),
+    ([[2], [0], [4]], 1, 0, None, [[2], [3], [4]], 0),
+    ([[2], [0], [0], [4]], 1, 0, None, [[2], [2], [4], [4]], 0),
+    ([[2, 0, 4], [4, 0, 6], [6, 0, 8]], 1, 0, None,
+     [[2, 3, 4], [4, 5, 6], [6, 7, 8]], 0),
+    ([[2, 3, 4], [0, 0, 0], [6, 7, 8]], 1, 0, None,
+     [[2, 3, 4], [4, 5, 6], [6, 7, 8]], 0),
+    ([[2, 0, 4], [0, 0, 0], [6, 0, 8]], 1, 0, None,
+     [[2, 3, 4], [4, 0, 6], [6, 7, 8]], 0),
+    # 1.5 > sqrt(2): diagonals reach the center
+    ([[2, 0, 4], [0, 0, 0], [6, 0, 8]], 1.5, 0, None,
+     [[2, 3, 4], [4, 5, 6], [6, 7, 8]], 0),
+    # NODATA=30 excluded post-selection: TL winner 30 contributes no
+    # weight, fill = (80 + 60) / 2
+    ([[20, 30, 40], [50, 1, 60], [70, 80, 90]], 1, 1, 30,
+     [[20, 30, 40], [50, 70, 60], [70, 80, 90]], 0),
+    ([[20, 30, 40, 50], [30, 0, 0, 60], [40, 0, 0, 70],
+      [50, 60, 70, 80]], 1, 0, None,
+     [[20, 30, 40, 50], [30, 30, 50, 60], [40, 50, 70, 70],
+      [50, 60, 70, 80]], 0),
+    ([[20, 30, 40, 50], [30, 0, 0, 60], [40, 0, 0, 70],
+      [50, 60, 70, 80]], 1, 0, None,
+     [[20, 30, 40, 50], [30, 40, 50, 60], [40, 50, 60, 70],
+      [50, 60, 70, 80]], 1),
+]
+
+
+@pytest.mark.parametrize("case", range(len(FILLNODATA_CASES)))
+def test_fillnodata_autotest(spark, case):
+    """autotest/alg/fillnodata.py fillnodata_tests: every parameterized
+    golden (4-quadrant IDW, fractional maxdist, NODATA source
+    exclusion, one smoothing pass), Byte round-trip."""
+    inp, maxdist, nodata, opt, expected, smoothing = FILLNODATA_CASES[case]
+    res = _fill(spark, np.array(inp, dtype=np.int64), maxdist, nodata,
+                option_nodata=opt, smoothing=smoothing)
+    np.testing.assert_array_equal(_as_uint8(res), np.array(expected))
+
+
+FILLNODATA_NEAREST_CASES = [
+    ([[20, 30, 40], [50, 0, 60], [70, 80, 90]], 1, 0, None,
+     [[20, 30, 40], [50, 30, 60], [70, 80, 90]]),
+    # excluded TL winner never updates the running nearest -> BL's 80
+    ([[20, 30, 40], [50, 1, 60], [70, 80, 90]], 1, 1, 30,
+     [[20, 30, 40], [50, 80, 60], [70, 80, 90]]),
+    ([[20, 30, 40], [50, 0, 60], [70, 80, 90]], 0.9, 0, None,
+     [[20, 30, 40], [50, 0, 60], [70, 80, 90]]),
+    ([[20, 30, 40, 50], [60, 0, 0, 70], [80, 0, 0, 90],
+      [91, 92, 93, 94]], 1, 0, None,
+     [[20, 30, 40, 50], [60, 30, 40, 70], [80, 80, 93, 90],
+      [91, 92, 93, 94]]),
+    ([[20, 30, 40, 50], [60, 0, 0, 70], [80, 0, 0, 90],
+      [91, 92, 93, 94]], 0.9, 0, None,
+     [[20, 30, 40, 50], [60, 0, 0, 70], [80, 0, 0, 90],
+      [91, 92, 93, 94]]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(FILLNODATA_NEAREST_CASES)))
+def test_fillnodata_nearest_autotest(spark, case):
+    """autotest/alg/fillnodata.py fillnodata_nearest_tests:
+    INTERPOLATION=NEAREST goldens (nearest quadrant winner, quadrant
+    order tie-break, NODATA exclusion)."""
+    inp, maxdist, nodata, opt, expected = FILLNODATA_NEAREST_CASES[case]
+    res = _fill(spark, np.array(inp, dtype=np.int64), maxdist, nodata,
+                option_nodata=opt, nearest=True)
+    np.testing.assert_array_equal(_as_uint8(res), np.array(expected))
+
+
+def test_fillnodata_autotest_mask_smoothing(spark):
+    """autotest/alg/fillnodata.py
+    test_fillnodata_user_provided_mask_with_smoothing: 5x5 Float32
+    with only the two opposite corners valid, maxdist 100, TEN
+    smoothing iterations; the reference pins the full float array
+    (asserted at 1e-5, its own tolerance — the reference accumulates
+    in float32, we stay float64)."""
+    grid = np.zeros((5, 5), dtype=np.float64)
+    grid[0, 0] = 5.0
+    grid[4, 4] = 10.0
+    valid = np.zeros((5, 5), dtype=bool)
+    valid[0, 0] = True
+    valid[4, 4] = True
+    res = _fill(spark, grid, 100, nodata=0, smoothing=10,
+                valid_mask=valid)
+    expected = np.array([
+        5.0, 5.833333492279053, 6.5450849533081055, 7.105823040008545,
+        8.333333015441895, 6.325798988342285, 6.566854476928711,
+        7.038447856903076, 7.557196140289307, 7.811311721801758,
+        7.0352678298950195, 7.2065935134887695, 7.561786651611328,
+        7.926154613494873, 8.114609718322754, 7.453090190887451,
+        7.642454147338867, 8.04526424407959, 8.50459098815918,
+        8.746294975280762, 7.5, 7.894176959991455, 8.454915046691895,
+        9.166666984558105, 10.0]).reshape(5, 5)
+    np.testing.assert_allclose(res, expected, rtol=1e-5)

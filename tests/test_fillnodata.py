@@ -4,7 +4,15 @@ pixel (top quads include the current row, left quads the own column;
 scan-order tie-break = min (dist^2, |dx|)), IDW with weight 1/dist,
 accepted while dist <= maxdist. The brute force scans ALL valid pixels
 per quadrant — independent of both the operator's window/join shape
-and the DuckDB oracle's formulation."""
+and the DuckDB oracle's formulation.
+
+Two reference quirks replayed here (both pinned against the autotest
+goldens in test_autotest_parity.py): on the LAST column the
+iRightX = min(nXSize-1, iX+iStep) clamp (rasterfill.cpp:814) makes
+TR/BR see the own-column candidates too (the same pixel contributes
+two quadrants of weight), and the smoothing passes never filter the
+first/last raster row (GDALMultiFilter's explicit skip,
+rasterfill.cpp:258-263)."""
 
 import math
 
@@ -35,10 +43,15 @@ def _brute(elev, valid):
             best = {}  # quad -> (dist2, absdx, value)
             for y, x in zip(vy, vx):
                 dx, dy = int(x) - px, int(y) - py
-                quad = (0 if dy <= 0 else 1) + (0 if dx <= 0 else 2)
+                quads = [(0 if dy <= 0 else 1) + (0 if dx <= 0 else 2)]
+                # last-column clamp: own-column candidates also feed
+                # the right quadrants (rasterfill.cpp:814)
+                if px == DEM_W - 1 and dx == 0:
+                    quads.append(quads[0] + 2)
                 key = (dx * dx + dy * dy, abs(dx))
-                if quad not in best or key < best[quad][:2]:
-                    best[quad] = (*key, elev[y, x])
+                for quad in quads:
+                    if quad not in best or key < best[quad][:2]:
+                        best[quad] = (*key, elev[y, x])
             ws = vs = 0.0
             nq = 0
             for quad in (0, 1, 2, 3):
@@ -82,6 +95,8 @@ def test_smooth_matches_reference_filter(spark):
     for _ in range(FILL_SMOOTH_ITERS):
         out = val.copy()
         for py, px in zip(*np.nonzero(fmask)):
+            if py == 0 or py == DEM_H - 1:  # first/last-row skip
+                continue
             s = c = 0.0
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
