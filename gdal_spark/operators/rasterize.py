@@ -94,10 +94,20 @@ def scanline_fill(rings, width: int, height: int) -> list[tuple[int, int, int]]:
 def rasterize_polygon_grid(rings_lonlat, gt: tuple, width: int, height: int,
                            burn: float = 1.0, merge_add: bool = False) -> np.ndarray:
     """Burn one polygon into a fresh (height, width) float64 grid.
-    gt = (x0, dx, 0, y0, 0, dy) with dy negative (north-up)."""
+    gt = (x0, dx, 0, y0, 0, dy) with dy negative (north-up).
+
+    Rings are normalized to WORLD-CLOCKWISE order first — the
+    reference reverses counterclockwise rings before the scanline
+    (GDALCollectRingsFromGeometry, gdalrasterize.cpp:444-466), which
+    makes the bottom-horizontal-edge fill rule winding-independent
+    (pinned by the autotest ADD-polygon golden, both windings)."""
     px_rings = []
     for r in rings_lonlat:
         r = np.asarray(r, dtype=np.float64)
+        x, y = r[:, 0], r[:, 1]
+        area2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+        if area2 > 0:  # counterclockwise (y-up world) -> reverse
+            r = r[::-1]
         px = (r[:, 0] - gt[0]) / gt[1]
         py = (r[:, 1] - gt[3]) / gt[5]
         px_rings.append(np.stack([px, py], axis=1))
@@ -140,8 +150,14 @@ def burn_lines(edges: DataFrame, gt: tuple, width: int, height: int) -> DataFram
     Every op (int products exact in double, one correctly-rounded
     division, +0.5, floor) is bit-deterministic across engines.
 
-    MERGE_ALG=ADD over features: pixels deduped per (zone_fid, ring_id,
-    edge) then counted → (py, px, burn). Scale shape: explode(sequence)
+    MERGE_ALG=ADD over features: pixels deduped per FEATURE (zone_fid)
+    then counted → (py, px, burn). The reference keeps one
+    visited-points set per geometry spanning ALL its segments and
+    parts (gdalrasterize.cpp:711-714 poSetVisitedPoints; the
+    issue-1307 fix), so a pixel hit by several edges of one feature —
+    every interior vertex — burns once; distinct features still add.
+    Pinned by the autotest ADD-linestring golden in
+    tests/test_autotest_parity.py. Scale shape: explode(sequence)
     per edge = one task-local row expansion, no shuffle until the final
     map-side-combined count."""
     fx1 = (F.col("x1") - F.lit(gt[0])) / F.lit(gt[1])
@@ -161,8 +177,7 @@ def burn_lines(edges: DataFrame, gt: tuple, width: int, height: int) -> DataFram
         (k * (F.col("iy2") - F.col("iy1"))).cast("double") / nn + 0.5)
     pix = (base
            .withColumn("k", F.explode(F.sequence(F.lit(0), F.col("n"))))
-           .select("zone_fid", "ring_id", "edge",
-                   py.alias("py"), px.alias("px"))
+           .select("zone_fid", py.alias("py"), px.alias("px"))
            .filter((F.col("px") >= 0) & (F.col("px") < width)
                    & (F.col("py") >= 0) & (F.col("py") < height))
            .distinct())
@@ -225,8 +240,10 @@ def burn_lines_all_touched(edges: DataFrame, gt: tuple, width: int,
     loy, hiy = axis_range(dyf, F.col("fy1"), F.col("cy").cast("double"))
     entry = F.greatest(F.lit(0.0), lox, loy)
     exit_ = F.least(F.lit(1.0), hix, hiy)
+    # dedup per FEATURE: one visited set per geometry across all its
+    # edges (gdalrasterize.cpp:711-714), so ADD counts features
     hit = (cand.filter(entry <= exit_)
-           .select("zone_fid", "ring_id", "edge", "cy", "cx").distinct())
+           .select("zone_fid", "cy", "cx").distinct())
     return (hit.groupBy(F.col("cy").alias("py"), F.col("cx").alias("px"))
             .agg(F.count("*").cast("double").alias("burn")))
 

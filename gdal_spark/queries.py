@@ -2609,9 +2609,11 @@ def q_rasterize_lines(spark, sf_dir):
 
 
 def o_rasterize_lines():
+    # per-FEATURE dedup: one visited set per geometry across all edges
+    # (gdalrasterize.cpp:711-714, the issue-1307 ADD fix)
     return f"""
 WITH {_line_ib_sql()},
-ded AS (SELECT DISTINCT zone_fid, ring_id, edge, py, px FROM pix
+ded AS (SELECT DISTINCT zone_fid, py, px FROM pix
         WHERE px >= 0 AND px < {LGRID_W} AND py >= 0 AND py < {LGRID_H})
 SELECT py, px, CAST(COUNT(*) AS DOUBLE) AS burn FROM ded GROUP BY py, px"""
 
@@ -2652,7 +2654,7 @@ lb AS (
          ELSE GREATEST((cy - fy1) / (fy2 - fy1), (cy + 1.0 - fy1) / (fy2 - fy1)) END AS hiy
   FROM cand2
 ),
-hit AS (SELECT DISTINCT zone_fid, ring_id, edge, cy, cx FROM lb
+hit AS (SELECT DISTINCT zone_fid, cy, cx FROM lb
         WHERE GREATEST(0.0, lox, loy) <= LEAST(1.0, hix, hiy))
 SELECT cy AS py, cx AS px, CAST(COUNT(*) AS DOUBLE) AS burn
 FROM hit GROUP BY cy, cx"""

@@ -398,6 +398,133 @@ def test_fillnodata_nearest_autotest(spark, case):
     np.testing.assert_array_equal(_as_uint8(res), np.array(expected))
 
 
+# ---------------------------------------------------------------------------
+# Rasterize — autotest/alg/rasterize.py goldens (exact expected arrays).
+# ---------------------------------------------------------------------------
+
+# test_rasterize_merge_alg_add_multiple_segment_linestring fixtures
+# (issue #1307): two linestring features on a 10x10 grid,
+# gt = (0, 20, 0, 100, 0, -10), burn 1, MERGE_ALG=ADD.
+ADD_LINES_EDGES = [
+    # (zone_fid, ring_id, edge, x1, y1, x2, y2) — world coords
+    (1, 0, 0, 0.5, 0.5, 100.5, 50.5),
+    (1, 0, 1, 100.5, 50.5, 199.5, 99.5),
+    (2, 0, 0, 30.5, 40.5, 30.5, 70.5),
+    (2, 0, 1, 30.5, 70.5, 50.5, 70.5),
+]
+ADD_LINES_GT = (0.0, 20.0, 0.0, 100.0, 0.0, -10.0)
+
+ADD_LINES_EXPECTED_DDA = """
+0 0 0 0 0 0 0 0 0 1
+0 0 0 0 0 0 0 0 1 0
+0 1 1 0 0 0 0 1 0 0
+0 1 0 0 0 0 1 0 0 0
+0 1 0 0 0 1 0 0 0 0
+0 1 0 0 1 0 0 0 0 0
+0 0 0 1 0 0 0 0 0 0
+0 0 1 0 0 0 0 0 0 0
+0 1 0 0 0 0 0 0 0 0
+1 0 0 0 0 0 0 0 0 0
+"""
+
+ADD_LINES_EXPECTED_ALL_TOUCHED = """
+0 0 0 0 0 0 0 0 0 1
+0 0 0 0 0 0 0 0 1 1
+0 1 1 0 0 0 1 1 1 0
+0 1 0 0 0 1 1 0 0 0
+0 1 0 0 1 1 0 0 0 0
+0 1 0 1 1 0 0 0 0 0
+0 0 1 1 0 0 0 0 0 0
+0 1 1 0 0 0 0 0 0 0
+1 1 0 0 0 0 0 0 0 0
+1 0 0 0 0 0 0 0 0 0
+"""
+
+
+def _burn_grid(rows, h, w):
+    g = np.zeros((h, w), dtype=np.int64)
+    for r in rows:
+        g[r["py"], r["px"]] = int(r["burn"])
+    return g
+
+
+def test_rasterize_autotest_add_linestring_dda(spark):
+    """autotest/alg/rasterize.py
+    test_rasterize_merge_alg_add_multiple_segment_linestring, plain
+    DDA: a pixel shared by several segments of ONE feature (every
+    interior vertex) burns once; distinct features add."""
+    from gdal_spark.operators.rasterize import burn_lines
+
+    edges = spark.createDataFrame(
+        ADD_LINES_EDGES, "zone_fid int, ring_id int, edge int, "
+                         "x1 double, y1 double, x2 double, y2 double")
+    got = _burn_grid(burn_lines(edges, ADD_LINES_GT, 10, 10).collect(),
+                     10, 10)
+    np.testing.assert_array_equal(got, _grid(ADD_LINES_EXPECTED_DDA))
+
+
+def test_rasterize_autotest_add_linestring_all_touched(spark):
+    """Same fixture, ALL_TOUCHED variant (second assertion of the
+    reference test)."""
+    from gdal_spark.operators.rasterize import burn_lines_all_touched
+
+    edges = spark.createDataFrame(
+        ADD_LINES_EDGES, "zone_fid int, ring_id int, edge int, "
+                         "x1 double, y1 double, x2 double, y2 double")
+    got = _burn_grid(
+        burn_lines_all_touched(edges, ADD_LINES_GT, 10, 10).collect(),
+        10, 10)
+    np.testing.assert_array_equal(got,
+                                  _grid(ADD_LINES_EXPECTED_ALL_TOUCHED))
+
+
+@pytest.mark.parametrize("wkt_ring", [
+    [(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)],     # clockwise
+    [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)],     # counterclockwise
+], ids=["clockwise", "counterclockwise"])
+def test_rasterize_autotest_add_polygon_windings(spark, wkt_ring):
+    """autotest/alg/rasterize.py test_rasterize_merge_alg_add_polygon:
+    the unit square at burn 10 with MERGE_ALG=ADD stays 10 everywhere
+    (the scanline's horizontal-edge runs must not redraw the top/bottom
+    rows), independent of winding order."""
+    from gdal_spark.operators.rasterize import rasterize_polygon_grid
+
+    gt = (-0.125, 0.25, 0.0, 1.125, 0.0, -0.25)
+    got = rasterize_polygon_grid([wkt_ring], gt, 5, 5, burn=10.0,
+                                 merge_add=True).astype(np.int64)
+    expected = np.zeros((5, 5), dtype=np.int64)
+    expected[:, 1:5] = 10
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_rasterize_autotest_all_touched_7523(spark):
+    """autotest/alg/rasterize.py test_rasterize_all_touched_issue_7523:
+    sliver triangle on a 3x5 grid — ALL_TOUCHED boundary burn plus
+    scanline interior, exact expected array."""
+    from gdal_spark.operators.rasterize import (burn_lines_all_touched,
+                                                rasterize_polygon_grid)
+
+    gt = (475435.0, 5.0, 0.0, 424145.0, 0.0, -5.0)
+    ring = [(475439.996613325, 424122.228740036),
+            (475439.996613325, 424142.201761073),
+            (475446.914301362, 424124.133743847),
+            (475439.996613325, 424122.228740036)]
+    edges = spark.createDataFrame(
+        [(1, 0, i, *ring[i], *ring[i + 1]) for i in range(3)],
+        "zone_fid int, ring_id int, edge int, "
+        "x1 double, y1 double, x2 double, y2 double")
+    touched = _burn_grid(
+        burn_lines_all_touched(edges, gt, 3, 5).collect(), 5, 3)
+    interior = rasterize_polygon_grid([ring], gt, 3, 5).astype(np.int64)
+    got = ((touched > 0) | (interior > 0)).astype(np.int64)
+    expected = np.array([[1, 1, 0],
+                         [1, 1, 0],
+                         [1, 1, 0],
+                         [1, 1, 1],
+                         [1, 1, 1]])
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_fillnodata_autotest_mask_smoothing(spark):
     """autotest/alg/fillnodata.py
     test_fillnodata_user_provided_mask_with_smoothing: 5x5 Float32
