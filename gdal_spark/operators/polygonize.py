@@ -284,36 +284,57 @@ def _trace_component(cells: set) -> tuple[int, int, int, list]:
     (alg/polygonize_polygonizer.cpp's arc collect + ring assembly,
     reimplemented from the published algorithm): directed unit edges
     with interior on the left (screen coords, y down), chained into
-    closed rings; at pinch points (diagonal self-touch) the walk takes
-    the right-most turn, splitting the pinch — so every boundary corner
-    becomes exactly one traced vertex, matching the 2×2-mask corner
-    count the SQL oracle computes independently.
+    closed rings.
+
+    Ring connection rule at shared corners (two rings passing one
+    vertex): every boundary edge borders exactly one COMPLEMENT pixel,
+    and at a degree-4 corner each of the two diagonal complement
+    pixels contributes exactly one incoming and one outgoing edge —
+    the successor prefers the outgoing edge hugging the SAME
+    complement pixel, so two holes touching at a corner stay SEPARATE
+    rings (the reference's output for autotest test_polygonize_5;
+    pinned in tests/test_autotest_parity.py) and a hole touching the
+    exterior stays separate from the outer ring. Elsewhere the walk
+    takes the right-most turn (screen-cw rotate (dx,dy) -> (-dy,dx)).
+    The rule is purely local, so the distributed twin
+    (trace_rings_distributed) applies the identical priority in its
+    successor join.
 
     Returns (n_rings, n_vertices, perimeter, rings) where rings are
     vertex lists with collinear runs collapsed."""
     out_edges: dict[tuple, list] = {}
+    edge_miss: dict[tuple, tuple] = {}  # directed edge -> missing pixel
     for (y, x) in cells:
         segs = []
         if (y - 1, x) not in cells:
-            segs.append(((x, y), (x + 1, y)))
+            segs.append((((x, y), (x + 1, y)), (y - 1, x)))
         if (y, x + 1) not in cells:
-            segs.append(((x + 1, y), (x + 1, y + 1)))
+            segs.append((((x + 1, y), (x + 1, y + 1)), (y, x + 1)))
         if (y + 1, x) not in cells:
-            segs.append(((x + 1, y + 1), (x, y + 1)))
+            segs.append((((x + 1, y + 1), (x, y + 1)), (y + 1, x)))
         if (y, x - 1) not in cells:
-            segs.append(((x, y + 1), (x, y)))
-        for a, b in segs:
+            segs.append((((x, y + 1), (x, y)), (y, x - 1)))
+        for (a, b), m in segs:
             out_edges.setdefault(a, []).append(b)
+            edge_miss[(a, b)] = m
     perimeter = sum(len(v) for v in out_edges.values())
+
     def successor(prev, cur):
-        # the next edge is DETERMINED by turn preference alone
-        # (right-most first; screen-cw rotate (dx,dy) -> (-dy,dx)),
-        # so edges decompose into unique cycles and pinches split
+        # hug the incoming edge's complement pixel when possible
+        # (always possible at degree-4 corners); otherwise right-most
+        # turn first — deterministic, purely local
         d = (cur[0] - prev[0], cur[1] - prev[1])
+        m = edge_miss[(prev, cur)]
+        fallback = None
         for pd in ((-d[1], d[0]), d, (d[1], -d[0])):
             cand = (cur[0] + pd[0], cur[1] + pd[1])
             if cand in out_edges.get(cur, ()):
-                return (cur, cand)
+                if edge_miss[(cur, cand)] == m:
+                    return (cur, cand)
+                if fallback is None:
+                    fallback = (cur, cand)
+        if fallback is not None:
+            return fallback
         raise AssertionError("open boundary edge chain")
 
     rings = []
@@ -371,13 +392,15 @@ def trace_rings_distributed(labels: DataFrame, width: int) -> DataFrame:
     sized component was one giant task).
 
     The tracer's successor rule is LOCAL: at each corner vertex the
-    next directed boundary edge is chosen by right-most-turn preference
-    alone (_trace_component). So the walk is unnecessary:
+    next directed boundary edge is chosen by hug-the-same-complement-
+    pixel preference, then right-most turn — exactly
+    _trace_component's rule. So the walk is unnecessary:
 
     1. boundary directed edges (interior-left convention) from 4
-       shifted self-joins — O(perimeter) rows;
+       shifted self-joins — O(perimeter) rows, each carrying the
+       complement pixel it borders;
     2. successor per edge = the out-edge at its end vertex with min
-       turn priority (rot-right < straight < rot-left) — one equi-join
+       (different-complement-pixel, turn) priority — one equi-join
        + window;
     3. the successor function is a permutation of the edge set, so
        rings = CYCLES = connected components of (edge, successor)
@@ -385,8 +408,10 @@ def trace_rings_distributed(labels: DataFrame, width: int) -> DataFrame:
     4. n_vertices = #(edge, successor) pairs with a direction change
        (exactly the collinear-collapse rule); perimeter = #edges.
 
-    Pinch points split correctly because the turn preference pairs the
-    in/out edges at degree-4 corners exactly as the walk does."""
+    Corner-touching rings split correctly because each diagonal
+    complement pixel contributes exactly one in- and one out-edge at a
+    degree-4 vertex, so the same-pixel preference pairs them exactly
+    as the walk does (autotest test_polygonize_5 semantics)."""
     # persist: the 4 side anti-joins consume `labels` twice each — an
     # unpersisted input re-runs the whole upstream CCL pipeline 8×
     # (measured 43 s vs 12 s at sf0.01)
@@ -396,7 +421,8 @@ def trace_rings_distributed(labels: DataFrame, width: int) -> DataFrame:
                        F.col("label").alias("nlabel"))
     sides = [
         # (ndy, ndx, start-vertex exprs, dir_idx): dirs 0=(1,0) 1=(0,1)
-        # 2=(-1,0) 3=(0,-1); start per the interior-left convention
+        # 2=(-1,0) 3=(0,-1); start per the interior-left convention;
+        # (ndy, ndx) is also the bordered COMPLEMENT pixel offset
         (-1, 0, F.col("px"), F.col("py"), 0),            # top    -> east
         (0, 1, F.col("px") + 1, F.col("py"), 1),          # right  -> south
         (1, 0, F.col("px") + 1, F.col("py") + 1, 2),      # bottom -> west
@@ -409,7 +435,9 @@ def trace_rings_distributed(labels: DataFrame, width: int) -> DataFrame:
                 & (F.col("nx") == F.col("px") + ndx)
                 & (F.col("nlabel") == F.col("label")), "left_anti")
              .select("label", sx.alias("sx"), sy.alias("sy"),
-                     F.lit(didx).alias("d")))
+                     F.lit(didx).alias("d"),
+                     (F.col("py") + ndy).alias("my"),
+                     (F.col("px") + ndx).alias("mx")))
         parts.append(e)
     edges = parts[0]
     for p in parts[1:]:
@@ -425,16 +453,21 @@ def trace_rings_distributed(labels: DataFrame, width: int) -> DataFrame:
              .persist())
     s = edges.select(F.col("label").alias("s_label"),
                      F.col("sx").alias("ssx"), F.col("sy").alias("ssy"),
-                     F.col("d").alias("sd"), F.col("eid").alias("sid"))
+                     F.col("d").alias("sd"), F.col("eid").alias("sid"),
+                     F.col("my").alias("smy"), F.col("mx").alias("smx"))
     cand = edges.join(
         s, (F.col("s_label") == F.col("label"))
         & (F.col("ssx") == F.col("ex")) & (F.col("ssy") == F.col("ey")))
+    # same-complement-pixel candidates first (_trace_component's rule),
+    # right-most turn within each class
+    same_m = ((F.col("smy") == F.col("my"))
+              & (F.col("smx") == F.col("mx"))).cast("int")
     prio = (F.when(F.col("sd") == (F.col("d") + 1) % 4, 0)
             .when(F.col("sd") == F.col("d"), 1)
             .when(F.col("sd") == (F.col("d") + 3) % 4, 2)
             .otherwise(3))
     from pyspark.sql import Window
-    w = Window.partitionBy("eid").orderBy(prio)
+    w = Window.partitionBy("eid").orderBy((1 - same_m), prio)
     succ = (cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("label", "eid", "d", F.col("sid").alias("succ"),

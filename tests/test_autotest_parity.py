@@ -399,6 +399,192 @@ def test_fillnodata_nearest_autotest(spark, case):
 
 
 # ---------------------------------------------------------------------------
+# Polygonize — autotest/alg/polygonize.py goldens (feature counts, DN
+# value multisets, and exact ring geometry where the reference pins WKT).
+# ---------------------------------------------------------------------------
+
+# autotest/alg/data/polygonize_in.grd (same grid as sieve_src, nodata 132)
+POLYGONIZE_IN = SIEVE_SRC
+POLYGONIZE_GT = (440720.0, 60.0, 0.0, 3751440.0, 0.0, -60.0)
+
+# autotest/alg/data/polygonize_in_3.grd: two holes touching at a vertex
+POLYGONIZE_IN_3 = """
+1 1 1 1
+1 0 1 1
+1 1 0 1
+1 1 1 1
+"""
+
+
+def _polygonize_features(spark, grid, nodata=None, connect8=False):
+    """grid -> [(DN, rings-in-pixel-corner-coords)] via our distributed
+    polygonize + per-component ring tracing."""
+    from gdal_spark.operators.polygonize import (_trace_component,
+                                                 polygonize)
+
+    h, w = grid.shape
+    rows = [(int(y), int(x), int(grid[y, x]))
+            for y in range(h) for x in range(w)
+            if nodata is None or grid[y, x] != nodata]
+    df = spark.createDataFrame(rows, "py long, px long, v long")
+    labels = polygonize(df, w, tile=4, value_col="v",
+                        connect8=connect8).toPandas()
+    feats = []
+    for _, grp in labels.groupby("label"):
+        cells = set(zip(grp["py"].astype(int), grp["px"].astype(int)))
+        _, _, _, rings = _trace_component(cells)
+        feats.append((int(grp["v"].iloc[0]), rings))
+    return feats
+
+
+def _canon_ring(ring):
+    """Vertex cycle canonicalized over rotation and direction."""
+    n = len(ring)
+    best = None
+    for seq in (list(ring), list(ring)[::-1]):
+        for r in range(n):
+            rot = tuple(seq[r:] + seq[:r])
+            if best is None or rot < best:
+                best = rot
+    return best
+
+
+def _canon_rings_world(rings, gt):
+    return sorted(_canon_ring([(gt[0] + x * gt[1], gt[3] + y * gt[5])
+                               for x, y in ring]) for ring in rings)
+
+
+def _parse_wkt_polygon(wkt):
+    import re
+
+    rings = []
+    for ring_txt in re.findall(r"\(([^()]+)\)", wkt):
+        pts = [tuple(float(t) for t in pair.split())
+               for pair in ring_txt.split(",")]
+        assert pts[0] == pts[-1]
+        rings.append(pts[:-1])
+    return sorted(_canon_ring(r) for r in rings)
+
+
+def test_polygonize_autotest_1_masked(spark):
+    """autotest/alg/polygonize.py test_polygonize_1: nodata 132 masked,
+    4-connected: 13 features, the reference's DN multiset, and the
+    DN=156 feature's exact donut geometry (outer + hole), compared as
+    canonical vertex cycles (start/orientation-free)."""
+    feats = _polygonize_features(spark, _grid(POLYGONIZE_IN), nodata=132)
+    assert len(feats) == 13
+    assert sorted(dn for dn, _ in feats) == sorted(
+        [107, 123, 115, 115, 140, 148, 123, 140, 100, 101, 102, 156, 103])
+    ring156 = [rings for dn, rings in feats if dn == 156]
+    assert len(ring156) == 1
+    got = _canon_rings_world(ring156[0], POLYGONIZE_GT)
+    expected = _parse_wkt_polygon(
+        "POLYGON ((440720 3751200,440720 3751020,440900 3751020,"
+        "440900 3751200,440720 3751200),(440780 3751140,440840 3751140,"
+        "440840 3751080,440780 3751080,440780 3751140))")
+    assert got == expected
+
+
+def test_polygonize_autotest_2_unmasked(spark):
+    """test_polygonize_2: without the mask the nodata value is an
+    ordinary class: 17 features, four of them DN=132."""
+    feats = _polygonize_features(spark, _grid(POLYGONIZE_IN))
+    assert len(feats) == 17
+    assert sorted(dn for dn, _ in feats) == sorted(
+        [107, 123, 115, 132, 115, 140, 132, 132, 148, 123, 140, 132,
+         100, 101, 102, 156, 103])
+
+
+def test_polygonize_autotest_4_eight_connected(spark):
+    """test_polygonize_4: 8CONNECTED=8 merges one diagonal pair:
+    16 features with the reference's DN multiset."""
+    feats = _polygonize_features(spark, _grid(POLYGONIZE_IN),
+                                 connect8=True)
+    assert len(feats) == 16
+    assert sorted(dn for dn, _ in feats) == sorted(
+        [107, 123, 115, 132, 115, 140, 132, 148, 123, 140, 132,
+         100, 101, 102, 156, 103])
+
+
+def test_polygonize_autotest_5_touching_holes(spark):
+    """test_polygonize_5: two single-pixel holes touching at a corner —
+    the pinch-point case. The reference pins all three WKTs; the outer
+    polygon's two holes must stay SEPARATE rings that meet at (2,2)."""
+    feats = _polygonize_features(spark, _grid(POLYGONIZE_IN_3))
+    assert len(feats) == 3
+    assert sorted(dn for dn, _ in feats) == [0, 0, 1]
+    gt = (0.0, 1.0, 0.0, 4.0, 0.0, -1.0)
+    singles = sorted(_canon_rings_world(rings, gt)[0]
+                     for dn, rings in feats if dn == 0)
+    expected_singles = sorted([
+        _parse_wkt_polygon("POLYGON ((1 3,1 2,2 2,2 3,1 3))")[0],
+        _parse_wkt_polygon("POLYGON ((2 2,2 1,3 1,3 2,2 2))")[0]])
+    assert singles == expected_singles
+    outer = [rings for dn, rings in feats if dn == 1][0]
+    got = _canon_rings_world(outer, gt)
+    expected = _parse_wkt_polygon(
+        "POLYGON ((0 4,0 0,4 0,4 4,0 4),(1 3,2 3,2 2,1 2,1 3),"
+        "(2 2,3 2,3 1,2 1,2 2))")
+    assert got == expected
+    # the distributed tracer applies the identical corner rule: the
+    # DN=1 component must report THREE rings (outer + two holes)
+    from gdal_spark.operators.polygonize import (polygonize,
+                                                 trace_rings_distributed)
+    g = _grid(POLYGONIZE_IN_3)
+    df = spark.createDataFrame(
+        [(int(y), int(x), int(g[y, x])) for y in range(4) for x in range(4)],
+        "py long, px long, v long")
+    labels = polygonize(df, 4, tile=4, value_col="v")
+    rings_by_label = {r["label"]: r["n_rings"]
+                      for r in trace_rings_distributed(labels, 4).collect()}
+    assert sorted(rings_by_label.values()) == [1, 1, 3]
+
+
+def test_polygonize_autotest_3_complex(spark):
+    """test_polygonize_3: the 36x42 'complex looping' fixture — 125
+    features, and the DN=0 feature's exact 3-ring geometry (outer with
+    two multi-vertex holes)."""
+    grid = _read_aaigrid(
+        "/root/reference/autotest/alg/data/polygonize_in_2.grd")
+    feats = _polygonize_features(spark, grid)
+    assert len(feats) == 125
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    zero_multi = [rings for dn, rings in feats
+                  if dn == 0 and len(rings) == 3]
+    expected = _parse_wkt_polygon(
+        "POLYGON ((6 -3,6 -40,19 -40,19 -39,25 -39,25 -38,27 -38,27 -37,"
+        "28 -37,28 -36,29 -36,29 -35,30 -35,30 -34,31 -34,31 -25,30 -25,"
+        "30 -24,29 -24,29 -23,28 -23,28 -22,27 -22,27 -21,24 -21,24 -20,"
+        "23 -20,23 -19,26 -19,26 -18,27 -18,27 -17,28 -17,28 -16,29 -16,"
+        "29 -8,28 -8,28 -7,27 -7,27 -6,26 -6,26 -5,24 -5,24 -4,18 -4,"
+        "18 -3,6 -3),(11 -7,23 -7,23 -8,24 -8,24 -9,25 -9,25 -16,24 -16,"
+        "24 -17,23 -17,23 -18,11 -18,11 -7),(11 -22,24 -22,24 -23,26 -23,"
+        "26 -25,27 -25,27 -33,26 -33,26 -35,24 -35,24 -36,11 -36,11 -22))")
+    assert any(_canon_rings_world(rings, gt) == expected
+               for rings in zero_multi)
+
+
+def _read_aaigrid(path):
+    """Minimal Arc/Info ASCII grid reader for the reference fixtures."""
+    vals, meta = [], {}
+    for line in open(path):
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0].isalpha() or parts[0].startswith(("x", "y", "n", "N", "c")):
+            try:
+                float(parts[1])
+                meta[parts[0].lower()] = parts[1]
+                continue
+            except (ValueError, IndexError):
+                pass
+        vals.append([int(float(t)) for t in parts])
+    g = np.array(vals, dtype=np.int64)
+    assert g.shape == (int(meta["nrows"]), int(meta["ncols"]))
+    return g
+
+
+# ---------------------------------------------------------------------------
 # Rasterize — autotest/alg/rasterize.py goldens (exact expected arrays).
 # ---------------------------------------------------------------------------
 

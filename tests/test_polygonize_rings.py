@@ -29,12 +29,26 @@ def test_ring_with_hole():
     assert sorted(len(r) for r in rings) == [4, 4]
 
 
-def test_diagonal_pinch_splits():
-    # 4-connectivity: diagonal cells pinch at the shared corner — the
-    # right-most-turn rule splits them into two rings (2 corners at the
-    # pinch point, matching the 2x2-mask count)
+def test_diagonal_pinch_single_ring():
+    # Two present pixels touching at a corner (an 8-connectivity
+    # component shape): the surrounding complement is ONE region, so
+    # the boundary is a single self-touching ring through the shared
+    # vertex (visited twice, so still 8 direction-change corners —
+    # the 2x2-mask count). The hug-same-complement-pixel successor
+    # rule merges here and SPLITS the dual case (two HOLES touching
+    # at a corner — autotest test_polygonize_5, two separate regions;
+    # pinned in test_autotest_parity.py).
     n_rings, n_vertices, perim, _ = _trace_component({(0, 0), (1, 1)})
-    assert (n_rings, n_vertices, perim) == (2, 8, 8)
+    assert (n_rings, n_vertices, perim) == (1, 8, 8)
+
+
+def test_touching_holes_split():
+    # complement side of the same corner: 4x4 block minus two diagonal
+    # interior pixels -> outer ring + TWO separate hole rings
+    cells = {(y, x) for y in range(4) for x in range(4)} - {(1, 1), (2, 2)}
+    n_rings, n_vertices, perim, rings = _trace_component(cells)
+    assert n_rings == 3
+    assert sorted(len(r) for r in rings) == [4, 4, 4]
 
 
 def test_plus_shape():
