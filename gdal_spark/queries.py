@@ -4182,17 +4182,25 @@ MS_SEGS = [
 ]
 
 
-def q_contour_segments(spark, sf_dir):
-    """Contour SEGMENT assembly (alg/contour.cpp + alg/marching_squares
-    segment generator): per 2×2 block classify the corner mask, then
-    emit the linear-interpolated crossing segment(s) in pixel coords —
-    the geometry continuation of contour_cells. Corner values gathered
-    by 4 shifted copies of the sparse burn raster; missing pixels = 0."""
-    pts = points_df(spark, sf_dir)
-    # persist: the 4 shifted corner copies would otherwise re-run the
-    # full geocode+burn pipeline 4× (measured 4× the query time)
-    burn = rast_op.burn_points(pts, PGRID_GT, PGRID_W, PGRID_H).persist()
-    thr = float(PMASK_THR)
+def marching_segments(spark, burn, width, height, thr):
+    """Marching-squares contour segments over a sparse (py, px, burn)
+    raster at one level: per 2×2 block classify the corner mask, then
+    emit the linear-interpolated crossing segment(s) in pixel-CENTER
+    coords (alg/contour.cpp + alg/marching_squares segment generator;
+    x = px means the center of pixel column px, the reference's grid
+    convention). Corner values gathered by 4 shifted copies of the
+    sparse raster; missing pixels = 0. Reused by the autotest contour
+    parity tests (tests/test_autotest_parity.py) over the reference's
+    own synthetic DEM.
+
+    Corner values within 1e-6 of the level are nudged up by 1e-6
+    BEFORE classification and interpolation — the reference's fudge()
+    (alg/marching_squares/utility.h:30-42): a pixel exactly at the
+    level counts as above it and the crossing lands at t = 1 - 1e-7
+    instead of exactly on the grid node, so contour loops through
+    level-valued plateau corners stay simple (closed-loop property
+    pinned in the parity tests)."""
+    thr = float(thr)
     parts = []
     for dy, dx, name in ((0, 0, "vtl"), (0, 1, "vtr"), (1, 1, "vbr"), (1, 0, "vbl")):
         parts.append(burn.select(
@@ -4201,12 +4209,19 @@ def q_contour_segments(spark, sf_dir):
     u = parts[0]
     for pp in parts[1:]:
         u = u.unionByName(pp)
-    blocks = (u.filter((F.col("by") >= 0) & (F.col("by") < PGRID_H - 1)
-                       & (F.col("bx") >= 0) & (F.col("bx") < PGRID_W - 1))
+    blocks = (u.filter((F.col("by") >= 0) & (F.col("by") < height - 1)
+                       & (F.col("bx") >= 0) & (F.col("bx") < width - 1))
               .groupBy("by", "bx")
               .agg(*[F.coalesce(F.max(F.when(F.col("w") == n, F.col("v"))),
                                 F.lit(0.0)).alias(n)
                      for n in ("vtl", "vtr", "vbr", "vbl")]))
+
+    def _fudge(c):
+        return F.when(F.abs(F.lit(thr) - c) < 1e-6, c + 1e-6).otherwise(c)
+
+    blocks = blocks.select(
+        "by", "bx", *[_fudge(F.col(n)).alias(n)
+                      for n in ("vtl", "vtr", "vbr", "vbl")])
     case = (F.when(F.col("vtl") >= thr, 1).otherwise(0)
             + F.when(F.col("vtr") >= thr, 2).otherwise(0)
             + F.when(F.col("vbr") >= thr, 4).otherwise(0)
@@ -4231,6 +4246,18 @@ def q_contour_segments(spark, sf_dir):
     return j.select("by", "bx", "seg",
                     ex(F.col("ea")).alias("x1"), ey(F.col("ea")).alias("y1"),
                     ex(F.col("eb")).alias("x2"), ey(F.col("eb")).alias("y2"))
+
+
+def q_contour_segments(spark, sf_dir):
+    """Contour SEGMENT assembly (alg/contour.cpp + alg/marching_squares
+    segment generator): the marching_segments kernel over the density
+    raster at the mask threshold — the geometry continuation of
+    contour_cells."""
+    pts = points_df(spark, sf_dir)
+    # persist: the 4 shifted corner copies would otherwise re-run the
+    # full geocode+burn pipeline 4× (measured 4× the query time)
+    burn = rast_op.burn_points(pts, PGRID_GT, PGRID_W, PGRID_H).persist()
+    return marching_segments(spark, burn, PGRID_W, PGRID_H, PMASK_THR)
 
 
 CONTOUR_LEVELS = [float(PMASK_THR), float(PTARGET_THR)]
@@ -4579,12 +4606,21 @@ blocks AS (
   WHERE by >= 0 AND by < {PGRID_H - 1} AND bx >= 0 AND bx < {PGRID_W - 1}
   GROUP BY by, bx
 ),
+blocksf AS (
+  -- the reference's fudge(): values within 1e-6 of the level nudge up
+  SELECT by, bx,
+         CASE WHEN ABS({thr!r} - vtl) < 1e-6 THEN vtl + 1e-6 ELSE vtl END AS vtl,
+         CASE WHEN ABS({thr!r} - vtr) < 1e-6 THEN vtr + 1e-6 ELSE vtr END AS vtr,
+         CASE WHEN ABS({thr!r} - vbr) < 1e-6 THEN vbr + 1e-6 ELSE vbr END AS vbr,
+         CASE WHEN ABS({thr!r} - vbl) < 1e-6 THEN vbl + 1e-6 ELSE vbl END AS vbl
+  FROM blocks
+),
 cased AS (
   SELECT *, (CASE WHEN vtl >= {thr!r} THEN 1 ELSE 0 END
              + CASE WHEN vtr >= {thr!r} THEN 2 ELSE 0 END
              + CASE WHEN vbr >= {thr!r} THEN 4 ELSE 0 END
              + CASE WHEN vbl >= {thr!r} THEN 8 ELSE 0 END) AS ms_case
-  FROM blocks
+  FROM blocksf
 ),
 segs AS (SELECT * FROM (VALUES {seg_rows}) AS t(ms_case, seg, ea, eb))
 SELECT c.by, c.bx, s.seg,

@@ -283,6 +283,64 @@ def test_sieve_autotest_all_masked(spark):
 
 
 # ---------------------------------------------------------------------------
+# Contour — autotest/alg/contour.py test_contour_1/2 (the concentric-
+# squares DEM; per-level envelopes within precision/2).
+# ---------------------------------------------------------------------------
+
+def _contour_dem():
+    """The reference's synthetic DEM (autotest/alg/contour.py:30-75):
+    size 160, fill 1, nested squares of 10 / 20 / 25."""
+    size = 160
+    g = np.ones((size, size), dtype=np.float64)
+    q = size // 4
+    g[q:q + size // 2, q:q + size // 2] = 10
+    o = q + size // 8
+    g[o:o + q, o:o + q] = 20
+    o2 = o + size // 16
+    g[o2:o2 + size // 8, o2:o2 + size // 8] = 25
+    return g
+
+
+@pytest.mark.parametrize("level,env", [
+    # gt = [1, 1/160, 0, 50, 0, -1/160]; envelopes from test_contour_1
+    # (interval 10) and test_contour_2 (fixed levels; adds 25)
+    (10.0, (1.25, 1.75, 49.25, 49.75)),
+    (20.0, (1.25 + 0.125, 1.75 - 0.125, 49.25 + 0.125, 49.75 - 0.125)),
+    (25.0, (1.25 + 0.1875, 1.75 - 0.1875, 49.25 + 0.1875, 49.75 - 0.1875)),
+])
+def test_contour_autotest_envelopes(spark, level, env):
+    """Each contour level's line work must form closed loops and match
+    the reference's envelope within precision/2 (the reference's own
+    tolerance), in world coordinates via the pixel-center transform."""
+    from gdal_spark.queries import marching_segments
+
+    size, p = 160, 1.0 / 160
+    g = _contour_dem()
+    burn = spark.createDataFrame(
+        [(y, x, float(g[y, x])) for y in range(size) for x in range(size)],
+        "py long, px long, burn double")
+    segs = marching_segments(spark, burn, size, size, level).collect()
+    assert segs, "no contour emitted"
+    # closed loops: every endpoint is shared by exactly two segments
+    from collections import Counter
+    ends = Counter()
+    for r in segs:
+        ends[(round(r["x1"], 9), round(r["y1"], 9))] += 1
+        ends[(round(r["x2"], 9), round(r["y2"], 9))] += 1
+    assert set(ends.values()) == {2}
+    xs = [v for r in segs for v in (r["x1"], r["x2"])]
+    ys = [v for r in segs for v in (r["y1"], r["y2"])]
+    # pixel-center -> world: x_w = 1 + (px + 0.5) * p, y_w = 50 - (py + 0.5) * p
+    xmin, xmax = 1 + (min(xs) + 0.5) * p, 1 + (max(xs) + 0.5) * p
+    ymin, ymax = 50 - (max(ys) + 0.5) * p, 50 - (min(ys) + 0.5) * p
+    tol = p / 2 * 1.001
+    assert xmin == pytest.approx(env[0], abs=tol)
+    assert xmax == pytest.approx(env[1], abs=tol)
+    assert ymin == pytest.approx(env[2], abs=tol)
+    assert ymax == pytest.approx(env[3], abs=tol)
+
+
+# ---------------------------------------------------------------------------
 # FillNodata — autotest/alg/fillnodata.py parameterized goldens
 # (exact expected arrays from the reference test, Byte output).
 # ---------------------------------------------------------------------------
