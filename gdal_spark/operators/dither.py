@@ -2,9 +2,14 @@
 
 Reference: alg/gdaldither.cpp GDALDitherRGB2PCTInternal: per scanline,
 (1) add the carried next-line error to each channel (clamped 0..255,
-:440-448), (2) serial left-to-right scan: nearest palette color by L1
-distance with first-min tie (FindNearestColor scalar form), (3) diffuse
-the quantization error e with GDAL's weights — next-line left += e/6,
+:440-448), (2) serial left-to-right scan: palette index looked up in
+the precomputed 5-BIT COLOR CUBE — pabyColorMap[v*32/256 per channel],
+each of the 32^3 cells holding the L1-nearest (first-min tie) palette
+color of the cell REPRESENTATIVE (i*255)/31 (:297,:553-558; builder
+FindNearestColor :768-795) — NOT the exact pixel color; the
+cell-quantized lookup is pinned by the rgbsmall golden (checksum 8803)
+in tests/test_autotest_parity.py, (3) diffuse the quantization error
+e = value - palette[idx] with GDAL's weights — next-line left += e/6,
 next-line right = e/6 (assignment), next-line center += e - 5*(e/6),
 current-line right carries 2*(e/6) (:585-630; e/6 is C integer
 division, truncating toward zero).
@@ -30,6 +35,21 @@ def _trunc6(e: int) -> int:
     return -((-e) // 6) if e < 0 else e // 6
 
 
+def _color_cube(pr, pg, pb) -> np.ndarray:
+    """The reference's 32^3 nearest-color cube (gdaldither.cpp:768-795
+    FindNearestColor map builder): per cell the L1-nearest palette
+    index of the representative (i*255)/31, first-min tie in palette
+    order."""
+    reps = (np.arange(32, dtype=np.int64) * 255) // 31
+    pal = np.stack([np.asarray(pr, dtype=np.int64),
+                    np.asarray(pg, dtype=np.int64),
+                    np.asarray(pb, dtype=np.int64)], axis=1)  # (nc, 3)
+    rr, gg, bb = np.meshgrid(reps, reps, reps, indexing="ij")
+    cells = np.stack([rr, gg, bb], axis=-1).reshape(-1, 1, 3)  # (32^3,1,3)
+    dist = np.abs(cells - pal.reshape(1, -1, 3)).sum(axis=2)
+    return np.argmin(dist, axis=1).reshape(32, 32, 32)
+
+
 def dither_array(r: np.ndarray, g: np.ndarray, b: np.ndarray,
                  palette: list[tuple]) -> np.ndarray:
     """Exact GDALDitherRGB2PCTInternal twin over an h x w strip.
@@ -40,7 +60,7 @@ def dither_array(r: np.ndarray, g: np.ndarray, b: np.ndarray,
     pr = [int(p[0]) for p in palette]
     pg = [int(p[1]) for p in palette]
     pb = [int(p[2]) for p in palette]
-    nc = len(palette)
+    cmap = _color_cube(pr, pg, pb)
     for y in range(h):
         rr = r[y].astype(np.int64)
         gg = g[y].astype(np.int64)
@@ -56,11 +76,9 @@ def dither_array(r: np.ndarray, g: np.ndarray, b: np.ndarray,
             rv = max(0, min(255, int(rr[i]) + ler))
             gv = max(0, min(255, int(gg[i]) + leg))
             bv = max(0, min(255, int(bb[i]) + leb))
-            best, bestd = 0, 768
-            for c in range(nc):
-                d = abs(rv - pr[c]) + abs(gv - pg[c]) + abs(bv - pb[c])
-                if d < bestd:
-                    best, bestd = c, d
+            best = int(cmap[(rv * 32) // 256,
+                            (gv * 32) // 256,
+                            (bv * 32) // 256])
             out[y, i] = best
             for err, last in (
                     (rv - pr[best], 0), (gv - pg[best], 1),

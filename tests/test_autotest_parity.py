@@ -283,6 +283,69 @@ def test_sieve_autotest_all_masked(spark):
 
 
 # ---------------------------------------------------------------------------
+# Checksum / median-cut / dither — gcore + alg goldens.
+# ---------------------------------------------------------------------------
+
+def test_checksum_autotest_byte_tif():
+    """The canonical gcore/data/byte.tif checksum: every reference
+    checksum test pins 4672 for this 20x20 image
+    (autotest/alg/checksum.py, autotest/gcore/...)."""
+    grid = _read_strip_tiff("/root/reference/autotest/gcore/data/byte.tif")
+    assert gdal_checksum(grid) == 4672
+
+
+def _read_rgbsmall():
+    """autotest/gdrivers/data/rgbsmall.tif: 50x50x3, DEFLATE, planar
+    (one strip per band) — decoded with zlib, no image libs needed."""
+    import struct
+    import zlib
+
+    b = open("/root/reference/autotest/gdrivers/data/rgbsmall.tif",
+             "rb").read()
+    bo = "<" if b[:2] == b"II" else ">"
+    ifd = struct.unpack(bo + "I", b[4:8])[0]
+    n = struct.unpack(bo + "H", b[ifd:ifd + 2])[0]
+    tags = {}
+    for i in range(n):
+        e = b[ifd + 2 + 12 * i: ifd + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        tags[tag] = (typ, cnt, struct.unpack(bo + "I", e[8:12])[0])
+    w, h = tags[256][2], tags[257][2]
+    assert tags[259][2] == 32946 and tags[284][2] == 2  # deflate, planar
+    offs = struct.unpack(bo + "3I", b[tags[273][2]:tags[273][2] + 12])
+    lens = struct.unpack(bo + "3I", b[tags[279][2]:tags[279][2] + 12])
+    bands = [np.frombuffer(zlib.decompress(b[o:o + ln]),
+                           dtype=np.uint8).reshape(h, w).astype(np.int64)
+             for o, ln in zip(offs, lens)]
+    return bands
+
+
+def test_dither_autotest_rgbsmall(spark):
+    """autotest/alg/dither.py test_dither_1: ComputeMedianCutPCT to 8
+    colors + DitherRGB2PCT over rgbsmall.tif -> checksum 8803. Run as
+    ONE strip (the whole image) so the serial error-diffusion order is
+    exact; exercises the median-cut box splitting AND the diffusion
+    kernel end-to-end against the reference golden."""
+    from gdal_spark.operators.dither import dither_rgb_to_pct
+    from gdal_spark.operators.mediancut import compute_median_cut_pct
+
+    r, g, bl = _read_rgbsmall()
+    h, w = r.shape
+    rgb = spark.createDataFrame(
+        [(int(x), int(y), int(r[y, x]), int(g[y, x]), int(bl[y, x]))
+         for y in range(h) for x in range(w)],
+        "px int, py int, r int, g int, b int")
+    _, palette = compute_median_cut_pct(rgb, 8)
+    assert len(palette) == 8
+    pal = [(p[1], p[2], p[3]) for p in palette]
+    out = dither_rgb_to_pct(rgb, pal, h, w).collect()
+    grid = np.zeros((h, w), dtype=np.int64)
+    for row in out:
+        grid[row["py"], row["px"]] = row["color_id"]
+    assert gdal_checksum(grid) == 8803
+
+
+# ---------------------------------------------------------------------------
 # Contour — autotest/alg/contour.py test_contour_1/2 (the concentric-
 # squares DEM; per-level envelopes within precision/2).
 # ---------------------------------------------------------------------------
