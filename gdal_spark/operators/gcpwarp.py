@@ -238,6 +238,116 @@ def _h_invert(h: list[float]) -> list[float]:
     return _h_coeffs(inv)
 
 
+def gcps_to_geotransform(gcps: list[tuple], approx_ok: bool = False,
+                         pixel_threshold: float = 0.25) -> list[float]:
+    """GDALGCPsToGeoTransform (gcore/gdal_misc.cpp:3189-3474): GCPs
+    (pixel, line, geox, geoy) -> 6-coeff affine geotransform, with the
+    reference's exact branch structure:
+
+    - 2 GCPs: axis-aligned offset+scale special case (:3213-3237;
+      fails on equal pixel or line coords);
+    - 4 GCPs in TL-TR-BR-BL corner order of a non-rotated image:
+      closed-form corners case (:3244-3271);
+    - otherwise the range-normalized closed-form least squares with
+      the reference's exact cofactor expressions (:3275-3421),
+      composed with the normalizers;
+    - |gt[1]| or |gt[5]| <= 1e-15 -> hour-glass failure (:3424-3428);
+    - unless approx_ok, every GCP must fit within pixel_threshold
+      (default 0.25) of the mean pixel size (:3433-3470).
+
+    Raises ValueError on every FALSE return of the reference."""
+    n = len(gcps)
+    if n < 2:
+        raise ValueError("need at least 2 GCPs")
+    if n == 2:
+        (p0, l0, x0, y0), (p1, l1, x1, y1) = gcps[0], gcps[1]
+        if p1 == p0 or l1 == l0:
+            raise ValueError("2-GCP case needs distinct pixel and line")
+        gt = [0.0, (x1 - x0) / (p1 - p0), 0.0,
+              0.0, 0.0, (y1 - y0) / (l1 - l0)]
+        gt[0] = x0 - p0 * gt[1] - l0 * gt[2]
+        gt[3] = y0 - p0 * gt[4] - l0 * gt[5]
+        return gt
+    if (n == 4 and gcps[0][1] == gcps[1][1] and gcps[2][1] == gcps[3][1]
+            and gcps[0][0] == gcps[3][0] and gcps[1][0] == gcps[2][0]
+            and gcps[0][1] != gcps[2][1] and gcps[0][0] != gcps[1][0]
+            and gcps[0][3] == gcps[1][3] and gcps[2][3] == gcps[3][3]
+            and gcps[0][2] == gcps[3][2] and gcps[1][2] == gcps[2][2]
+            and gcps[0][3] != gcps[2][3] and gcps[0][2] != gcps[1][2]):
+        gt1 = (gcps[1][2] - gcps[0][2]) / (gcps[1][0] - gcps[0][0])
+        gt5 = (gcps[2][3] - gcps[1][3]) / (gcps[2][1] - gcps[1][1])
+        return [gcps[0][2] - gcps[0][0] * gt1, gt1, 0.0,
+                gcps[0][3] - gcps[0][1] * gt5, 0.0, gt5]
+
+    mins_maxs = [(min(g[i] for g in gcps), max(g[i] for g in gcps))
+                 for i in range(4)]
+    for lo, hi in mins_maxs:
+        if abs(hi - lo) < 1e-12:
+            raise ValueError("GCPs degenerate in one dimension")
+    (pmin, pmax), (lmin, lmax), (xmin, xmax), (ymin, ymax) = mins_maxs
+    pln = [-pmin / (pmax - pmin), 1.0 / (pmax - pmin), 0.0,
+           -lmin / (lmax - lmin), 0.0, 1.0 / (lmax - lmin)]
+    gn = [-xmin / (xmax - xmin), 1.0 / (xmax - xmin), 0.0,
+          -ymin / (ymax - ymin), 0.0, 1.0 / (ymax - ymin)]
+
+    def gt_apply(gt, p, l):
+        return (gt[0] + p * gt[1] + l * gt[2],
+                gt[3] + p * gt[4] + l * gt[5])
+
+    sx = sy = sxy = sxx = syy = 0.0
+    slon = slonx = slony = slat = slatx = slaty = 0.0
+    for g in gcps:
+        px_, py_ = gt_apply(pln, g[0], g[1])
+        gx_, gy_ = gt_apply(gn, g[2], g[3])
+        sx += px_
+        sy += py_
+        sxy += px_ * py_
+        sxx += px_ * px_
+        syy += py_ * py_
+        slon += gx_
+        slonx += gx_ * px_
+        slony += gx_ * py_
+        slat += gy_
+        slatx += gy_ * px_
+        slaty += gy_ * py_
+    divisor = (n * (sxx * syy - sxy * sxy) + 2 * sx * sy * sxy
+               - sy * sy * sxx - sx * sx * syy)
+    if divisor == 0.0:
+        raise ValueError("no valid solution (zero divisor)")
+    gtn = [0.0] * 6
+    gtn[0] = (slon * (sxx * syy - sxy * sxy) + slonx * (sy * sxy - sx * syy)
+              + slony * (sx * sxy - sy * sxx)) / divisor
+    gtn[3] = (slat * (sxx * syy - sxy * sxy) + slatx * (sy * sxy - sx * syy)
+              + slaty * (sx * sxy - sy * sxx)) / divisor
+    gtn[1] = (slon * (sy * sxy - sx * syy) + slonx * (n * syy - sy * sy)
+              + slony * (sx * sy - sxy * n)) / divisor
+    gtn[2] = (slon * (sx * sxy - sy * sxx) + slonx * (sx * sy - n * sxy)
+              + slony * (n * sxx - sx * sx)) / divisor
+    gtn[4] = (slat * (sy * sxy - sx * syy) + slatx * (n * syy - sy * sy)
+              + slaty * (sx * sy - sxy * n)) / divisor
+    gtn[5] = (slat * (sx * sxy - sy * sxx) + slatx * (sx * sy - n * sxy)
+              + slaty * (n * sxx - sx * sx)) / divisor
+
+    def to_h(gt):
+        return [gt[0], gt[1], gt[2], gt[3], gt[4], gt[5], 1.0, 0.0, 0.0]
+
+    h = _h_compose(_h_compose(to_h(pln), to_h(gtn)), _h_invert(to_h(gn)))
+    gt = [h[0], h[1], h[2], h[3], h[4], h[5]]
+    if abs(gt[1]) <= 1e-15 or abs(gt[5]) <= 1e-15:
+        raise ValueError("hour-glass GCP shape (degenerate fit)")
+    if not approx_ok:
+        pix_size = 0.5 * (abs(gt[1]) + abs(gt[2]) + abs(gt[4]) + abs(gt[5]))
+        if pix_size == 0.0:
+            raise ValueError("zero pixel size")
+        for g in gcps:
+            ex_, ey_ = gt_apply(gt, g[0], g[1])
+            if (abs(ex_ - g[2]) > pixel_threshold * pix_size
+                    or abs(ey_ - g[3]) > pixel_threshold * pix_size):
+                raise ValueError("GCPs do not fit an affine transform "
+                                 "within the threshold")
+    return gt
+
+
 def fit_homography(gcps: list[tuple]) -> list[float]:
     """GDALGCPsToHomography (alg/gdal_homography.cpp:150-330): GCPs
     (pixel, line, geox, geoy) -> 9-coeff forward homography.
@@ -247,7 +357,13 @@ def fit_homography(gcps: list[tuple]) -> list[float]:
     completion row h[6]=1 (:225-270), unit-square convexity check
     (:288-316), then composition pl_norm . h_norm . inv(geo_norm)
     (:322-327). Driver-side bounded solve (9x9), same trained-literal
-    contract as fit_polynomial/fit_tps."""
+    contract as fit_polynomial/fit_tps. Fewer than 4 GCPs fall back to
+    GDALGCPsToGeoTransform packed as a homography (:144-151), exactly
+    the reference — pinned by the gcps2homography autotest goldens in
+    tests/test_autotest_parity.py."""
+    if len(gcps) < 4:
+        gt = gcps_to_geotransform(gcps)
+        return [gt[0], gt[1], gt[2], gt[3], gt[4], gt[5], 1.0, 0.0, 0.0]
     px = [g[0] for g in gcps]
     py = [g[1] for g in gcps]
     ex = [g[2] for g in gcps]

@@ -283,6 +283,97 @@ def test_sieve_autotest_all_masked(spark):
 
 
 # ---------------------------------------------------------------------------
+# GCPsToHomography / GCPsToGeoTransform — autotest/alg/gcps2homography.py
+# goldens (exact coefficient tuples and GCP round-trips).
+# ---------------------------------------------------------------------------
+
+def _h_fwd(h, p, l):
+    w = h[6] + p * h[7] + l * h[8]
+    return ((h[0] + p * h[1] + l * h[2]) / w,
+            (h[3] + p * h[4] + l * h[5]) / w)
+
+
+def test_gcps2h_autotest_exact_and_fallbacks():
+    """test_gcps2h_1/4/5/6/7: exact-affine 3-GCP fallback, single-GCP
+    failure, 2-GCP axis-aligned special case, and the two 4-corner
+    identity orderings."""
+    from gdal_spark.operators.gcpwarp import fit_homography
+
+    h = fit_homography([(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+                        (100, 200, 410000, 368000)])
+    assert h == pytest.approx(
+        [400000.0, 100.0, 0.0, 370000.0, 0.0, -10.0, 1.0, 0.0, 0.0],
+        abs=1e-6)
+    with pytest.raises(ValueError):
+        fit_homography([(0, 0, 400000, 370000)])
+    h = fit_homography([(0, 0, 400000, 370000), (100, 200, 410000, 368000)])
+    assert h == pytest.approx(
+        [400000.0, 100.0, 0.0, 370000.0, 0.0, -10.0, 1.0, 0.0, 0.0],
+        abs=1e-6)
+    for order in ([(400000, 370000, 400000, 370000),
+                   (410000, 370000, 410000, 370000),
+                   (410000, 368000, 410000, 368000),
+                   (400000, 368000, 400000, 368000)],
+                  [(400000, 370000, 400000, 370000),
+                   (410000, 368000, 410000, 368000),
+                   (410000, 370000, 410000, 370000),
+                   (400000, 368000, 400000, 368000)]):
+        h = fit_homography(order)
+        assert h == pytest.approx(
+            [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0], abs=1e-6)
+
+
+def test_gcps2h_autotest_four_point_fits():
+    """test_gcps2h_2/3: 4-GCP homographies (slightly noisy affine and a
+    genuinely projective set) must round-trip every GCP at 1e-6."""
+    from gdal_spark.operators.gcpwarp import fit_homography
+
+    for gcps in ([(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+                  (100, 200, 410000, 368000), (0, 200, 400000, 368000.01)],
+                 [(0, 0, 400000, 370000), (100, 0, 410000, 370000),
+                  (100, 200, 410000, 368000), (0, 200, 400000, 360000)]):
+        h = fit_homography(gcps)
+        for p, l, x, y in gcps:
+            gx, gy = _h_fwd(h, p, l)
+            assert gx == pytest.approx(x, rel=1e-6)
+            assert gy == pytest.approx(y, rel=1e-6)
+
+
+def test_gcps2h_autotest_messy_real_world():
+    """test_gcps2h_8: the 6-GCP real-world set — the reference pins all
+    nine coefficients at 1e-5."""
+    from gdal_spark.operators.gcpwarp import fit_homography
+
+    h = fit_homography([
+        (0.01, 0.04, -87.05528672907, 39.22759504228),
+        (0.01, 2688.02, -86.97079900719, 39.27075713986),
+        (4031.99, 2688.04, -87.05960736744, 39.37569137000),
+        (1988.16, 1540.80, -87.055069186699924, 39.304963106777514),
+        (1477.41, 2400.83, -87.013419295885001, 39.304705030894979),
+        (1466.02, 2376.92, -87.013906298363295, 39.304056190007913)])
+    expected = [-86.9154734797766, -0.000822802708802448,
+                0.0016903358388202546, 39.16439874542655,
+                0.00038733423466157704, -0.0007330693484379306,
+                0.9983801902671235, 9.207539714141043e-06,
+                -1.9069099634950863e-05]
+    for got, exp in zip(h, expected):
+        assert got == pytest.approx(exp, abs=1e-5)
+
+
+def test_gcps2h_autotest_hour_glass():
+    """test_gcps2h_broken_hour_glass: both crossed-quadrilateral GCP
+    sets must be rejected (the unit-square convexity check)."""
+    from gdal_spark.operators.gcpwarp import fit_homography
+
+    for gcps in ([(0, 0, 0, 0), (0, 10, 0, 10),
+                  (10, 0, 10, 10), (10, 10, 10, 0)],
+                 [(0, 0, 0, 0), (0, 10, 10, 10),
+                  (10, 0, 10, 0), (10, 10, 0, 10)]):
+        with pytest.raises(ValueError):
+            fit_homography(gcps)
+
+
+# ---------------------------------------------------------------------------
 # Checksum / median-cut / dither — gcore + alg goldens.
 # ---------------------------------------------------------------------------
 
