@@ -283,6 +283,31 @@ def test_sieve_autotest_all_masked(spark):
 
 
 # ---------------------------------------------------------------------------
+# Line of sight — autotest/alg/los.py test_los_basic.
+# ---------------------------------------------------------------------------
+
+def test_los_autotest_basic(spark):
+    """IsLineOfSightVisible over a 2x1 zero raster: above-terrain and
+    same-point sight lines are visible (z >= terrain rule), an
+    endpoint below terrain is not, and the intersection cell is
+    (-1, -1) when visible."""
+    from gdal_spark.operators.los import line_of_sight
+
+    dem = spark.createDataFrame([(0, 0, 0.0), (0, 1, 0.0)],
+                                "py int, px int, elev double")
+    pairs = spark.createDataFrame([
+        (0, 0, 0, 1.0, 1, 0, 1.0),     # above terrain -> visible
+        (1, 0, 0, 1.0, 0, 0, 1.0),     # same point -> visible
+        (2, 0, 0, -1.0, 1, 0, 1.0),    # A below terrain -> blocked
+        (3, 0, 0, 1.0, 1, 0, -1.0),    # B below terrain -> blocked
+    ], "pair_id int, xa int, ya int, za double, xb int, yb int, zb double")
+    rows = {r["pair_id"]: r for r in line_of_sight(pairs, dem).collect()}
+    assert rows[0]["visible"] and rows[1]["visible"]
+    assert not rows[2]["visible"] and not rows[3]["visible"]
+    assert (rows[0]["ix"], rows[0]["iy"]) == (-1, -1)
+
+
+# ---------------------------------------------------------------------------
 # GCPsToHomography / GCPsToGeoTransform — autotest/alg/gcps2homography.py
 # goldens (exact coefficient tuples and GCP round-trips).
 # ---------------------------------------------------------------------------
