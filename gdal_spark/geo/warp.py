@@ -47,6 +47,60 @@ def inv_3857(mx: float, my: float) -> tuple[float, float]:
     return lon, lat
 
 
+# --- Ellipsoidal transverse Mercator (WGS84 UTM), Krüger series ------
+# The container has no PROJ (documented); this is the published
+# Krüger/Karney alpha-series forward ("Transverse Mercator with an
+# accuracy of a few nanometers", Karney 2011, eqs. 7-11 / 35), the
+# projection PROJ's tmerc/utm uses (ogr/ogrct.cpp delegates to PROJ;
+# parity pinned against autotest/alg/transformgeoloc.py's expected UTM
+# zone 11 coordinates in tests/test_autotest_parity.py). Six series
+# terms: sub-millimeter inside the zone, vastly inside the reference
+# test's tolerance.
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+
+
+def _kruger_consts():
+    n = _WGS84_F / (2.0 - _WGS84_F)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    big_a = _WGS84_A / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = [
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180
+        - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+        + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ]
+    return n, big_a, alpha
+
+
+def utm_forward(lon: float, lat: float, zone: int,
+                north: bool = True) -> tuple[float, float]:
+    """WGS84 geographic -> UTM zone easting/northing (meters)."""
+    n, big_a, alpha = _kruger_consts()
+    lam0 = math.radians(zone * 6 - 183)
+    phi = math.radians(lat)
+    lam = math.radians(lon) - lam0
+    sphi = math.sin(phi)
+    e2n = 2.0 * math.sqrt(n) / (1.0 + n)
+    t = math.sinh(math.atanh(sphi) - e2n * math.atanh(e2n * sphi))
+    xi_p = math.atan2(t, math.cos(lam))
+    eta_p = math.atanh(math.sin(lam) / math.sqrt(1.0 + t * t))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(alpha, start=1):
+        xi += a * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+        eta += a * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+    easting = 500000.0 + _UTM_K0 * big_a * eta
+    northing = _UTM_K0 * big_a * xi + (0.0 if north else 10000000.0)
+    return easting, northing
+
+
 def bilinear_dim_maps(env: dict, gt: tuple) -> tuple[list, list]:
     """Axis-separable inverse maps + bilinear taps (GWKBilinearResample,
     alg/gdalwarpkernel.cpp — 2×2 kernel at the continuous source

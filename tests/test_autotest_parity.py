@@ -283,6 +283,28 @@ def test_sieve_autotest_all_masked(spark):
 
 
 # ---------------------------------------------------------------------------
+# Ellipsoidal UTM — autotest/alg/transformgeoloc.py test_transformgeoloc_1
+# (the reference transforms a 2x2 WGS84 geolocation array to UTM zone 11
+# through PROJ; the expected array IS PROJ's output).
+# ---------------------------------------------------------------------------
+
+def test_utm_autotest_transformgeoloc_golden():
+    """Our from-scratch Krüger-series transverse Mercator reproduces
+    the reference's PROJ-produced UTM coordinates to ~3e-9 m (the
+    reference asserts numpy.allclose; we pin 1e-6 m absolute)."""
+    from gdal_spark.geo.warp import utm_forward
+
+    cases = [(-117.0, 45.0, 500000.0, 4982950.40022655),
+             (-116.0, 45.5, 578126.73752062, 5038982.81207855),
+             (-116.5, 44.0, 540087.07398217, 4871994.34702622),
+             (-115.5, 44.5, 619246.88515195, 4928503.38229753)]
+    for lon, lat, exp_e, exp_n in cases:
+        e, n = utm_forward(lon, lat, 11)
+        assert abs(e - exp_e) < 1e-6
+        assert abs(n - exp_n) < 1e-6
+
+
+# ---------------------------------------------------------------------------
 # Line of sight — autotest/alg/los.py test_los_basic.
 # ---------------------------------------------------------------------------
 
