@@ -86,15 +86,26 @@ def _horn_xy(win, z: float = 1.0, ewres: float = 1.0, nsres: float = -1.0):
 
 
 def hillshade_cols(win, az_deg: float = 315.0, alt_deg: float = 45.0,
-                   z: float = 1.0):
+                   z: float = 1.0, ewres: float = 1.0, nsres: float = -1.0,
+                   xscale: float = 1.0, yscale: float = 1.0):
     """GDALHillshadeAlg (gdaldem_lib.cpp:1016-1040): the one-rsqrt form
     with the trig of constants precomputed driver-side — the runtime
-    expression is arithmetic + sqrt only."""
+    expression is arithmetic + sqrt only.
+
+    z-factor convention is the reference's exactly: the GRADIENT is
+    z-FREE (x = sums / (8*ewres*xscale)); z lives only in the
+    cos_*_mul_z constants and the square_z of the denominator
+    (GDALHillshadeAlgData fields). Folding z into the gradient too —
+    the pre-round-3-close form — double-counts it (z^2 in the dot
+    product, z^4 in the norm); invisible at z=1 (every gated fixture)
+    but wrong otherwise. Pinned at z=30, scale=111120 against the
+    reference's n43.tif golden (checksum 45587) in
+    tests/test_autotest_parity.py."""
     az, alt = math.radians(az_deg), math.radians(alt_deg)
     sin_alt_254 = 254.0 * math.sin(alt)
     cos_az_cos_alt_z_254 = 254.0 * math.cos(az) * math.cos(alt) * z
     sin_az_cos_alt_z_254 = 254.0 * math.sin(az) * math.cos(alt) * z
-    x, y = _horn_xy(win, z=z)
+    x, y = _horn_xy(win, z=1.0, ewres=ewres * xscale, nsres=nsres * yscale)
     xx_plus_yy = x * x + y * y
     cang254 = ((F.lit(sin_alt_254)
                 - (y * F.lit(cos_az_cos_alt_z_254)

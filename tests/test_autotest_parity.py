@@ -32,6 +32,7 @@ comparison order up / up-left / up-right / left per scan pixel,
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from gdal_spark.operators.polygonize import polygonize, sieve_merge
 from gdal_spark.operators.rasterize import gdal_checksum
@@ -280,6 +281,132 @@ def test_sieve_autotest_all_masked(spark):
     grid = np.ones((10, 10), dtype=np.int64)
     out = _sieve(spark, grid, 4, connect8=False, nodata=1)
     np.testing.assert_array_equal(out, grid)
+
+
+# ---------------------------------------------------------------------------
+# gdaldem — autotest/utilities/test_gdaldem_lib.py goldens over n43.tif
+# (121x121 int16 DEM, LZW strips decoded in pure Python).
+# ---------------------------------------------------------------------------
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF LZW (MSB-first bit packing, early-change code widening)."""
+    out = bytearray()
+    CLEAR, EOI = 256, 257
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    bitbuf = nbits = pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = table[:258]
+            width, prev = 9, None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _read_n43():
+    """n43.tif: int16, LZW, 4 strips; returns (grid, gt)."""
+    import struct
+
+    b = open("/root/reference/autotest/gdrivers/data/n43.tif", "rb").read()
+    bo = "<" if b[:2] == b"II" else ">"
+    ifd = struct.unpack(bo + "I", b[4:8])[0]
+    nt = struct.unpack(bo + "H", b[ifd:ifd + 2])[0]
+    tags = {}
+    for i in range(nt):
+        e = b[ifd + 2 + 12 * i: ifd + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        tags[tag] = (typ, cnt, struct.unpack(bo + "I", e[8:12])[0])
+    w, h, rps = tags[256][2], tags[257][2], tags[278][2]
+    ns = tags[273][1]
+    offs = struct.unpack(bo + f"{ns}I", b[tags[273][2]:tags[273][2] + 4 * ns])
+    lens = struct.unpack(bo + f"{ns}I", b[tags[279][2]:tags[279][2] + 4 * ns])
+    rows = []
+    for si, (o, ln) in enumerate(zip(offs, lens)):
+        nrows = min(rps, h - si * rps)
+        raw = _tiff_lzw_decode(b[o:o + ln], nrows * w * 2)
+        rows.append(np.frombuffer(raw, dtype="<i2").reshape(nrows, w))
+    import struct as _s
+    sx, sy, _ = _s.unpack(bo + "3d", b[tags[33550][2]:tags[33550][2] + 24])
+    tp = _s.unpack(bo + "6d", b[tags[33922][2]:tags[33922][2] + 48])
+    gt = (tp[3] - tp[0] * sx, sx, 0.0, tp[4] + tp[1] * sy, 0.0, -sy)
+    return np.vstack(rows).astype(np.float64), gt
+
+
+@pytest.fixture(scope="module")
+def n43_windows(spark):
+    from gdal_spark.operators.dem import neighbors9
+
+    grid, gt = _read_n43()
+    h, w = grid.shape
+    dem = spark.createDataFrame(
+        [(int(x), int(y), float(grid[y, x]))
+         for y in range(h) for x in range(w)],
+        "px int, py int, elev double")
+    return neighbors9(dem, w, h).persist(), grid.shape, gt
+
+
+def _dem_grid(rows, shape, col, border=0.0):
+    """Interior from the operator rows; borders = the mode's dst
+    nodata (0 for hillshade — the MEM band has none set, so
+    fDstNoDataValue falls back to 0.0; -9999 for slope/aspect/TRI/
+    TPI/roughness, gdaldem_lib.cpp:3901-3963)."""
+    g = np.full(shape, border, dtype=np.float64)
+    for r in rows:
+        g[r["py"], r["px"]] = r[col]
+    return g
+
+
+def test_gdaldem_autotest_hillshade_scaled(spark, n43_windows):
+    """test_gdaldem_lib_hillshade scale=111120 zFactor=30 -> checksum
+    45587 (the reference's exact z-factor convention: z-free gradient,
+    z only in the constants; borders = dst nodata 0)."""
+    from gdal_spark.operators.dem import hillshade_cols
+
+    win9, shape, gt = n43_windows
+    win = [F.col(f"win{k}") for k in range(9)]
+    rows = win9.select("py", "px", hillshade_cols(
+        win, z=30.0, ewres=gt[1], nsres=gt[5],
+        xscale=111120.0, yscale=111120.0).alias("v")).collect()
+    assert gdal_checksum(_as_uint8(_dem_grid(rows, shape, "v"))) == 45587
+
+
+def test_gdaldem_autotest_tpi_tri_roughness(spark, n43_windows):
+    """test_gdaldem_lib_tpi / tri_wilson / tri_riley / roughness:
+    checksums 60504 / 61143 / 41233 / 38624 (resolution-free kernels,
+    Float32 output, borders = the -9999 dst nodata)."""
+    from gdal_spark.operators.dem import tri_tpi_roughness_cols
+
+    win9, shape, _ = n43_windows
+    win = [F.col(f"win{k}") for k in range(9)]
+    tw, tr, tpi, rough = tri_tpi_roughness_cols(win)
+    rows = win9.select("py", "px", tw.alias("tw"), tr.alias("tr"),
+                       tpi.alias("tpi"), rough.alias("rg")).collect()
+    assert gdal_checksum(_dem_grid(rows, shape, "tpi", -9999.0)) == 60504
+    assert gdal_checksum(_dem_grid(rows, shape, "tw", -9999.0)) == 61143
+    assert gdal_checksum(_dem_grid(rows, shape, "tr", -9999.0)) == 41233
+    assert gdal_checksum(_dem_grid(rows, shape, "rg", -9999.0)) == 38624
 
 
 # ---------------------------------------------------------------------------
