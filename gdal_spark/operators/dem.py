@@ -246,11 +246,14 @@ def color_relief_modes_sql(v: str, ramp=COLOR_RAMP) -> tuple[str, str]:
     return exact, near
 
 
-def slope_deg_zt_col(win):
+def slope_deg_zt_col(win, ewres: float = 1.0, nsres: float = -1.0,
+                     xscale: float = 1.0, yscale: float = 1.0):
     """GDALSlopeZevenbergenThorneAlg, degrees (gdaldem_lib.cpp:1390):
-    central differences only — atan(sqrt(dx^2+dy^2) * 0.5)."""
-    dx = win[3] - win[5]
-    dy = win[7] - win[1]
+    central differences only — atan(sqrt(dx^2+dy^2) * 0.5) with
+    dx = (w3-w5)/(ewres*xscale), dy = (w7-w1)/(nsres*yscale) (pinned
+    at scale 111120 against the n43.tif golden, checksum 64393)."""
+    dx = (win[3] - win[5]) / F.lit(ewres * xscale)
+    dy = (win[7] - win[1]) / F.lit(nsres * yscale)
     return (F.atan(F.sqrt(dx * dx + dy * dy) * F.lit(0.5))
             * F.lit(180.0 / math.pi))
 

@@ -409,6 +409,25 @@ def test_gdaldem_autotest_tpi_tri_roughness(spark, n43_windows):
     assert gdal_checksum(_dem_grid(rows, shape, "rg", -9999.0)) == 38624
 
 
+def test_gdaldem_autotest_slope_aspect_zt(spark, n43_windows):
+    """test_gdaldem_lib_slope_ZevenbergenThorne scale=111120 -> 64393;
+    test_gdaldem_lib_aspect_ZevenbergenThorne -> 50539 (aspect is
+    scale-invariant for equal x/y scales; flat pixels and borders take
+    the -9999 dst nodata)."""
+    from gdal_spark.operators.dem import aspect_zt_col, slope_deg_zt_col
+
+    win9, shape, gt = n43_windows
+    win = [F.col(f"win{k}") for k in range(9)]
+    rows = win9.select(
+        "py", "px",
+        slope_deg_zt_col(win, ewres=gt[1], nsres=gt[5],
+                         xscale=111120.0, yscale=111120.0).alias("sl"),
+        F.coalesce(aspect_zt_col(win), F.lit(-9999.0)).alias("asp")
+    ).collect()
+    assert gdal_checksum(_dem_grid(rows, shape, "sl", -9999.0)) == 64393
+    assert gdal_checksum(_dem_grid(rows, shape, "asp", -9999.0)) == 50539
+
+
 # ---------------------------------------------------------------------------
 # Ellipsoidal UTM — autotest/alg/transformgeoloc.py test_transformgeoloc_1
 # (the reference transforms a 2x2 WGS84 geolocation array to UTM zone 11
