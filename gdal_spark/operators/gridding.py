@@ -110,6 +110,82 @@ def grid_invdistnn(cand: DataFrame, max_points: int = 8,
     return grid_invdist(top, id_col, value_col)
 
 
+def grid_invdist_quadrant(cand: DataFrame, power: float = 2.0,
+                          smoothing: float = 0.0, max_points: int = 0,
+                          min_points: int = 0,
+                          min_points_per_quadrant: int = 0,
+                          max_points_per_quadrant: int = 0,
+                          nodata: float = 0.0,
+                          id_col: str = "pt_id",
+                          value_col: str = "value") -> DataFrame:
+    """GDALGridInverseDistanceToAPowerNearestNeighborPerQuadrant
+    (alg/gdalgrid.cpp:351-480) — the per-quadrant constrained IDW both
+    invdist and invdistnn dispatch to when min/max_points_per_quadrant
+    is set. Exact reference semantics, pinned against the
+    test_gdal_grid_lib quadrant goldens in
+    tests/test_autotest_parity.py:
+
+    - quadrant = (dx >= 0) | ((dy >= 0) << 1) (:406-407);
+    - candidates ranked per quadrant by smoothed distance d2 + s^2;
+      selection walks quadrants round-robin taking each quadrant's
+      next-nearest (:424-460) — equivalent to ordering by (rank,
+      quadrant) — capped at max_points_per_quadrant per quadrant and
+      max_points overall;
+    - a candidate with smoothed d2 < 1e-13 short-circuits to its value
+      (:397-402);
+    - if any quadrant has fewer than min_points_per_quadrant selected,
+      or fewer than min_points total, the cell takes nodata (:464-474);
+    - weight = 1 / (d2 + s^2)^(power/2), accumulated in selection
+      order (:452-455).
+
+    cand: (cy, cx, dx, dy, d2, id_col, value_col) already filtered to
+    the search radius. Two windows + one ordered fold — no shuffle
+    beyond the per-cell grouping."""
+    s2 = float(smoothing) * float(smoothing)
+    quad = ((F.col("dx") >= 0).cast("int")
+            + (F.col("dy") >= 0).cast("int") * 2)
+    c = cand.withColumn("_q", quad).withColumn(
+        "_d2s", F.col("d2") + F.lit(s2))
+    wq = Window.partitionBy("cy", "cx", "_q").orderBy(
+        F.col("_d2s").asc(), F.col(id_col).asc(), F.col(value_col).asc())
+    ranked = c.withColumn("_r", F.row_number().over(wq))
+    if max_points_per_quadrant > 0:
+        ranked = ranked.filter(F.col("_r") <= max_points_per_quadrant)
+    wsel = Window.partitionBy("cy", "cx").orderBy(
+        F.col("_r").asc(), F.col("_q").asc())
+    sel = ranked.withColumn("_pos", F.row_number().over(wsel))
+    if max_points > 0:
+        sel = sel.filter(F.col("_pos") <= max_points)
+    inv_w = F.lit(1.0) / F.pow(F.col("_d2s"), F.lit(power / 2.0))
+    items = F.array_sort(F.collect_list(F.struct(
+        F.col("_pos").alias("pos"), inv_w.alias("w"),
+        (inv_w * F.col(value_col)).alias("wv"))))
+    per_cell = sel.groupBy("cy", "cx").agg(
+        items.alias("it"),
+        F.count("*").alias("_n"),
+        *[F.sum(F.when(F.col("_q") == q, 1).otherwise(0)).alias(f"_nq{q}")
+          for q in range(4)])
+    # the exact-hit short-circuit fires during the SCAN, before any
+    # quadrant/max caps (:397-402) — derive it from the unfiltered set
+    exact = (c.groupBy("cy", "cx")
+             .agg(F.min(F.when(F.col("_d2s") < 1e-13,
+                               F.col(value_col))).alias("_exact")))
+    per_cell = per_cell.join(exact, ["cy", "cx"])
+    num = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["wv"])
+    den = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["w"])
+    ok = F.lit(True)
+    if min_points_per_quadrant > 0:
+        for q in range(4):
+            ok = ok & (F.col(f"_nq{q}") >= min_points_per_quadrant)
+    if min_points > 0:
+        ok = ok & (F.col("_n") >= min_points)
+    v = (F.when(F.col("_exact").isNotNull(), F.col("_exact"))
+         .when(ok & (den != 0.0), num / den)
+         .otherwise(F.lit(float(nodata))))
+    return per_cell.select("cy", "cx", F.col("_n").cast("int").alias("n"),
+                           v.alias("v"))
+
+
 def grid_invdist(cand: DataFrame, id_col: str = "pt_id",
                  value_col: str = "value") -> DataFrame:
     """Inverse-distance-squared weighting with smoothing, folded in

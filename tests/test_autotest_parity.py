@@ -284,6 +284,86 @@ def test_sieve_autotest_all_masked(spark):
 
 
 # ---------------------------------------------------------------------------
+# gdal_grid per-quadrant IDW — autotest/utilities/test_gdal_grid_lib.py
+# quadrant tests (single-cell grids with analytically pinned values).
+# ---------------------------------------------------------------------------
+
+def _quad_cand(spark, pts, cell=(10.0, 100.0), radius=2.0):
+    """Candidates of the reference fixture: points shifted by
+    (10, 100), one 1x1 cell centered on the shift, filtered to the
+    search radius (dx/dy relative to the cell center)."""
+    rows = []
+    for i, (dx, dy, z) in enumerate(pts):
+        d2 = dx * dx + dy * dy
+        if d2 <= radius * radius:
+            rows.append((0, 0, float(dx), float(dy), float(d2), i, float(z)))
+    return spark.createDataFrame(
+        rows, "cy int, cx int, dx double, dy double, d2 double, "
+              "pt_id int, value double")
+
+
+QUAD_PTS_5 = [(0.5, 0.5, 10), (-0.5, 0.5, 10), (-0.5, -0.5, 10),
+              (0.5, -0.5, 10), (1.0, 0.0, 100000000)]
+QUAD_PTS_4 = QUAD_PTS_5[:4]
+
+
+def _quad_value(df):
+    rows = df.collect()
+    return rows[0]["v"] if rows else None
+
+
+def test_gdal_grid_autotest_quadrant_all_params(spark):
+    """test_gdal_grid_lib_invdistnn_quadrant_all_params: power=1.5,
+    radius=2, max_points=10, min_points=4, min/max per quadrant 1/2 —
+    all five points contribute, weight 1/dist^1.5."""
+    from gdal_spark.operators.gridding import grid_invdist_quadrant
+
+    cand = _quad_cand(spark, QUAD_PTS_5)
+    v = _quad_value(grid_invdist_quadrant(
+        cand, power=1.5, smoothing=1e-15, max_points=10, min_points=4,
+        min_points_per_quadrant=1, max_points_per_quadrant=2))
+    p = 1.5
+    d1 = (0.5**2 + 0.5**2) ** (p / 2.0)
+    d2 = 1.0 ** p
+    expected = (4 * 10 / d1 + 1e8 / d2) / (4 / d1 + 1 / d2)
+    assert np.float32(v) == np.float32(expected)
+
+
+def test_gdal_grid_autotest_quadrant_failure_modes(spark):
+    """insufficient_radius (0.7 < sqrt(2)/2 point distance... the four
+    corner points sit at ~0.707 > 0.7), min_points=5 unreachable, and
+    a missing quadrant all yield the 0.0 nodata."""
+    from gdal_spark.operators.gridding import grid_invdist_quadrant
+
+    # radius 0.7: no candidates at all -> no cell row (the reference
+    # writes the 0 nodata; an absent row is the sparse equivalent)
+    cand = _quad_cand(spark, QUAD_PTS_4, radius=0.7)
+    assert _quad_value(grid_invdist_quadrant(
+        cand, min_points_per_quadrant=1)) is None
+    # min_points=5 with only 4 candidates -> nodata
+    cand = _quad_cand(spark, QUAD_PTS_4, radius=1.0)
+    assert _quad_value(grid_invdist_quadrant(
+        cand, min_points_per_quadrant=1, min_points=5)) == 0.0
+    # three points: one quadrant empty -> nodata
+    cand = _quad_cand(spark, QUAD_PTS_4[:3], radius=0.8)
+    assert _quad_value(grid_invdist_quadrant(
+        cand, min_points_per_quadrant=1)) == 0.0
+
+
+def test_gdal_grid_autotest_quadrant_ignore_extra_points(spark):
+    """ignore_extra_points: max_points_per_quadrant=1 drops the far
+    1e8 point (it shares the dx>=0,dy>=0 quadrant with a nearer corner
+    point) -> plain mean 10.0."""
+    from gdal_spark.operators.gridding import grid_invdist_quadrant
+
+    cand = _quad_cand(spark, QUAD_PTS_5)
+    v = _quad_value(grid_invdist_quadrant(
+        cand, min_points_per_quadrant=1, max_points=0,
+        max_points_per_quadrant=1))
+    assert np.float32(v) == np.float32(10.0)
+
+
+# ---------------------------------------------------------------------------
 # gdaldem — autotest/utilities/test_gdaldem_lib.py goldens over n43.tif
 # (121x121 int16 DEM, LZW strips decoded in pure Python).
 # ---------------------------------------------------------------------------
