@@ -166,10 +166,16 @@ def grid_invdist_quadrant(cand: DataFrame, power: float = 2.0,
         *[F.sum(F.when(F.col("_q") == q, 1).otherwise(0)).alias(f"_nq{q}")
           for q in range(4)])
     # the exact-hit short-circuit fires during the SCAN, before any
-    # quadrant/max caps (:397-402) — derive it from the unfiltered set
+    # quadrant/max caps (:397-402); the reference returns the FIRST
+    # scanned such point — points are scanned in array (id) order, so
+    # min_by(value, id) over the sub-threshold candidates reproduces
+    # it deterministically even with coincident points of different
+    # values (round-3 ADVICE item)
     exact = (c.groupBy("cy", "cx")
-             .agg(F.min(F.when(F.col("_d2s") < 1e-13,
-                               F.col(value_col))).alias("_exact")))
+             .agg(F.min_by(F.when(F.col("_d2s") < 1e-13,
+                                  F.col(value_col)),
+                           F.when(F.col("_d2s") < 1e-13,
+                                  F.col(id_col))).alias("_exact")))
     per_cell = per_cell.join(exact, ["cy", "cx"])
     num = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["wv"])
     den = F.aggregate(F.col("it"), F.lit(0.0), lambda a, x: a + x["w"])

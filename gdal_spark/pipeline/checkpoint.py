@@ -53,7 +53,14 @@ class SnapshotStore:
     def run_stage(self, spark: SparkSession, stage: str, fn,
                   partition_by: str | None = None,
                   inputs: list[str] | None = None) -> DataFrame:
-        """Compute-or-resume one stage. ``fn() -> DataFrame``."""
+        """Compute-or-resume one stage. ``fn() -> DataFrame``.
+
+        The manifest's ``rows`` metric is the Observation-counted
+        INPUT row count of the write (zero extra passes), not a
+        post-write audit of the persisted parquet — an intentional
+        trade at 10^12-row scale where a recount is a second full
+        scan; parquet's own footer row counts remain available for an
+        offline audit."""
         m = self.manifest(stage)
         path = self.data_path(stage)
         if m and m.get("status") == "complete":

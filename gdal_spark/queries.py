@@ -18679,11 +18679,12 @@ FROM r WHERE rn = 1 ORDER BY user_id"""
 
 
 def q_stream_ema_state(spark, sf_dir):
-    """Custom stateful streaming operator via the arbitrary-stateful
-    v2 API (transformWithStateInPandas + RocksDB state store, Spark
-    4): per-user EMA whose ValueState carries (n, first, last, ema)
-    across 4 REAL time-ordered micro-batches — the order-sensitive
-    recurrence built-in aggregates can't express
+    """Custom stateful streaming operator via applyInPandasWithState
+    (GroupState; the Spark-4 stateful-v2 transformWithStateInPandas
+    API needs protobuf, absent from this container — see
+    streaming/events.py): per-user EMA whose state dict carries
+    (n, first, last, ema) across 4 REAL time-ordered micro-batches —
+    the order-sensitive recurrence built-in aggregates can't express
     (streaming/events.ema_state_stream). Output = each user's final
     state + the number of batches that touched the user; oracle = the
     batch ordered fold (list_reduce) + an NTILE emission count."""

@@ -165,7 +165,16 @@ class WetWriter(DataSourceWriter):
     visible, the all-or-nothing contract an Iceberg/parquet sink
     gives. Append mode numbers new parts AFTER the existing ones, so
     successive appends never clobber earlier shards (the ogr2ogr
-    ACCESS_APPEND analog)."""
+    ACCESS_APPEND analog).
+
+    Filesystem contract: ``commit`` runs on the DRIVER and renames the
+    task-written temp files, so ``path`` must be a filesystem shared
+    by driver and executors — local mode, NFS, or a fuse-mounted
+    object store. On a shared-nothing cluster writing to executor-
+    local disks the temps would be unreachable from the driver; there
+    the path must point at the shared store (which is how every Spark
+    file sink, including parquet's FileOutputCommitter, states the
+    same requirement)."""
 
     def __init__(self, path: str, overwrite: bool = True):
         self.path = path
