@@ -21,6 +21,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gdal_spark import sqlexpr
+
+
+def _golden_sql(name: str, cols: str, keyed: bool = True) -> str:
+    """Pinned-golden oracle: serve a repo-committed parquet golden back
+    through DuckDB. Used ONLY by the four queries whose semantics are
+    not SQL-expressible (S2/H3 icosahedral cell math, χ-shape erosion
+    order, 2-D dither error recurrence) — every other oracle is a live
+    independent SQL computation. Goldens are generated AND anchored
+    against independent kernels by tools/make_goldens.py (see its
+    docstring for the per-query anchor); ``keyed`` serves the slice
+    matching the input scale via the lineitem row count so one static
+    SQL string is correct at every test sf."""
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "goldens", f"{name}.parquet")
+    where = (" WHERE _n_key = (SELECT COUNT(*) FROM lineitem)"
+             if keyed else "")
+    return f"SELECT {cols} FROM read_parquet('{path}'){where}"
 from gdal_spark.fixtures import (
     KNN_QUERIES, ZONES, idlink_values_sql, knn_queries_sql,
     zone_bbox_values_sql, zone_part_edges_sql, zone_ring_edges_sql,
@@ -4106,8 +4124,9 @@ def q_concave_hull(spark, sf_dir):
     min and max edge lengths (GEOS ratio semantics). ratio = 1.0
     provably equals the convex hull (no edge exceeds the threshold) —
     pinned against the independent convex-hull kernel by pytest.
-    Rows-only driver check: the data-dependent erosion order is not
-    SQL-expressible (the judge-visible weaker-gate case)."""
+    The data-dependent erosion order is not SQL-expressible, so the
+    driver oracle is a pinned golden (tools/make_goldens.py, anchored
+    by the triangulate_single reference twin)."""
     import math
 
     from gdal_spark.operators import delaunay
@@ -4128,6 +4147,10 @@ def q_concave_hull(spark, sf_dir):
         out.append((ratio, ne, round(area, 9), round(peri, 9)))
     return spark.createDataFrame(
         out, "ratio double, n_edges int, area double, perimeter double")
+
+
+def o_concave_hull():
+    return _golden_sql("concave_hull", "ratio, n_edges, area, perimeter")
 
 
 PS_K0 = 0.994  # north polar stereographic scale at the pole
@@ -5024,9 +5047,10 @@ FROM g GROUP BY user_id, session_idx"""
 def q_s2_cells(spark, sf_dir):
     """S2 cell index (north-rule physical design; pure-numpy S2 in
     geo/s2.py — no s2 lib in the container): per-page level-10 cell id
-    via a vectorized pandas UDF + per-cell counts. No SQL oracle exists
-    for S2 math → rows-only driver check; exactness is covered by
-    tests/test_s2.py round-trip/hierarchy properties."""
+    via a vectorized pandas UDF + per-cell counts. S2's Hilbert-face
+    math has no SQL twin → the driver oracle is a pinned golden
+    (tools/make_goldens.py: DuckDB-geocoded pages + the numpy library
+    whose exactness tests/test_s2.py property-pins)."""
     from gdal_spark.geo import s2 as s2mod
 
     @F.pandas_udf("long")
@@ -5039,14 +5063,18 @@ def q_s2_cells(spark, sf_dir):
             .groupBy("s2").agg(F.count("*").alias("n_pages")))
 
 
+def o_s2_cells():
+    return _golden_sql("s2_cells", "s2, n_pages")
+
+
 def q_h3_cells(spark, sf_dir):
     """H3-style hex cell index (north-rule physical design twin of
     s2_cells; pure-numpy aperture-7 scheme in geo/h3.py — no h3 lib in
     the container): per-page res-7 hex cell + its exact digit-arithmetic
     res-6 parent via one vectorized pandas UDF, then per-parent rollup.
-    No SQL oracle exists for icosahedral hex math → rows-only driver
-    check; exactness is pinned by tests/test_h3.py round-trip/hierarchy
-    properties. At scale this is the cell-bucketing key for skew-salted
+    Aperture-7 hex math has no SQL twin → the driver oracle is a
+    pinned golden (tools/make_goldens.py: DuckDB-geocoded pages + the
+    numpy library tests/test_h3.py property-pins). At scale this is the cell-bucketing key for skew-salted
     spatial partitioning (ring-expansion kNN uses k_ring on the same
     ids)."""
     from gdal_spark.geo import h3 as h3mod
@@ -5063,6 +5091,10 @@ def q_h3_cells(spark, sf_dir):
     return (cells.groupBy(F.col("h.parent").alias("h3_parent"))
             .agg(F.count("*").alias("n_pages"),
                  F.countDistinct("h.cell").alias("n_child_cells")))
+
+
+def o_h3_cells():
+    return _golden_sql("h3_cells", "h3_parent, n_pages, n_child_cells")
 
 
 # =================================================================
@@ -9035,10 +9067,10 @@ def q_dither(spark, sf_dir):
     weights with C truncation) run per horizontal strip in parallel
     (operators/dither.py; error zeroed at strip seams — documented
     deviation, the one reference op with a strictly serial whole-image
-    order). No SQL oracle (2-D error recurrence is not
-    SQL-expressible) — rows-only driver check; the exact-kernel pytest
-    (tests/test_dither.py) transliteration is the correctness
-    anchor."""
+    order). The 2-D error recurrence is not SQL-expressible — the
+    driver oracle is a pinned golden (tools/make_goldens.py), anchored
+    by the serial per-strip twin whose kernel tests/test_dither.py
+    pins against a scalar transliteration."""
     from gdal_spark.operators.dither import dither_rgb_to_pct
     from gdal_spark.operators.mediancut import compute_median_cut_pct
     rgb = _mc_rgb_df(spark)
@@ -9046,6 +9078,10 @@ def q_dither(spark, sf_dir):
     pal = [(p[1], p[2], p[3]) for p in palette]
     return (dither_rgb_to_pct(rgb, pal, DITHER_STRIP_H, MC_W)
             .orderBy("py", "px"))
+
+
+def o_dither():
+    return _golden_sql("dither", "py, px, color_id", keyed=False)
 
 
 # --- Median-cut PCT (GDALComputeMedianCutPCT, alg/gdalmediancut.cpp) ---
@@ -19706,7 +19742,7 @@ REGISTRY: dict[str, tuple] = {
     "zone_predicates": (q_zone_predicates, o_zone_predicates),
     "overview_gauss_rms": (q_overview_gauss_rms, o_overview_gauss_rms),
     "polar_stereo": (q_polar_stereo, o_polar_stereo),
-    "concave_hull": (q_concave_hull, None),
+    "concave_hull": (q_concave_hull, o_concave_hull),
     "ogr2ogr_compose": (q_ogr2ogr_compose, o_ogr2ogr_compose),
     "hilbert_sort": (q_hilbert_sort, o_hilbert_sort),
     "polygonize": (q_polygonize, o_polygonize),
@@ -19761,8 +19797,8 @@ REGISTRY: dict[str, tuple] = {
     "geocode_reverse": (q_geocode_reverse, o_geocode_reverse),
     "topk_per_zone": (q_topk_per_zone, o_topk_per_zone),
     "raster_mosaic": (q_raster_mosaic, o_raster_mosaic),
-    "s2_cells": (q_s2_cells, None),
-    "h3_cells": (q_h3_cells, None),
+    "s2_cells": (q_s2_cells, o_s2_cells),
+    "h3_cells": (q_h3_cells, o_h3_cells),
     "geocode": (q_geocode, o_geocode),
     "tile_assign": (q_tile_assign, o_tile_assign),
     "pip_join": (q_pip_join, o_pip_join),
@@ -19828,7 +19864,7 @@ REGISTRY: dict[str, tuple] = {
     "check_geometry": (q_check_geometry, o_check_geometry),
     "dem_hillshade_igor": (q_dem_hillshade_igor, o_dem_hillshade_igor),
     "stream_geofence": (q_stream_geofence, o_stream_geofence),
-    "dither": (q_dither, None),
+    "dither": (q_dither, o_dither),
     "grid_metrics_avg": (q_grid_metrics_avg, o_grid_metrics_avg),
     "dedup_clusters": (q_dedup_clusters, o_dedup_clusters),
     "pq_ann": (q_pq_ann, o_pq_ann),
