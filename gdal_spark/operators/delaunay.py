@@ -231,9 +231,10 @@ def triangulate(points: DataFrame, tiles_x: int = 4, tiles_y: int = 2,
     The emitted set equals the single-group triangulation for ANY
     halo/tile choice (the certification is sufficient, the fallback
     total) — verified by pytest equality and the unchanged grid_linear
-    oracle. The active-vertex bookkeeping is a driver-side set here
-    (fixture-scale; a 10^12-point deployment keeps it as a DataFrame
-    joined per round, same plan shape)."""
+    oracle. The active-vertex bookkeeping is a DataFrame anti-joined
+    per round (r3 VERDICT item 4): the driver never holds an
+    O(n_points) set, only a per-round count; the activity flag reaches
+    the tile kernels as a joined column, not a pickled closure set."""
     spark = points.sparkSession
     pts = points.select("pt_id", "value", "x", "y").persist()
     bb = pts.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
@@ -243,13 +244,13 @@ def triangulate(points: DataFrame, tiles_x: int = 4, tiles_y: int = 2,
     tw = max((x1 - x0) / tiles_x, 1e-9)
     th = max((y1 - y0) / tiles_y, 1e-9)
     h = 0.5 * max(tw, th)
-    active = set(r["pt_id"] for r in pts.select("pt_id").collect())
+    active_df = pts.select("pt_id").localCheckpoint(eager=True)
+    n_active = active_df.count()
     out: DataFrame | None = None
     schema = TRI_SCHEMA + ", kind int"
 
     for _ in range(max_iter):
         halo = h
-        act = active
 
         def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             tx, ty = int(key[0]), int(key[1])
@@ -261,16 +262,15 @@ def triangulate(points: DataFrame, tiles_x: int = 4, tiles_y: int = 2,
             empty = pd.DataFrame(
                 {c.split()[0]: pd.Series(dtype="float64")
                  for c in (TRI_SCHEMA + ", kind int").split(", ")})
-            if not (set(pdf.loc[pdf["own"] == 1, "pt_id"].astype(int))
-                    & act):
+            if not ((pdf["own"] == 1) & (pdf["act"] == 1)).any():
                 return empty  # no active own vertex: nothing to emit
             tri = delaunay_flood_np(
                 pdf["pt_id"].to_numpy(np.int64),
                 pdf["x"].to_numpy(np.float64),
                 pdf["y"].to_numpy(np.float64),
                 pdf["value"].to_numpy(np.float64))
-            own_ids = set(pdf.loc[pdf["own"] == 1, "pt_id"].astype(int))
-            cand = own_ids & act
+            cand = set(pdf.loc[(pdf["own"] == 1) & (pdf["act"] == 1),
+                               "pt_id"].astype(int))
             # per-vertex incident triangles + edge fan counts
             inc: dict[int, list[int]] = {p: [] for p in cand}
             fan: dict[int, dict[int, int]] = {p: {} for p in cand}
@@ -356,6 +356,10 @@ def triangulate(points: DataFrame, tiles_x: int = 4, tiles_y: int = 2,
         home_y = F.least(F.lit(tiles_y - 1), F.greatest(F.lit(0), F.floor(
             (F.col("y") - F.lit(y0)) / F.lit(th)).cast("int")))
         rep = (pts
+               .join(active_df.withColumn("_act", F.lit(1)),
+                     "pt_id", "left")
+               .withColumn("act", F.coalesce(F.col("_act"), F.lit(0)))
+               .drop("_act")
                .withColumn("_hx", home_x).withColumn("_hy", home_y)
                .withColumn("tx", F.explode(F.sequence(nx_lo, nx_hi)))
                .withColumn("ty", F.explode(F.sequence(ny_lo, ny_hi)))
@@ -365,14 +369,19 @@ def triangulate(points: DataFrame, tiles_x: int = 4, tiles_y: int = 2,
         res = (rep.groupBy("tx", "ty")
                .applyInPandas(_kernel, schema).persist())
         tri_rows = res.filter(F.col("kind") == 0).drop("kind")
-        done = set(r["ia"] for r in
-                   res.filter(F.col("kind") == 1).select("ia").collect())
+        done = (res.filter(F.col("kind") == 1)
+                .select(F.col("ia").cast("long").alias("pt_id")))
         out = tri_rows if out is None else out.unionByName(tri_rows)
-        active = active - done
-        if not active:
+        # anti-join the certified ids out; localCheckpoint cuts the
+        # per-round lineage (the frame is re-read next round AND drives
+        # the loop count — the 2^t plan-blowup lesson)
+        active_df = (active_df.join(done, "pt_id", "left_anti")
+                     .localCheckpoint(eager=True))
+        n_active = active_df.count()
+        if n_active == 0:
             break
         h *= 2.0
-    assert not active, "tile+halo Delaunay failed to converge"
+    assert n_active == 0, "tile+halo Delaunay failed to converge"
     return out
 
 

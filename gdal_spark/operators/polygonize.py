@@ -658,7 +658,14 @@ def sieve_merge(labels: DataFrame, threshold: int, value_col: str = "v",
         remap = spark.createDataFrame([], "l long, t long")
     elif n_small <= driver_poly_limit:
         ptr = {r["l"]: r["t"] for r in f.collect()}
-        sz = {r["label"]: r["n"] for r in sizes.collect()}
+        # sizes only for labels the walk can touch — the pointer
+        # TARGETS (every sz lookup below is on a ptr.get result);
+        # ≤ n_small distinct by construction, so this collect is
+        # bounded by the same driver_poly_limit gate, unlike a full
+        # component-size collect (r3 VERDICT item 6)
+        sz = {r["label"]: r["n"] for r in
+              sizes.join(f.select(F.col("t").alias("label")).distinct(),
+                         "label").collect()}
         out = []
         for s in ptr:
             # the walk can only visit small polygons (big ones hit the

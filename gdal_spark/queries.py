@@ -19368,17 +19368,36 @@ def q_wet_scan(spark, sf_dir):
     The oracle derives the expected (shard, rec_idx, doc_id, length,
     md5) directly from the parquet — so the gate proves the entire
     write→gzip→partition→parse loop recovers every payload
-    byte-exactly."""
+    byte-exactly.
+
+    Staging is DISTRIBUTED (r3 VERDICT item 7): one applyInPandas
+    task per shard writes its gzip member directly — the corpus never
+    passes through the driver (shard count is the write fan-out knob;
+    Common Crawl itself shards WET at ~1 GiB for the same reason).
+    Shared-filesystem contract as the WET sink (sources/wet.py)."""
     import shutil
     import tempfile
 
-    from gdal_spark.sources.wet import WetDataSource, write_wet_shards
+    from gdal_spark.sources.wet import WetDataSource, wet_record
     staged = tempfile.mkdtemp(prefix="gdal_spark_wet_")
     try:
-        rows = [(r["doc_id"], r["text"]) for r in
-                spark.read.parquet(f"{sf_dir}/documents.parquet")
-                .select("doc_id", "text").collect()]
-        write_wet_shards(rows, staged)
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text")
+                .withColumn("shard", (F.col("doc_id") % 4).cast("int")))
+
+        def _write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import gzip as _gzip
+            import os as _os
+            i = int(key[0])
+            pdf = pdf.sort_values("doc_id")
+            p = _os.path.join(staged, f"shard-{i:05d}.warc.wet.gz")
+            with _gzip.open(p, "wt", encoding="ascii", newline="") as f:
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    f.write(wet_record(f"urn:doc:{int(doc_id)}", text))
+            return pd.DataFrame({"shard": [i], "n": [len(pdf)]})
+
+        (docs.groupBy("shard")
+         .applyInPandas(_write_shard, "shard int, n long").collect())
         spark.dataSource.register(WetDataSource)
         out = (spark.read.format("wet").load(staged)
                .select(F.regexp_extract("file", "shard-([0-9]+)", 1)
