@@ -18952,6 +18952,72 @@ lines AS (
   FROM pages WHERE lat IS NOT NULL)"""
 
 
+TIFF_FIXTURES = [
+    "/root/reference/autotest/gcore/data/byte.tif",
+    "/root/reference/autotest/gdrivers/data/n43.tif",
+    "/root/reference/autotest/gdrivers/data/rgbsmall.tif",
+]
+
+
+def q_tiff_scan(spark, sf_dir):
+    """Raster FILE source — strip-TIFF as a Spark 4 Python DataSource
+    (gdal_spark/sources/tiff.py; the reference's gcore/rasterio.cpp +
+    frmts/gtiff strip path, r3 VERDICT missing-item 2): scans three
+    reference-autotest fixtures covering all three codecs in scope —
+    byte.tif (uncompressed single strip), n43.tif (TIFF-LZW, 4 strips,
+    int16), rgbsmall.tif (3-band planar DEFLATE) — one InputPartition
+    per (band, strip), Arrow-batched to the JVM. The gate reduces each
+    band with the DISTRIBUTED GDAL checksum (alg/gdalchecksum.cpp
+    term val % primes[(y*W+x) % 11]; the per-line 16-bit fold is
+    mod-2^16 homomorphic, so it is one map-side-combined SUM + pmod —
+    no single-task raster assembly). Oracle = the reference's own
+    published pins: byte 4672 (autotest/gcore/tiff_read.py:45),
+    rgbsmall 21212/21053/21349 (test_gdal_translate.py:114-118 via the
+    -b 3,2,1 reversal), n43 49187 pinned by the independent parity-
+    suite reader (tests/test_tiff_source.py)."""
+    from functools import reduce
+
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    df = reduce(lambda a, b: a.unionByName(b),
+                [spark.read.format("tiff").load(p) for p in TIFF_FIXTURES])
+    dims = df.groupBy("file").agg(
+        (F.max("px") + 1).cast("int").alias("w"),
+        (F.max("py") + 1).cast("int").alias("h"))
+    t = df.join(F.broadcast(dims), "file")
+    val = F.greatest(
+        F.least(F.floor(F.col("value") + F.lit(0.5)),
+                F.lit(2147483647)),
+        F.lit(-2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   "CAST((CAST(py AS BIGINT) * w + px) % 11 AS INT) + 1)")
+    term = val % prime.cast("long")
+    return (t.withColumn("_t", term)
+            .groupBy("file", "band")
+            .agg(F.max("w").alias("w"), F.max("h").alias("h"),
+                 F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .orderBy("file", "band"))
+
+
+def o_tiff_scan():
+    return """
+SELECT * FROM (VALUES
+  ('byte.tif',     0, CAST(20 AS INT),  CAST(20 AS INT),
+   CAST(400 AS BIGINT),   CAST(4672 AS BIGINT)),
+  ('n43.tif',      0, CAST(121 AS INT), CAST(121 AS INT),
+   CAST(14641 AS BIGINT), CAST(49187 AS BIGINT)),
+  ('rgbsmall.tif', 0, CAST(50 AS INT),  CAST(50 AS INT),
+   CAST(2500 AS BIGINT),  CAST(21212 AS BIGINT)),
+  ('rgbsmall.tif', 1, CAST(50 AS INT),  CAST(50 AS INT),
+   CAST(2500 AS BIGINT),  CAST(21053 AS BIGINT)),
+  ('rgbsmall.tif', 2, CAST(50 AS INT),  CAST(50 AS INT),
+   CAST(2500 AS BIGINT),  CAST(21349 AS BIGINT))
+) AS t(file, band, w, h, n_pixels, checksum)
+ORDER BY file, band"""
+
+
 def q_geojsonseq_scan(spark, sf_dir):
     """GeoJSONSeq vector driver (OGR's line-delimited GeoJSON,
     ogr/ogrsf_frmts/geojson — RFC 8142 text sequences; the format
@@ -19768,6 +19834,7 @@ REGISTRY: dict[str, tuple] = {
     "sitemap_urls": (q_sitemap_urls, o_sitemap_urls),
     "shard_plan": (q_shard_plan, o_shard_plan),
     "rat_table": (q_rat_table, o_rat_table),
+    "tiff_scan": (q_tiff_scan, o_tiff_scan),
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
     # --- verified in r1/r2 (VERDICT r2 item 2); rotation continues

@@ -1,0 +1,255 @@
+"""Strip-TIFF raster file source — a Spark 4 Python DataSource.
+
+The raster half of the engine previously started every query from a
+synthesized burn table; this is the real file → tile-DataFrame source
+the reference gets from gcore/rasterio.cpp + frmts/gtiff (r3 VERDICT
+missing-item 2), scoped to the baseline-TIFF subset the reference's
+own autotest fixtures use:
+
+- classic (non-Big) TIFF, II or MM byte order;
+- strip organization (tags 273/278/279), any strip count;
+- Compression 1 (none), 5 (TIFF-LZW, MSB-first packing with
+  early-change code widening), 8/32946 (DEFLATE via zlib);
+- Predictor 2 (horizontal differencing) for LZW/DEFLATE;
+- BitsPerSample 8/16/32, SampleFormat unsigned/signed int + 32-bit
+  IEEE float;
+- PlanarConfiguration 2 (one strip run per band, e.g. rgbsmall.tif)
+  and chunky 1 for a single band (multi-band chunky interleave is
+  rejected, not misread).
+
+Scale shape: the DRIVER reads only the header/IFD (a few KiB) to plan;
+each InputPartition is ONE (band, strip) — the executor opens the file
+and reads exactly its strip's byte range, so a 100k-strip mosaic scans
+strip-parallel with no whole-file reads anywhere. Emitted schema is
+the engine's pixel convention
+``(file string, band int, py int, px int, value double)`` — py/px in
+raster space, value widened to double (every raster operator here
+consumes doubles; the exact integer is recoverable for the supported
+int widths ≤ 2^53).
+
+Parity anchors: tests/test_tiff_source.py pins byte.tif's published
+checksum 4672 (autotest/gcore uses it everywhere) plus LZW (n43.tif)
+and planar DEFLATE (rgbsmall.tif) equality against the independent
+parity-suite decoders; the ``tiff_scan`` gate row pins the same
+checksums through the driver's DuckDB compare.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+from pyspark.sql.types import (DoubleType, IntegerType, StringType,
+                               StructField, StructType)
+
+PIXEL_SCHEMA = StructType([
+    StructField("file", StringType()),
+    StructField("band", IntegerType()),
+    StructField("py", IntegerType()),
+    StructField("px", IntegerType()),
+    StructField("value", DoubleType()),
+])
+
+# TIFF type id -> (struct fmt char, byte size); SHORT/LONG cover every
+# tag this subset interprets
+_TYPE_FMT = {1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4),
+             6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4),
+             12: ("d", 8)}
+
+
+def _read_ifd(b: bytes):
+    """Parse the first IFD type-aware (values inline when they fit the
+    4-byte slot, else at the offset). Returns (byteorder, {tag:
+    [values...]})."""
+    if b[:2] == b"II":
+        bo = "<"
+    elif b[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic = struct.unpack(bo + "H", b[2:4])[0]
+    if magic != 42:
+        raise ValueError(f"not a classic TIFF (magic {magic})")
+    ifd = struct.unpack(bo + "I", b[4:8])[0]
+    n = struct.unpack(bo + "H", b[ifd:ifd + 2])[0]
+    tags: dict[int, list] = {}
+    for i in range(n):
+        e = b[ifd + 2 + 12 * i: ifd + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        if typ not in _TYPE_FMT:
+            continue  # RATIONAL etc. — nothing this subset interprets
+        fmt, sz = _TYPE_FMT[typ]
+        total = sz * cnt
+        raw = e[8:12] if total <= 4 else None
+        if raw is None:
+            off = struct.unpack(bo + "I", e[8:12])[0]
+            raw = b[off:off + total]
+        if typ == 2:
+            tags[tag] = [raw.rstrip(b"\0").decode("ascii", "replace")]
+        else:
+            tags[tag] = list(struct.unpack(bo + f"{cnt}{fmt}",
+                                           raw[:total]))
+    return bo, tags
+
+
+def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF flavor LZW (TIFF 6.0 §13): MSB-first bit packing and the
+    early-change rule (code width grows one code EARLY, at table size
+    510/1022/2046)."""
+    out = bytearray()
+    CLEAR, EOI = 256, 257
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    bitbuf = nbits = pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = table[:258]
+            width, prev = 9, None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _plan(path: str) -> dict:
+    """Driver-side header read: everything partition planning needs,
+    no pixel data."""
+    with open(path, "rb") as fh:
+        head = fh.read(64 * 1024)  # IFD + tag arrays of any fixture
+    bo, tags = _read_ifd(head)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"required TIFF tag {tag} missing")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    if comp not in (1, 5, 8, 32946):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    bits = one(258, 8)
+    if bits not in (8, 16, 32):
+        raise ValueError(f"unsupported BitsPerSample {bits}")
+    spp = one(277, 1)
+    planar = one(284, 1)
+    if spp > 1 and planar != 2:
+        raise ValueError("multi-band chunky interleave not supported")
+    sfmt = one(339, 1)  # 1 unsigned, 2 signed, 3 float
+    if sfmt == 3 and bits != 32:
+        raise ValueError("float samples only supported at 32 bits")
+    pred = one(317, 1)
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported Predictor {pred}")
+    rps = one(278, h)
+    offs = tags[273]
+    lens = tags[279]
+    strips_per_band = (h + rps - 1) // rps
+    if len(offs) != strips_per_band * (spp if planar == 2 else 1):
+        raise ValueError("strip count does not match RowsPerStrip")
+    np_kind = {1: "u", 2: "i", 3: "f"}[sfmt]
+    dtype = ("<" if bo == "<" else ">") + np_kind + str(bits // 8)
+    return {"path": path, "w": w, "h": h, "comp": comp, "pred": pred,
+            "rps": rps, "offs": offs, "lens": lens, "dtype": dtype,
+            "bands": spp, "strips_per_band": strips_per_band}
+
+
+class TiffStripPartition(InputPartition):
+    def __init__(self, meta: dict, band: int, strip: int):
+        self.meta = meta
+        self.band = band
+        self.strip = strip
+
+
+class TiffReader(DataSourceReader):
+    def __init__(self, options):
+        import glob as _glob
+        path = options.get("path")
+        if not path:
+            raise ValueError("tiff source requires a path")
+        paths = sorted(_glob.glob(path)) if any(
+            c in path for c in "*?[") else [path]
+        self.metas = [_plan(p) for p in paths]
+
+    def partitions(self):
+        parts = []
+        for m in self.metas:
+            for band in range(m["bands"]):
+                for strip in range(m["strips_per_band"]):
+                    parts.append(TiffStripPartition(m, band, strip))
+        return parts
+
+    def read(self, part: TiffStripPartition):
+        import os
+
+        import numpy as np
+        m, band, strip = part.meta, part.band, part.strip
+        idx = band * m["strips_per_band"] + strip
+        off, ln = m["offs"][idx], m["lens"][idx]
+        y0 = strip * m["rps"]
+        nrows = min(m["rps"], m["h"] - y0)
+        itemsize = int(m["dtype"][-1])
+        expected = nrows * m["w"] * itemsize
+        with open(m["path"], "rb") as fh:
+            fh.seek(off)
+            raw = fh.read(ln)
+        if m["comp"] == 1:
+            data = raw[:expected]
+        elif m["comp"] == 5:
+            data = tiff_lzw_decode(raw, expected)
+        else:
+            data = zlib.decompress(raw)[:expected]
+        arr = np.frombuffer(data, dtype=m["dtype"]).reshape(
+            nrows, m["w"]).copy()
+        if m["pred"] == 2:
+            np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
+        # one Arrow batch per strip — the whole strip crosses to the
+        # JVM vectorized, no per-pixel Python loop
+        import pyarrow as pa
+        w = m["w"]
+        n = nrows * w
+        fname = os.path.basename(m["path"])
+        yield pa.record_batch(
+            [pa.array([fname] * n, pa.string()),
+             pa.array(np.full(n, band, dtype=np.int32)),
+             pa.array(np.repeat(
+                 np.arange(y0, y0 + nrows, dtype=np.int32), w)),
+             pa.array(np.tile(np.arange(w, dtype=np.int32), nrows)),
+             pa.array(arr.astype(np.float64).ravel())],
+            names=["file", "band", "py", "px", "value"])
+
+
+class TiffDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "tiff"
+
+    def schema(self):
+        return PIXEL_SCHEMA
+
+    def reader(self, schema):
+        return TiffReader(self.options)
