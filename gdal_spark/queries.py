@@ -2789,6 +2789,71 @@ def o_algebra_pieces():
             "AS t(fid_a, fid_b, n_pieces, inter_area)")
 
 
+def _genpoly_rings() -> list[tuple[int, list]]:
+    """Deterministic NON-fixture polygon layer for the general overlay
+    gate: non-convex outers (star, L, comb, chevron), non-convex and
+    triangular holes, containment, partial overlap and disjoint pairs
+    — none of it hand-decomposed; the engine must derive the convex
+    pieces itself from WKB (geo/decompose.py)."""
+    import math
+    star = []
+    for i in range(14):
+        ang = i * math.pi / 7.0
+        rad = 4.0 if i % 2 == 0 else 1.7
+        star.append((5.0 + rad * math.cos(ang),
+                     5.0 + rad * math.sin(ang)))
+    comb = [(11, 2), (17, 2), (17, 5), (16, 5), (16, 3), (15, 3),
+            (15, 5), (14, 5), (14, 3), (13, 3), (13, 5), (12, 5),
+            (12, 3), (11, 3)]
+    hexa = [(15.0 + 3.0 * math.cos(i * math.pi / 3.0),
+             4.0 + 3.0 * math.sin(i * math.pi / 3.0)) for i in range(6)]
+    return [
+        (0, [star]),
+        (1, [[(3, 3), (9, 3), (9, 5), (5, 5), (5, 9), (3, 9)]]),
+        (2, [[(2, 2), (10, 2), (10, 10), (2, 10)],          # holed square
+             [(4, 4), (8, 4), (8, 6), (6, 6), (6, 8), (4, 8)]]),
+        (3, [comb]),
+        (4, [hexa, [(14, 3.5), (16, 3.5), (15, 4.5)]]),
+        (5, [[(2.3, 2.3), (3.5, 2.3), (3.5, 3.5), (2.3, 3.5)]]),
+        (6, [[(6, 12), (10, 12), (8, 13.2), (10, 15), (6, 15)]]),
+        (7, [[(5, 11), (9, 11), (9, 16), (5, 16)],
+             [(6.5, 13), (7.5, 13), (7.5, 14), (6.5, 14)]]),
+    ]
+
+
+def q_algebra_pieces_general(spark, sf_dir):
+    """Overlay Intersection over ARBITRARY WKB polygons — the general
+    path the round-3 overlay lacked (ogrlayer.cpp:5386-5803 takes any
+    OGRGeometry via GEOS; here: WKB → ear-clip + Hertel–Mehlhorn
+    convex decomposition, distributed in mapInPandas → the same
+    Sutherland–Hodgman signed-piece clip/fold as algebra_pieces). The
+    input layer is generated, non-fixture, with non-convex outers and
+    holes (_genpoly_rings); nothing is hand-decomposed. Oracle =
+    VALUES from the driver twin running the SAME decomposition library
+    over the same ring lists (bit-exact fold); decomposition
+    correctness is independently property-pinned in
+    tests/test_decompose.py (area partition, convexity, pointwise
+    indicator vs point_in_polygon)."""
+    from gdal_spark.geo.wkb import polygon_wkb
+    from gdal_spark.operators import algebra
+    rows = [(fid, polygon_wkb(rings)) for fid, rings in _genpoly_rings()]
+    polys = spark.createDataFrame(
+        rows, "zone_fid int, wkb binary").repartition(1)
+    pieces = algebra.decompose_pieces_wkb(polys).repartition(1)
+    return algebra.intersection_pieces_from(pieces)
+
+
+def o_algebra_pieces_general():
+    from gdal_spark.operators.algebra import (intersection_pieces_twin,
+                                              wkb_pieces_rows)
+    rows = ", ".join(
+        f"({fa}, {fb}, {n}, {sqlexpr.dlit(area)})"
+        for fa, fb, n, area in intersection_pieces_twin(
+            wkb_pieces_rows(_genpoly_rings())))
+    return (f"SELECT * FROM (VALUES {rows}) "
+            "AS t(fid_a, fid_b, n_pieces, inter_area)")
+
+
 def q_check_coverage(spark, sf_dir):
     """gdal vector check-coverage (apps/gdalalg_vector_check_coverage.cpp,
     GEOS CoverageValidator): a polygon layer is a valid COVERAGE iff
@@ -19835,6 +19900,8 @@ REGISTRY: dict[str, tuple] = {
     "shard_plan": (q_shard_plan, o_shard_plan),
     "rat_table": (q_rat_table, o_rat_table),
     "tiff_scan": (q_tiff_scan, o_tiff_scan),
+    "algebra_pieces_general": (q_algebra_pieces_general,
+                               o_algebra_pieces_general),
     # --- first 50 = the driver's gate window: round-3 additions,
     # --- the fixed zone_predicates, then queries never driver-
     # --- verified in r1/r2 (VERDICT r2 item 2); rotation continues
