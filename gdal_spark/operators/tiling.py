@@ -63,6 +63,41 @@ def pyramid(base_counts: DataFrame, min_zoom: int = 0) -> DataFrame:
     return out
 
 
+def tile_pngs(tiles: DataFrame, tile_size: int = 32,
+              vmax: float = 255.0) -> DataFrame:
+    """Tile pixel rows → real PNG tile ARTIFACTS (the gdal2tiles.py
+    output contract: one greyscale PNG per (level, ty, tx)): pixels
+    quantize to 8-bit by v/vmax·255 (round-half-up, the GDALCopyWords
+    rule) and each tile group encodes via the from-scratch stdlib-zlib
+    codec (geo/png.py). One applyInPandas task per tile — bounded
+    tile_size² work units, shuffle only on the tile key the pyramid
+    already grouped by. Missing pixels inside a tile render as 0 (the
+    PNG nodata-black convention gdal2tiles uses without alpha).
+
+    Output: (level, ty, tx, n_px, png binary)."""
+    import pandas as pd
+
+    import numpy as np
+
+    from gdal_spark.geo.png import encode_png
+
+    def _enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        level, ty, tx = int(key[0]), int(key[1]), int(key[2])
+        img = np.zeros((tile_size, tile_size), dtype=np.uint8)
+        yy = pdf["py"].to_numpy(np.int64) % tile_size
+        xx = pdf["px"].to_numpy(np.int64) % tile_size
+        q = np.clip(np.floor(pdf["v"].to_numpy(np.float64)
+                             / vmax * 255.0 + 0.5), 0, 255)
+        img[yy, xx] = q.astype(np.uint8)
+        return pd.DataFrame({"level": [level], "ty": [ty], "tx": [tx],
+                             "n_px": [len(pdf)],
+                             "png": [encode_png(img)]})
+
+    return (tiles.groupBy("level", "ty", "tx")
+            .applyInPandas(_enc, "level int, ty long, tx long, "
+                                 "n_px long, png binary"))
+
+
 def salted_agg(df: DataFrame, keys: list[str], agg_exprs: list, salt: int = 16,
                merge_exprs: list | None = None,
                salt_cols: list[str] | None = None) -> DataFrame:
