@@ -183,7 +183,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "warp_nodata_avg", "hashclf_score",
                  "geojsonseq_scan", "gdalinfo_report", "session_window_agg",
                  "sql_udf_registered", "grouped_agg_udaf",
-                 "udtf_url_segments", "variant_extract", "recursive_cte"]:
+                 "udtf_url_segments", "variant_extract", "recursive_cte",
+                 # round-4 additions (+ the three global-window queries
+                 # rewritten two-phase, re-listed so their before/after
+                 # is recorded: classifier_auc / perplexity_buckets /
+                 # length_deciles already appear above)
+                 "tiff_scan", "algebra_pieces_general",
+                 "ogr2ogr_compose_gcp", "wet_scan", "zone_predicates",
+                 "concave_hull", "s2_cells", "h3_cells",
+                 "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
+                 "ogr2ogr_splitlistfields"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

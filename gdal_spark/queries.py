@@ -4257,6 +4257,107 @@ FROM srcclip
 WHERE te BETWEEN {dx1!r} AND {dx2!r} AND tn BETWEEN {dy1!r} AND {dy2!r}"""
 
 
+def q_ogr2ogr_datetime_to(spark, sf_dir):
+    """ogr2ogr -dateTimeTo UTC+3 (apps/ogr2ogr_lib.cpp:98-130 tzOffset
+    handling): every datetime field re-expressed in the target offset
+    — wall-clock shifted +3h and serialized with the explicit +03:00
+    suffix (OGR keeps datetimes timezone-qualified after conversion;
+    naive inputs are treated as UTC, the OGR_DATETIME rule). Pure
+    column math (one date_format), map-only."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.select(
+        "event_id",
+        F.date_format(F.col("ts") + F.expr("INTERVAL 3 HOURS"),
+                      "yyyy-MM-dd'T'HH:mm:ss'+03:00'").alias("ts_local"),
+        "event_type")
+        .orderBy("event_id"))
+
+
+def o_ogr2ogr_datetime_to():
+    return """
+SELECT event_id,
+       strftime(ts + INTERVAL 3 HOUR, '%Y-%m-%dT%H:%M:%S') || '+03:00'
+         AS ts_local,
+       event_type
+FROM events ORDER BY event_id"""
+
+
+#: coded field domain for -resolveDomains (OGRCodedFieldDomain):
+#: language code → display value; codes absent from the domain keep
+#: the raw code (GDAL leaves unresolvable codes as-is)
+LANG_DOMAIN = {"en": "English", "de": "German", "es": "Spanish",
+               "fr": "French", "zh": "Chinese"}
+
+
+def q_ogr2ogr_resolve_domains(spark, sf_dir):
+    """ogr2ogr -resolveDomains (ogr2ogr_lib.cpp + OGRCodedFieldDomain,
+    ogr/ogr_feature.cpp GetEnumeration): fields bound to a coded
+    domain gain a '<name>_resolved' companion carrying the domain
+    value, original code kept; codes outside the domain resolve to
+    the code itself. The domain is a broadcast dim join (the domain
+    table is definitionally small — enumeration metadata)."""
+    dom = spark.createDataFrame(
+        sorted(LANG_DOMAIN.items()), "lang string, lang_resolved string")
+    d = docs_df(spark, sf_dir).select("doc_id", "lang")
+    return (d.join(F.broadcast(dom), "lang", "left")
+            .select("doc_id", "lang",
+                    F.coalesce("lang_resolved", "lang")
+                    .alias("lang_resolved"))
+            .orderBy("doc_id"))
+
+
+def o_ogr2ogr_resolve_domains():
+    rows = ", ".join(f"('{k}', '{v}')"
+                     for k, v in sorted(LANG_DOMAIN.items()))
+    return f"""
+WITH dom(lang, lang_resolved) AS (SELECT * FROM (VALUES {rows}))
+SELECT d.doc_id, d.lang,
+       COALESCE(dom.lang_resolved, d.lang) AS lang_resolved
+FROM documents d LEFT JOIN dom ON dom.lang = d.lang
+ORDER BY d.doc_id"""
+
+
+SPLITLIST_CAP = 4  # synthetic tags-list length = doc_id % 4 + 1
+
+
+def q_ogr2ogr_splitlistfields(spark, sf_dir):
+    """ogr2ogr -splitlistfields (ogr2ogr_lib.cpp →
+    OGRSplitListFieldLayer, ogr/ogrsf_frmts/generic/ogr_gensql...):
+    every list field becomes N scalar subfields named <field>1..N,
+    where N = the MAX list length found by a pre-pass over the data
+    (OGRSplitListFieldLayer::BuildLayerDefn scans unless maxSubfields
+    caps it); rows with shorter lists null-fill the tail. The list
+    here is a synthetic per-doc tags field of 1..4 leading text tokens
+    (length = doc_id % 4 + 1 — variable per row so the scan is real,
+    bounded by construction so the subfield count is stable at every
+    sf). The pre-pass is one MAX aggregate (a bounded scalar, the
+    trained-literal discipline); the split is map-only F.get column
+    math (NULL out-of-range, no ANSI index trap)."""
+    d = docs_df(spark, sf_dir).select(
+        "doc_id",
+        F.slice(F.split(F.col("text"), " "), 1,
+                (F.col("doc_id") % SPLITLIST_CAP + 1).cast("int"))
+        .alias("tags"))
+    maxn = int(d.agg(F.max(F.size("tags"))).first()[0])
+    return (d.select(
+        "doc_id", F.size("tags").alias("n_tags"),
+        *[F.get("tags", i).alias(f"tags{i + 1}") for i in range(maxn)])
+        .orderBy("doc_id"))
+
+
+def o_ogr2ogr_splitlistfields():
+    cols = ", ".join(
+        f"tags[{i + 1}] AS tags{i + 1}" for i in range(SPLITLIST_CAP))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_slice(str_split(text, ' '), 1,
+                    CAST(doc_id % {SPLITLIST_CAP} + 1 AS INT)) AS tags
+  FROM documents)
+SELECT doc_id, CAST(len(tags) AS INT) AS n_tags, {cols}
+FROM d ORDER BY doc_id"""
+
+
 CONCAVE_RATIOS = [1.0, 0.3]
 
 
@@ -19999,6 +20100,11 @@ REGISTRY: dict[str, tuple] = {
     "concave_hull": (q_concave_hull, o_concave_hull),
     "ogr2ogr_compose": (q_ogr2ogr_compose, o_ogr2ogr_compose),
     "ogr2ogr_compose_gcp": (q_ogr2ogr_compose_gcp, o_ogr2ogr_compose_gcp),
+    "ogr2ogr_datetime_to": (q_ogr2ogr_datetime_to, o_ogr2ogr_datetime_to),
+    "ogr2ogr_resolve_domains": (q_ogr2ogr_resolve_domains,
+                                o_ogr2ogr_resolve_domains),
+    "ogr2ogr_splitlistfields": (q_ogr2ogr_splitlistfields,
+                                o_ogr2ogr_splitlistfields),
     "hilbert_sort": (q_hilbert_sort, o_hilbert_sort),
     "polygonize": (q_polygonize, o_polygonize),
     "polygonize_rings": (q_polygonize_rings, o_polygonize_rings),
@@ -20368,7 +20474,8 @@ _WINDOW_R4 = [
     "viewshed", "viewshed_cumulative", "morphology", "nearblack",
     "clean_collar", "hist_equalize", "hist_match", "gcp_polywarp",
     "tps_warp", "homography_warp", "rpc_transform", "geoloc_forward",
-    "geoloc_backmap", "pansharpen", "surf_match",
+    "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
+    "ogr2ogr_splitlistfields",
 ]
 assert len(_WINDOW_R4) == 50 and len(set(_WINDOW_R4)) == 50
 REGISTRY = {**{k: REGISTRY[k] for k in _WINDOW_R4},
