@@ -19246,6 +19246,53 @@ def q_tiff_scan(spark, sf_dir):
             .orderBy("file", "band"))
 
 
+def q_tiff_hillshade(spark, sf_dir):
+    """Real raster file → reference artifact, end to end: n43.tif
+    scanned through the strip-TIFF DataSource (LZW, 4 strips), its
+    geotransform read from the GeoTIFF tags, Horn hillshade with the
+    reference's exact parameters (scale=111120, zFactor=30 — the
+    autotest test_gdaldem_lib_hillshade case), reduced to the
+    distributed GDAL checksum. Oracle = the reference's published
+    golden 45587 (autotest/utilities/test_gdaldem_lib.py), already
+    parity-pinned on the hand-decoded grid in
+    tests/test_autotest_parity.py — this gate proves the FILE path
+    produces the same artifact. Border pixels carry dst-nodata 0 and
+    contribute zero checksum terms, so the interior-only sum is the
+    full-grid checksum."""
+    from gdal_spark.operators.dem import hillshade_cols, neighbors9
+    from gdal_spark.sources.tiff import TiffDataSource, tiff_geotransform
+    path = TIFF_FIXTURES[1]  # n43.tif
+    gt = tiff_geotransform(path)
+    spark.dataSource.register(TiffDataSource)
+    px_df = (spark.read.format("tiff").load(path)
+             .select(F.col("px").cast("int").alias("px"),
+                     F.col("py").cast("int").alias("py"),
+                     F.col("value").alias("elev")))
+    w = h = 121
+    win9 = neighbors9(px_df, w, h)
+    win = [F.col(f"win{k}") for k in range(9)]
+    v = hillshade_cols(win, z=30.0, ewres=gt[1], nsres=gt[5],
+                       xscale=111120.0, yscale=111120.0)
+    val = F.greatest(F.least(F.floor(v + F.lit(0.5)), F.lit(255.0)),
+                     F.lit(0.0)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   f"CAST((CAST(py AS BIGINT) * {w} + px) % 11 AS INT)"
+                   " + 1)")
+    return (win9.select((val % prime.cast("long")).alias("_t"))
+            .agg(F.count(F.lit(1)).alias("n_interior"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .select(F.lit(w).alias("w"), F.lit(h).alias("h"),
+                    "n_interior", "checksum"))
+
+
+def o_tiff_hillshade():
+    return """
+SELECT CAST(121 AS INT) AS w, CAST(121 AS INT) AS h,
+       CAST(14161 AS BIGINT) AS n_interior,
+       CAST(45587 AS BIGINT) AS checksum"""
+
+
 def o_tiff_scan():
     return """
 SELECT * FROM (VALUES
@@ -20080,6 +20127,7 @@ REGISTRY: dict[str, tuple] = {
     "shard_plan": (q_shard_plan, o_shard_plan),
     "rat_table": (q_rat_table, o_rat_table),
     "tiff_scan": (q_tiff_scan, o_tiff_scan),
+    "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
     # --- first 50 = the driver's gate window: round-3 additions,
@@ -20460,7 +20508,8 @@ REGISTRY: dict[str, tuple] = {
 # rotation.
 # -----------------------------------------------------------------
 _WINDOW_R4 = [
-    "tiff_scan", "algebra_pieces_general", "ogr2ogr_compose_gcp",
+    "tiff_scan", "tiff_hillshade", "algebra_pieces_general",
+    "ogr2ogr_compose_gcp",
     "concave_hull", "s2_cells", "h3_cells", "dither",
     "classifier_auc", "perplexity_buckets", "length_deciles",
     "wet_scan", "zone_predicates",
@@ -20473,7 +20522,7 @@ _WINDOW_R4 = [
     "dem_aspect_trig", "dem_curvature", "median_cut", "pct2rgb",
     "viewshed", "viewshed_cumulative", "morphology", "nearblack",
     "clean_collar", "hist_equalize", "hist_match", "gcp_polywarp",
-    "tps_warp", "homography_warp", "rpc_transform", "geoloc_forward",
+    "tps_warp", "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
     "ogr2ogr_splitlistfields",
 ]

@@ -178,6 +178,22 @@ def _plan(path: str) -> dict:
             "bands": spp, "strips_per_band": strips_per_band}
 
 
+def tiff_geotransform(path: str) -> tuple:
+    """GDAL-style geotransform from the GeoTIFF tags (ModelPixelScale
+    33550 + ModelTiepoint 33922) — a driver-side header read, the
+    metadata half of GDALDataset::GetGeoTransform for this subset."""
+    with open(path, "rb") as fh:
+        head = fh.read(64 * 1024)
+    _, tags = _read_ifd(head)
+    if 33550 not in tags or 33922 not in tags:
+        raise ValueError("no GeoTIFF geotransform tags")
+    sx, sy = tags[33550][0], tags[33550][1]
+    tp = tags[33922]
+    # tiepoint (i, j, k) -> (X, Y, Z): origin = tie minus pixel offset
+    return (tp[3] - tp[0] * sx, sx, 0.0,
+            tp[4] + tp[1] * sy, 0.0, -sy)
+
+
 class TiffStripPartition(InputPartition):
     def __init__(self, meta: dict, band: int, strip: int):
         self.meta = meta
