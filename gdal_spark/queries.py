@@ -19310,6 +19310,109 @@ SELECT * FROM (VALUES
 ORDER BY file, band"""
 
 
+TIFF_TILED_FIXTURES = [
+    "/root/reference/autotest/gcore/data/contig_tiled.tif",
+    "/root/reference/autotest/gcore/data/separate_tiled.tif",
+    "/root/reference/autotest/gcore/data/contig_strip.tif",
+    "/root/reference/autotest/gcore/data/seperate_strip.tif",
+]
+
+
+def q_tiff_tiled_scan(spark, sf_dir):
+    """Tiled-TIFF + PackBits + chunky-interleave scan (frmts/gtiff
+    tile path TIFFReadEncodedTile + tif_packbits.c): the four #1179
+    partial-final-block fixtures cover the full layout matrix —
+    {tiled, strip} × {chunky PlanarConfiguration=1 (samples
+    de-interleaved after decode), planar =2} — all PackBits-
+    compressed, all with edge blocks clipped after the padded-tile
+    decode. One InputPartition per stored block
+    (gdal_spark/sources/tiff.py). Band 2 of each reduces to the
+    distributed GDAL checksum; oracle = the reference's own published
+    quartet pin (autotest/gcore/tiff_read.py:68-71: all four == 15234)."""
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    from functools import reduce as _reduce
+    df = _reduce(lambda a, b: a.unionByName(b),
+                 [spark.read.format("tiff").load(p)
+                  for p in TIFF_TILED_FIXTURES])
+    w = 35
+    val = F.greatest(
+        F.least(F.floor(F.col("value") + F.lit(0.5)),
+                F.lit(2147483647)),
+        F.lit(-2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   f"CAST((CAST(py AS BIGINT) * {w} + px) % 11 AS INT)"
+                   " + 1)")
+    return (df.filter(F.col("band") == 1)  # autotest pins band 2
+            .withColumn("_t", val % prime.cast("long"))
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .orderBy("file"))
+
+
+def o_tiff_tiled_scan():
+    return """
+SELECT * FROM (VALUES
+  ('contig_strip.tif',   CAST(1295 AS BIGINT), CAST(15234 AS BIGINT)),
+  ('contig_tiled.tif',   CAST(1295 AS BIGINT), CAST(15234 AS BIGINT)),
+  ('separate_tiled.tif', CAST(1295 AS BIGINT), CAST(15234 AS BIGINT)),
+  ('seperate_strip.tif', CAST(1295 AS BIGINT), CAST(15234 AS BIGINT))
+) AS t(file, n_pixels, checksum)
+ORDER BY file"""
+
+
+def q_tiff_roundtrip(spark, sf_dir):
+    """Raster WRITE → re-read round trip: byte.tif scanned through
+    the TIFF source, re-encoded as DEFLATE+Predictor-2 strips ON
+    EXECUTORS (write_strip_tiff — each strip shuffles once on strip
+    id, is differenced + compressed in applyInPandas and lands as one
+    part file; the driver only assembles header + IFD + ordered strip
+    bytes, two-phase commit like the WET sink), then re-scanned with
+    the same source and reduced to the distributed GDAL checksum.
+    Oracle = the published byte.tif pin 4672 surviving the full
+    encode→decode cycle, plus the geotransform tags round-tripping
+    bit-exact. Reference analog: gdal_translate CreateCopy to GTiff
+    (frmts/gtiff/geotiff.cpp TIFFWriteEncodedStrip path)."""
+    import tempfile
+
+    from gdal_spark.sources.tiff import (TiffDataSource,
+                                         tiff_geotransform,
+                                         write_strip_tiff)
+    spark.dataSource.register(TiffDataSource)
+    src_path = TIFF_FIXTURES[0]  # byte.tif
+    out = tempfile.mktemp(suffix=".tif", prefix="gdal_spark_rt_")
+    src = spark.read.format("tiff").load(src_path)
+    info = write_strip_tiff(src, out, dtype="uint8", comp="deflate",
+                            rps=7,
+                            geotransform=tiff_geotransform(src_path))
+    gt_ok = tiff_geotransform(out) == tiff_geotransform(src_path)
+    w = info["w"]
+    df = spark.read.format("tiff").load(out)
+    val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   f"CAST((CAST(py AS BIGINT) * {w} + px) % 11 AS INT)"
+                   " + 1)")
+    return (df.withColumn("_t", val % prime.cast("long"))
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .select(F.lit(info["w"]).alias("w"),
+                    F.lit(info["h"]).alias("h"),
+                    F.lit(info["strips"]).alias("strips"),
+                    "n_pixels", "checksum",
+                    F.lit(bool(gt_ok)).alias("gt_roundtrip")))
+
+
+def o_tiff_roundtrip():
+    return """
+SELECT CAST(20 AS INT) AS w, CAST(20 AS INT) AS h,
+       CAST(3 AS INT) AS strips, CAST(400 AS BIGINT) AS n_pixels,
+       CAST(4672 AS BIGINT) AS checksum, TRUE AS gt_roundtrip"""
+
+
 def q_geojsonseq_scan(spark, sf_dir):
     """GeoJSONSeq vector driver (OGR's line-delimited GeoJSON,
     ogr/ogrsf_frmts/geojson — RFC 8142 text sequences; the format
@@ -20127,6 +20230,8 @@ REGISTRY: dict[str, tuple] = {
     "shard_plan": (q_shard_plan, o_shard_plan),
     "rat_table": (q_rat_table, o_rat_table),
     "tiff_scan": (q_tiff_scan, o_tiff_scan),
+    "tiff_tiled_scan": (q_tiff_tiled_scan, o_tiff_tiled_scan),
+    "tiff_roundtrip": (q_tiff_roundtrip, o_tiff_roundtrip),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -20519,8 +20624,9 @@ _WINDOW_R4 = [
     "warc_records", "cdx_index", "geojsonseq_scan", "mime_filter",
     "sql_udf_registered", "grouped_agg_udaf", "udtf_url_segments",
     "fillnodata", "fillnodata_smooth", "dem_hillshade_igor",
-    "dem_aspect_trig", "dem_curvature", "median_cut", "pct2rgb",
-    "viewshed", "viewshed_cumulative", "morphology", "nearblack",
+    "dem_aspect_trig", "dem_curvature",
+    "viewshed", "viewshed_cumulative", "tiff_tiled_scan",
+    "tiff_roundtrip", "morphology", "nearblack",
     "clean_collar", "hist_equalize", "hist_match", "gcp_polywarp",
     "tps_warp", "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",

@@ -7,21 +7,27 @@ missing-item 2), scoped to the baseline-TIFF subset the reference's
 own autotest fixtures use:
 
 - classic (non-Big) TIFF, II or MM byte order;
-- strip organization (tags 273/278/279), any strip count;
+- strip organization (tags 273/278/279), any strip count, AND tiled
+  organization (tags 322/323/324/325) with edge tiles padded to the
+  full tile size per TIFF 6.0 §15 (clipped after decode, after the
+  predictor pass — the predictor runs over the stored padded row);
 - Compression 1 (none), 5 (TIFF-LZW, MSB-first packing with
-  early-change code widening), 8/32946 (DEFLATE via zlib);
-- Predictor 2 (horizontal differencing) for LZW/DEFLATE;
+  early-change code widening), 8/32946 (DEFLATE via zlib),
+  32773 (PackBits, TIFF 6.0 §9);
+- Predictor 2 (horizontal differencing) for LZW/DEFLATE, per-sample
+  when samples are interleaved;
 - BitsPerSample 8/16/32, SampleFormat unsigned/signed int + 32-bit
   IEEE float;
-- PlanarConfiguration 2 (one strip run per band, e.g. rgbsmall.tif)
-  and chunky 1 for a single band (multi-band chunky interleave is
-  rejected, not misread).
+- PlanarConfiguration 2 (one block run per band, e.g. rgbsmall.tif)
+  AND chunky 1 with interleaved samples (e.g. contig_tiled.tif —
+  the block is de-interleaved into per-band rows after decode).
 
 Scale shape: the DRIVER reads only the header/IFD (a few KiB) to plan;
-each InputPartition is ONE (band, strip) — the executor opens the file
-and reads exactly its strip's byte range, so a 100k-strip mosaic scans
-strip-parallel with no whole-file reads anywhere. Emitted schema is
-the engine's pixel convention
+each InputPartition is ONE block — a (band, strip/tile) for planar
+data, one strip/tile carrying all interleaved bands for chunky — and
+the executor opens the file and reads exactly its block's byte range,
+so a 100k-block mosaic scans block-parallel with no whole-file reads
+anywhere. Emitted schema is the engine's pixel convention
 ``(file string, band int, py int, px int, value double)`` — py/px in
 raster space, value widened to double (every raster operator here
 consumes doubles; the exact integer is recoverable for the supported
@@ -31,7 +37,19 @@ Parity anchors: tests/test_tiff_source.py pins byte.tif's published
 checksum 4672 (autotest/gcore uses it everywhere) plus LZW (n43.tif)
 and planar DEFLATE (rgbsmall.tif) equality against the independent
 parity-suite decoders; the ``tiff_scan`` gate row pins the same
-checksums through the driver's DuckDB compare.
+checksums through the driver's DuckDB compare. The tiled/PackBits/
+chunky path pins the reference's partial-final-block quartet
+(autotest/gcore/tiff_read.py:68-71: contig_tiled / separate_tiled /
+contig_strip / seperate_strip band 2 == 15234, issue #1179) via the
+``tiff_tiled_scan`` gate.
+
+The module also carries the WRITER half (write_strip_tiff): strips
+are predictor-2-differenced and compressed on executors (one part
+file per strip, two-phase commit exactly like sources/wet.py — the
+commit-side rename requires a filesystem shared by driver and
+executors: local mode, NFS, or a fuse mount), then the driver
+assembles header + IFD + strip bytes. gdal_translate's
+CreateCopy-to-GTiff analog for the engine's pixel schema.
 """
 
 from __future__ import annotations
@@ -133,9 +151,28 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def tiff_packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits (TIFF 6.0 §9): n in 0..127 → copy n+1 literals,
+    n in 129..255 → repeat next byte 257-n times, n == 128 no-op."""
+    out = bytearray()
+    i, ln = 0, len(data)
+    while i < ln and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
 def _plan(path: str) -> dict:
     """Driver-side header read: everything partition planning needs,
-    no pixel data."""
+    no pixel data. Normalizes both layouts to a uniform block grid:
+    strips are blocks of (w × RowsPerStrip) in a 1-wide grid, tiles
+    are (TileWidth × TileLength) in a ceil(w/tw)-wide grid."""
     with open(path, "rb") as fh:
         head = fh.read(64 * 1024)  # IFD + tag arrays of any fixture
     bo, tags = _read_ifd(head)
@@ -150,32 +187,43 @@ def _plan(path: str) -> dict:
 
     w, h = one(256), one(257)
     comp = one(259, 1)
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
-    bits = one(258, 8)
+    bits_all = tags.get(258, [8])
+    if len(set(bits_all)) != 1:
+        raise ValueError("heterogeneous BitsPerSample not supported")
+    bits = bits_all[0]
     if bits not in (8, 16, 32):
         raise ValueError(f"unsupported BitsPerSample {bits}")
     spp = one(277, 1)
     planar = one(284, 1)
-    if spp > 1 and planar != 2:
-        raise ValueError("multi-band chunky interleave not supported")
     sfmt = one(339, 1)  # 1 unsigned, 2 signed, 3 float
     if sfmt == 3 and bits != 32:
         raise ValueError("float samples only supported at 32 bits")
     pred = one(317, 1)
     if pred not in (1, 2):
         raise ValueError(f"unsupported Predictor {pred}")
-    rps = one(278, h)
-    offs = tags[273]
-    lens = tags[279]
-    strips_per_band = (h + rps - 1) // rps
-    if len(offs) != strips_per_band * (spp if planar == 2 else 1):
-        raise ValueError("strip count does not match RowsPerStrip")
+    tiled = 322 in tags
+    if tiled:
+        bw, bh = one(322), one(323)
+        offs, lens = tags[324], tags[325]
+    else:
+        bw, bh = w, one(278, h)
+        offs, lens = tags[273], tags[279]
+    ba = (w + bw - 1) // bw   # blocks across
+    bd = (h + bh - 1) // bh   # blocks down
+    blocks_per_band = ba * bd
+    want = blocks_per_band * (spp if planar == 2 else 1)
+    if len(offs) != want:
+        raise ValueError(
+            f"block count {len(offs)} does not match layout ({want})")
     np_kind = {1: "u", 2: "i", 3: "f"}[sfmt]
     dtype = ("<" if bo == "<" else ">") + np_kind + str(bits // 8)
     return {"path": path, "w": w, "h": h, "comp": comp, "pred": pred,
-            "rps": rps, "offs": offs, "lens": lens, "dtype": dtype,
-            "bands": spp, "strips_per_band": strips_per_band}
+            "tiled": tiled, "bw": bw, "bh": bh, "ba": ba, "bd": bd,
+            "offs": offs, "lens": lens, "dtype": dtype,
+            "bands": spp, "planar": planar,
+            "blocks_per_band": blocks_per_band}
 
 
 def tiff_geotransform(path: str) -> tuple:
@@ -195,10 +243,13 @@ def tiff_geotransform(path: str) -> tuple:
 
 
 class TiffStripPartition(InputPartition):
-    def __init__(self, meta: dict, band: int, strip: int):
+    """One stored block: (band, block) for planar files, band == -1
+    for a chunky block carrying every interleaved sample."""
+
+    def __init__(self, meta: dict, band: int, block: int):
         self.meta = meta
         self.band = band
-        self.strip = strip
+        self.block = block
 
 
 class TiffReader(DataSourceReader):
@@ -214,22 +265,33 @@ class TiffReader(DataSourceReader):
     def partitions(self):
         parts = []
         for m in self.metas:
-            for band in range(m["bands"]):
-                for strip in range(m["strips_per_band"]):
-                    parts.append(TiffStripPartition(m, band, strip))
+            if m["planar"] == 2:
+                for band in range(m["bands"]):
+                    for blk in range(m["blocks_per_band"]):
+                        parts.append(TiffStripPartition(m, band, blk))
+            else:
+                for blk in range(m["blocks_per_band"]):
+                    band = 0 if m["bands"] == 1 else -1
+                    parts.append(TiffStripPartition(m, band, blk))
         return parts
 
     def read(self, part: TiffStripPartition):
         import os
 
         import numpy as np
-        m, band, strip = part.meta, part.band, part.strip
-        idx = band * m["strips_per_band"] + strip
+        m, band, blk = part.meta, part.band, part.block
+        chunky = m["planar"] == 1
+        samples = m["bands"] if chunky else 1
+        idx = blk if chunky else band * m["blocks_per_band"] + blk
         off, ln = m["offs"][idx], m["lens"][idx]
-        y0 = strip * m["rps"]
-        nrows = min(m["rps"], m["h"] - y0)
+        bx, by = blk % m["ba"], blk // m["ba"]
+        x0, y0 = bx * m["bw"], by * m["bh"]
+        # tiles are stored padded to the full tile size (TIFF 6.0
+        # §15); strips store only the rows that exist
+        stored_rows = m["bh"] if m["tiled"] else min(m["bh"],
+                                                    m["h"] - y0)
         itemsize = int(m["dtype"][-1])
-        expected = nrows * m["w"] * itemsize
+        expected = stored_rows * m["bw"] * samples * itemsize
         with open(m["path"], "rb") as fh:
             fh.seek(off)
             raw = fh.read(ln)
@@ -237,26 +299,39 @@ class TiffReader(DataSourceReader):
             data = raw[:expected]
         elif m["comp"] == 5:
             data = tiff_lzw_decode(raw, expected)
+        elif m["comp"] == 32773:
+            data = tiff_packbits_decode(raw, expected)
         else:
             data = zlib.decompress(raw)[:expected]
+        if len(data) < expected:  # sparse/short final block
+            data = data + b"\0" * (expected - len(data))
         arr = np.frombuffer(data, dtype=m["dtype"]).reshape(
-            nrows, m["w"]).copy()
+            stored_rows, m["bw"], samples).copy()
         if m["pred"] == 2:
+            # horizontal differencing runs over the stored (padded)
+            # row, per sample — undo BEFORE clipping edge tiles
             np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
-        # one Arrow batch per strip — the whole strip crosses to the
-        # JVM vectorized, no per-pixel Python loop
+        nrows = min(m["bh"], m["h"] - y0)
+        ncols = min(m["bw"], m["w"] - x0)
+        arr = arr[:nrows, :ncols, :]
+        # one Arrow batch per (block, band) — the whole block crosses
+        # to the JVM vectorized, no per-pixel Python loop
         import pyarrow as pa
-        w = m["w"]
-        n = nrows * w
+        n = nrows * ncols
         fname = os.path.basename(m["path"])
-        yield pa.record_batch(
-            [pa.array([fname] * n, pa.string()),
-             pa.array(np.full(n, band, dtype=np.int32)),
-             pa.array(np.repeat(
-                 np.arange(y0, y0 + nrows, dtype=np.int32), w)),
-             pa.array(np.tile(np.arange(w, dtype=np.int32), nrows)),
-             pa.array(arr.astype(np.float64).ravel())],
-            names=["file", "band", "py", "px", "value"])
+        pys = pa.array(np.repeat(
+            np.arange(y0, y0 + nrows, dtype=np.int32), ncols))
+        pxs = pa.array(np.tile(
+            np.arange(x0, x0 + ncols, dtype=np.int32), nrows))
+        names = ["file", "band", "py", "px", "value"]
+        for s in range(samples):
+            b = s if chunky and samples > 1 else band
+            yield pa.record_batch(
+                [pa.array([fname] * n, pa.string()),
+                 pa.array(np.full(n, b, dtype=np.int32)),
+                 pys, pxs,
+                 pa.array(arr[:, :, s].astype(np.float64).ravel())],
+                names=names)
 
 
 class TiffDataSource(DataSource):
@@ -269,3 +344,185 @@ class TiffDataSource(DataSource):
 
     def reader(self, schema):
         return TiffReader(self.options)
+
+
+# ---------------------------------------------------------------- writer
+
+_SFMT = {"u": 1, "i": 2, "f": 3}
+
+
+def encode_strip(arr, comp: str, pred: int) -> bytes:
+    """Pure strip encoder: optional per-row horizontal differencing
+    (Predictor 2) then DEFLATE / PackBits / raw. arr is a 2-D numpy
+    block in the file dtype."""
+    import numpy as np
+    if pred == 2:
+        arr = np.concatenate(
+            [arr[:, :1], np.diff(arr.astype(arr.dtype), axis=1)],
+            axis=1).astype(arr.dtype)
+    raw = arr.tobytes()
+    if comp == "deflate":
+        return zlib.compress(raw, 6)
+    if comp == "packbits":
+        # row-at-a-time, literal-run/repeat-run greedy per TIFF §9
+        out = bytearray()
+        row_bytes = arr.shape[1] * arr.dtype.itemsize
+        for r in range(0, len(raw), row_bytes):
+            row = raw[r:r + row_bytes]
+            i, n = 0, len(row)
+            while i < n:
+                # find repeat run
+                j = i
+                while j + 1 < n and row[j + 1] == row[j] and \
+                        j - i < 127:
+                    j += 1
+                if j > i + 1:  # run of >= 3 pays for itself
+                    out += bytes([257 - (j - i + 1) & 0xFF, row[i]])
+                    i = j + 1
+                    continue
+                # literal run up to next >=3 repeat or 128 bytes
+                j = i
+                while j < n and j - i < 128:
+                    if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                        break
+                    j += 1
+                out += bytes([j - i - 1]) + row[i:j]
+                i = j
+        return bytes(out)
+    return raw
+
+
+def _ifd_bytes(w: int, h: int, dtype, comp_id: int, pred: int,
+               rps: int, lens: list, data_start: int,
+               geotransform=None) -> bytes:
+    """Classic little-endian header + IFD + out-of-line arrays.
+    Strip offsets are computed from data_start + running lengths."""
+    import numpy as np
+    dt = np.dtype(dtype)
+    bits = dt.itemsize * 8
+    sfmt = _SFMT[dt.kind]
+    nstrips = len(lens)
+    offs = []
+    pos = data_start
+    for ln in lens:
+        offs.append(pos)
+        pos += ln
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 4, 1, [w]))
+    entries.append((257, 4, 1, [h]))
+    entries.append((258, 3, 1, [bits]))
+    entries.append((259, 3, 1, [comp_id]))
+    entries.append((262, 3, 1, [1]))            # BlackIsZero
+    entries.append((273, 4, nstrips, offs))
+    entries.append((277, 3, 1, [1]))
+    entries.append((278, 4, 1, [rps]))
+    entries.append((279, 4, nstrips, lens))
+    entries.append((284, 3, 1, [1]))
+    if pred == 2:
+        entries.append((317, 3, 1, [pred]))
+    entries.append((339, 3, 1, [sfmt]))
+    if geotransform is not None:
+        gt = geotransform
+        entries.append((33550, 12, 3, [gt[1], -gt[5], 0.0]))
+        entries.append((33922, 12, 6, [0.0, 0.0, 0.0,
+                                       gt[0], gt[3], 0.0]))
+    entries.sort()
+    sizes = {3: 2, 4: 4, 12: 8}
+    fmts = {3: "H", 4: "I", 12: "d"}
+    ifd_off = 8
+    n = len(entries)
+    overflow_off = ifd_off + 2 + 12 * n + 4
+    head = struct.pack("<2sHI", b"II", 42, ifd_off)
+    ifd = struct.pack("<H", n)
+    overflow = b""
+    for tag, typ, cnt, vals in entries:
+        total = sizes[typ] * cnt
+        packed = struct.pack(f"<{cnt}{fmts[typ]}", *vals)
+        if total <= 4:
+            val_field = packed + b"\0" * (4 - total)
+        else:
+            val_field = struct.pack("<I", overflow_off + len(overflow))
+            overflow += packed
+        ifd += struct.pack("<HHI", tag, typ, cnt) + val_field
+    ifd += struct.pack("<I", 0)  # next-IFD pointer
+    return head + ifd + overflow
+
+
+def write_strip_tiff(df, path: str, dtype="uint8", comp="deflate",
+                     rps: int = 64, geotransform=None) -> dict:
+    """Distributed strip-TIFF sink over the engine's pixel schema
+    (single band). The scale-shaped half runs on executors: each
+    strip's pixels shuffle once on strip id, the strip is assembled,
+    predictor-2 differenced and compressed inside applyInPandas, and
+    lands as one part file. The driver then writes header + IFD and
+    concatenates the (already-compressed) strip bytes in order —
+    driver work is O(n_strips) metadata plus a byte copy, never pixel
+    math. Same two-phase-commit / shared-filesystem contract as
+    sources/wet.py (documented there and in the module docstring).
+
+    Reference analog: GTiff CreateCopy + TIFFWriteEncodedStrip
+    (frmts/gtiff/geotiff.cpp); the strip layout mirrors what
+    gdal_translate emits for a BAND-interleaved single-band raster.
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    w, h = [(r["w"], r["h"]) for r in df.agg(
+        (F.max("px") + 1).alias("w"),
+        (F.max("py") + 1).alias("h")).collect()][0]
+    w, h = int(w), int(h)
+    nstrips = (h + rps - 1) // rps
+    comp_id = {"none": 1, "deflate": 8, "packbits": 32773}[comp]
+    pred = 2 if comp == "deflate" and np.dtype(dtype).kind != "f" \
+        else 1
+    tmp_dir = path + ".parts"
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    def one_strip(key, pdf):
+        strip = int(key[0])
+        y0 = strip * rps
+        nrows = min(rps, h - y0)
+        block = np.zeros((nrows, w), dtype=np.dtype(dtype))
+        block[pdf["py"].to_numpy() - y0,
+              pdf["px"].to_numpy()] = pdf["value"].to_numpy()
+        payload = encode_strip(block, comp, pred)
+        part = os.path.join(tmp_dir, f"strip-{strip:06d}")
+        with open(part + ".tmp", "wb") as fh:
+            fh.write(payload)
+        os.replace(part + ".tmp", part)
+        return pd.DataFrame({"strip": [strip],
+                             "nbytes": [len(payload)],
+                             "rows": [len(pdf)]})
+
+    report = (df.withColumn("strip",
+                            (F.col("py") / F.lit(rps)).cast("int"))
+              .groupBy("strip")
+              .applyInPandas(one_strip,
+                             "strip int, nbytes long, rows long")
+              .collect())
+    by_strip = {r["strip"]: r["nbytes"] for r in report}
+    if set(by_strip) != set(range(nstrips)):
+        missing = sorted(set(range(nstrips)) - set(by_strip))
+        raise IOError(f"strips missing from write: {missing[:5]}")
+    lens = [by_strip[s] for s in range(nstrips)]
+    header = _ifd_bytes(w, h, dtype, comp_id, pred, rps, lens,
+                        data_start=0, geotransform=geotransform)
+    header = _ifd_bytes(w, h, dtype, comp_id, pred, rps, lens,
+                        data_start=len(header),
+                        geotransform=geotransform)
+    with open(path + ".tmp", "wb") as fh:
+        fh.write(header)
+        for s in range(nstrips):
+            with open(os.path.join(tmp_dir,
+                                   f"strip-{s:06d}"), "rb") as p:
+                fh.write(p.read())
+    os.replace(path + ".tmp", path)
+    for s in range(nstrips):
+        os.remove(os.path.join(tmp_dir, f"strip-{s:06d}"))
+    os.rmdir(tmp_dir)
+    return {"path": path, "w": w, "h": h, "strips": nstrips,
+            "bytes": len(header) + sum(lens),
+            "rows": int(sum(r["rows"] for r in report))}

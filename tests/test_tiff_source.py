@@ -111,3 +111,66 @@ def test_glob_scan_tags_file_column(tiff):
         assert counts == {"byte.tif": 400, "pat.tif": 625}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partial_final_block_quartet_published_15234(tiff):
+    """autotest/gcore/tiff_read.py:68-71 pins band 2 == 15234 for the
+    four #1179 fixtures — together they cover tiled+PackBits+chunky,
+    tiled+PackBits+planar, strip+PackBits+chunky, strip+PackBits+
+    planar, all with partial final blocks."""
+    from gdal_spark.operators.rasterize import gdal_checksum
+    for f in ("contig_tiled.tif", "separate_tiled.tif",
+              "contig_strip.tif", "seperate_strip.tif"):
+        pdf = (tiff.read.format("tiff")
+               .load(f"{DATA}/gcore/data/{f}").toPandas())
+        assert len(pdf) == 35 * 37 * 3, f
+        assert gdal_checksum(_grid(pdf, 1)) == 15234, f
+
+
+def test_tiled_lzw_f2r23_determinism_pin(tiff):
+    """f2r23.tif: tiled (64x64, 20 tiles) + LZW, 273x251 — no
+    published checksum in autotest, so this pins our own value as a
+    determinism anchor for the tiled-LZW path (the LZW codec itself
+    is published-pinned via n43.tif, the tiled layout via the
+    quartet above)."""
+    from gdal_spark.operators.rasterize import gdal_checksum
+    pdf = (tiff.read.format("tiff")
+           .load(f"{DATA}/gcore/data/f2r23.tif").toPandas())
+    assert len(pdf) == 273 * 251
+    assert gdal_checksum(_grid(pdf)) == 57785
+
+
+def test_writer_roundtrip_deflate_predictor(tiff, tmp_path):
+    """write_strip_tiff round trip: byte.tif scanned, re-written as
+    DEFLATE+Predictor-2 strips on executors, re-scanned — array-equal
+    and checksum 4672 preserved, geotransform tags carried."""
+    import numpy as np
+    from gdal_spark.operators.rasterize import gdal_checksum
+    from gdal_spark.sources.tiff import (tiff_geotransform,
+                                         write_strip_tiff)
+    src_path = f"{DATA}/gcore/data/byte.tif"
+    out = str(tmp_path / "rt.tif")
+    src = tiff.read.format("tiff").load(src_path)
+    info = write_strip_tiff(src, out, dtype="uint8", comp="deflate",
+                            rps=7,
+                            geotransform=tiff_geotransform(src_path))
+    assert info["strips"] == 3 and info["rows"] == 400
+    got = tiff.read.format("tiff").load(out).toPandas()
+    want = tiff.read.format("tiff").load(src_path).toPandas()
+    np.testing.assert_array_equal(_grid(got), _grid(want))
+    assert gdal_checksum(_grid(got)) == 4672
+    assert tiff_geotransform(out) == tiff_geotransform(src_path)
+
+
+def test_writer_roundtrip_packbits_int16(tiff, tmp_path):
+    """PackBits encoder round trip on int16 LZW source (n43.tif):
+    re-written as PackBits strips, re-scanned, array-equal."""
+    import numpy as np
+    from gdal_spark.sources.tiff import write_strip_tiff
+    src_path = "/root/reference/autotest/gdrivers/data/n43.tif"
+    out = str(tmp_path / "rt16.tif")
+    src = tiff.read.format("tiff").load(src_path)
+    write_strip_tiff(src, out, dtype="int16", comp="packbits", rps=32)
+    got = tiff.read.format("tiff").load(out).toPandas()
+    want = tiff.read.format("tiff").load(src_path).toPandas()
+    np.testing.assert_array_equal(_grid(got), _grid(want))
