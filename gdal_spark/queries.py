@@ -4257,6 +4257,62 @@ FROM srcclip
 WHERE te BETWEEN {dx1!r} AND {dx2!r} AND tn BETWEEN {dy1!r} AND {dy2!r}"""
 
 
+def q_ogr2ogr_compose_tps(spark, sf_dir):
+    """ogr2ogr composed translate with -gcp ... -tps
+    (apps/ogr2ogr_lib.cpp:1942-2009: bTPS selects
+    GDALCreateTPSTransformer over the polynomial fit — thin-plate
+    spline with r^2·log r radial kernel + affine part, exact at every
+    GCP, alg/gdal_tps.cpp): same LayerTranslator op order as
+    ogr2ogr_compose_gcp (explode → -clipsrc in SOURCE coords → TPS
+    transform → -clipdst in TARGET coords → field knobs). The spline
+    solve over the 9 GCPs is the bounded driver-side fit
+    (operators/gcpwarp.fit_tps, trained-literal contract); the apply
+    is fixed-size column math — 9 radial terms + affine — shared
+    expression-for-expression with the oracle (tps_apply_cols/sql).
+    The source surface is quadratic, so TPS and the order-2 fit
+    disagree away from GCPs — at sf0.01 every surviving fid's
+    easting/northing differs from the polynomial variant by O(1)
+    units (membership in the clipdst rect happens to coincide); the
+    gate pins the spline values themselves to 6 decimals."""
+    from gdal_spark.operators.gcpwarp import fit_tps, tps_apply_cols
+    p = pages_df(spark, sf_dir).filter(F.col("lat").isNotNull())
+    sx1, sy1, sx2, sy2 = OGR2OGR_CLIPSRC
+    p = p.filter(F.col("lon").between(sx1, sx2)
+                 & F.col("lat").between(sy1, sy2))
+    fit = fit_tps(_ogr2ogr_gcps())
+    ec, nc = tps_apply_cols(fit, F.col("lon"), F.col("lat"))
+    t = p.select("doc_id", "n_chars", "tld",
+                 ec.alias("te"), nc.alias("tn"))
+    dx1, dy1, dx2, dy2 = OGR2OGR_GCP_CLIPDST
+    t = t.filter(F.col("te").between(dx1, dx2)
+                 & F.col("tn").between(dy1, dy2))
+    return t.select(F.col("doc_id").alias("fid"),
+                    F.col("n_chars").cast("string").alias("n_chars_str"),
+                    "tld",
+                    F.round("te", 6).alias("easting"),
+                    F.round("tn", 6).alias("northing"))
+
+
+def o_ogr2ogr_compose_tps():
+    from gdal_spark.operators.gcpwarp import fit_tps, tps_apply_sql
+    sx1, sy1, sx2, sy2 = OGR2OGR_CLIPSRC
+    dx1, dy1, dx2, dy2 = OGR2OGR_GCP_CLIPDST
+    fit = fit_tps(_ogr2ogr_gcps())
+    esql, nsql = tps_apply_sql(fit, "(lon)", "(lat)", sqlexpr.dlit)
+    return f"""
+WITH {sqlexpr.pages_cte()},
+srcclip AS (
+  SELECT doc_id, n_chars, tld, {esql} AS te, {nsql} AS tn
+  FROM pages
+  WHERE lat IS NOT NULL
+    AND lon BETWEEN {sx1!r} AND {sx2!r} AND lat BETWEEN {sy1!r} AND {sy2!r}
+)
+SELECT doc_id AS fid, CAST(n_chars AS VARCHAR) AS n_chars_str, tld,
+       ROUND(te, 6) AS easting, ROUND(tn, 6) AS northing
+FROM srcclip
+WHERE te BETWEEN {dx1!r} AND {dx2!r} AND tn BETWEEN {dy1!r} AND {dy2!r}"""
+
+
 def q_ogr2ogr_datetime_to(spark, sf_dir):
     """ogr2ogr -dateTimeTo UTC+3 (apps/ogr2ogr_lib.cpp:98-130 tzOffset
     handling): every datetime field re-expressed in the target offset
@@ -20253,6 +20309,7 @@ REGISTRY: dict[str, tuple] = {
     "concave_hull": (q_concave_hull, o_concave_hull),
     "ogr2ogr_compose": (q_ogr2ogr_compose, o_ogr2ogr_compose),
     "ogr2ogr_compose_gcp": (q_ogr2ogr_compose_gcp, o_ogr2ogr_compose_gcp),
+    "ogr2ogr_compose_tps": (q_ogr2ogr_compose_tps, o_ogr2ogr_compose_tps),
     "ogr2ogr_datetime_to": (q_ogr2ogr_datetime_to, o_ogr2ogr_datetime_to),
     "ogr2ogr_resolve_domains": (q_ogr2ogr_resolve_domains,
                                 o_ogr2ogr_resolve_domains),
@@ -20614,7 +20671,7 @@ REGISTRY: dict[str, tuple] = {
 # -----------------------------------------------------------------
 _WINDOW_R4 = [
     "tiff_scan", "tiff_hillshade", "algebra_pieces_general",
-    "ogr2ogr_compose_gcp",
+    "ogr2ogr_compose_gcp", "ogr2ogr_compose_tps",
     "concave_hull", "s2_cells", "h3_cells", "dither",
     "classifier_auc", "perplexity_buckets", "length_deciles",
     "wet_scan", "zone_predicates",
@@ -20627,7 +20684,7 @@ _WINDOW_R4 = [
     "dem_aspect_trig", "dem_curvature",
     "viewshed", "viewshed_cumulative", "tiff_tiled_scan",
     "tiff_roundtrip", "morphology", "nearblack",
-    "clean_collar", "hist_equalize", "hist_match", "gcp_polywarp",
+    "clean_collar", "hist_match", "gcp_polywarp",
     "tps_warp", "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
     "ogr2ogr_splitlistfields",
