@@ -19469,6 +19469,59 @@ SELECT CAST(20 AS INT) AS w, CAST(20 AS INT) AS h,
        CAST(4672 AS BIGINT) AS checksum, TRUE AS gt_roundtrip"""
 
 
+def q_tiff_overview_scan(spark, sf_dir):
+    """Internal-overview read (GTiff's chained-IFD overview model:
+    GDALRasterBand::GetOverview → frmts/gtiff multi-IFD chain, each
+    overview a NewSubfileType=1 IFD): the tiff source's `ifd` option
+    walks the next-IFD chain at plan time, so each overview level
+    scans block-parallel like any raster — here the 10×10 and 5×5
+    levels are single 128×128 PADDED tiles clipped after decode.
+    Union of levels 0/1/2 of byte_with_ovr.tif reduced to the
+    distributed GDAL checksum per level. Oracle = the reference's own
+    pins: base 4672 (byte.tif everywhere), overview 0 == 1087 and
+    overview 1 == 328 (autotest/gcore/libertiff.py:183-189
+    test_libertiff_with_ovr)."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    path = ("/root/reference/autotest/gcore/data/byte_with_ovr.tif")
+    levels = []
+    for i in (0, 1, 2):
+        d = (spark.read.format("tiff").option("ifd", str(i)).load(path)
+             .withColumn("level", F.lit(i)))
+        levels.append(d)
+    df = _reduce(lambda a, b: a.unionByName(b), levels)
+    dims = df.groupBy("level").agg(
+        (F.max("px") + 1).cast("int").alias("w"),
+        (F.max("py") + 1).cast("int").alias("h"))
+    t = df.join(F.broadcast(dims), "level")
+    val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   "CAST((CAST(py AS BIGINT) * w + px) % 11 AS INT) + 1)")
+    return (t.withColumn("_t", val % prime.cast("long"))
+            .groupBy("level")
+            .agg(F.max("w").alias("w"), F.max("h").alias("h"),
+                 F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .orderBy("level"))
+
+
+def o_tiff_overview_scan():
+    return """
+SELECT * FROM (VALUES
+  (0, CAST(20 AS INT), CAST(20 AS INT), CAST(400 AS BIGINT),
+   CAST(4672 AS BIGINT)),
+  (1, CAST(10 AS INT), CAST(10 AS INT), CAST(100 AS BIGINT),
+   CAST(1087 AS BIGINT)),
+  (2, CAST(5 AS INT),  CAST(5 AS INT),  CAST(25 AS BIGINT),
+   CAST(328 AS BIGINT))
+) AS t(level, w, h, n_pixels, checksum)
+ORDER BY level"""
+
+
 def q_geojsonseq_scan(spark, sf_dir):
     """GeoJSONSeq vector driver (OGR's line-delimited GeoJSON,
     ogr/ogrsf_frmts/geojson — RFC 8142 text sequences; the format
@@ -20288,6 +20341,7 @@ REGISTRY: dict[str, tuple] = {
     "tiff_scan": (q_tiff_scan, o_tiff_scan),
     "tiff_tiled_scan": (q_tiff_tiled_scan, o_tiff_tiled_scan),
     "tiff_roundtrip": (q_tiff_roundtrip, o_tiff_roundtrip),
+    "tiff_overview_scan": (q_tiff_overview_scan, o_tiff_overview_scan),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -20683,8 +20737,8 @@ _WINDOW_R4 = [
     "fillnodata", "fillnodata_smooth", "dem_hillshade_igor",
     "dem_aspect_trig", "dem_curvature",
     "viewshed", "viewshed_cumulative", "tiff_tiled_scan",
-    "tiff_roundtrip", "morphology", "nearblack",
-    "clean_collar", "hist_match", "gcp_polywarp",
+    "tiff_roundtrip", "tiff_overview_scan", "morphology", "nearblack",
+    "hist_match", "gcp_polywarp",
     "tps_warp", "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
     "ogr2ogr_splitlistfields",

@@ -77,10 +77,13 @@ _TYPE_FMT = {1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4),
              12: ("d", 8)}
 
 
-def _read_ifd(b: bytes):
-    """Parse the first IFD type-aware (values inline when they fit the
-    4-byte slot, else at the offset). Returns (byteorder, {tag:
-    [values...]})."""
+def _read_ifd(b: bytes, index: int = 0):
+    """Parse the index-th IFD of the chain type-aware (values inline
+    when they fit the 4-byte slot, else at the offset). IFD 0 is the
+    full-resolution raster; GTiff appends internal overviews as
+    chained IFDs (NewSubfileType=1), so index 1.. are the overview
+    levels — GDALRasterBand::GetOverview in file terms. Returns
+    (byteorder, {tag: [values...]})."""
     if b[:2] == b"II":
         bo = "<"
     elif b[:2] == b"MM":
@@ -91,6 +94,14 @@ def _read_ifd(b: bytes):
     if magic != 42:
         raise ValueError(f"not a classic TIFF (magic {magic})")
     ifd = struct.unpack(bo + "I", b[4:8])[0]
+    for _ in range(index):
+        n = struct.unpack(bo + "H", b[ifd:ifd + 2])[0]
+        nxt = struct.unpack(
+            bo + "I", b[ifd + 2 + 12 * n:ifd + 6 + 12 * n])[0]
+        if nxt == 0:
+            raise ValueError(f"TIFF has no IFD {index} "
+                             "(overview chain ends)")
+        ifd = nxt
     n = struct.unpack(bo + "H", b[ifd:ifd + 2])[0]
     tags: dict[int, list] = {}
     for i in range(n):
@@ -168,14 +179,15 @@ def tiff_packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def _plan(path: str) -> dict:
+def _plan(path: str, ifd: int = 0) -> dict:
     """Driver-side header read: everything partition planning needs,
     no pixel data. Normalizes both layouts to a uniform block grid:
     strips are blocks of (w × RowsPerStrip) in a 1-wide grid, tiles
-    are (TileWidth × TileLength) in a ceil(w/tw)-wide grid."""
+    are (TileWidth × TileLength) in a ceil(w/tw)-wide grid. ifd
+    selects the overview level (0 = full resolution)."""
     with open(path, "rb") as fh:
         head = fh.read(64 * 1024)  # IFD + tag arrays of any fixture
-    bo, tags = _read_ifd(head)
+    bo, tags = _read_ifd(head, ifd)
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -258,9 +270,10 @@ class TiffReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("tiff source requires a path")
+        ifd = int(options.get("ifd", 0))
         paths = sorted(_glob.glob(path)) if any(
             c in path for c in "*?[") else [path]
-        self.metas = [_plan(p) for p in paths]
+        self.metas = [_plan(p, ifd) for p in paths]
 
     def partitions(self):
         parts = []

@@ -174,3 +174,22 @@ def test_writer_roundtrip_packbits_int16(tiff, tmp_path):
     got = tiff.read.format("tiff").load(out).toPandas()
     want = tiff.read.format("tiff").load(src_path).toPandas()
     np.testing.assert_array_equal(_grid(got), _grid(want))
+
+
+def test_overview_chain_published_checksums(tiff):
+    """byte_with_ovr.tif internal overviews = chained IFDs holding
+    single padded 128x128 tiles; ifd option selects the level.
+    Pins autotest/gcore/libertiff.py test_libertiff_with_ovr:
+    overview 0 checksum 1087, overview 1 checksum 328."""
+    import pytest as _pytest
+    from gdal_spark.operators.rasterize import gdal_checksum
+    from gdal_spark.sources.tiff import _plan
+    path = f"{DATA}/gcore/data/byte_with_ovr.tif"
+    want = {0: (20, 4672), 1: (10, 1087), 2: (5, 328)}
+    for lvl, (size, cks) in want.items():
+        pdf = (tiff.read.format("tiff").option("ifd", str(lvl))
+               .load(path).toPandas())
+        assert len(pdf) == size * size, lvl
+        assert gdal_checksum(_grid(pdf)) == cks, lvl
+    with _pytest.raises(ValueError, match="no IFD 3"):
+        _plan(path, 3)
