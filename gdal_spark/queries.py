@@ -19522,6 +19522,70 @@ SELECT * FROM (VALUES
 ORDER BY level"""
 
 
+def q_overview_file_build(spark, sf_dir):
+    """gdaladdo parity on a real file (apps/gdaladdo.cpp →
+    GDALRegenerateOverviews, gcore/overview.cpp NEAREST kernel —
+    byte_with_ovr.tif's stored overviews decimate the base with
+    nearest: computed-nearest checksums 1087/328 equal the stored
+    IFDs, while AVERAGE would give 1152/240): the base IFD scans
+    through the tiff source, levels 1 and 2 are rebuilt as pure
+    column decimation (px%2^L==0 row filter — map-only, no shuffle
+    until the checksum agg), the STORED levels scan from their
+    chained IFDs, and the gate emits built-vs-stored checksums per
+    level with a match flag. Oracle = the published libertiff pins
+    on both sides."""
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    path = "/root/reference/autotest/gcore/data/byte_with_ovr.tif"
+    base = spark.read.format("tiff").load(path)
+
+    def cks(df, w, label):
+        val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                      F.lit(2147483647)).cast("long")
+        prime = F.expr(
+            "element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+            f"CAST((CAST(py AS BIGINT) * {w} + px) % 11 AS INT) + 1)")
+        return (df.withColumn("_t", val % prime.cast("long"))
+                .agg(F.count(F.lit(1)).alias("n_pixels"),
+                     F.expr("pmod(SUM(_t), 65536)").cast("long")
+                     .alias(label)))
+
+    rows = []
+    for lvl in (1, 2):
+        step = 2 ** lvl
+        built = (base.filter((F.col("px") % step == 0)
+                             & (F.col("py") % step == 0))
+                 .select((F.col("px") / step).cast("int").alias("px"),
+                         (F.col("py") / step).cast("int").alias("py"),
+                         "value"))
+        stored = (spark.read.format("tiff")
+                  .option("ifd", str(lvl)).load(path))
+        w = 20 // step
+        b = cks(built, w, "built_checksum").withColumn(
+            "level", F.lit(lvl))
+        s = cks(stored, w, "stored_checksum").select(
+            F.lit(lvl).alias("level"), "stored_checksum")
+        rows.append(b.join(s, "level"))
+    from functools import reduce as _reduce
+    out = _reduce(lambda a, b: a.unionByName(b), rows)
+    return (out.select("level", "n_pixels", "built_checksum",
+                       "stored_checksum",
+                       (F.col("built_checksum")
+                        == F.col("stored_checksum")).alias("match"))
+            .orderBy("level"))
+
+
+def o_overview_file_build():
+    return """
+SELECT * FROM (VALUES
+  (1, CAST(100 AS BIGINT), CAST(1087 AS BIGINT),
+   CAST(1087 AS BIGINT), TRUE),
+  (2, CAST(25 AS BIGINT),  CAST(328 AS BIGINT),
+   CAST(328 AS BIGINT),  TRUE)
+) AS t(level, n_pixels, built_checksum, stored_checksum, match)
+ORDER BY level"""
+
+
 def q_geojsonseq_scan(spark, sf_dir):
     """GeoJSONSeq vector driver (OGR's line-delimited GeoJSON,
     ogr/ogrsf_frmts/geojson — RFC 8142 text sequences; the format
@@ -20342,6 +20406,7 @@ REGISTRY: dict[str, tuple] = {
     "tiff_tiled_scan": (q_tiff_tiled_scan, o_tiff_tiled_scan),
     "tiff_roundtrip": (q_tiff_roundtrip, o_tiff_roundtrip),
     "tiff_overview_scan": (q_tiff_overview_scan, o_tiff_overview_scan),
+    "overview_file_build": (q_overview_file_build, o_overview_file_build),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -20735,9 +20800,10 @@ _WINDOW_R4 = [
     "warc_records", "cdx_index", "geojsonseq_scan", "mime_filter",
     "sql_udf_registered", "grouped_agg_udaf", "udtf_url_segments",
     "fillnodata", "fillnodata_smooth", "dem_hillshade_igor",
-    "dem_aspect_trig", "dem_curvature",
+    "dem_aspect_trig",
     "viewshed", "viewshed_cumulative", "tiff_tiled_scan",
-    "tiff_roundtrip", "tiff_overview_scan", "morphology", "nearblack",
+    "tiff_roundtrip", "tiff_overview_scan", "overview_file_build",
+    "morphology", "nearblack",
     "hist_match", "gcp_polywarp",
     "tps_warp", "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
