@@ -19586,6 +19586,87 @@ SELECT * FROM (VALUES
 ORDER BY level"""
 
 
+#: the reference's strip-offset-type parity matrix
+#: (autotest/gcore/tiff_read.py:3835-3860
+#: test_tiff_read_stripoffset_types): classic and BigTIFF headers
+#: storing StripOffsets/TileOffsets as SHORT / LONG / LONG8, LE + BE
+TIFF_OFFSET_MATRIX = {
+    "classictiff_one_block_long.tif": [158],
+    "classictiff_one_block_be_long.tif": [158],
+    "classictiff_one_strip_long.tif": [146],
+    "classictiff_one_strip_be_long.tif": [146],
+    "classictiff_two_strip_short.tif": [162, 163],
+    "classictiff_two_strip_be_short.tif": [162, 163],
+    "classictiff_four_strip_short.tif": [178, 179, 180, 181],
+    "classictiff_four_strip_be_short.tif": [178, 179, 180, 181],
+    "bigtiff_four_strip_short.tif": [316, 317, 318, 319],
+    "bigtiff_four_strip_be_short.tif": [316, 317, 318, 319],
+    "bigtiff_one_block_long8.tif": [272],
+    "bigtiff_one_block_be_long8.tif": [272],
+    "bigtiff_one_strip_long.tif": [252],
+    "bigtiff_one_strip_be_long.tif": [252],
+    "bigtiff_one_strip_long8.tif": [252],
+    "bigtiff_one_strip_be_long8.tif": [252],
+    "bigtiff_two_strip_long.tif": [284, 285],
+    "bigtiff_two_strip_be_long.tif": [284, 285],
+    "bigtiff_two_strip_long8.tif": [284, 285],
+    "bigtiff_two_strip_be_long8.tif": [284, 285],
+}
+
+
+def q_tiff_bigtiff_scan(spark, sf_dir):
+    """BigTIFF read (frmts/gtiff BigTIFF path; TIFF 6.0 supplement
+    magic 43: 8-byte offset header, 20-byte IFD entries, 8-byte
+    counts, LONG8/SLONG8 types): byte_bigtiff_strip5lines.tif — the
+    byte.tif raster rewritten as BigTIFF in 5-line strips — scans
+    through the same block planner as classic TIFF and reduces to the
+    distributed GDAL checksum. PLUS the header-parse parity matrix:
+    the reference's 20 strip-offset-type fixtures (classic + BigTIFF
+    × SHORT/LONG/LONG8 offsets × LE/BE) planned driver-side, one row
+    per block, offsets matching the published BLOCK_OFFSET
+    expectations (tiff_read.py:1230 checksum 4672;
+    :3835-3860 the offset matrix)."""
+    from gdal_spark.sources.tiff import TiffDataSource, _plan
+    spark.dataSource.register(TiffDataSource)
+    D = "/root/reference/autotest/gcore/data/"
+    big = spark.read.format("tiff").load(D + "byte_bigtiff_strip5lines.tif")
+    w = 20
+    val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   f"CAST((CAST(py AS BIGINT) * {w} + px) % 11 AS INT)"
+                   " + 1)")
+    cks = (big.withColumn("_t", val % prime.cast("long"))
+           .agg(F.count(F.lit(1)).alias("v1"),
+                F.expr("pmod(SUM(_t), 65536)").cast("long").alias("v2"))
+           .select(F.lit("byte_bigtiff_strip5lines.tif/checksum")
+                   .alias("probe"), F.col("v1"), F.col("v2")))
+    # header-parse matrix: bounded driver-side metadata (20 tiny
+    # fixtures, ≤4 blocks each), same plan path the executors use
+    rows = []
+    for fname in sorted(TIFF_OFFSET_MATRIX):
+        offs = _plan(D + fname)["offs"]
+        for i, off in enumerate(offs):
+            rows.append((f"{fname}/block{i}", i, int(off)))
+    matrix = spark.createDataFrame(rows, "probe string, v1 long, v2 long")
+    return cks.unionByName(matrix).orderBy("probe")
+
+
+def o_tiff_bigtiff_scan():
+    rows = ["('byte_bigtiff_strip5lines.tif/checksum', "
+            "CAST(400 AS BIGINT), CAST(4672 AS BIGINT))"]
+    for fname in sorted(TIFF_OFFSET_MATRIX):
+        for i, off in enumerate(TIFF_OFFSET_MATRIX[fname]):
+            rows.append(f"('{fname}/block{i}', CAST({i} AS BIGINT), "
+                        f"CAST({off} AS BIGINT))")
+    body = ",\n  ".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+  {body}
+) AS t(probe, v1, v2)
+ORDER BY probe"""
+
+
 def q_geojsonseq_scan(spark, sf_dir):
     """GeoJSONSeq vector driver (OGR's line-delimited GeoJSON,
     ogr/ogrsf_frmts/geojson — RFC 8142 text sequences; the format
@@ -20407,6 +20488,7 @@ REGISTRY: dict[str, tuple] = {
     "tiff_roundtrip": (q_tiff_roundtrip, o_tiff_roundtrip),
     "tiff_overview_scan": (q_tiff_overview_scan, o_tiff_overview_scan),
     "overview_file_build": (q_overview_file_build, o_overview_file_build),
+    "tiff_bigtiff_scan": (q_tiff_bigtiff_scan, o_tiff_bigtiff_scan),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -20799,11 +20881,11 @@ _WINDOW_R4 = [
     "stream_ema_state", "stream_interval_outer", "session_window_agg",
     "warc_records", "cdx_index", "geojsonseq_scan", "mime_filter",
     "sql_udf_registered", "grouped_agg_udaf", "udtf_url_segments",
-    "fillnodata", "fillnodata_smooth", "dem_hillshade_igor",
+    "fillnodata", "dem_hillshade_igor",
     "dem_aspect_trig",
     "viewshed", "viewshed_cumulative", "tiff_tiled_scan",
     "tiff_roundtrip", "tiff_overview_scan", "overview_file_build",
-    "morphology", "nearblack",
+    "tiff_bigtiff_scan", "morphology", "nearblack",
     "hist_match", "gcp_polywarp",
     "tps_warp", "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",

@@ -6,7 +6,8 @@ the reference gets from gcore/rasterio.cpp + frmts/gtiff (r3 VERDICT
 missing-item 2), scoped to the baseline-TIFF subset the reference's
 own autotest fixtures use:
 
-- classic (non-Big) TIFF, II or MM byte order;
+- classic TIFF (magic 42) AND BigTIFF (magic 43: 8-byte offsets,
+  20-byte IFD entries, LONG8/SLONG8 types), II or MM byte order;
 - strip organization (tags 273/278/279), any strip count, AND tiled
   organization (tags 322/323/324/325) with edge tiles padded to the
   full tile size per TIFF 6.0 §15 (clipped after decode, after the
@@ -71,18 +72,23 @@ PIXEL_SCHEMA = StructType([
 ])
 
 # TIFF type id -> (struct fmt char, byte size); SHORT/LONG cover every
-# tag this subset interprets
+# tag this subset interprets; 16/17 are the BigTIFF LONG8/SLONG8
 _TYPE_FMT = {1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4),
              6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4),
-             12: ("d", 8)}
+             12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
 
 
 def _read_ifd(b: bytes, index: int = 0):
     """Parse the index-th IFD of the chain type-aware (values inline
-    when they fit the 4-byte slot, else at the offset). IFD 0 is the
-    full-resolution raster; GTiff appends internal overviews as
-    chained IFDs (NewSubfileType=1), so index 1.. are the overview
-    levels — GDALRasterBand::GetOverview in file terms. Returns
+    when they fit the entry's value slot, else at the offset). IFD 0
+    is the full-resolution raster; GTiff appends internal overviews
+    as chained IFDs (NewSubfileType=1), so index 1.. are the overview
+    levels — GDALRasterBand::GetOverview in file terms.
+
+    Handles BOTH classic TIFF (magic 42: 12-byte entries, 4-byte
+    counts/offsets) and BigTIFF (magic 43, TIFF 6.0 supplement: 8-byte
+    offsetsize header, 20-byte entries, 8-byte counts/offsets, value
+    inline when ≤ 8 bytes, LONG8/SLONG8 types). Returns
     (byteorder, {tag: [values...]})."""
     if b[:2] == b"II":
         bo = "<"
@@ -91,32 +97,47 @@ def _read_ifd(b: bytes, index: int = 0):
     else:
         raise ValueError("not a TIFF: bad byte-order mark")
     magic = struct.unpack(bo + "H", b[2:4])[0]
-    if magic != 42:
-        raise ValueError(f"not a classic TIFF (magic {magic})")
-    ifd = struct.unpack(bo + "I", b[4:8])[0]
+    if magic == 42:
+        big = False
+        ifd = struct.unpack(bo + "I", b[4:8])[0]
+        ent, slot, cntfmt, nfmt, nsz = 12, 4, "I", "H", 2
+    elif magic == 43:
+        big = True
+        osz, _pad = struct.unpack(bo + "HH", b[4:8])
+        if osz != 8:
+            raise ValueError(f"BigTIFF offset size {osz} != 8")
+        ifd = struct.unpack(bo + "Q", b[8:16])[0]
+        ent, slot, cntfmt, nfmt, nsz = 20, 8, "Q", "Q", 8
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
     for _ in range(index):
-        n = struct.unpack(bo + "H", b[ifd:ifd + 2])[0]
-        nxt = struct.unpack(
-            bo + "I", b[ifd + 2 + 12 * n:ifd + 6 + 12 * n])[0]
+        n = struct.unpack(bo + nfmt, b[ifd:ifd + nsz])[0]
+        tail = ifd + nsz + ent * n
+        nxt = struct.unpack(bo + ("Q" if big else "I"),
+                            b[tail:tail + slot])[0]
         if nxt == 0:
             raise ValueError(f"TIFF has no IFD {index} "
                              "(overview chain ends)")
         ifd = nxt
-    n = struct.unpack(bo + "H", b[ifd:ifd + 2])[0]
+    n = struct.unpack(bo + nfmt, b[ifd:ifd + nsz])[0]
     tags: dict[int, list] = {}
     for i in range(n):
-        e = b[ifd + 2 + 12 * i: ifd + 14 + 12 * i]
-        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        e = b[ifd + nsz + ent * i: ifd + nsz + ent * (i + 1)]
+        tag, typ = struct.unpack(bo + "HH", e[:4])
+        cnt = struct.unpack(bo + cntfmt, e[4:4 + (8 if big else 4)])[0]
         if typ not in _TYPE_FMT:
             continue  # RATIONAL etc. — nothing this subset interprets
         fmt, sz = _TYPE_FMT[typ]
         total = sz * cnt
-        raw = e[8:12] if total <= 4 else None
-        if raw is None:
-            off = struct.unpack(bo + "I", e[8:12])[0]
+        vslot = e[ent - slot:ent]
+        if total <= slot:
+            raw = vslot
+        else:
+            off = struct.unpack(bo + ("Q" if big else "I"), vslot)[0]
             raw = b[off:off + total]
         if typ == 2:
-            tags[tag] = [raw.rstrip(b"\0").decode("ascii", "replace")]
+            tags[tag] = [raw[:total].rstrip(b"\0")
+                         .decode("ascii", "replace")]
         else:
             tags[tag] = list(struct.unpack(bo + f"{cnt}{fmt}",
                                            raw[:total]))
@@ -187,7 +208,14 @@ def _plan(path: str, ifd: int = 0) -> dict:
     selects the overview level (0 = full resolution)."""
     with open(path, "rb") as fh:
         head = fh.read(64 * 1024)  # IFD + tag arrays of any fixture
-    bo, tags = _read_ifd(head, ifd)
+    try:
+        bo, tags = _read_ifd(head, ifd)
+    except struct.error:
+        # tag arrays past the 64 KiB window (e.g. a huge strip
+        # offset table) — fall back to the full header region
+        with open(path, "rb") as fh:
+            head = fh.read()
+        bo, tags = _read_ifd(head, ifd)
 
     def one(tag, default=None):
         v = tags.get(tag)

@@ -193,3 +193,25 @@ def test_overview_chain_published_checksums(tiff):
         assert gdal_checksum(_grid(pdf)) == cks, lvl
     with _pytest.raises(ValueError, match="no IFD 3"):
         _plan(path, 3)
+
+
+def test_bigtiff_scan_published_checksum(tiff):
+    """byte_bigtiff_strip5lines.tif (BigTIFF, 4 strips of 5 lines)
+    pins the published checksum 4672 (autotest tiff_read.py:1230)."""
+    from gdal_spark.operators.rasterize import gdal_checksum
+    pdf = (tiff.read.format("tiff")
+           .load(f"{DATA}/gcore/data/byte_bigtiff_strip5lines.tif")
+           .toPandas())
+    assert len(pdf) == 400
+    assert gdal_checksum(_grid(pdf)) == 4672
+
+
+def test_stripoffset_type_matrix_published(tiff):
+    """Header-parse parity for classic + BigTIFF offset storage types
+    (SHORT/LONG/LONG8, LE+BE) vs the reference's published
+    BLOCK_OFFSET expectations (tiff_read.py:3835-3860)."""
+    from gdal_spark.queries import TIFF_OFFSET_MATRIX
+    from gdal_spark.sources.tiff import _plan
+    for fname, want in TIFF_OFFSET_MATRIX.items():
+        got = list(_plan(f"{DATA}/gcore/data/{fname}")["offs"])
+        assert got == want, fname
