@@ -19614,6 +19614,86 @@ TIFF_OFFSET_MATRIX = {
 }
 
 
+def q_palette_overview(spark, sf_dir):
+    """Palette-aware overview resampling (gcore/overview.cpp
+    GDALRegenerateOverviews with a color table: indices expand to RGB
+    through the table, the kernel runs in color space, and the result
+    maps BACK to the nearest palette entry — GetIndexColorTranslationTo
+    / FindBestEntry semantics, squared-distance, ties → lowest index):
+    test_average_palette.tif is a single-pixel B&W chessboard with
+    palette {0: black, 1: white, 2: grey 127}. 2× decimation per
+    kernel: NEAREST keeps index parity → uniform index 0 (published
+    checksum 0, tiff_ovr.py test_tiff_ovr_7); AVERAGE means the four
+    RGB corners to (127.5,…) → nearest entry is grey index 2 →
+    uniform 2 → checksum 200 (test_tiff_ovr_8); RMS root-mean-squares
+    to 180.3 → still nearest to grey → 200 (test_tiff_ovr_rms_palette).
+    Spark shape: the ≤256-entry ColorMap broadcast-joins the index
+    raster, block means are one groupBy, and the back-mapping is a
+    broadcast cross-join + min_by over (distance, index) — the
+    lexicographic struct ordering IS the reference tie-break."""
+    from gdal_spark.sources.tiff import TiffDataSource, tiff_colormap
+    spark.dataSource.register(TiffDataSource)
+    path = ("/root/reference/autotest/gcore/data/"
+            "test_average_palette.tif")
+    pal = spark.createDataFrame(
+        tiff_colormap(path), "idx int, r int, g int, b int")
+    px = (spark.read.format("tiff").load(path)
+          .select(F.col("value").cast("int").alias("idx"),
+                  "py", "px"))
+    rgb = (px.join(F.broadcast(pal), "idx")
+           .select((F.col("px") / 2).cast("int").alias("ox"),
+                   (F.col("py") / 2).cast("int").alias("oy"),
+                   (F.col("px") % 2).alias("sx"),
+                   (F.col("py") % 2).alias("sy"),
+                   "idx", "r", "g", "b"))
+    blocks = rgb.groupBy("ox", "oy").agg(
+        F.min_by("idx", F.struct("sy", "sx")).alias("near_idx"),
+        F.avg("r").alias("ar"), F.avg("g").alias("ag"),
+        F.avg("b").alias("ab"),
+        F.sqrt(F.avg(F.col("r") * F.col("r"))).alias("rr"),
+        F.sqrt(F.avg(F.col("g") * F.col("g"))).alias("rg"),
+        F.sqrt(F.avg(F.col("b") * F.col("b"))).alias("rb"))
+
+    def back_map(rc, gc, bc, label):
+        d = ((F.col(rc) - F.col("r")) ** 2
+             + (F.col(gc) - F.col("g")) ** 2
+             + (F.col(bc) - F.col("b")) ** 2)
+        return (blocks.join(F.broadcast(pal))
+                .groupBy("ox", "oy")
+                .agg(F.min_by("idx", F.struct(d.alias("d"), "idx"))
+                     .alias("oidx"))
+                .select("ox", "oy", F.col("oidx").alias("idx"),
+                        F.lit(label).alias("method")))
+
+    near = blocks.select("ox", "oy", F.col("near_idx").alias("idx"),
+                         F.lit("nearest").alias("method"))
+    avg = back_map("ar", "ag", "ab", "average")
+    rms = back_map("rr", "rg", "rb", "rms")
+    out = near.unionByName(avg).unionByName(rms)
+    w = 10
+    val = F.least(F.floor(F.col("idx") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   f"CAST((CAST(oy AS BIGINT) * {w} + ox) % 11 AS INT)"
+                   " + 1)")
+    return (out.withColumn("_t", val % prime.cast("long"))
+            .groupBy("method")
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .orderBy("method"))
+
+
+def o_palette_overview():
+    return """
+SELECT * FROM (VALUES
+  ('average', CAST(100 AS BIGINT), CAST(200 AS BIGINT)),
+  ('nearest', CAST(100 AS BIGINT), CAST(0 AS BIGINT)),
+  ('rms',     CAST(100 AS BIGINT), CAST(200 AS BIGINT))
+) AS t(method, n_pixels, checksum)
+ORDER BY method"""
+
+
 def q_tiff_bigtiff_scan(spark, sf_dir):
     """BigTIFF read (frmts/gtiff BigTIFF path; TIFF 6.0 supplement
     magic 43: 8-byte offset header, 20-byte IFD entries, 8-byte
@@ -20489,6 +20569,7 @@ REGISTRY: dict[str, tuple] = {
     "tiff_overview_scan": (q_tiff_overview_scan, o_tiff_overview_scan),
     "overview_file_build": (q_overview_file_build, o_overview_file_build),
     "tiff_bigtiff_scan": (q_tiff_bigtiff_scan, o_tiff_bigtiff_scan),
+    "palette_overview": (q_palette_overview, o_palette_overview),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -20879,13 +20960,13 @@ _WINDOW_R4 = [
     "stream_sessions", "stream_dedup", "stream_geofence",
     "stream_interval_join", "stream_cms", "stream_upsert",
     "stream_ema_state", "stream_interval_outer", "session_window_agg",
-    "warc_records", "cdx_index", "geojsonseq_scan", "mime_filter",
+    "warc_records", "cdx_index", "geojsonseq_scan",
     "sql_udf_registered", "grouped_agg_udaf", "udtf_url_segments",
     "fillnodata", "dem_hillshade_igor",
     "dem_aspect_trig",
     "viewshed", "viewshed_cumulative", "tiff_tiled_scan",
     "tiff_roundtrip", "tiff_overview_scan", "overview_file_build",
-    "tiff_bigtiff_scan", "morphology", "nearblack",
+    "tiff_bigtiff_scan", "palette_overview", "morphology", "nearblack",
     "hist_match", "gcp_polywarp",
     "tps_warp", "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",

@@ -266,6 +266,24 @@ def _plan(path: str, ifd: int = 0) -> dict:
             "blocks_per_band": blocks_per_band}
 
 
+def tiff_colormap(path: str) -> list:
+    """ColorMap (tag 320, Photometric=3 palette rasters): 3·2^bits
+    16-bit SHORTs stored as R-plane, G-plane, B-plane. Scaled to
+    8-bit the way GDAL's GTiff driver builds its GDALColorTable
+    (v·255/65535 — 65535→255, 32639→127). Driver-side header read;
+    the palette is enumeration metadata, definitionally ≤ 256 rows,
+    broadcast-joined against the index raster by every consumer."""
+    with open(path, "rb") as fh:
+        head = fh.read(64 * 1024)
+    _, tags = _read_ifd(head)
+    if 320 not in tags:
+        raise ValueError("no ColorMap tag (not a palette TIFF)")
+    cm = tags[320]
+    n = len(cm) // 3
+    return [(i, cm[i] * 255 // 65535, cm[n + i] * 255 // 65535,
+             cm[2 * n + i] * 255 // 65535) for i in range(n)]
+
+
 def tiff_geotransform(path: str) -> tuple:
     """GDAL-style geotransform from the GeoTIFF tags (ModelPixelScale
     33550 + ModelTiepoint 33922) — a driver-side header read, the

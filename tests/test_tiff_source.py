@@ -215,3 +215,15 @@ def test_stripoffset_type_matrix_published(tiff):
     for fname, want in TIFF_OFFSET_MATRIX.items():
         got = list(_plan(f"{DATA}/gcore/data/{fname}")["offs"])
         assert got == want, fname
+
+
+def test_colormap_published_palette():
+    """test_average_palette.tif ColorMap: index 0 black, 1 white,
+    2 grey(127) — the palette tiff_ovr.py:311-380 builds its
+    published overview checksums on."""
+    from gdal_spark.sources.tiff import tiff_colormap
+    cm = tiff_colormap(f"{DATA}/gcore/data/test_average_palette.tif")
+    assert len(cm) == 256
+    assert cm[0] == (0, 0, 0, 0)
+    assert cm[1] == (1, 255, 255, 255)
+    assert cm[2] == (2, 127, 127, 127)
