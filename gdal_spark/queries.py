@@ -19614,6 +19614,75 @@ TIFF_OFFSET_MATRIX = {
 }
 
 
+def q_tiff_mask_scan(spark, sf_dir):
+    """Internal mask bands (gcore/rasterband GetMaskBand /
+    GMF_PER_DATASET; frmts/gtiff stores them as Photometric=4 IFDs —
+    NewSubfileType 4 = dataset mask, 5 = mask of the overview; 1-bit
+    masks are bit-packed rows padded to byte boundaries, read RAW 0/1
+    under GDAL_TIFF_INTERNAL_MASK_TO_8BIT=FALSE): every mask surface
+    the reference's mask.py fixtures publish —
+    test3_with_mask_1bit (3-band chunky 1-bit mask, checksum 100 per
+    band, test_mask_9), test3_with_mask_8bit (8-bit 0/255 mask, 1222,
+    test_mask_10), and test_with_mask_1bit_and_ovr's full chain
+    (overview 1126, base mask 100, overview-mask 25, test_mask_11) —
+    scanned via the tiff source's ifd option and reduced to the
+    distributed GDAL checksum per (file, ifd, band)."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    D = "/root/reference/autotest/gcore/data/"
+    loads = [("test3_with_mask_1bit.tif", 1),
+             ("test3_with_mask_8bit.tif", 1),
+             ("test_with_mask_1bit_and_ovr.tif", 1),
+             ("test_with_mask_1bit_and_ovr.tif", 2),
+             ("test_with_mask_1bit_and_ovr.tif", 3)]
+    parts = []
+    for fname, ifd in loads:
+        parts.append(spark.read.format("tiff")
+                     .option("ifd", str(ifd)).load(D + fname)
+                     .withColumn("ifd", F.lit(ifd)))
+    df = _reduce(lambda a, b: a.unionByName(b), parts)
+    dims = df.groupBy("file", "ifd").agg(
+        (F.max("px") + 1).cast("int").alias("w"))
+    t = df.join(F.broadcast(dims), ["file", "ifd"])
+    val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   "CAST((CAST(py AS BIGINT) * w + px) % 11 AS INT) + 1)")
+    return (t.withColumn("_t", val % prime.cast("long"))
+            .groupBy("file", "ifd", "band")
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .orderBy("file", "ifd", "band"))
+
+
+def o_tiff_mask_scan():
+    return """
+SELECT * FROM (VALUES
+  ('test3_with_mask_1bit.tif', 1, 0, CAST(400 AS BIGINT),
+   CAST(100 AS BIGINT)),
+  ('test3_with_mask_1bit.tif', 1, 1, CAST(400 AS BIGINT),
+   CAST(100 AS BIGINT)),
+  ('test3_with_mask_1bit.tif', 1, 2, CAST(400 AS BIGINT),
+   CAST(100 AS BIGINT)),
+  ('test3_with_mask_8bit.tif', 1, 0, CAST(400 AS BIGINT),
+   CAST(1222 AS BIGINT)),
+  ('test3_with_mask_8bit.tif', 1, 1, CAST(400 AS BIGINT),
+   CAST(1222 AS BIGINT)),
+  ('test3_with_mask_8bit.tif', 1, 2, CAST(400 AS BIGINT),
+   CAST(1222 AS BIGINT)),
+  ('test_with_mask_1bit_and_ovr.tif', 1, 0, CAST(100 AS BIGINT),
+   CAST(1126 AS BIGINT)),
+  ('test_with_mask_1bit_and_ovr.tif', 2, 0, CAST(400 AS BIGINT),
+   CAST(100 AS BIGINT)),
+  ('test_with_mask_1bit_and_ovr.tif', 3, 0, CAST(100 AS BIGINT),
+   CAST(25 AS BIGINT))
+) AS t(file, ifd, band, n_pixels, checksum)
+ORDER BY file, ifd, band"""
+
+
 def q_palette_overview(spark, sf_dir):
     """Palette-aware overview resampling (gcore/overview.cpp
     GDALRegenerateOverviews with a color table: indices expand to RGB
@@ -20570,6 +20639,7 @@ REGISTRY: dict[str, tuple] = {
     "overview_file_build": (q_overview_file_build, o_overview_file_build),
     "tiff_bigtiff_scan": (q_tiff_bigtiff_scan, o_tiff_bigtiff_scan),
     "palette_overview": (q_palette_overview, o_palette_overview),
+    "tiff_mask_scan": (q_tiff_mask_scan, o_tiff_mask_scan),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -20966,7 +21036,8 @@ _WINDOW_R4 = [
     "dem_aspect_trig",
     "viewshed", "viewshed_cumulative", "tiff_tiled_scan",
     "tiff_roundtrip", "tiff_overview_scan", "overview_file_build",
-    "tiff_bigtiff_scan", "palette_overview", "morphology", "nearblack",
+    "tiff_bigtiff_scan", "palette_overview", "tiff_mask_scan",
+    "nearblack",
     "hist_match", "gcp_polywarp",
     "tps_warp", "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",

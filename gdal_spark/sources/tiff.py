@@ -233,7 +233,7 @@ def _plan(path: str, ifd: int = 0) -> dict:
     if len(set(bits_all)) != 1:
         raise ValueError("heterogeneous BitsPerSample not supported")
     bits = bits_all[0]
-    if bits not in (8, 16, 32):
+    if bits not in (1, 8, 16, 32):
         raise ValueError(f"unsupported BitsPerSample {bits}")
     spp = one(277, 1)
     planar = one(284, 1)
@@ -258,10 +258,12 @@ def _plan(path: str, ifd: int = 0) -> dict:
         raise ValueError(
             f"block count {len(offs)} does not match layout ({want})")
     np_kind = {1: "u", 2: "i", 3: "f"}[sfmt]
-    dtype = ("<" if bo == "<" else ">") + np_kind + str(bits // 8)
+    # 1-bit samples (internal mask bands, Photometric=4: GDAL's
+    # GMF_PER_DATASET mask IFDs) unpack to u1 0/1 after decode
+    dtype = ("<" if bo == "<" else ">") + np_kind + str(max(1, bits // 8))
     return {"path": path, "w": w, "h": h, "comp": comp, "pred": pred,
             "tiled": tiled, "bw": bw, "bh": bh, "ba": ba, "bd": bd,
-            "offs": offs, "lens": lens, "dtype": dtype,
+            "offs": offs, "lens": lens, "dtype": dtype, "bits": bits,
             "bands": spp, "planar": planar,
             "blocks_per_band": blocks_per_band}
 
@@ -350,7 +352,13 @@ class TiffReader(DataSourceReader):
         stored_rows = m["bh"] if m["tiled"] else min(m["bh"],
                                                     m["h"] - y0)
         itemsize = int(m["dtype"][-1])
-        expected = stored_rows * m["bw"] * samples * itemsize
+        onebit = m.get("bits", 8) == 1
+        if onebit:
+            # bit-packed rows padded to a byte boundary per row
+            rowbytes = (m["bw"] * samples + 7) // 8
+            expected = stored_rows * rowbytes
+        else:
+            expected = stored_rows * m["bw"] * samples * itemsize
         with open(m["path"], "rb") as fh:
             fh.seek(off)
             raw = fh.read(ln)
@@ -364,8 +372,15 @@ class TiffReader(DataSourceReader):
             data = zlib.decompress(raw)[:expected]
         if len(data) < expected:  # sparse/short final block
             data = data + b"\0" * (expected - len(data))
-        arr = np.frombuffer(data, dtype=m["dtype"]).reshape(
-            stored_rows, m["bw"], samples).copy()
+        if onebit:
+            arr = np.unpackbits(
+                np.frombuffer(data, dtype=np.uint8)
+                .reshape(stored_rows, rowbytes),
+                axis=1)[:, :m["bw"] * samples].reshape(
+                    stored_rows, m["bw"], samples).copy()
+        else:
+            arr = np.frombuffer(data, dtype=m["dtype"]).reshape(
+                stored_rows, m["bw"], samples).copy()
         if m["pred"] == 2:
             # horizontal differencing runs over the stored (padded)
             # row, per sample — undo BEFORE clipping edge tiles

@@ -227,3 +227,22 @@ def test_colormap_published_palette():
     assert cm[0] == (0, 0, 0, 0)
     assert cm[1] == (1, 255, 255, 255)
     assert cm[2] == (2, 127, 127, 127)
+
+
+def test_mask_band_published_checksums(tiff):
+    """1-bit + 8-bit internal mask IFDs (Photometric=4, raw 0/1 for
+    1-bit) pin the published mask.py checksums: test3_with_mask_1bit
+    -> 100 per band (test_mask_9), test3_with_mask_8bit -> 1222
+    (test_mask_10), and the _and_ovr chain -> overview 1126 / mask
+    100 / overview-mask 25 (test_mask_11)."""
+    from gdal_spark.operators.rasterize import gdal_checksum
+    cases = [("test3_with_mask_1bit.tif", 1, 0, 100),
+             ("test3_with_mask_1bit.tif", 1, 2, 100),
+             ("test3_with_mask_8bit.tif", 1, 1, 1222),
+             ("test_with_mask_1bit_and_ovr.tif", 1, 0, 1126),
+             ("test_with_mask_1bit_and_ovr.tif", 2, 0, 100),
+             ("test_with_mask_1bit_and_ovr.tif", 3, 0, 25)]
+    for fname, ifd, band, want in cases:
+        pdf = (tiff.read.format("tiff").option("ifd", str(ifd))
+               .load(f"{DATA}/gcore/data/{fname}").toPandas())
+        assert gdal_checksum(_grid(pdf, band)) == want, (fname, ifd)
