@@ -19683,6 +19683,64 @@ SELECT * FROM (VALUES
 ORDER BY file, ifd, band"""
 
 
+def q_tiff_subifd_scan(spark, sf_dir):
+    """SubIFD subdatasets (tag 330; GDAL's GTIFF_DIR:<n>: syntax,
+    frmts/gtiff gtiffdataset_read opening child directories whose
+    overviews hang off tag 330 instead of the main chain): the tiff
+    source's dir (ifd) + subifd options select any node of the IFD
+    tree — here both top-level directories of tiff_with_subifds.tif
+    plus the first directory's largest-first-ordered SubIFD overview.
+    Oracle = the reference's published pins
+    (autotest/gcore/tiff_read_subifds.py: GTIFF_DIR:1 checksum 35731
+    with pixel(0,0) 220, GTIFF_DIR:2 checksum 0, overview pixel(0,0)
+    12; the overview's full-body checksum 11914 is our determinism
+    anchor — the reference publishes only its origin pixel)."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    path = "/root/reference/autotest/gcore/data/tiff_with_subifds.tif"
+    loads = [("dir1", {"ifd": "0"}), ("dir2", {"ifd": "1"}),
+             ("dir1_ovr1", {"ifd": "0", "subifd": "1"})]
+    parts = []
+    for label, opts in loads:
+        r = spark.read.format("tiff")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        parts.append(r.load(path).withColumn("sel", F.lit(label)))
+    df = _reduce(lambda a, b: a.unionByName(b), parts)
+    dims = df.groupBy("sel").agg(
+        (F.max("px") + 1).cast("int").alias("w"))
+    t = df.join(F.broadcast(dims), "sel")
+    val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   "CAST((CAST(py AS BIGINT) * w + px) % 11 AS INT) + 1)")
+    return (t.withColumn("_t", val % prime.cast("long"))
+            .groupBy("sel")
+            .agg(F.max("w").alias("w"),
+                 F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"),
+                 F.max(F.when((F.col("px") == 0) & (F.col("py") == 0),
+                              F.col("value").cast("long")))
+                 .alias("px00"))
+            .orderBy("sel"))
+
+
+def o_tiff_subifd_scan():
+    return """
+SELECT * FROM (VALUES
+  ('dir1',      CAST(1024 AS INT), CAST(524288 AS BIGINT),
+   CAST(35731 AS BIGINT), CAST(220 AS BIGINT)),
+  ('dir1_ovr1', CAST(256 AS INT),  CAST(32768 AS BIGINT),
+   CAST(11914 AS BIGINT), CAST(12 AS BIGINT)),
+  ('dir2',      CAST(1024 AS INT), CAST(524288 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(sel, w, n_pixels, checksum, px00)
+ORDER BY sel"""
+
+
 def q_palette_overview(spark, sf_dir):
     """Palette-aware overview resampling (gcore/overview.cpp
     GDALRegenerateOverviews with a color table: indices expand to RGB
@@ -20640,6 +20698,7 @@ REGISTRY: dict[str, tuple] = {
     "tiff_bigtiff_scan": (q_tiff_bigtiff_scan, o_tiff_bigtiff_scan),
     "palette_overview": (q_palette_overview, o_palette_overview),
     "tiff_mask_scan": (q_tiff_mask_scan, o_tiff_mask_scan),
+    "tiff_subifd_scan": (q_tiff_subifd_scan, o_tiff_subifd_scan),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),

@@ -72,18 +72,24 @@ PIXEL_SCHEMA = StructType([
 ])
 
 # TIFF type id -> (struct fmt char, byte size); SHORT/LONG cover every
-# tag this subset interprets; 16/17 are the BigTIFF LONG8/SLONG8
+# tag this subset interprets; 13 is IFD (SubIFDs tag 330), 16/17/18
+# are the BigTIFF LONG8/SLONG8/IFD8
 _TYPE_FMT = {1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4),
              6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4),
-             12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
+             12: ("d", 8), 13: ("I", 4), 16: ("Q", 8), 17: ("q", 8),
+             18: ("Q", 8)}
 
 
-def _read_ifd(b: bytes, index: int = 0):
+def _read_ifd(b: bytes, index: int = 0, subifd: int = None):
     """Parse the index-th IFD of the chain type-aware (values inline
     when they fit the entry's value slot, else at the offset). IFD 0
     is the full-resolution raster; GTiff appends internal overviews
     as chained IFDs (NewSubfileType=1), so index 1.. are the overview
-    levels — GDALRasterBand::GetOverview in file terms.
+    levels — GDALRasterBand::GetOverview in file terms. When the IFD
+    carries a SubIFDs tag (330 — GTIFF_DIR subdataset layouts whose
+    overviews hang off each directory instead of the main chain),
+    ``subifd`` selects one, ordered largest-first like GDAL's
+    overview list.
 
     Handles BOTH classic TIFF (magic 42: 12-byte entries, 4-byte
     counts/offsets) and BigTIFF (magic 43, TIFF 6.0 supplement: 8-byte
@@ -110,6 +116,33 @@ def _read_ifd(b: bytes, index: int = 0):
         ent, slot, cntfmt, nfmt, nsz = 20, 8, "Q", "Q", 8
     else:
         raise ValueError(f"not a TIFF (magic {magic})")
+    def parse_at(pos: int) -> dict:
+        n = struct.unpack(bo + nfmt, b[pos:pos + nsz])[0]
+        tags: dict[int, list] = {}
+        for i in range(n):
+            e = b[pos + nsz + ent * i: pos + nsz + ent * (i + 1)]
+            tag, typ = struct.unpack(bo + "HH", e[:4])
+            cnt = struct.unpack(bo + cntfmt,
+                                e[4:4 + (8 if big else 4)])[0]
+            if typ not in _TYPE_FMT:
+                continue  # RATIONAL etc. — nothing here interprets
+            fmt, sz = _TYPE_FMT[typ]
+            total = sz * cnt
+            vslot = e[ent - slot:ent]
+            if total <= slot:
+                raw = vslot
+            else:
+                off = struct.unpack(bo + ("Q" if big else "I"),
+                                    vslot)[0]
+                raw = b[off:off + total]
+            if typ == 2:
+                tags[tag] = [raw[:total].rstrip(b"\0")
+                             .decode("ascii", "replace")]
+            else:
+                tags[tag] = list(struct.unpack(bo + f"{cnt}{fmt}",
+                                               raw[:total]))
+        return tags
+
     for _ in range(index):
         n = struct.unpack(bo + nfmt, b[ifd:ifd + nsz])[0]
         tail = ifd + nsz + ent * n
@@ -119,28 +152,18 @@ def _read_ifd(b: bytes, index: int = 0):
             raise ValueError(f"TIFF has no IFD {index} "
                              "(overview chain ends)")
         ifd = nxt
-    n = struct.unpack(bo + nfmt, b[ifd:ifd + nsz])[0]
-    tags: dict[int, list] = {}
-    for i in range(n):
-        e = b[ifd + nsz + ent * i: ifd + nsz + ent * (i + 1)]
-        tag, typ = struct.unpack(bo + "HH", e[:4])
-        cnt = struct.unpack(bo + cntfmt, e[4:4 + (8 if big else 4)])[0]
-        if typ not in _TYPE_FMT:
-            continue  # RATIONAL etc. — nothing this subset interprets
-        fmt, sz = _TYPE_FMT[typ]
-        total = sz * cnt
-        vslot = e[ent - slot:ent]
-        if total <= slot:
-            raw = vslot
-        else:
-            off = struct.unpack(bo + ("Q" if big else "I"), vslot)[0]
-            raw = b[off:off + total]
-        if typ == 2:
-            tags[tag] = [raw[:total].rstrip(b"\0")
-                         .decode("ascii", "replace")]
-        else:
-            tags[tag] = list(struct.unpack(bo + f"{cnt}{fmt}",
-                                           raw[:total]))
+    tags = parse_at(ifd)
+    if subifd is not None:
+        subs = tags.get(330)
+        if not subs:
+            raise ValueError(f"IFD {index} has no SubIFDs (tag 330)")
+        # GDAL overview ordering: largest raster first
+        subs = sorted(subs,
+                      key=lambda o: -parse_at(o).get(256, [0])[0])
+        if subifd >= len(subs):
+            raise ValueError(
+                f"SubIFD {subifd} out of range ({len(subs)})")
+        tags = parse_at(subs[subifd])
     return bo, tags
 
 
@@ -200,7 +223,7 @@ def tiff_packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def _plan(path: str, ifd: int = 0) -> dict:
+def _plan(path: str, ifd: int = 0, subifd: int = None) -> dict:
     """Driver-side header read: everything partition planning needs,
     no pixel data. Normalizes both layouts to a uniform block grid:
     strips are blocks of (w × RowsPerStrip) in a 1-wide grid, tiles
@@ -209,13 +232,13 @@ def _plan(path: str, ifd: int = 0) -> dict:
     with open(path, "rb") as fh:
         head = fh.read(64 * 1024)  # IFD + tag arrays of any fixture
     try:
-        bo, tags = _read_ifd(head, ifd)
+        bo, tags = _read_ifd(head, ifd, subifd)
     except struct.error:
         # tag arrays past the 64 KiB window (e.g. a huge strip
         # offset table) — fall back to the full header region
         with open(path, "rb") as fh:
             head = fh.read()
-        bo, tags = _read_ifd(head, ifd)
+        bo, tags = _read_ifd(head, ifd, subifd)
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -319,9 +342,11 @@ class TiffReader(DataSourceReader):
         if not path:
             raise ValueError("tiff source requires a path")
         ifd = int(options.get("ifd", 0))
+        sub = options.get("subifd")
+        sub = int(sub) if sub is not None else None
         paths = sorted(_glob.glob(path)) if any(
             c in path for c in "*?[") else [path]
-        self.metas = [_plan(p, ifd) for p in paths]
+        self.metas = [_plan(p, ifd, sub) for p in paths]
 
     def partitions(self):
         parts = []

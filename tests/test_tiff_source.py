@@ -246,3 +246,22 @@ def test_mask_band_published_checksums(tiff):
         pdf = (tiff.read.format("tiff").option("ifd", str(ifd))
                .load(f"{DATA}/gcore/data/{fname}").toPandas())
         assert gdal_checksum(_grid(pdf, band)) == want, (fname, ifd)
+
+
+def test_subifd_published_pins(tiff):
+    """tiff_with_subifds.tif: GTIFF_DIR:1 checksum 35731 / px(0,0)
+    220, GTIFF_DIR:2 checksum 0, SubIFD overview px(0,0) 12
+    (tiff_read_subifds.py)."""
+    from gdal_spark.operators.rasterize import gdal_checksum
+    path = f"{DATA}/gcore/data/tiff_with_subifds.tif"
+    pdf = tiff.read.format("tiff").load(path).toPandas()
+    g = _grid(pdf)
+    assert g.shape == (512, 1024)
+    assert gdal_checksum(g) == 35731 and g[0, 0] == 220
+    pdf = (tiff.read.format("tiff").option("ifd", "1")
+           .load(path).toPandas())
+    assert gdal_checksum(_grid(pdf)) == 0
+    pdf = (tiff.read.format("tiff").option("ifd", "0")
+           .option("subifd", "1").load(path).toPandas())
+    g = _grid(pdf)
+    assert g.shape == (128, 256) and g[0, 0] == 12
