@@ -19741,6 +19741,44 @@ SELECT * FROM (VALUES
 ORDER BY sel"""
 
 
+def q_tiff_g4_scan(spark, sf_dir):
+    """CCITT Group 4 read (TIFF Compression=4; libtiff tif_fax3.c in
+    the reference, reimplemented from the ITU-T T.6 spec in
+    sources/ccitt.py: vertical/horizontal/pass 2-D modes over
+    changing-element lists, T.4 modified-Huffman white/black run
+    tables + shared extended makeups): slim_g4.tif — 1000×7200,
+    paletted 1-bit, the whole image one G4 strip (a strip is one
+    sequential decode unit because every row codes against the
+    previous; block-level parallelism is the layout's, exactly
+    libtiff's constraint) — scans to 7.2M pixel rows, sliced into
+    ≤1M-pixel Arrow batches, and reduces to the distributed GDAL
+    checksum. Oracle = the published pin 3322
+    (autotest/gcore/tiff_read.py:578 test_tiff_g4_split) plus the
+    black-pixel count as a determinism anchor."""
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    path = "/root/reference/autotest/gcore/data/slim_g4.tif"
+    df = spark.read.format("tiff").load(path)
+    w = 1000
+    val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   f"CAST((CAST(py AS BIGINT) * {w} + px) % 11 AS INT)"
+                   " + 1)")
+    return (df.withColumn("_t", val % prime.cast("long"))
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.sum(F.col("value").cast("long")).alias("n_black"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum")))
+
+
+def o_tiff_g4_scan():
+    return """
+SELECT CAST(7200000 AS BIGINT) AS n_pixels,
+       CAST(7081210 AS BIGINT) AS n_black,
+       CAST(3322 AS BIGINT) AS checksum"""
+
+
 def q_palette_overview(spark, sf_dir):
     """Palette-aware overview resampling (gcore/overview.cpp
     GDALRegenerateOverviews with a color table: indices expand to RGB
@@ -20699,6 +20737,7 @@ REGISTRY: dict[str, tuple] = {
     "palette_overview": (q_palette_overview, o_palette_overview),
     "tiff_mask_scan": (q_tiff_mask_scan, o_tiff_mask_scan),
     "tiff_subifd_scan": (q_tiff_subifd_scan, o_tiff_subifd_scan),
+    "tiff_g4_scan": (q_tiff_g4_scan, o_tiff_g4_scan),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -21097,8 +21136,8 @@ _WINDOW_R4 = [
     "tiff_roundtrip", "tiff_overview_scan", "overview_file_build",
     "tiff_bigtiff_scan", "palette_overview", "tiff_mask_scan",
     "nearblack",
-    "hist_match", "gcp_polywarp",
-    "tps_warp", "homography_warp", "rpc_transform",
+    "hist_match", "tiff_subifd_scan", "tiff_g4_scan",
+    "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
     "ogr2ogr_splitlistfields",
 ]

@@ -14,7 +14,8 @@ own autotest fixtures use:
   predictor pass — the predictor runs over the stored padded row);
 - Compression 1 (none), 5 (TIFF-LZW, MSB-first packing with
   early-change code widening), 8/32946 (DEFLATE via zlib),
-  32773 (PackBits, TIFF 6.0 §9);
+  32773 (PackBits, TIFF 6.0 §9), 4 (CCITT Group 4 / ITU-T T.6 —
+  the from-scratch 2-D MMR decoder in sources/ccitt.py);
 - Predictor 2 (horizontal differencing) for LZW/DEFLATE, per-sample
   when samples are interleaved;
 - BitsPerSample 8/16/32, SampleFormat unsigned/signed int + 32-bit
@@ -250,7 +251,7 @@ def _plan(path: str, ifd: int = 0, subifd: int = None) -> dict:
 
     w, h = one(256), one(257)
     comp = one(259, 1)
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp not in (1, 4, 5, 8, 32946, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     bits_all = tags.get(258, [8])
     if len(set(bits_all)) != 1:
@@ -263,6 +264,8 @@ def _plan(path: str, ifd: int = 0, subifd: int = None) -> dict:
     sfmt = one(339, 1)  # 1 unsigned, 2 signed, 3 float
     if sfmt == 3 and bits != 32:
         raise ValueError("float samples only supported at 32 bits")
+    if comp == 4 and (bits != 1 or spp != 1):
+        raise ValueError("CCITT G4 is defined for 1-bit single-sample")
     pred = one(317, 1)
     if pred not in (1, 2):
         raise ValueError(f"unsupported Predictor {pred}")
@@ -387,7 +390,17 @@ class TiffReader(DataSourceReader):
         with open(m["path"], "rb") as fh:
             fh.seek(off)
             raw = fh.read(ln)
-        if m["comp"] == 1:
+        if m["comp"] == 4:
+            # CCITT G4: decodes straight to 0/1 pixel rows (each row
+            # is coded against the previous, so a strip is one
+            # sequential unit — same constraint as libtiff)
+            from gdal_spark.sources.ccitt import (g4_decode,
+                                                  g4_rows_to_bits)
+            arr = g4_rows_to_bits(
+                g4_decode(raw, m["bw"], stored_rows),
+                m["bw"]).reshape(stored_rows, m["bw"], 1)
+            data = None
+        elif m["comp"] == 1:
             data = raw[:expected]
         elif m["comp"] == 5:
             data = tiff_lzw_decode(raw, expected)
@@ -395,9 +408,12 @@ class TiffReader(DataSourceReader):
             data = tiff_packbits_decode(raw, expected)
         else:
             data = zlib.decompress(raw)[:expected]
-        if len(data) < expected:  # sparse/short final block
+        if data is not None and len(data) < expected:
+            # sparse/short final block
             data = data + b"\0" * (expected - len(data))
-        if onebit:
+        if m["comp"] == 4:
+            pass
+        elif onebit:
             arr = np.unpackbits(
                 np.frombuffer(data, dtype=np.uint8)
                 .reshape(stored_rows, rowbytes),
@@ -413,24 +429,31 @@ class TiffReader(DataSourceReader):
         nrows = min(m["bh"], m["h"] - y0)
         ncols = min(m["bw"], m["w"] - x0)
         arr = arr[:nrows, :ncols, :]
-        # one Arrow batch per (block, band) — the whole block crosses
-        # to the JVM vectorized, no per-pixel Python loop
+        # Arrow batches per (block, band) — the whole block crosses
+        # to the JVM vectorized, no per-pixel Python loop. Blocks
+        # bigger than ~1M pixels (e.g. a whole-image G4 strip) are
+        # sliced row-wise so no single batch balloons driver-side
+        # Arrow buffers.
         import pyarrow as pa
-        n = nrows * ncols
         fname = os.path.basename(m["path"])
-        pys = pa.array(np.repeat(
-            np.arange(y0, y0 + nrows, dtype=np.int32), ncols))
-        pxs = pa.array(np.tile(
-            np.arange(x0, x0 + ncols, dtype=np.int32), nrows))
         names = ["file", "band", "py", "px", "value"]
-        for s in range(samples):
-            b = s if chunky and samples > 1 else band
-            yield pa.record_batch(
-                [pa.array([fname] * n, pa.string()),
-                 pa.array(np.full(n, b, dtype=np.int32)),
-                 pys, pxs,
-                 pa.array(arr[:, :, s].astype(np.float64).ravel())],
-                names=names)
+        step = max(1, (1 << 20) // max(1, ncols))
+        for r0 in range(0, nrows, step):
+            r1 = min(r0 + step, nrows)
+            n = (r1 - r0) * ncols
+            pys = pa.array(np.repeat(
+                np.arange(y0 + r0, y0 + r1, dtype=np.int32), ncols))
+            pxs = pa.array(np.tile(
+                np.arange(x0, x0 + ncols, dtype=np.int32), r1 - r0))
+            fcol = pa.array([fname] * n, pa.string())
+            for s in range(samples):
+                b = s if chunky and samples > 1 else band
+                yield pa.record_batch(
+                    [fcol, pa.array(np.full(n, b, dtype=np.int32)),
+                     pys, pxs,
+                     pa.array(arr[r0:r1, :, s]
+                              .astype(np.float64).ravel())],
+                    names=names)
 
 
 class TiffDataSource(DataSource):

@@ -265,3 +265,26 @@ def test_subifd_published_pins(tiff):
            .option("subifd", "1").load(path).toPandas())
     g = _grid(pdf)
     assert g.shape == (128, 256) and g[0, 0] == 12
+
+
+def test_g4_published_checksum(tiff):
+    """slim_g4.tif: CCITT Group 4, whole image one strip, published
+    checksum 3322 (tiff_read.py:578 test_tiff_g4_split)."""
+    from gdal_spark.operators.rasterize import gdal_checksum
+    pdf = (tiff.read.format("tiff")
+           .load(f"{DATA}/gcore/data/slim_g4.tif").toPandas())
+    assert len(pdf) == 1000 * 7200
+    assert gdal_checksum(_grid(pdf)) == 3322
+
+
+def test_g4_decoder_kernel_roundtrip():
+    """Pure-kernel G4 sanity beyond the golden: transition lists
+    close correctly on synthetic patterns (all-white, all-black via
+    published fixture stats)."""
+    import numpy as np
+    from gdal_spark.sources.ccitt import g4_rows_to_bits
+    a = g4_rows_to_bits([[], [0, 4], [2]], 6)
+    want = np.array([[0, 0, 0, 0, 0, 0],
+                     [1, 1, 1, 1, 0, 0],
+                     [0, 0, 1, 1, 1, 1]], dtype=np.uint8)
+    np.testing.assert_array_equal(a, want)
