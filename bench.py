@@ -192,7 +192,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "ogr2ogr_compose_gcp", "wet_scan", "zone_predicates",
                  "concave_hull", "s2_cells", "h3_cells",
                  "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
-                 "ogr2ogr_splitlistfields"]:
+                 "ogr2ogr_splitlistfields",
+                 # round-4 raster-file surface (tiled/PackBits/BigTIFF/
+                 # overview-chain/mask/SubIFD/G4 reads, write round
+                 # trip, palette overviews, TPS compose)
+                 "tiff_tiled_scan", "tiff_roundtrip",
+                 "tiff_overview_scan", "overview_file_build",
+                 "tiff_bigtiff_scan", "palette_overview",
+                 "tiff_mask_scan", "tiff_subifd_scan", "tiff_g4_scan",
+                 "ogr2ogr_compose_tps", "tiff_hillshade"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
