@@ -224,6 +224,57 @@ def tiff_packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF flavor LZW encoder (TIFF 6.0 §13) — the inverse of
+    tiff_lzw_decode: MSB-first bit packing, CLEAR first, the
+    early-change rule (code width grows when the NEXT code to be
+    assigned would not fit, one code early: at table length 511/1023/
+    2047), table reset at 4094 entries. Greedy longest-match over a
+    dict keyed by byte strings."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    emit(CLEAR, width)
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        # width sync: the decoder's table lags the encoder's by one
+        # entry (it learns each entry one code later) and grows one
+        # early (len+1 >= 1<<width — the TIFF early-change rule), so
+        # the encoder grows exactly when its next free code reaches
+        # 1<<width
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        elif nxt >= 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _plan(path: str, ifd: int = 0, subifd: int = None) -> dict:
     """Driver-side header read: everything partition planning needs,
     no pixel data. Normalizes both layouts to a uniform block grid:
@@ -485,6 +536,8 @@ def encode_strip(arr, comp: str, pred: int) -> bytes:
     raw = arr.tobytes()
     if comp == "deflate":
         return zlib.compress(raw, 6)
+    if comp == "lzw":
+        return tiff_lzw_encode(raw)
     if comp == "packbits":
         # row-at-a-time, literal-run/repeat-run greedy per TIFF §9
         out = bytearray()
@@ -597,9 +650,10 @@ def write_strip_tiff(df, path: str, dtype="uint8", comp="deflate",
         (F.max("py") + 1).alias("h")).collect()][0]
     w, h = int(w), int(h)
     nstrips = (h + rps - 1) // rps
-    comp_id = {"none": 1, "deflate": 8, "packbits": 32773}[comp]
-    pred = 2 if comp == "deflate" and np.dtype(dtype).kind != "f" \
-        else 1
+    comp_id = {"none": 1, "deflate": 8, "lzw": 5,
+               "packbits": 32773}[comp]
+    pred = 2 if comp in ("deflate", "lzw") \
+        and np.dtype(dtype).kind != "f" else 1
     tmp_dir = path + ".parts"
     os.makedirs(tmp_dir, exist_ok=True)
 

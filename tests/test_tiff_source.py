@@ -288,3 +288,32 @@ def test_g4_decoder_kernel_roundtrip():
                      [1, 1, 1, 1, 0, 0],
                      [0, 0, 1, 1, 1, 1]], dtype=np.uint8)
     np.testing.assert_array_equal(a, want)
+
+
+def test_lzw_encoder_roundtrip_kernel():
+    """From-scratch TIFF-LZW encoder vs our parity-pinned decoder:
+    width growth stays in sync across the 9->10->11->12 boundaries
+    and table resets (the decoder's one-entry lag + early-change)."""
+    import numpy as np
+    from gdal_spark.sources.tiff import (tiff_lzw_decode,
+                                         tiff_lzw_encode)
+    rng = np.random.default_rng(11)
+    for data in (b"", b"ab" * 3000,
+                 bytes(rng.integers(0, 256, 60000, dtype=np.uint8)),
+                 bytes(rng.integers(0, 3, 120000, dtype=np.uint8))):
+        assert tiff_lzw_decode(tiff_lzw_encode(data),
+                               len(data)) == data
+
+
+def test_writer_roundtrip_lzw(tiff, tmp_path):
+    """Writer emits Compression=5: byte.tif re-encoded as
+    LZW+Predictor-2 strips, re-scanned, checksum 4672 preserved."""
+    import numpy as np
+    from gdal_spark.operators.rasterize import gdal_checksum
+    from gdal_spark.sources.tiff import write_strip_tiff
+    src_path = f"{DATA}/gcore/data/byte.tif"
+    out = str(tmp_path / "rt_lzw.tif")
+    src = tiff.read.format("tiff").load(src_path)
+    write_strip_tiff(src, out, dtype="uint8", comp="lzw", rps=6)
+    got = tiff.read.format("tiff").load(out).toPandas()
+    assert gdal_checksum(_grid(got)) == 4672
