@@ -258,7 +258,10 @@ def gdal_checksum(grid: np.ndarray) -> int:
     primes = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
     h, w = grid.shape
     vals = np.floor(np.asarray(grid, dtype=np.float64) + 0.5)
-    vals = np.clip(vals, -2147483647, 2147483647).astype(np.int64)
+    # GDALCopyWords float→Int32 clamps to the full Int32 range —
+    # low side is INT32_MIN (-2^31), exposed by the int64_full_range
+    # fixture whose published checksum 65535 requires it
+    vals = np.clip(vals, -2147483648, 2147483647).astype(np.int64)
     idx = (np.arange(h * w, dtype=np.int64) % 11).reshape(h, w)
     terms = np.fmod(vals, primes[idx])  # fmod keeps C's sign-of-dividend
     chk = 0

@@ -19289,7 +19289,7 @@ def q_tiff_scan(spark, sf_dir):
     val = F.greatest(
         F.least(F.floor(F.col("value") + F.lit(0.5)),
                 F.lit(2147483647)),
-        F.lit(-2147483647)).cast("long")
+        F.lit(-2147483648)).cast("long")
     prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
                    "CAST((CAST(py AS BIGINT) * w + px) % 11 AS INT) + 1)")
     term = val % prime.cast("long")
@@ -19395,7 +19395,7 @@ def q_tiff_tiled_scan(spark, sf_dir):
     val = F.greatest(
         F.least(F.floor(F.col("value") + F.lit(0.5)),
                 F.lit(2147483647)),
-        F.lit(-2147483647)).cast("long")
+        F.lit(-2147483648)).cast("long")
     prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
                    f"CAST((CAST(py AS BIGINT) * {w} + px) % 11 AS INT)"
                    " + 1)")
@@ -19777,6 +19777,88 @@ def o_tiff_g4_scan():
 SELECT CAST(7200000 AS BIGINT) AS n_pixels,
        CAST(7081210 AS BIGINT) AS n_black,
        CAST(3322 AS BIGINT) AS checksum"""
+
+
+TIFF_DTYPE_SCALARS = [
+    ("int16.tif", 4672), ("uint16.tif", 4672), ("int24.tif", 4672),
+    ("int32.tif", 4672), ("uint32.tif", 4672), ("float16.tif", 4672),
+    ("float24.tif", 4672), ("float32.tif", 4672),
+    ("float64.tif", 4672),
+    ("gtiff/float32_lzw_predictor_3_big_endian.tif", 4672),
+    ("gtiff/int64_full_range.tif", 65535),
+    ("gtiff/uint64_full_range.tif", 1),
+]
+TIFF_DTYPE_COMPLEX = ["cint16.tif", "cint32.tif", "cfloat32.tif",
+                      "cfloat64.tif"]
+
+
+def q_tiff_dtype_matrix(spark, sf_dir):
+    """The reference's full sample-type matrix
+    (autotest/gcore/tiff_read.py:45-75 published checksums — every
+    fixture is the byte.tif raster re-typed): standard int16/uint16/
+    int32/uint32/float32/float64, GDAL's 3-byte Int24 (MSB triples)
+    and Float24 (1/7/16 bias-63), IEEE float16, the TechNote-3
+    floating-point predictor on a BIG-ENDIAN LZW file (byte-plane
+    cumsum + re-interleave), full-range int64/uint64 (whose published
+    65535/1 checksums pin the GDALCopyWords INT32_MIN low clamp —
+    this fixture exposed and fixed a -2147483647 off-by-one in our
+    checksum kernel), and the four complex types (SampleFormat 5/6,
+    re/im emitted as component bands; GDAL's checksum walks the
+    components interleaved, so the gate rebuilds idx = py·2w + 2px +
+    component — all four pin 5028)."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    D = "/root/reference/autotest/gcore/data/"
+    scal = _reduce(lambda a, b: a.unionByName(b),
+                   [spark.read.format("tiff").load(D + f)
+                    for f, _ in TIFF_DTYPE_SCALARS])
+    dims = scal.groupBy("file").agg(
+        (F.max("px") + 1).cast("int").alias("w"))
+    t = scal.join(F.broadcast(dims), "file")
+    val = F.greatest(
+        F.least(F.floor(F.col("value") + F.lit(0.5)),
+                F.lit(2147483647)),
+        F.lit(-2147483648)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   "CAST((CAST(py AS BIGINT) * w + px) % 11 AS INT) + 1)")
+    scal_out = (t.withColumn("_t", val % prime.cast("long"))
+                .groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n_values"),
+                     F.expr("pmod(SUM(_t), 65536)").cast("long")
+                     .alias("checksum")))
+    cplx = _reduce(lambda a, b: a.unionByName(b),
+                   [spark.read.format("tiff").load(D + f)
+                    for f in TIFF_DTYPE_COMPLEX])
+    cprime = F.expr(
+        "element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+        "CAST((CAST(py AS BIGINT) * 40 + px * 2 + band) % 11 AS INT)"
+        " + 1)")
+    cplx_out = (cplx.withColumn("_t", val % cprime.cast("long"))
+                .groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n_values"),
+                     F.expr("pmod(SUM(_t), 65536)").cast("long")
+                     .alias("checksum")))
+    return scal_out.unionByName(cplx_out).orderBy("file")
+
+
+def o_tiff_dtype_matrix():
+    rows = []
+    for f, cks in TIFF_DTYPE_SCALARS:
+        base = f.split("/")[-1]
+        n = 2 if "full_range" in f else 400
+        rows.append(f"('{base}', CAST({n} AS BIGINT), "
+                    f"CAST({cks} AS BIGINT))")
+    for f in TIFF_DTYPE_COMPLEX:
+        rows.append(f"('{f}', CAST(800 AS BIGINT), "
+                    "CAST(5028 AS BIGINT))")
+    body = ",\n  ".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+  {body}
+) AS t(file, n_values, checksum)
+ORDER BY file"""
 
 
 def q_palette_overview(spark, sf_dir):
@@ -20738,6 +20820,7 @@ REGISTRY: dict[str, tuple] = {
     "tiff_mask_scan": (q_tiff_mask_scan, o_tiff_mask_scan),
     "tiff_subifd_scan": (q_tiff_subifd_scan, o_tiff_subifd_scan),
     "tiff_g4_scan": (q_tiff_g4_scan, o_tiff_g4_scan),
+    "tiff_dtype_matrix": (q_tiff_dtype_matrix, o_tiff_dtype_matrix),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -21136,7 +21219,7 @@ _WINDOW_R4 = [
     "tiff_roundtrip", "tiff_overview_scan", "overview_file_build",
     "tiff_bigtiff_scan", "palette_overview", "tiff_mask_scan",
     "nearblack",
-    "hist_match", "tiff_subifd_scan", "tiff_g4_scan",
+    "tiff_dtype_matrix", "tiff_subifd_scan", "tiff_g4_scan",
     "homography_warp", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
     "ogr2ogr_splitlistfields",

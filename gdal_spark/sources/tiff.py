@@ -308,18 +308,46 @@ def _plan(path: str, ifd: int = 0, subifd: int = None) -> dict:
     if len(set(bits_all)) != 1:
         raise ValueError("heterogeneous BitsPerSample not supported")
     bits = bits_all[0]
-    if bits not in (1, 8, 16, 32):
+    if bits not in (1, 8, 16, 24, 32, 64, 128):
         raise ValueError(f"unsupported BitsPerSample {bits}")
     spp = one(277, 1)
     planar = one(284, 1)
-    sfmt = one(339, 1)  # 1 unsigned, 2 signed, 3 float
-    if sfmt == 3 and bits != 32:
-        raise ValueError("float samples only supported at 32 bits")
+    sfmt = one(339, 1)  # 1/2/3 uint/int/float, 5/6 complex int/float
+    special, cdtype = None, None
+    if bits == 24:
+        # GDAL's Int24 / Float24 extensions: 3-byte samples, MSB
+        # first within the triple (gcore GDALCopyWords24); Float24 is
+        # 1 sign / 7-bit exponent (bias 63) / 16-bit mantissa, LSB
+        # word order — both verified against the published byte.tif
+        # twins (checksum 4672)
+        if sfmt == 2:
+            special = "i24"
+        elif sfmt == 3:
+            special = "f24"
+        else:
+            raise ValueError("24-bit samples must be int or float")
+    elif sfmt in (5, 6):
+        # complex samples (SampleFormat 5/6): stored re,im
+        # interleaved per pixel; emitted as component bands 0/1
+        comp_bits = bits // 2
+        kind = "i" if sfmt == 5 else "f"
+        if sfmt == 5 and comp_bits not in (16, 32) or \
+                sfmt == 6 and comp_bits not in (32, 64):
+            raise ValueError(
+                f"unsupported complex width {bits}")
+        special = "c2"
+        cdtype = ("<" if bo == "<" else ">") + kind + str(comp_bits // 8)
+        if spp != 1:
+            raise ValueError("complex samples only for spp=1")
+    elif sfmt == 3 and bits not in (16, 32, 64):
+        raise ValueError("float samples only at 16/32/64 bits")
     if comp == 4 and (bits != 1 or spp != 1):
         raise ValueError("CCITT G4 is defined for 1-bit single-sample")
     pred = one(317, 1)
-    if pred not in (1, 2):
+    if pred not in (1, 2, 3):
         raise ValueError(f"unsupported Predictor {pred}")
+    if pred == 3 and (sfmt != 3 or bits not in (32, 64)):
+        raise ValueError("floating-point predictor needs f32/f64")
     tiled = 322 in tags
     if tiled:
         bw, bh = one(322), one(323)
@@ -334,14 +362,15 @@ def _plan(path: str, ifd: int = 0, subifd: int = None) -> dict:
     if len(offs) != want:
         raise ValueError(
             f"block count {len(offs)} does not match layout ({want})")
-    np_kind = {1: "u", 2: "i", 3: "f"}[sfmt]
+    np_kind = {1: "u", 2: "i", 3: "f", 5: "i", 6: "f"}[sfmt]
     # 1-bit samples (internal mask bands, Photometric=4: GDAL's
     # GMF_PER_DATASET mask IFDs) unpack to u1 0/1 after decode
     dtype = ("<" if bo == "<" else ">") + np_kind + str(max(1, bits // 8))
     return {"path": path, "w": w, "h": h, "comp": comp, "pred": pred,
             "tiled": tiled, "bw": bw, "bh": bh, "ba": ba, "bd": bd,
             "offs": offs, "lens": lens, "dtype": dtype, "bits": bits,
-            "bands": spp, "planar": planar,
+            "bands": spp, "planar": planar, "special": special,
+            "cdtype": cdtype, "psize": max(1, bits // 8),
             "blocks_per_band": blocks_per_band}
 
 
@@ -430,7 +459,7 @@ class TiffReader(DataSourceReader):
         # §15); strips store only the rows that exist
         stored_rows = m["bh"] if m["tiled"] else min(m["bh"],
                                                     m["h"] - y0)
-        itemsize = int(m["dtype"][-1])
+        itemsize = m["psize"]
         onebit = m.get("bits", 8) == 1
         if onebit:
             # bit-packed rows padded to a byte boundary per row
@@ -470,6 +499,48 @@ class TiffReader(DataSourceReader):
                 .reshape(stored_rows, rowbytes),
                 axis=1)[:, :m["bw"] * samples].reshape(
                     stored_rows, m["bw"], samples).copy()
+        elif m["pred"] == 3:
+            # TIFF TechNote 3 floating-point predictor: each stored
+            # row is the float bytes split into significance planes
+            # (MSB plane first) then byte-differenced — undo by byte
+            # cumsum across the row, then re-interleave big-endian
+            nb = itemsize
+            rows8 = np.frombuffer(data, dtype=np.uint8).reshape(
+                stored_rows, m["bw"] * samples * nb).copy()
+            np.cumsum(rows8, axis=1, dtype=np.uint8, out=rows8)
+            planes = rows8.reshape(stored_rows, nb,
+                                   m["bw"] * samples)
+            inter = np.stack([planes[:, i, :] for i in range(nb)],
+                             axis=-1)
+            arr = np.frombuffer(
+                inter.tobytes(), dtype=">f" + str(nb)).reshape(
+                    stored_rows, m["bw"], samples).copy()
+        elif m["special"] == "i24":
+            # 3-byte ints, MSB-first triples
+            u = np.frombuffer(data, dtype=np.uint8).reshape(
+                -1, 3).astype(np.int64)
+            v = (u[:, 0] << 16) | (u[:, 1] << 8) | u[:, 2]
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            arr = v.reshape(stored_rows, m["bw"], samples)\
+                .astype(np.float64)
+        elif m["special"] == "f24":
+            # 1 sign / 7-bit exp (bias 63) / 16-bit mantissa, LSB
+            # word order
+            u = np.frombuffer(data, dtype=np.uint8).reshape(
+                -1, 3).astype(np.uint32)
+            word = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+            sign = 1.0 - 2.0 * ((word >> 23) & 1)
+            exp = ((word >> 16) & 0x7F).astype(np.float64)
+            man = (word & 0xFFFF).astype(np.float64) / 65536.0
+            v = sign * np.where(exp > 0, (1.0 + man)
+                                * np.exp2(exp - 63),
+                                man * np.exp2(-62.0))
+            arr = v.reshape(stored_rows, m["bw"], samples)
+        elif m["special"] == "c2":
+            # complex: re,im interleaved per pixel -> component bands
+            arr = np.frombuffer(data, dtype=m["cdtype"]).reshape(
+                stored_rows, m["bw"], 2).astype(np.float64)
+            samples = 2
         else:
             arr = np.frombuffer(data, dtype=m["dtype"]).reshape(
                 stored_rows, m["bw"], samples).copy()

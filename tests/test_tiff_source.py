@@ -317,3 +317,26 @@ def test_writer_roundtrip_lzw(tiff, tmp_path):
     write_strip_tiff(src, out, dtype="uint8", comp="lzw", rps=6)
     got = tiff.read.format("tiff").load(out).toPandas()
     assert gdal_checksum(_grid(got)) == 4672
+
+
+def test_dtype_matrix_published_checksums(tiff):
+    """Every published sample-type pin of tiff_read.py:45-75 through
+    the source: 16/24/32/64-bit ints, f16/f24/f32/f64, the BE LZW
+    predictor-3 file, full-range int64/uint64 (INT32_MIN clamp), and
+    the four complex types via the interleaved-component checksum."""
+    import numpy as np
+    from gdal_spark.operators.rasterize import gdal_checksum
+    from gdal_spark.queries import (TIFF_DTYPE_COMPLEX,
+                                    TIFF_DTYPE_SCALARS)
+    for f, want in TIFF_DTYPE_SCALARS:
+        pdf = (tiff.read.format("tiff")
+               .load(f"{DATA}/gcore/data/{f}").toPandas())
+        assert gdal_checksum(_grid(pdf)) == want, f
+    for f in TIFF_DTYPE_COMPLEX:
+        pdf = (tiff.read.format("tiff")
+               .load(f"{DATA}/gcore/data/{f}").toPandas())
+        re, im = _grid(pdf, 0), _grid(pdf, 1)
+        inter = np.empty((20, 40))
+        inter[:, 0::2] = re
+        inter[:, 1::2] = im
+        assert gdal_checksum(inter) == 5028, f
