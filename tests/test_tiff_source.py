@@ -340,3 +340,22 @@ def test_dtype_matrix_published_checksums(tiff):
         inter[:, 0::2] = re
         inter[:, 1::2] = im
         assert gdal_checksum(inter) == 5028, f
+
+
+def test_writer_roundtrip_g4_bilevel(tiff, tmp_path):
+    """Bilevel sink: the slim_g4 mask re-written as Compression=4
+    strips (1-bit IFD) through write_strip_tiff, re-scanned,
+    array-equal. Uses a 200-row slice to keep the strip count
+    meaningful (rps=64 -> 4 strips)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from gdal_spark.sources.tiff import write_strip_tiff
+    src_path = "/root/reference/autotest/gcore/data/slim_g4.tif"
+    src = (tiff.read.format("tiff").load(src_path)
+           .filter(F.col("py") < 200))
+    out = str(tmp_path / "rt_g4.tif")
+    write_strip_tiff(src, out, dtype="uint8", comp="g4", rps=64)
+    got = tiff.read.format("tiff").load(out).toPandas()
+    want = (tiff.read.format("tiff").load(src_path).toPandas())
+    want = want[want["py"] < 200]
+    np.testing.assert_array_equal(_grid(got), _grid(want))
