@@ -19861,6 +19861,50 @@ SELECT * FROM (VALUES
 ORDER BY file"""
 
 
+def q_translate_file_resize(spark, sf_dir):
+    """gdal_translate -outsize on a real file (gdal.Translate
+    width=40 height=40 over byte.tif; the IRasterIO nearest rule
+    src = floor((dst+0.5)·src_size/dst_size), gcore/rasterio.cpp
+    — same kernel as the synthetic raster_resize gate, now end to
+    end from the TIFF source): the 40×40 destination grid is a
+    spark.range cross of dst indices, source indices are column
+    math, and ONE equi-join against the scanned pixels materializes
+    the upsample. Oracle = the published artifact checksum 18784
+    (autotest/utilities/test_gdal_translate_lib.py:179 — identical
+    for the width/height and widthPct/heightPct=200 spellings)."""
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    path = "/root/reference/autotest/gcore/data/byte.tif"
+    px = (spark.read.format("tiff").load(path)
+          .select("py", "px", "value"))
+    dst = (spark.range(40 * 40)
+           .select((F.col("id") / 40).cast("int").alias("dy"),
+                   (F.col("id") % 40).cast("int").alias("dx")))
+    dst = dst.select(
+        "dy", "dx",
+        F.floor((F.col("dy") + 0.5) * 20 / 40).cast("int").alias("py"),
+        F.floor((F.col("dx") + 0.5) * 20 / 40).cast("int").alias("px"))
+    up = dst.join(px, ["py", "px"])
+    val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   "CAST((CAST(dy AS BIGINT) * 40 + dx) % 11 AS INT)"
+                   " + 1)")
+    return (up.withColumn("_t", val % prime.cast("long"))
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .select(F.lit(40).alias("w"), F.lit(40).alias("h"),
+                    "n_pixels", "checksum"))
+
+
+def o_translate_file_resize():
+    return """
+SELECT CAST(40 AS INT) AS w, CAST(40 AS INT) AS h,
+       CAST(1600 AS BIGINT) AS n_pixels,
+       CAST(18784 AS BIGINT) AS checksum"""
+
+
 def q_palette_overview(spark, sf_dir):
     """Palette-aware overview resampling (gcore/overview.cpp
     GDALRegenerateOverviews with a color table: indices expand to RGB
@@ -20821,6 +20865,8 @@ REGISTRY: dict[str, tuple] = {
     "tiff_subifd_scan": (q_tiff_subifd_scan, o_tiff_subifd_scan),
     "tiff_g4_scan": (q_tiff_g4_scan, o_tiff_g4_scan),
     "tiff_dtype_matrix": (q_tiff_dtype_matrix, o_tiff_dtype_matrix),
+    "translate_file_resize": (q_translate_file_resize,
+                              o_translate_file_resize),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
