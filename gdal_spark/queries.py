@@ -19905,6 +19905,54 @@ SELECT CAST(40 AS INT) AS w, CAST(40 AS INT) AS h,
        CAST(18784 AS BIGINT) AS checksum"""
 
 
+def q_gif_rgbexpand(spark, sf_dir):
+    """Second raster FORMAT DRIVER + gdal_translate rgbExpand
+    (frmts/gif via giflib; apps/gdal_translate_lib.cpp band
+    expansion through the color table): bug407.gif — 400×400,
+    INTERLACED GIF87a, 16-color global table, GIF-flavor LZW
+    (LSB-first, variable initial code width, no early change — the
+    opposite packing of TIFF-LZW, both from scratch) — scans through
+    gdal_spark/sources/gif.py as palette indices, broadcast-joins
+    the ≤256-row gif_palette() table, and reduces each expanded RGB
+    band to the distributed GDAL checksum. Oracle = the reference's
+    published translate-lib pins R 20615 / G 59147 / B 63052
+    (test_gdal_translate_lib.py:158-162)."""
+    from gdal_spark.sources.gif import GifDataSource, gif_palette
+    spark.dataSource.register(GifDataSource)
+    path = "/root/reference/autotest/gdrivers/data/gif/bug407.gif"
+    pal = spark.createDataFrame(
+        gif_palette(path), "idx int, r int, g int, b int")
+    px = (spark.read.format("gif").load(path)
+          .select(F.col("value").cast("int").alias("idx"),
+                  "py", "px"))
+    j = px.join(F.broadcast(pal), "idx")
+    w = 400
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   f"CAST((CAST(py AS BIGINT) * {w} + px) % 11 AS INT)"
+                   " + 1)").cast("long")
+    rows = []
+    for col, label in (("r", "red"), ("g", "green"), ("b", "blue")):
+        rows.append(
+            j.select((F.col(col).cast("long") % prime).alias("_t"))
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .select(F.lit(label).alias("band"), "n_pixels",
+                    "checksum"))
+    from functools import reduce as _reduce
+    return _reduce(lambda a, b: a.unionByName(b), rows).orderBy("band")
+
+
+def o_gif_rgbexpand():
+    return """
+SELECT * FROM (VALUES
+  ('blue',  CAST(160000 AS BIGINT), CAST(63052 AS BIGINT)),
+  ('green', CAST(160000 AS BIGINT), CAST(59147 AS BIGINT)),
+  ('red',   CAST(160000 AS BIGINT), CAST(20615 AS BIGINT))
+) AS t(band, n_pixels, checksum)
+ORDER BY band"""
+
+
 def q_palette_overview(spark, sf_dir):
     """Palette-aware overview resampling (gcore/overview.cpp
     GDALRegenerateOverviews with a color table: indices expand to RGB
@@ -20867,6 +20915,7 @@ REGISTRY: dict[str, tuple] = {
     "tiff_dtype_matrix": (q_tiff_dtype_matrix, o_tiff_dtype_matrix),
     "translate_file_resize": (q_translate_file_resize,
                               o_translate_file_resize),
+    "gif_rgbexpand": (q_gif_rgbexpand, o_gif_rgbexpand),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -21260,7 +21309,7 @@ _WINDOW_R4 = [
     "warc_records", "cdx_index", "geojsonseq_scan",
     "sql_udf_registered", "grouped_agg_udaf", "udtf_url_segments",
     "fillnodata", "dem_hillshade_igor",
-    "dem_aspect_trig",
+    "gif_rgbexpand",
     "viewshed", "viewshed_cumulative", "tiff_tiled_scan",
     "tiff_roundtrip", "tiff_overview_scan", "overview_file_build",
     "tiff_bigtiff_scan", "palette_overview", "tiff_mask_scan",
