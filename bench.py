@@ -200,7 +200,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "tiff_overview_scan", "overview_file_build",
                  "tiff_bigtiff_scan", "palette_overview",
                  "tiff_mask_scan", "tiff_subifd_scan", "tiff_g4_scan",
-                 "ogr2ogr_compose_tps", "tiff_hillshade"]:
+                 "ogr2ogr_compose_tps", "tiff_hillshade",
+                 "tiff_dtype_matrix", "translate_file_resize",
+                 "gif_rgbexpand"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
