@@ -27,7 +27,7 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # 3 = palette indices
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -89,6 +89,29 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         off += 12 + ln
+    return _decode_scanlines(ihdr, idat)
+
+
+def png_palette(data: bytes) -> list:
+    """PLTE entries of a color-type-3 PNG as (idx, r, g, b) rows —
+    the color table gdal's PNG driver exposes (enumeration metadata,
+    ≤256 rows, broadcast by consumers)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    off = 8
+    while off + 8 <= len(data):
+        ln, tag = struct.unpack(">I4s", data[off:off + 8])
+        if tag == b"PLTE":
+            p = data[off + 8:off + 8 + ln]
+            return [(i, p[3 * i], p[3 * i + 1], p[3 * i + 2])
+                    for i in range(ln // 3)]
+        if tag == b"IEND":
+            break
+        off += 12 + ln
+    raise ValueError("PNG has no PLTE chunk")
+
+
+def _decode_scanlines(ihdr, idat):
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr

@@ -19953,6 +19953,50 @@ SELECT * FROM (VALUES
 ORDER BY band"""
 
 
+def q_png_file_scan(spark, sf_dir):
+    """Third raster FORMAT DRIVER: PNG files through the from-scratch
+    codec (geo/png.py — the same decoder that round-trips our
+    gdal2tiles tile artifacts — now reading the REFERENCE'S fixtures
+    via gdal_spark/sources/pngfile.py; frmts/png in the reference):
+    test.png (400×400 paletted, read as indices — GDAL's
+    Byte-band-with-color-table model) and byte_with_xmp.png (gray,
+    ancillary chunks skipped), reduced to the distributed GDAL
+    checksum. Oracle = the published pins 57921 (gdrivers/png.py
+    test_png_1) and 4672 (the byte.tif content everywhere). A PNG
+    IDAT is one zlib stream with row-filter dependencies, so each
+    file is one partition; the two files scan in parallel."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.sources.pngfile import PngFileDataSource
+    spark.dataSource.register(PngFileDataSource)
+    D = "/root/reference/autotest/gdrivers/data/png/"
+    parts = []
+    for fname, w in (("test.png", 400), ("byte_with_xmp.png", 20)):
+        df = (spark.read.format("pngfile").load(D + fname)
+              .withColumn("w", F.lit(w)))
+        parts.append(df)
+    t = _reduce(lambda a, b: a.unionByName(b), parts)
+    val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   "CAST((CAST(py AS BIGINT) * w + px) % 11 AS INT) + 1)")
+    return (t.withColumn("_t", val % prime.cast("long"))
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .orderBy("file"))
+
+
+def o_png_file_scan():
+    return """
+SELECT * FROM (VALUES
+  ('byte_with_xmp.png', CAST(400 AS BIGINT), CAST(4672 AS BIGINT)),
+  ('test.png', CAST(160000 AS BIGINT), CAST(57921 AS BIGINT))
+) AS t(file, n_pixels, checksum)
+ORDER BY file"""
+
+
 def q_palette_overview(spark, sf_dir):
     """Palette-aware overview resampling (gcore/overview.cpp
     GDALRegenerateOverviews with a color table: indices expand to RGB
@@ -20916,6 +20960,7 @@ REGISTRY: dict[str, tuple] = {
     "translate_file_resize": (q_translate_file_resize,
                               o_translate_file_resize),
     "gif_rgbexpand": (q_gif_rgbexpand, o_gif_rgbexpand),
+    "png_file_scan": (q_png_file_scan, o_png_file_scan),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),

@@ -103,3 +103,18 @@ def test_tile_pyramid_png_artifacts_roundtrip(spark):
     assert set(out) == set(want)
     for k, png in out.items():
         np.testing.assert_array_equal(decode_png(png), want[k], str(k))
+
+
+def test_palette_png_published_checksum():
+    """Reference fixture test.png (paletted, 400x400) decodes to the
+    published index checksum 57921 (gdrivers/png.py test_png_1);
+    PLTE parses to (idx,r,g,b) rows."""
+    from gdal_spark.geo.png import decode_png, png_palette
+    from gdal_spark.operators.rasterize import gdal_checksum
+    b = open("/root/reference/autotest/gdrivers/data/png/test.png",
+             "rb").read()
+    a = decode_png(b)
+    assert a.shape == (400, 400)
+    assert gdal_checksum(a.astype(float)) == 57921
+    pal = png_palette(b)
+    assert pal[0] == (0, 255, 255, 255) and len(pal) == 16
