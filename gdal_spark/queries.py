@@ -19953,6 +19953,109 @@ SELECT * FROM (VALUES
 ORDER BY band"""
 
 
+def _aaigrid_header(path):
+    """Driver-side AAIGrid header: key/value lines until the first
+    data row (frmts/aaigrid/aaigriddataset.cpp ParseHeader) — a few
+    short lines of metadata."""
+    hdr, n = {}, 0
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) == 2 and parts[0][0].isalpha():
+                hdr[parts[0].lower()] = float(parts[1])
+                n += 1
+            else:
+                break
+    return hdr, n
+
+
+def q_aaigrid_scan(spark, sf_dir):
+    """Arc/Info ASCII Grid — a TEXT raster format read SPARK-NATIVE
+    (frmts/aaigrid/aaigriddataset.cpp): no custom DataSource needed —
+    the values are a whitespace token stream in row-major order
+    independent of line structure (pixel_per_line.asc stores ONE
+    value per line; byte.tif.grd stores one row per line — the same
+    parse handles both). Shape: header is a driver-side few-line
+    read; data lines get a deterministic global index
+    (zipWithIndex), per-line token counts prefix-sum via the
+    scale-correct TWO-PHASE pattern (per-1024-line-bucket partials →
+    tiny bucket window → within-bucket window — same discipline as
+    sequence_pack, no corpus-wide window), and posexplode turns
+    line-offset + token position into (py, px). Oracle = the
+    published pins: byte.tif.grd checksum 4672
+    (aaigrid.py:35) and pixel_per_line.asc checksum 1123 with the
+    derived y-origin 650600 (aaigrid.py:115-125; its declared nodata
+    −99999 never occurs in the data, pinned as n_nodata 0)."""
+    D = "/root/reference/autotest/gdrivers/data/aaigrid/"
+    outs = []
+    for fname in ("byte.tif.grd", "pixel_per_line.asc"):
+        hdr, nhdr = _aaigrid_header(D + fname)
+        ncols, nrows = int(hdr["ncols"]), int(hdr["nrows"])
+        yorig = hdr["yllcorner"] + hdr["cellsize"] * nrows
+        lines = (spark.read.text(D + fname).rdd.zipWithIndex()
+                 .map(lambda t: (t[0].value, t[1]))
+                 .toDF(["line", "lid"])
+                 .filter(F.col("lid") >= nhdr))
+        toks = lines.select(
+            "lid", F.array_remove(
+                F.split(F.trim("line"), r"\s+"), "").alias("ts"))
+        toks = toks.withColumn("n_tok", F.size("ts")) \
+                   .withColumn("bucket", (F.col("lid") / 1024)
+                               .cast("long"))
+        bp = toks.groupBy("bucket").agg(F.sum("n_tok").alias("bn"))
+        wb = (Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        bp = bp.withColumn("boff",
+                           F.coalesce(F.sum("bn").over(wb), F.lit(0)))
+        wd = (Window.partitionBy("bucket").orderBy("lid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        toks = (toks.join(F.broadcast(bp.select("bucket", "boff")),
+                          "bucket")
+                .withColumn("loff", F.col("boff") + F.coalesce(
+                    F.sum("n_tok").over(wd), F.lit(0))))
+        px = (toks.select("loff", F.posexplode("ts")
+                          .alias("pos", "tok"))
+              .select(((F.col("loff") + F.col("pos")) / ncols)
+                      .cast("long").alias("py"),
+                      ((F.col("loff") + F.col("pos")) % ncols)
+                      .alias("px"),
+                      F.col("tok").cast("double").alias("value")))
+        val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                      F.lit(2147483647)).cast("long")
+        prime = F.expr(
+            "element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+            f"CAST((py * {ncols} + px) % 11 AS INT) + 1)")
+        outs.append(
+            px.withColumn("_t", val % prime.cast("long"))
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"),
+                 F.sum(F.when(F.col("value")
+                              == hdr.get("nodata_value",
+                                         float("nan")),
+                              1).otherwise(0)).cast("long")
+                 .alias("n_nodata"))
+            .select(F.lit(fname).alias("file"),
+                    F.lit(ncols).alias("w"), F.lit(nrows).alias("h"),
+                    F.lit(float(yorig)).alias("y_origin"),
+                    "n_pixels", "checksum", "n_nodata"))
+    from functools import reduce as _reduce
+    return _reduce(lambda a, b: a.unionByName(b), outs).orderBy("file")
+
+
+def o_aaigrid_scan():
+    return """
+SELECT * FROM (VALUES
+  ('byte.tif.grd', CAST(20 AS INT), CAST(20 AS INT),
+   CAST(3751320.0 AS DOUBLE), CAST(400 AS BIGINT),
+   CAST(4672 AS BIGINT), CAST(0 AS BIGINT)),
+  ('pixel_per_line.asc', CAST(15 AS INT), CAST(12 AS INT),
+   CAST(650600.0 AS DOUBLE), CAST(180 AS BIGINT),
+   CAST(1123 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(file, w, h, y_origin, n_pixels, checksum, n_nodata)
+ORDER BY file"""
+
+
 def q_png_file_scan(spark, sf_dir):
     """Third raster FORMAT DRIVER: PNG files through the from-scratch
     codec (geo/png.py — the same decoder that round-trips our
@@ -20961,6 +21064,7 @@ REGISTRY: dict[str, tuple] = {
                               o_translate_file_resize),
     "gif_rgbexpand": (q_gif_rgbexpand, o_gif_rgbexpand),
     "png_file_scan": (q_png_file_scan, o_png_file_scan),
+    "aaigrid_scan": (q_aaigrid_scan, o_aaigrid_scan),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
