@@ -202,7 +202,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "tiff_mask_scan", "tiff_subifd_scan", "tiff_g4_scan",
                  "ogr2ogr_compose_tps", "tiff_hillshade",
                  "tiff_dtype_matrix", "translate_file_resize",
-                 "gif_rgbexpand", "png_file_scan"]:
+                 "gif_rgbexpand", "png_file_scan", "aaigrid_scan",
+                 "rawbin_scan"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

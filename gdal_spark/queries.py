@@ -20056,6 +20056,69 @@ SELECT * FROM (VALUES
 ORDER BY file"""
 
 
+def q_rawbin_scan(spark, sf_dir):
+    """Raw-binary raster family — ENVI + ESRI EHdr/BIL
+    (frmts/envi/enividataset.cpp, frmts/raw/ehdrdataset.cpp): flat
+    data file + text .hdr sidecar in all THREE interleaves (BSQ /
+    BIL / BIP), ENVI and EHdr header dialects, LSB+MSB byte orders,
+    u8 and Float32 samples including the no-NBITS width-inference
+    rule (gdal_spark/sources/rawbin.py). This is the
+    best-partitionable raster layout — every row-block maps to
+    closed-form byte ranges with no cross-partition codec state.
+    Oracle = the published pins: float32.bil 27 / ehdr10.bil 8202
+    (ehdr.py:54,186), aea.dat 14823 (envi.py:34), and the rgbsmall
+    interleave triplet — bil, bip AND bsq each band-checksum
+    20718/20669/20895 (envi.py test_envi_interleaving), proving the
+    three interleave decodes agree."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.sources.rawbin import RawBinDataSource
+    spark.dataSource.register(RawBinDataSource)
+    D = "/root/reference/autotest/gdrivers/data/"
+    files = [("ehdr/float32.bil", 20), ("ehdr/ehdr10.bil", 321),
+             ("envi/aea.dat", 434),
+             ("envi/envi_rgbsmall_bil.img", 50),
+             ("envi/envi_rgbsmall_bip.img", 50),
+             ("envi/envi_rgbsmall_bsq.img", 50)]
+    parts = []
+    for rel, w in files:
+        parts.append(spark.read.format("rawbin").load(D + rel)
+                     .withColumn("w", F.lit(w)))
+    t = _reduce(lambda a, b: a.unionByName(b), parts)
+    val = F.greatest(
+        F.least(F.floor(F.col("value") + F.lit(0.5)),
+                F.lit(2147483647)),
+        F.lit(-2147483648)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   "CAST((CAST(py AS BIGINT) * w + px) % 11 AS INT) + 1)")
+    return (t.withColumn("_t", val % prime.cast("long"))
+            .groupBy("file", "band")
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .orderBy("file", "band"))
+
+
+def o_rawbin_scan():
+    rgb = [(s, b, 2450, c) for s in ("bil", "bip", "bsq")
+           for b, c in ((0, 20718), (1, 20669), (2, 20895))]
+    rows = ["('float32.bil', 0, CAST(400 AS BIGINT), "
+            "CAST(27 AS BIGINT))",
+            "('ehdr10.bil', 0, CAST(642 AS BIGINT), "
+            "CAST(8202 AS BIGINT))",
+            "('aea.dat', 0, CAST(1302 AS BIGINT), "
+            "CAST(14823 AS BIGINT))"]
+    for s, b, n, c in rgb:
+        rows.append(f"('envi_rgbsmall_{s}.img', {b}, "
+                    f"CAST({n} AS BIGINT), CAST({c} AS BIGINT))")
+    body = ",\n  ".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+  {body}
+) AS t(file, band, n_pixels, checksum)
+ORDER BY file, band"""
+
+
 def q_png_file_scan(spark, sf_dir):
     """Third raster FORMAT DRIVER: PNG files through the from-scratch
     codec (geo/png.py — the same decoder that round-trips our
@@ -21065,6 +21128,7 @@ REGISTRY: dict[str, tuple] = {
     "gif_rgbexpand": (q_gif_rgbexpand, o_gif_rgbexpand),
     "png_file_scan": (q_png_file_scan, o_png_file_scan),
     "aaigrid_scan": (q_aaigrid_scan, o_aaigrid_scan),
+    "rawbin_scan": (q_rawbin_scan, o_rawbin_scan),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
