@@ -20056,6 +20056,111 @@ SELECT * FROM (VALUES
 ORDER BY file"""
 
 
+def q_warp_file_artifact(spark, sf_dir):
+    """gdalwarp -rb / -rc against the reference's SHIPPED golden
+    rasters (autotest/utilities/ref_data/testgdalwarp11.tif /
+    testgdalwarp12.tif — artifacts produced by GDAL itself for
+    test_gdalwarp_lib_11/12, accepted there with maxdiff ≤ 1):
+    byte.tif scans through the TIFF source, upsamples 20→40 with the
+    bilinear and cubic (A=-0.5, 4×4, with GWKCubicResample's
+    bilinear fallback wherever the window leaves the source) kernels
+    as ONE tap-explode + equi-join + groupBy per algorithm, and
+    joins the result against the shipped artifact — also read
+    through our TIFF source. The gate pins the reference's own
+    acceptance (zero pixels beyond tolerance 1) plus the exact
+    deterministic max |diff| = 1.0, which comes from GDAL's
+    fixed-point tie rounding on accumulator values of exactly .5
+    (every differing pixel is a .5 tie — verified)."""
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    D = "/root/reference/autotest/"
+    src = (spark.read.format("tiff").load(D + "gcore/data/byte.tif")
+           .select("py", "px", "value"))
+    dst = (spark.range(40 * 40)
+           .select((F.col("id") / 40).cast("int").alias("dy"),
+                   (F.col("id") % 40).cast("int").alias("dx")))
+    sx = (F.col("dx") + 0.5) * 0.5 - 0.5
+    sy = (F.col("dy") + 0.5) * 0.5 - 0.5
+    dst = (dst.withColumn("x0", F.floor(sx).cast("int"))
+           .withColumn("y0", F.floor(sy).cast("int"))
+           .withColumn("fx", sx - F.floor(sx))
+           .withColumn("fy", sy - F.floor(sy)))
+
+    def cw(f, i):
+        A = -0.5
+        return {
+            -1: A * (f ** 3 - 2 * f ** 2 + f),
+            0: (A + 2) * f ** 3 - (A + 3) * f ** 2 + 1,
+            1: -(A + 2) * f ** 3 + (2 * A + 3) * f ** 2 - A * f,
+            2: -A * f ** 3 + A * f ** 2}[i]
+
+    def bw(f, i):
+        return (1 - f) if i == 0 else f
+
+    def tapped2(d, offs, wfn):
+        taps = F.array(*[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),
+                     (wfn(F.col("fx"), i) * wfn(F.col("fy"), j))
+                     .alias("w"))
+            for i in offs for j in offs])
+        t = (d.select("dy", "dx", "x0", "y0",
+                      F.explode(taps).alias("t"))
+             .select("dy", "dx", F.col("t.w").alias("w"),
+                     F.greatest(F.least(F.col("t.i") + F.col("x0"),
+                                        F.lit(19)), F.lit(0))
+                     .alias("px"),
+                     F.greatest(F.least(F.col("t.j") + F.col("y0"),
+                                        F.lit(19)), F.lit(0))
+                     .alias("py")))
+        return (t.join(src, ["py", "px"])
+                .groupBy("dy", "dx")
+                .agg(F.sum(F.col("w") * F.col("value")).alias("acc")))
+
+    bil = tapped2(dst, (0, 1), bw) \
+        .select("dy", "dx", F.floor(F.col("acc") + 0.5).alias("v"))
+    inside = ((F.col("x0") >= 1) & (F.col("x0") <= 17)
+              & (F.col("y0") >= 1) & (F.col("y0") <= 17))
+    cub_in = tapped2(dst.filter(inside), (-1, 0, 1, 2), cw)
+    cub_edge = tapped2(dst.filter(~inside), (0, 1), bw)
+    cub = (cub_in.unionByName(cub_edge)
+           .select("dy", "dx",
+                   F.greatest(F.least(F.floor(F.col("acc") + 0.5),
+                                      F.lit(255.0)), F.lit(0.0))
+                   .alias("v")))
+    out = []
+    for alg, ours, ref_file in (
+            ("bilinear", bil, "testgdalwarp11.tif"),
+            ("cubic", cub, "testgdalwarp12.tif")):
+        ref = (spark.read.format("tiff")
+               .load(D + "utilities/ref_data/" + ref_file)
+               .select(F.col("py").alias("dy"),
+                       F.col("px").alias("dx"),
+                       F.col("value").alias("ref")))
+        j = ours.join(ref, ["dy", "dx"])
+        out.append(
+            j.agg(F.count(F.lit(1)).alias("n_pixels"),
+                  F.max(F.abs(F.col("v") - F.col("ref")))
+                  .alias("max_abs_diff"),
+                  F.sum(F.when(F.abs(F.col("v") - F.col("ref")) > 1,
+                               1).otherwise(0)).cast("long")
+                  .alias("n_beyond_tol"))
+            .select(F.lit(alg).alias("alg"), "n_pixels",
+                    "max_abs_diff", "n_beyond_tol"))
+    from functools import reduce as _reduce
+    return _reduce(lambda a, b: a.unionByName(b), out).orderBy("alg")
+
+
+def o_warp_file_artifact():
+    return """
+SELECT * FROM (VALUES
+  ('bilinear', CAST(1600 AS BIGINT), CAST(1.0 AS DOUBLE),
+   CAST(0 AS BIGINT)),
+  ('cubic',    CAST(1600 AS BIGINT), CAST(1.0 AS DOUBLE),
+   CAST(0 AS BIGINT))
+) AS t(alg, n_pixels, max_abs_diff, n_beyond_tol)
+ORDER BY alg"""
+
+
 def q_rawbin_scan(spark, sf_dir):
     """Raw-binary raster family — ENVI + ESRI EHdr/BIL
     (frmts/envi/enividataset.cpp, frmts/raw/ehdrdataset.cpp): flat
@@ -21129,6 +21234,7 @@ REGISTRY: dict[str, tuple] = {
     "png_file_scan": (q_png_file_scan, o_png_file_scan),
     "aaigrid_scan": (q_aaigrid_scan, o_aaigrid_scan),
     "rawbin_scan": (q_rawbin_scan, o_rawbin_scan),
+    "warp_file_artifact": (q_warp_file_artifact, o_warp_file_artifact),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
