@@ -20057,20 +20057,23 @@ ORDER BY file"""
 
 
 def q_warp_file_artifact(spark, sf_dir):
-    """gdalwarp -rb / -rc against the reference's SHIPPED golden
-    rasters (autotest/utilities/ref_data/testgdalwarp11.tif /
-    testgdalwarp12.tif — artifacts produced by GDAL itself for
-    test_gdalwarp_lib_11/12, accepted there with maxdiff ≤ 1):
-    byte.tif scans through the TIFF source, upsamples 20→40 with the
-    bilinear and cubic (A=-0.5, 4×4, with GWKCubicResample's
-    bilinear fallback wherever the window leaves the source) kernels
-    as ONE tap-explode + equi-join + groupBy per algorithm, and
-    joins the result against the shipped artifact — also read
-    through our TIFF source. The gate pins the reference's own
-    acceptance (zero pixels beyond tolerance 1) plus the exact
-    deterministic max |diff| = 1.0, which comes from GDAL's
-    fixed-point tie rounding on accumulator values of exactly .5
-    (every differing pixel is a .5 tie — verified)."""
+    """gdalwarp -rb/-rc/-rcs/-r lanczos against the reference's
+    SHIPPED golden rasters (autotest/utilities/ref_data/
+    testgdalwarp11-14.tif — artifacts produced by GDAL itself for
+    test_gdalwarp_lib_11/12/13/14, accepted there with maxdiff ≤ 1):
+    byte.tif scans through the TIFF source, upsamples 20→40 with
+    bilinear, cubic (A=-0.5 with GWKCubicResample's bilinear
+    fallback wherever the 4×4 window leaves the source), cubic
+    B-spline and Lanczos a=3 (both via the GWKResample generic path:
+    outside taps SKIPPED and the accumulator renormalized by the
+    weight sum) — each as ONE tap-explode + equi-join + groupBy —
+    and joins each result against the shipped artifact, also read
+    through our TIFF source. Cubicspline and lanczos reproduce the
+    artifacts EXACTLY (max diff 0.0); bilinear and cubic differ only
+    on accumulator values of exactly .5 (GDAL's fixed-point tie
+    rounding — every differing pixel verified to be a .5 tie), so
+    their pins are max diff 1.0 with zero pixels beyond the
+    reference's own tolerance."""
     from gdal_spark.sources.tiff import TiffDataSource
     spark.dataSource.register(TiffDataSource)
     D = "/root/reference/autotest/"
@@ -20116,6 +20119,45 @@ def q_warp_file_artifact(spark, sf_dir):
                 .groupBy("dy", "dx")
                 .agg(F.sum(F.col("w") * F.col("value")).alias("acc")))
 
+    def spl(f, i):
+        # cubic B-spline (GWKBSpline)
+        return {-1: (1 - f) ** 3 / 6,
+                0: (3 * f ** 3 - 6 * f ** 2 + 4) / 6,
+                1: (-3 * f ** 3 + 3 * f ** 2 + 3 * f + 1) / 6,
+                2: f ** 3 / 6}[i]
+
+    def lcz(f, i):
+        # Lanczos a=3 (GWKLanczosSinc), evaluated at d = f - i
+        import math
+        d = f - F.lit(float(i))
+        ad = F.abs(d)
+        pi = math.pi
+        return (F.when(ad < 1e-12, F.lit(1.0))
+                .when(ad < 3.0,
+                      3.0 * F.sin(pi * d) * F.sin(pi * d / 3.0)
+                      / (pi * pi * d * d))
+                .otherwise(F.lit(0.0)))
+
+    def tapped_norm(d, offs, wfn):
+        # GWKResample generic path: taps OUTSIDE the source are
+        # skipped and the accumulator renormalizes by the weight sum
+        taps = F.array(*[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),
+                     (wfn(F.col("fx"), i) * wfn(F.col("fy"), j))
+                     .alias("w"))
+            for i in offs for j in offs])
+        t = (d.select("dy", "dx", "x0", "y0",
+                      F.explode(taps).alias("t"))
+             .select("dy", "dx", F.col("t.w").alias("w"),
+                     (F.col("t.i") + F.col("x0")).alias("px"),
+                     (F.col("t.j") + F.col("y0")).alias("py"))
+             .filter((F.col("px") >= 0) & (F.col("px") <= 19)
+                     & (F.col("py") >= 0) & (F.col("py") <= 19)))
+        return (t.join(src, ["py", "px"])
+                .groupBy("dy", "dx")
+                .agg((F.sum(F.col("w") * F.col("value"))
+                      / F.sum("w")).alias("acc")))
+
     bil = tapped2(dst, (0, 1), bw) \
         .select("dy", "dx", F.floor(F.col("acc") + 0.5).alias("v"))
     inside = ((F.col("x0") >= 1) & (F.col("x0") <= 17)
@@ -20127,10 +20169,16 @@ def q_warp_file_artifact(spark, sf_dir):
                    F.greatest(F.least(F.floor(F.col("acc") + 0.5),
                                       F.lit(255.0)), F.lit(0.0))
                    .alias("v")))
+    spline = tapped_norm(dst, (-1, 0, 1, 2), spl) \
+        .select("dy", "dx", F.floor(F.col("acc") + 0.5).alias("v"))
+    lanczos = tapped_norm(dst, (-2, -1, 0, 1, 2, 3), lcz) \
+        .select("dy", "dx", F.floor(F.col("acc") + 0.5).alias("v"))
     out = []
     for alg, ours, ref_file in (
             ("bilinear", bil, "testgdalwarp11.tif"),
-            ("cubic", cub, "testgdalwarp12.tif")):
+            ("cubic", cub, "testgdalwarp12.tif"),
+            ("cubicspline", spline, "testgdalwarp13.tif"),
+            ("lanczos", lanczos, "testgdalwarp14.tif")):
         ref = (spark.read.format("tiff")
                .load(D + "utilities/ref_data/" + ref_file)
                .select(F.col("py").alias("dy"),
@@ -20153,9 +20201,13 @@ def q_warp_file_artifact(spark, sf_dir):
 def o_warp_file_artifact():
     return """
 SELECT * FROM (VALUES
-  ('bilinear', CAST(1600 AS BIGINT), CAST(1.0 AS DOUBLE),
+  ('bilinear',    CAST(1600 AS BIGINT), CAST(1.0 AS DOUBLE),
    CAST(0 AS BIGINT)),
-  ('cubic',    CAST(1600 AS BIGINT), CAST(1.0 AS DOUBLE),
+  ('cubic',       CAST(1600 AS BIGINT), CAST(1.0 AS DOUBLE),
+   CAST(0 AS BIGINT)),
+  ('cubicspline', CAST(1600 AS BIGINT), CAST(0.0 AS DOUBLE),
+   CAST(0 AS BIGINT)),
+  ('lanczos',     CAST(1600 AS BIGINT), CAST(0.0 AS DOUBLE),
    CAST(0 AS BIGINT))
 ) AS t(alg, n_pixels, max_abs_diff, n_beyond_tol)
 ORDER BY alg"""
@@ -21629,7 +21681,7 @@ _WINDOW_R4 = [
     "sql_udf_registered", "grouped_agg_udaf", "udtf_url_segments",
     "fillnodata", "dem_hillshade_igor",
     "gif_rgbexpand",
-    "viewshed", "viewshed_cumulative", "tiff_tiled_scan",
+    "viewshed", "warp_file_artifact", "tiff_tiled_scan",
     "tiff_roundtrip", "tiff_overview_scan", "overview_file_build",
     "tiff_bigtiff_scan", "palette_overview", "tiff_mask_scan",
     "nearblack",
