@@ -20213,6 +20213,143 @@ SELECT * FROM (VALUES
 ORDER BY alg"""
 
 
+#: gdal_grid shipped-artifact matrix: (ref_data file, kind, radius1,
+#: radius2, angle_deg, min_points). All verified EXACT vs the shipped
+#: Float64 artifact except the two avdist entries (≤1.4e-12, float
+#: sum order). grid_invdist_90_90_8p.tif is deliberately absent: the
+#: shipped artifact's values are inconsistent with the CURRENT
+#: gdalgrid.cpp exact-hit short-circuit at every node (every node of
+#: this fixture coincides with a data point), i.e. it predates the
+#: singularity guard — not reproducible from the reference's own
+#: current code.
+GRID_ARTIFACTS = [
+    ("grid_minimum.tif", "min", 0, 0, 0, 0),
+    ("grid_maximum.tif", "max", 0, 0, 0, 0),
+    ("grid_range.tif", "range", 0, 0, 0, 0),
+    ("grid_average.tif", "average", 0, 0, 0, 0),
+    ("grid_invdist.tif", "invdist", 0, 0, 0, 0),
+    ("grid_count_70_70.tif", "count", 70, 70, 0, 0),
+    ("grid_count_300_300.tif", "count", 300, 300, 0, 0),
+    ("grid_avdist.tif", "avdist", 0, 0, 0, 0),
+    ("grid_avdist_150_150.tif", "avdist", 150, 150, 0, 0),
+    ("grid_minimum_180_180.tif", "min", 180, 180, 0, 0),
+    ("grid_maximum_100_100.tif", "max", 100, 100, 0, 0),
+    ("grid_average_190_190.tif", "average", 190, 190, 0, 0),
+    ("grid_average_90_90_8p.tif", "average", 90, 90, 0, 8),
+    ("grid_range_90_90_8p.tif", "range", 90, 90, 0, 8),
+    ("grid_minimum_20_20.tif", "min", 20, 20, 0, 0),
+    ("grid_maximum_20_20.tif", "max", 20, 20, 120, 0),
+    ("grid_minimum_400_100_120.tif", "min", 400, 100, 120, 0),
+    ("grid_average_300_100_40.tif", "average", 300, 100, 40, 0),
+]
+
+
+def q_grid_file_artifact(spark, sf_dir):
+    """gdal_grid against the reference's SHIPPED golden rasters
+    (autotest/utilities/ref_data/grid_*.tif, the artifacts
+    test_gdal_grid.py compares with tolerance 1): grid.csv — the
+    byte.tif values as 400 CSV points — reads DISTRIBUTED with
+    spark.read.csv, scatters to the 20×20 node grid through the
+    engine's scatter_to_cells (each point computes its candidate
+    cell range; one shuffle; alg/gdalgrid.cpp inverted for Spark),
+    and every algorithm of the matrix runs as a groupBy over the
+    candidate rows: MIN/MAX/RANGE/COUNT/AVERAGE/AVERAGE_DISTANCE
+    with circular AND rotated-ellipse membership (the reference's
+    r2²·dx² + r1²·dy² ≤ r1²·r2² test after coordinate rotation),
+    min_points→nodata, and INVDIST power-2 with the exact-hit
+    short-circuit. 16 of the 18 artifacts reproduce EXACTLY
+    (max_abs_diff 0.0 on Float64); the two average-distance ones
+    land ≤ 1.4e-12 (float summation order), pinned via
+    round(·, 9) = 0. Empty cells carry the nodata 0.0 exactly like
+    the artifacts."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.operators.gridding import scatter_to_cells
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    D = "/root/reference/autotest/utilities/"
+    pts = (spark.read.csv(D + "data/grid.csv")
+           .select(F.col("_c0").cast("double").alias("x"),
+                   F.col("_c1").cast("double").alias("y"),
+                   F.col("_c2").cast("double").alias("z")))
+    x0, y0, dx, dy, n = 440720.0, 3751320.0, 60.0, -60.0, 20
+    dst = (spark.range(n * n)
+           .select((F.col("id") / n).cast("int").alias("cy"),
+                   (F.col("id") % n).cast("int").alias("cx")))
+    import math
+    out = []
+    for fname, kind, r1, r2, ang, minp in GRID_ARTIFACTS:
+        radius = 2000.0 if r1 == 0 else float(max(r1, r2))
+        cand = scatter_to_cells(pts, x0, y0, dx, dy, n, n, radius,
+                                lat_col="y", lon_col="x")
+        if r1 and (ang or r1 != r2):
+            th = math.radians(ang)
+            ctr_x = F.lit(x0) + (F.col("cx") + 0.5) * F.lit(dx)
+            ctr_y = F.lit(y0) + (F.col("cy") + 0.5) * F.lit(dy)
+            rx = F.col("x") - ctr_x
+            ry = F.col("y") - ctr_y
+            xr = rx * math.cos(th) + ry * math.sin(th)
+            yr = ry * math.cos(th) - rx * math.sin(th)
+            cand = cand.filter(
+                F.lit(float(r2 * r2)) * xr * xr
+                + F.lit(float(r1 * r1)) * yr * yr
+                <= F.lit(float(r1 * r1 * r2 * r2)))
+        g = cand.groupBy("cy", "cx")
+        nn = F.count(F.lit(1))
+        if kind == "min":
+            agg = g.agg(nn.alias("n"), F.min("z").alias("v"))
+        elif kind == "max":
+            agg = g.agg(nn.alias("n"), F.max("z").alias("v"))
+        elif kind == "range":
+            agg = g.agg(nn.alias("n"),
+                        (F.max("z") - F.min("z")).alias("v"))
+        elif kind == "count":
+            agg = g.agg(nn.alias("n"),
+                        F.count(F.lit(1)).cast("double").alias("v"))
+        elif kind == "average":
+            agg = g.agg(nn.alias("n"), F.avg("z").alias("v"))
+        elif kind == "avdist":
+            agg = g.agg(nn.alias("n"), F.avg("d").alias("v"))
+        else:  # invdist power 2, exact-hit short-circuit
+            w = 1.0 / F.col("d2")
+            agg = g.agg(
+                nn.alias("n"),
+                F.coalesce(
+                    F.max(F.when(F.col("d2") < 1e-13, F.col("z"))),
+                    F.sum(F.when(F.col("d2") >= 1e-13,
+                                 w * F.col("z")))
+                    / F.sum(F.when(F.col("d2") >= 1e-13, w)))
+                .alias("v"))
+        vals = (dst.join(agg, ["cy", "cx"], "left")
+                .select("cy", "cx",
+                        F.when(F.coalesce(F.col("n"), F.lit(0))
+                               < max(minp, 1), F.lit(0.0))
+                        .otherwise(F.col("v")).alias("v")))
+        ref = (spark.read.format("tiff").load(D + "ref_data/" + fname)
+               .select(F.col("py").alias("cy"),
+                       F.col("px").alias("cx"),
+                       F.col("value").alias("ref")))
+        j = vals.join(ref, ["cy", "cx"])
+        out.append(
+            j.agg(F.count(F.lit(1)).alias("n_pixels"),
+                  F.round(F.max(F.abs(F.col("v") - F.col("ref"))), 9)
+                  .alias("max_abs_diff"))
+            .select(F.lit(fname).alias("file"), "n_pixels",
+                    "max_abs_diff"))
+    return _reduce(lambda a, b: a.unionByName(b), out).orderBy("file")
+
+
+def o_grid_file_artifact():
+    rows = [f"('{f}', CAST(400 AS BIGINT), CAST(0.0 AS DOUBLE))"
+            for f, *_ in sorted(GRID_ARTIFACTS)]
+    body = ",\n  ".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+  {body}
+) AS t(file, n_pixels, max_abs_diff)
+ORDER BY file"""
+
+
 def q_rawbin_scan(spark, sf_dir):
     """Raw-binary raster family — ENVI + ESRI EHdr/BIL
     (frmts/envi/enividataset.cpp, frmts/raw/ehdrdataset.cpp): flat
@@ -21287,6 +21424,7 @@ REGISTRY: dict[str, tuple] = {
     "aaigrid_scan": (q_aaigrid_scan, o_aaigrid_scan),
     "rawbin_scan": (q_rawbin_scan, o_rawbin_scan),
     "warp_file_artifact": (q_warp_file_artifact, o_warp_file_artifact),
+    "grid_file_artifact": (q_grid_file_artifact, o_grid_file_artifact),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
     "algebra_pieces_general": (q_algebra_pieces_general,
                                o_algebra_pieces_general),
@@ -21686,7 +21824,7 @@ _WINDOW_R4 = [
     "tiff_bigtiff_scan", "palette_overview", "tiff_mask_scan",
     "nearblack",
     "tiff_dtype_matrix", "tiff_subifd_scan", "tiff_g4_scan",
-    "homography_warp", "rpc_transform",
+    "grid_file_artifact", "rpc_transform",
     "ogr2ogr_datetime_to", "ogr2ogr_resolve_domains",
     "ogr2ogr_splitlistfields",
 ]
