@@ -20350,6 +20350,47 @@ SELECT * FROM (VALUES
 ORDER BY file"""
 
 
+def q_pnm_scan(spark, sf_dir):
+    """PNM (Netpbm P5/P6) format driver (frmts/pnm;
+    gdal_spark/sources/pnm.py): ASCII header with comments, raw
+    seekable samples read in row-block partitions. byte.pgm and
+    rgbsmall.ppm pin the published checksums — 4672 band 1
+    (pnm.py test 1) and 21053 band 2 (tests 2/4); bands 1/3 of the
+    ppm carry rgbsmall.tif's published 21212/21349 (it is the same
+    raster re-contained)."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.sources.pnm import PnmDataSource
+    spark.dataSource.register(PnmDataSource)
+    D = "/root/reference/autotest/gdrivers/data/pnm/"
+    parts = []
+    for fname, w in (("byte.pgm", 20), ("rgbsmall.ppm", 50)):
+        parts.append(spark.read.format("pnm").load(D + fname)
+                     .withColumn("w", F.lit(w)))
+    t = _reduce(lambda a, b: a.unionByName(b), parts)
+    val = F.least(F.floor(F.col("value") + F.lit(0.5)),
+                  F.lit(2147483647)).cast("long")
+    prime = F.expr("element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                   "CAST((CAST(py AS BIGINT) * w + px) % 11 AS INT) + 1)")
+    return (t.withColumn("_t", val % prime.cast("long"))
+            .groupBy("file", "band")
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.expr("pmod(SUM(_t), 65536)").cast("long")
+                 .alias("checksum"))
+            .orderBy("file", "band"))
+
+
+def o_pnm_scan():
+    return """
+SELECT * FROM (VALUES
+  ('byte.pgm', 0, CAST(400 AS BIGINT), CAST(4672 AS BIGINT)),
+  ('rgbsmall.ppm', 0, CAST(2500 AS BIGINT), CAST(21212 AS BIGINT)),
+  ('rgbsmall.ppm', 1, CAST(2500 AS BIGINT), CAST(21053 AS BIGINT)),
+  ('rgbsmall.ppm', 2, CAST(2500 AS BIGINT), CAST(21349 AS BIGINT))
+) AS t(file, band, n_pixels, checksum)
+ORDER BY file, band"""
+
+
 def q_rawbin_scan(spark, sf_dir):
     """Raw-binary raster family — ENVI + ESRI EHdr/BIL
     (frmts/envi/enividataset.cpp, frmts/raw/ehdrdataset.cpp): flat
@@ -21423,6 +21464,7 @@ REGISTRY: dict[str, tuple] = {
     "png_file_scan": (q_png_file_scan, o_png_file_scan),
     "aaigrid_scan": (q_aaigrid_scan, o_aaigrid_scan),
     "rawbin_scan": (q_rawbin_scan, o_rawbin_scan),
+    "pnm_scan": (q_pnm_scan, o_pnm_scan),
     "warp_file_artifact": (q_warp_file_artifact, o_warp_file_artifact),
     "grid_file_artifact": (q_grid_file_artifact, o_grid_file_artifact),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
