@@ -20350,6 +20350,99 @@ SELECT * FROM (VALUES
 ORDER BY file"""
 
 
+#: autotest/utilities/data/color_file.txt, sorted ascending
+COLOR_FILE_RAMP = [
+    (-32768.0, 200, 230, 255), (75.0, 200, 230, 255),
+    (76.0, 50, 180, 50), (150.0, 240, 250, 150),
+    (300.0, 190, 185, 135), (450.0, 235, 220, 175),
+    (500.0, 255, 255, 255)]
+
+
+def q_colorrelief_file(spark, sf_dir):
+    """gdaldem color-relief on a real DEM file, all three color
+    selection modes (apps/gdaldem_lib.cpp:1730-1800
+    GDALColorReliefGetRGBA): n43.tif scans through the TIFF source
+    and maps elevations through the reference's own
+    color_file.txt ramp — LINEAR interpolation between the
+    bracketing entries with clamp(int(0.5 + prev + ratio·Δ)),
+    NEAREST picking between the two bracketing entries with ties to
+    the UPPER (the `<` in gdaldem_lib.cpp:1764 — a global
+    lowest-index argmin gives 57561, not the published 57296),
+    and EXACT (non-entry elevations → 0). All pure chained-when
+    column math, map-only. Oracle = the published
+    test_gdaldem_lib_color_relief pins: linear bands 55066/37594/
+    47768, nearest 57296, exact 8073."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    path = "/root/reference/autotest/gdrivers/data/n43.tif"
+    px = (spark.read.format("tiff").load(path)
+          .select("py", "px", F.col("value").alias("e")))
+    ks = [k for k, *_ in COLOR_FILE_RAMP]
+    e = F.col("e")
+
+    def chain(vals):
+        # value of the NEXT (first ≥ e) entry, clamped to the last
+        expr = F.lit(float(vals[-1]))
+        for k, v in zip(reversed(ks), reversed(vals)):
+            expr = F.when(e <= k, F.lit(float(v))).otherwise(expr)
+        return expr
+
+    def chain_prev(vals):
+        # value of the PREV entry (last with k < e), clamped first
+        expr = F.lit(float(vals[0]))
+        for k, v in zip(ks[:-1], vals[:-1]):
+            expr = F.when(e > k, F.lit(float(v))).otherwise(expr)
+        return expr
+
+    nk, pk = chain(ks), chain_prev(ks)
+    ratio = F.when(nk > pk, (e - pk) / (nk - pk)).otherwise(F.lit(0.0))
+    rows = []
+    for ch in range(3):
+        vals = [c[1 + ch] for c in COLOR_FILE_RAMP]
+        nv, pv = chain(vals), chain_prev(vals)
+        lin = F.greatest(
+            F.least(F.floor(0.5 + pv + ratio * (nv - pv)),
+                    F.lit(255.0)), F.lit(0.0))
+        lin = F.when(e <= ks[0], F.lit(float(vals[0]))) \
+            .when(e >= ks[-1], F.lit(float(vals[-1]))).otherwise(lin)
+        exact_hit = _reduce(lambda a, b: a | b,
+                            [e == k for k in ks])
+        # on a hit the NEXT (first ≥ e) entry IS the equal entry
+        near = (F.when(exact_hit, nv)
+                .when((e - pk) < (nk - e), pv).otherwise(nv))
+        exact = F.when(exact_hit, nv).otherwise(F.lit(0.0))
+        modes = [("linear", lin)]
+        if ch == 0:
+            modes += [("nearest", near), ("exact", exact)]
+        for mode, v in modes:
+            prime = F.expr(
+                "element_at(array(7,11,13,17,19,23,29,31,37,41,43), "
+                "CAST((CAST(py AS BIGINT) * 121 + px) % 11 AS INT)"
+                " + 1)").cast("long")
+            rows.append(
+                px.select((v.cast("long") % prime).alias("_t"))
+                .agg(F.expr("pmod(SUM(_t), 65536)").cast("long")
+                     .alias("checksum"))
+                .select(F.lit(mode).alias("mode"),
+                        F.lit(ch).alias("band"), "checksum"))
+    return _reduce(lambda a, b: a.unionByName(b), rows) \
+        .orderBy("mode", "band")
+
+
+def o_colorrelief_file():
+    return """
+SELECT * FROM (VALUES
+  ('exact',   0, CAST(8073 AS BIGINT)),
+  ('linear',  0, CAST(55066 AS BIGINT)),
+  ('linear',  1, CAST(37594 AS BIGINT)),
+  ('linear',  2, CAST(47768 AS BIGINT)),
+  ('nearest', 0, CAST(57296 AS BIGINT))
+) AS t(mode, band, checksum)
+ORDER BY mode, band"""
+
+
 def q_pnm_scan(spark, sf_dir):
     """PNM (Netpbm P5/P6) format driver (frmts/pnm;
     gdal_spark/sources/pnm.py): ASCII header with comments, raw
@@ -21465,6 +21558,7 @@ REGISTRY: dict[str, tuple] = {
     "aaigrid_scan": (q_aaigrid_scan, o_aaigrid_scan),
     "rawbin_scan": (q_rawbin_scan, o_rawbin_scan),
     "pnm_scan": (q_pnm_scan, o_pnm_scan),
+    "colorrelief_file": (q_colorrelief_file, o_colorrelief_file),
     "warp_file_artifact": (q_warp_file_artifact, o_warp_file_artifact),
     "grid_file_artifact": (q_grid_file_artifact, o_grid_file_artifact),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
