@@ -20443,6 +20443,35 @@ SELECT * FROM (VALUES
 ORDER BY mode, band"""
 
 
+def q_stats_file(spark, sf_dir):
+    """GDALRasterBand::ComputeStatistics on a real file
+    (gcore/rasterband.cpp; surfaced by gdalinfo -stats and the STAC
+    output test_gdalinfo.py:999-1004 publishes): byte.tif scans
+    through the TIFF source and reduces to exact min / max /
+    mean / POPULATION stddev in one map-side-combined aggregate.
+    Oracle = the published {74, 255, 126.765, 22.928} (3-decimal
+    rounding exactly as the reference reports them)."""
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    df = (spark.read.format("tiff")
+          .load("/root/reference/autotest/gcore/data/byte.tif"))
+    return (df.agg(
+        F.min("value").alias("min_v"), F.max("value").alias("max_v"),
+        F.round(F.avg("value"), 3).alias("mean_v"),
+        F.round(F.sqrt(F.avg(F.col("value") * F.col("value"))
+                       - F.avg("value") * F.avg("value")), 3)
+        .alias("stddev_v"),
+        F.count(F.lit(1)).alias("n_pixels")))
+
+
+def o_stats_file():
+    return """
+SELECT CAST(74.0 AS DOUBLE) AS min_v, CAST(255.0 AS DOUBLE) AS max_v,
+       CAST(126.765 AS DOUBLE) AS mean_v,
+       CAST(22.928 AS DOUBLE) AS stddev_v,
+       CAST(400 AS BIGINT) AS n_pixels"""
+
+
 def q_pnm_scan(spark, sf_dir):
     """PNM (Netpbm P5/P6) format driver (frmts/pnm;
     gdal_spark/sources/pnm.py): ASCII header with comments, raw
@@ -21559,6 +21588,7 @@ REGISTRY: dict[str, tuple] = {
     "rawbin_scan": (q_rawbin_scan, o_rawbin_scan),
     "pnm_scan": (q_pnm_scan, o_pnm_scan),
     "colorrelief_file": (q_colorrelief_file, o_colorrelief_file),
+    "stats_file": (q_stats_file, o_stats_file),
     "warp_file_artifact": (q_warp_file_artifact, o_warp_file_artifact),
     "grid_file_artifact": (q_grid_file_artifact, o_grid_file_artifact),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
