@@ -205,7 +205,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "gif_rgbexpand", "png_file_scan", "aaigrid_scan",
                  "rawbin_scan", "warp_file_artifact",
                  "grid_file_artifact", "pnm_scan", "colorrelief_file",
-                 "stats_file"]:
+                 "stats_file", "histogram_file"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

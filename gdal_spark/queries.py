@@ -19969,6 +19969,111 @@ def _aaigrid_header(path):
     return hdr, n
 
 
+def _aaigrid_pixels(spark, path):
+    """AAIGrid → (py, px, value) DataFrame: the Spark-native
+    line-index + two-phase token-prefix parse (see q_aaigrid_scan's
+    docstring for the shape rationale). Returns (df, header)."""
+    hdr, nhdr = _aaigrid_header(path)
+    ncols = int(hdr["ncols"])
+    lines = (spark.read.text(path).rdd.zipWithIndex()
+             .map(lambda t: (t[0].value, t[1]))
+             .toDF(["line", "lid"])
+             .filter(F.col("lid") >= nhdr))
+    toks = lines.select(
+        "lid", F.array_remove(
+            F.split(F.trim("line"), r"\s+"), "").alias("ts"))
+    toks = toks.withColumn("n_tok", F.size("ts")) \
+               .withColumn("bucket", (F.col("lid") / 1024)
+                           .cast("long"))
+    bp = toks.groupBy("bucket").agg(F.sum("n_tok").alias("bn"))
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bp = bp.withColumn("boff",
+                       F.coalesce(F.sum("bn").over(wb), F.lit(0)))
+    wd = (Window.partitionBy("bucket").orderBy("lid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    toks = (toks.join(F.broadcast(bp.select("bucket", "boff")),
+                      "bucket")
+            .withColumn("loff", F.col("boff") + F.coalesce(
+                F.sum("n_tok").over(wd), F.lit(0))))
+    px = (toks.select("loff", F.posexplode("ts").alias("pos", "tok"))
+          .select(((F.col("loff") + F.col("pos")) / ncols)
+                  .cast("long").alias("py"),
+                  ((F.col("loff") + F.col("pos")) % ncols)
+                  .alias("px"),
+                  F.col("tok").cast("double").alias("value")))
+    return px, hdr
+
+
+def q_histogram_file(spark, sf_dir):
+    """GDALRasterBand::GetHistogram on real files
+    (gcore/rasterband.cpp bucket rule floor((v−min)/width), with
+    include_out_of_range clamping under/overflows into the edge
+    buckets or dropping them): utmsmall.tif through the TIFF source
+    at the default-style 16-bucket [−0.5, 255.5] range
+    (autotest/gcore/histogram.py test_histogram_2), and the
+    int32_withneg.grd AAIGrid through the Spark-native text parse at
+    21 buckets [−100, 100] BOTH with and without out-of-range
+    inclusion (test_histogram_3/4 — the two published lists differ
+    only in the clamped last bucket, 3 vs 0). One map-side-combined
+    groupBy per case; 58 published counts total."""
+    from functools import reduce as _reduce
+
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    utm = (spark.read.format("tiff")
+           .load("/root/reference/autotest/gcore/data/utmsmall.tif"))
+    neg, _h = _aaigrid_pixels(
+        spark, "/root/reference/autotest/gcore/data/int32_withneg.grd")
+    out = []
+    cases = [("utmsmall_16", utm, -0.5, 255.5, 16, True),
+             ("withneg_incl", neg, -100.0, 100.0, 21, True),
+             ("withneg_excl", neg, -100.0, 100.0, 21, False)]
+    for label, df, lo, hi, nb, incl in cases:
+        width = (hi - lo) / nb
+        b = F.floor((F.col("value") - lo) / width).cast("int")
+        if incl:
+            b = F.greatest(F.least(b, F.lit(nb - 1)), F.lit(0))
+            d = df
+        else:
+            # value == max is IN range (last bucket), per the
+            # reference's dfValue > dfMax out-of-range test
+            d = df.filter((F.col("value") >= lo)
+                          & (F.col("value") <= hi))
+            b = F.least(b, F.lit(nb - 1))
+        buckets = spark.range(nb).select(
+            F.col("id").cast("int").alias("bucket"))
+        h = (d.select(b.alias("bucket"))
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+        out.append(buckets.join(h, "bucket", "left")
+                   .select(F.lit(label).alias("probe"), "bucket",
+                           F.coalesce("n", F.lit(0)).cast("long")
+                           .alias("n")))
+    return _reduce(lambda a, b: a.unionByName(b), out) \
+        .orderBy("probe", "bucket")
+
+
+def o_histogram_file():
+    utm16 = [10, 52, 115, 219, 371, 493, 825, 1077, 1279, 1302,
+             1127, 783, 625, 462, 331, 929]
+    incl = [0, 0, 0, 0, 0, 1, 0, 1, 1, 3, 3, 2, 0, 5, 3, 4, 0, 1,
+            1, 2, 3]
+    excl = [0, 0, 0, 0, 0, 1, 0, 1, 1, 3, 3, 2, 0, 5, 3, 4, 0, 1,
+            1, 2, 0]
+    rows = []
+    for label, hist in (("utmsmall_16", utm16),
+                        ("withneg_excl", excl),
+                        ("withneg_incl", incl)):
+        for i, n in enumerate(hist):
+            rows.append(f"('{label}', {i}, CAST({n} AS BIGINT))")
+    body = ",\n  ".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+  {body}
+) AS t(probe, bucket, n)
+ORDER BY probe, bucket"""
+
+
 def q_aaigrid_scan(spark, sf_dir):
     """Arc/Info ASCII Grid — a TEXT raster format read SPARK-NATIVE
     (frmts/aaigrid/aaigriddataset.cpp): no custom DataSource needed —
@@ -19989,37 +20094,9 @@ def q_aaigrid_scan(spark, sf_dir):
     D = "/root/reference/autotest/gdrivers/data/aaigrid/"
     outs = []
     for fname in ("byte.tif.grd", "pixel_per_line.asc"):
-        hdr, nhdr = _aaigrid_header(D + fname)
+        px, hdr = _aaigrid_pixels(spark, D + fname)
         ncols, nrows = int(hdr["ncols"]), int(hdr["nrows"])
         yorig = hdr["yllcorner"] + hdr["cellsize"] * nrows
-        lines = (spark.read.text(D + fname).rdd.zipWithIndex()
-                 .map(lambda t: (t[0].value, t[1]))
-                 .toDF(["line", "lid"])
-                 .filter(F.col("lid") >= nhdr))
-        toks = lines.select(
-            "lid", F.array_remove(
-                F.split(F.trim("line"), r"\s+"), "").alias("ts"))
-        toks = toks.withColumn("n_tok", F.size("ts")) \
-                   .withColumn("bucket", (F.col("lid") / 1024)
-                               .cast("long"))
-        bp = toks.groupBy("bucket").agg(F.sum("n_tok").alias("bn"))
-        wb = (Window.orderBy("bucket")
-              .rowsBetween(Window.unboundedPreceding, -1))
-        bp = bp.withColumn("boff",
-                           F.coalesce(F.sum("bn").over(wb), F.lit(0)))
-        wd = (Window.partitionBy("bucket").orderBy("lid")
-              .rowsBetween(Window.unboundedPreceding, -1))
-        toks = (toks.join(F.broadcast(bp.select("bucket", "boff")),
-                          "bucket")
-                .withColumn("loff", F.col("boff") + F.coalesce(
-                    F.sum("n_tok").over(wd), F.lit(0))))
-        px = (toks.select("loff", F.posexplode("ts")
-                          .alias("pos", "tok"))
-              .select(((F.col("loff") + F.col("pos")) / ncols)
-                      .cast("long").alias("py"),
-                      ((F.col("loff") + F.col("pos")) % ncols)
-                      .alias("px"),
-                      F.col("tok").cast("double").alias("value")))
         val = F.least(F.floor(F.col("value") + F.lit(0.5)),
                       F.lit(2147483647)).cast("long")
         prime = F.expr(
@@ -21589,6 +21666,7 @@ REGISTRY: dict[str, tuple] = {
     "pnm_scan": (q_pnm_scan, o_pnm_scan),
     "colorrelief_file": (q_colorrelief_file, o_colorrelief_file),
     "stats_file": (q_stats_file, o_stats_file),
+    "histogram_file": (q_histogram_file, o_histogram_file),
     "warp_file_artifact": (q_warp_file_artifact, o_warp_file_artifact),
     "grid_file_artifact": (q_grid_file_artifact, o_grid_file_artifact),
     "tiff_hillshade": (q_tiff_hillshade, o_tiff_hillshade),
