@@ -15,6 +15,7 @@ on integer ids.
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -19431,6 +19432,7 @@ def q_tiff_roundtrip(spark, sf_dir):
     encode→decode cycle, plus the geotransform tags round-tripping
     bit-exact. Reference analog: gdal_translate CreateCopy to GTiff
     (frmts/gtiff/geotiff.cpp TIFFWriteEncodedStrip path)."""
+    import atexit
     import tempfile
 
     from gdal_spark.sources.tiff import (TiffDataSource,
@@ -19438,7 +19440,13 @@ def q_tiff_roundtrip(spark, sf_dir):
                                          write_strip_tiff)
     spark.dataSource.register(TiffDataSource)
     src_path = TIFF_FIXTURES[0]  # byte.tif
-    out = tempfile.mktemp(suffix=".tif", prefix="gdal_spark_rt_")
+    # one deterministic file per process (the returned DataFrame is
+    # evaluated lazily, so it must outlive this function); overwritten
+    # on re-run, removed at interpreter exit — no /tmp leak per run
+    # and no mktemp() open race.
+    out = os.path.join(tempfile.gettempdir(),
+                       f"gdal_spark_rt_{os.getpid()}.tif")
+    atexit.register(lambda p=out: os.path.exists(p) and os.remove(p))
     src = spark.read.format("tiff").load(src_path)
     info = write_strip_tiff(src, out, dtype="uint8", comp="deflate",
                             rps=7,

@@ -175,6 +175,10 @@ class GifReader(DataSourceReader):
         raw = gif_lzw_decode(m["data"], m["min_code_size"], w * h)
         if len(raw) < w * h:
             raw = raw + b"\0" * (w * h - len(raw))
+        elif len(raw) > w * h:
+            # a malformed stream whose final LZW entry overshoots the
+            # pixel count must not break the reshape below
+            raw = raw[:w * h]
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
         if m["interlaced"]:
             disp = np.empty_like(arr)

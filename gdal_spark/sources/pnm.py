@@ -42,7 +42,13 @@ def _pnm_header(path: str) -> dict:
             while pos < n and not head[pos:pos + 1].isspace():
                 pos += 1
             fields.append(int(head[start:pos]))
-    pos += 1  # single whitespace after maxval, then raw data
+    # exactly ONE whitespace byte separates maxval from the raw data
+    # (the Netpbm rule) — but writers that end the header with CRLF
+    # put TWO bytes there; skip the LF of a CR-LF pair so the data
+    # offset is not shifted by one byte.
+    pos += 1
+    if (head[pos - 1:pos] == b"\r" and head[pos:pos + 1] == b"\n"):
+        pos += 1
     w, h, maxval = fields
     return {"path": path, "w": w, "h": h, "bands": bands,
             "offset": pos, "maxval": maxval,

@@ -74,7 +74,12 @@ def _raw_header(path: str) -> dict:
         h = int(kv["lines"])
         bands = int(kv.get("bands", 1))
         bo = ">" if kv.get("byte order", "0").strip() == "1" else "<"
-        dtype = bo + _ENVI_DTYPE[int(kv.get("data type", "1"))]
+        dt_code = int(kv.get("data type", "1"))
+        if dt_code not in _ENVI_DTYPE:
+            raise ValueError(
+                f"unsupported ENVI data type {dt_code} "
+                "(complex/64-bit-int layouts are out of scope)")
+        dtype = bo + _ENVI_DTYPE[dt_code]
         inter = kv.get("interleave", "bsq").lower()
         off = int(kv.get("header offset", "0"))
     else:

@@ -735,9 +735,17 @@ def write_strip_tiff(df, path: str, dtype="uint8", comp="deflate",
         strip = int(key[0])
         y0 = strip * rps
         nrows = min(rps, h - y0)
-        block = np.zeros((nrows, w), dtype=np.dtype(dtype))
+        out_dt = np.dtype(dtype)
+        block = np.zeros((nrows, w), dtype=out_dt)
+        vals = pdf["value"].to_numpy()
+        if out_dt.kind in "iu":
+            # GDALCopyWords semantics: round half away from zero and
+            # clamp to the output range — NOT numpy's C-cast
+            # truncate-toward-zero / modulo wrap.
+            info = np.iinfo(out_dt)
+            vals = np.clip(np.floor(vals + 0.5), info.min, info.max)
         block[pdf["py"].to_numpy() - y0,
-              pdf["px"].to_numpy()] = pdf["value"].to_numpy()
+              pdf["px"].to_numpy()] = vals
         payload = encode_strip(block, comp, pred)
         part = os.path.join(tmp_dir, f"strip-{strip:06d}")
         with open(part + ".tmp", "wb") as fh:
