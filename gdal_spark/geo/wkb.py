@@ -19,6 +19,8 @@ import numpy as np
 WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 
 
@@ -52,6 +54,31 @@ def polygon_wkb(rings) -> bytes:
     return b"".join(out)
 
 
+def linestring_wkb(pts) -> bytes:
+    arr = np.asarray([(float(x), float(y)) for x, y in pts], dtype="<f8")
+    return struct.pack("<BII", 1, WKB_LINESTRING, len(arr)) + arr.tobytes()
+
+
+def multipoint_wkb(pts) -> bytes:
+    """Each member point is a full nested WKB point (ISO rule)."""
+    out = [struct.pack("<BII", 1, WKB_MULTIPOINT, len(pts))]
+    out += [point_wkb(float(x), float(y)) for x, y in pts]
+    return b"".join(out)
+
+
+def multilinestring_wkb(parts) -> bytes:
+    out = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(parts))]
+    out += [linestring_wkb(p) for p in parts]
+    return b"".join(out)
+
+
+def multipolygon_wkb(polys) -> bytes:
+    """polys: list of ring-lists ([outer, hole...])."""
+    out = [struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(polys))]
+    out += [polygon_wkb(rings) for rings in polys]
+    return b"".join(out)
+
+
 def parse_wkb(buf: bytes):
     """→ ("point", (x, y)) | ("polygon", [rings]) | ("multipolygon", [[rings]])."""
     byte_order = buf[0]
@@ -64,6 +91,26 @@ def parse_wkb(buf: bytes):
     if gtype == WKB_POLYGON:
         rings, _ = _parse_polygon_body(buf, 5)
         return "polygon", rings
+    if gtype == WKB_LINESTRING:
+        (npts,) = struct.unpack_from("<I", buf, 5)
+        arr = np.frombuffer(buf, dtype="<f8", count=npts * 2,
+                            offset=9).reshape(npts, 2)
+        return "linestring", arr
+    if gtype == WKB_MULTIPOINT:
+        (npts,) = struct.unpack_from("<I", buf, 5)
+        pts = [struct.unpack_from("<dd", buf, 9 + i * 21 + 5)
+               for i in range(npts)]
+        return "multipoint", np.asarray(pts, dtype=np.float64)
+    if gtype == WKB_MULTILINESTRING:
+        (nl,) = struct.unpack_from("<I", buf, 5)
+        off, parts = 9, []
+        for _ in range(nl):
+            (npts,) = struct.unpack_from("<I", buf, off + 5)
+            arr = np.frombuffer(buf, dtype="<f8", count=npts * 2,
+                                offset=off + 9).reshape(npts, 2)
+            parts.append(arr)
+            off += 9 + npts * 16
+        return "multilinestring", parts
     if gtype == WKB_MULTIPOLYGON:
         (npoly,) = struct.unpack_from("<I", buf, 5)
         off = 9
