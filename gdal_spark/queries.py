@@ -21933,8 +21933,50 @@ SELECT CAST(10 AS BIGINT) AS n_features,
        {d(4762880.5)} AS ymin, {d(4765610.5)} AS ymax"""
 
 
+def q_shp_roundtrip(spark, sf_dir):
+    """Vector FILE sink: the distributed shapefile writer
+    (sources/shapefile.py write_shapefile — executors encode record
+    payloads per fid-block, driver does offset arithmetic only; the
+    ogr2ogr → ESRI Shapefile CreateFeature path). poly.shp is read
+    through the source, written back out as a full .shp/.shx/.dbf
+    triple, re-read, and reduced to the SAME projection as shp_scan —
+    so the write path must preserve every published pin (CSV golden
+    attrs, pgdump golden first vertex, shoelace areas, ring winding)
+    through a full encode→decode cycle."""
+    import atexit
+    import tempfile
+
+    from gdal_spark.sources.shapefile import (ShapefileDataSource,
+                                              write_shapefile)
+    spark.dataSource.register(ShapefileDataSource)
+    src = (spark.read.format("shapefile").load(SHP_DATA + "/poly.shp")
+           .select("fid", "wkb", "AREA", "EAS_ID", "PRFEDEA"))
+    out = os.path.join(tempfile.gettempdir(),
+                       f"gdal_spark_shprt_{os.getpid()}.shp")
+    for ext in (".shp", ".shx", ".dbf"):
+        atexit.register(
+            lambda p=out[:-4] + ext: os.path.exists(p) and os.remove(p))
+    write_shapefile(src, out, [("AREA", "N", 12, 3),
+                               ("EAS_ID", "N", 11, 0),
+                               ("PRFEDEA", "C", 16, 0)])
+    df = (spark.read.format("shapefile").load(out)
+          .select("fid", "wkb", "n_parts", "n_points",
+                  F.col("AREA").alias("area_attr"),
+                  F.col("EAS_ID").alias("eas_id"),
+                  F.col("PRFEDEA").alias("prfedea")))
+    return (_shp_geom_stats(df)
+            .select("fid", "eas_id", "area_attr", "prfedea",
+                    "n_parts", "n_points", "garea_mm", "x0", "y0")
+            .orderBy("fid"))
+
+
+def o_shp_roundtrip():
+    return o_shp_scan()
+
+
 REGISTRY: dict[str, tuple] = {
     "shp_scan": (q_shp_scan, o_shp_scan),
+    "shp_roundtrip": (q_shp_roundtrip, o_shp_roundtrip),
     "dbf_scan": (q_dbf_scan, o_dbf_scan),
     "shp_join_file": (q_shp_join_file, o_shp_join_file),
     "shp_types_zm": (q_shp_types_zm, o_shp_types_zm),

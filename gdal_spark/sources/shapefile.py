@@ -505,6 +505,208 @@ class ShapefileDataSource(DataSource):
         return ShapefileReader(self.options, schema)
 
 
+# ------------------------------------------------------------- writer ---
+
+def _rings_from_wkb(wkb_bytes: bytes):
+    """WKB → flat ring list with shapefile winding enforced
+    (outer CW, holes CCW — the spec's directionality rule)."""
+    from gdal_spark.geo.wkb import parse_wkb
+    kind, data = parse_wkb(wkb_bytes)
+    polys = (data if kind == "multipolygon"
+             else [data] if kind == "polygon" else None)
+    if polys is None:
+        raise ValueError(f"shapefile writer: cannot write {kind} "
+                         "as a Polygon record")
+    rings = []
+    for prings in polys:
+        for k, r in enumerate(prings):
+            r = np.asarray(r, dtype=np.float64)
+            if len(r) and not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            ccw = _ring_signed_area2(r[:-1]) > 0
+            if (k == 0 and ccw) or (k > 0 and not ccw):
+                r = r[::-1]
+            rings.append(r)
+    return rings
+
+
+def _encode_shp_record(fid: int, wkb_bytes: bytes | None) -> bytes:
+    """One .shp record (header + content) from 2-D WKB. Polygons /
+    multipolygons → type 5, points → type 1, null → type 0."""
+    from gdal_spark.geo.wkb import parse_wkb
+    if wkb_bytes is None:
+        content = struct.pack("<i", 0)
+    else:
+        kind, data = parse_wkb(bytes(wkb_bytes))
+        if kind == "point":
+            content = struct.pack("<idd", 1, data[0], data[1])
+        else:
+            rings = _rings_from_wkb(bytes(wkb_bytes))
+            npts = sum(len(r) for r in rings)
+            allp = np.vstack(rings)
+            parts, pos = [], 0
+            for r in rings:
+                parts.append(pos)
+                pos += len(r)
+            content = (
+                struct.pack("<i4d", 5,
+                            float(allp[:, 0].min()),
+                            float(allp[:, 1].min()),
+                            float(allp[:, 0].max()),
+                            float(allp[:, 1].max()))
+                + struct.pack("<ii", len(rings), npts)
+                + struct.pack(f"<{len(parts)}i", *parts)
+                + allp.astype("<f8").tobytes())
+    return (struct.pack(">ii", fid + 1, len(content) // 2)
+            + content)
+
+
+def _encode_dbf_record(row, fields) -> bytes:
+    out = [b" "]
+    for name, ftype, flen, fdec in fields:
+        v = row.get(name)
+        if ftype in ("N", "F"):
+            if v is None or (isinstance(v, float) and v != v):
+                s = b" " * flen
+            elif fdec == 0:
+                s = f"{int(v):>{flen}d}".encode("ascii")
+            else:
+                s = f"{float(v):>{flen}.{fdec}f}".encode("ascii")
+        elif ftype == "D":
+            s = (v.strftime("%Y%m%d").encode("ascii")
+                 if v is not None else b" " * 8)
+        elif ftype == "L":
+            s = b"?" if v is None else (b"T" if v else b"F")
+        else:
+            s = str(v if v is not None else "").encode(
+                "utf-8", "replace")[:flen].ljust(flen, b" ")
+        if len(s) > flen:
+            raise ValueError(f"DBF field {name} overflow: {v!r}")
+        out.append(s)
+    return b"".join(out)
+
+
+def write_shapefile(df, path: str, fields, rpb: int = 4096) -> dict:
+    """Distributed shapefile sink (the reference's ogr2ogr → ESRI
+    Shapefile path, ogrshapelayer.cpp::ICreateFeature — NOT a port:
+    record payloads are encoded on executors, the driver only does
+    offset arithmetic and byte concatenation).
+
+    ``df`` needs columns ``fid`` (dense 0..n-1 — record order is the
+    file format's physical layout), ``wkb``, plus one column per DBF
+    field. ``fields`` = [(name, type, len, dec)...] dBASE specs.
+
+    Two-phase commit like sources/tiff.py's strip writer: each fid
+    block shuffles once on floor(fid/rpb), applyInPandas encodes the
+    block's .shp records AND .dbf records into two part files
+    (tmp + atomic rename), returns per-record content lengths +
+    the block envelope; the driver then writes the 100-byte header,
+    concatenates parts in order, derives every .shx offset from the
+    returned lengths, and assembles the .dbf header. Driver memory
+    is O(n_records) index words, never geometry."""
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    base = os.path.splitext(path)[0]
+    tmp_dir = base + ".parts"
+    os.makedirs(tmp_dir, exist_ok=True)
+    field_list = [tuple(f) for f in fields]
+    attr_cols = [f[0] for f in field_list]
+
+    def one_block(key, pdf):
+        blk = int(key[0])
+        pdf = pdf.sort_values("fid")
+        shp_parts, lens = [], []
+        bx0 = by0 = np.inf
+        bx1 = by1 = -np.inf
+        dbf_parts = []
+        for _, row in pdf.iterrows():
+            rec = _encode_shp_record(int(row["fid"]),
+                                     row["wkb"])
+            shp_parts.append(rec)
+            lens.append(len(rec) - 8)
+            if row["wkb"] is not None:
+                st = struct.unpack_from("<i", rec, 8)[0]
+                if st == 5:
+                    x0, y0, x1, y1 = struct.unpack_from(
+                        "<4d", rec, 12)
+                elif st == 1:
+                    x0, y0 = struct.unpack_from("<dd", rec, 12)
+                    x1, y1 = x0, y0
+                bx0, by0 = min(bx0, x0), min(by0, y0)
+                bx1, by1 = max(bx1, x1), max(by1, y1)
+            dbf_parts.append(_encode_dbf_record(row, field_list))
+        for ext, payload in (("shp", b"".join(shp_parts)),
+                             ("dbf", b"".join(dbf_parts))):
+            part = os.path.join(tmp_dir, f"{ext}-{blk:06d}")
+            with open(part + ".tmp", "wb") as fh:
+                fh.write(payload)
+            os.replace(part + ".tmp", part)
+        return _pd.DataFrame({
+            "blk": [blk], "n": [len(pdf)],
+            "lens": [",".join(map(str, lens))],
+            "xmin": [bx0], "ymin": [by0],
+            "xmax": [bx1], "ymax": [by1]})
+
+    report = (df.withColumn("_blk",
+                            (F.col("fid") / F.lit(rpb)).cast("int"))
+              .groupBy("_blk")
+              .applyInPandas(one_block,
+                             "blk int, n long, lens string, "
+                             "xmin double, ymin double, "
+                             "xmax double, ymax double")
+              .collect())
+    report.sort(key=lambda r: r["blk"])
+    lens = [int(v) for r in report for v in r["lens"].split(",")]
+    n = len(lens)
+    bbox = (min(r["xmin"] for r in report),
+            min(r["ymin"] for r in report),
+            max(r["xmax"] for r in report),
+            max(r["ymax"] for r in report))
+
+    # --- .shp + .shx: header then ordered byte concat / offsets ---
+    total = 100 + sum(8 + ln for ln in lens)
+    head = (struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+            + struct.pack(">i", total // 2)
+            + struct.pack("<ii", 1000, 5)
+            + struct.pack("<4d", *bbox) + struct.pack("<4d", 0, 0, 0, 0))
+    with open(path, "wb") as out:
+        out.write(head)
+        for r in report:
+            with open(os.path.join(tmp_dir,
+                                   f"shp-{r['blk']:06d}"), "rb") as fh:
+                out.write(fh.read())
+    with open(base + ".shx", "wb") as out:
+        out.write(head[:24] + struct.pack(">i", (100 + 8 * n) // 2)
+                  + head[28:])
+        off = 100
+        for ln in lens:
+            out.write(struct.pack(">ii", off // 2, ln // 2))
+            off += 8 + ln
+
+    # --- .dbf: header + descriptors + ordered concat + 0x1A ---
+    rsz = 1 + sum(f[2] for f in field_list)
+    hsz = 32 + 32 * len(field_list) + 1
+    with open(base + ".dbf", "wb") as out:
+        out.write(struct.pack("<B3BIHH20x", 3, 95, 7, 26, n, hsz, rsz))
+        for name, ftype, flen, fdec in field_list:
+            out.write(name.encode("ascii")[:11].ljust(11, b"\0")
+                      + ftype.encode("ascii")
+                      + b"\0\0\0\0"
+                      + bytes([flen, fdec]) + b"\0" * 14)
+        out.write(b"\x0d")
+        for r in report:
+            with open(os.path.join(tmp_dir,
+                                   f"dbf-{r['blk']:06d}"), "rb") as fh:
+                out.write(fh.read())
+        out.write(b"\x1a")
+    for r in report:
+        os.remove(os.path.join(tmp_dir, f"shp-{r['blk']:06d}"))
+        os.remove(os.path.join(tmp_dir, f"dbf-{r['blk']:06d}"))
+    os.rmdir(tmp_dir)
+    return {"n": n, "bbox": bbox, "attr_cols": attr_cols}
+
+
 # ------------------------------------------------------------ ISO WKT ---
 
 def _num(v: float) -> str:

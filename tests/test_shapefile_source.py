@@ -103,6 +103,33 @@ def test_spark_scan_and_join(spark):
         "_179_", "_171_", None, None]
 
 
+def test_writer_multiblock_roundtrip(spark, tmp_path):
+    """rpb=3 forces 4 write blocks over 10 records — the driver must
+    stitch offsets across part files; re-read must reproduce the
+    published attribute pins and vertex counts exactly."""
+    from gdal_spark.sources.shapefile import write_shapefile
+    spark.dataSource.register(ShapefileDataSource)
+    src = (spark.read.format("shapefile").load(f"{DATA}/poly.shp")
+           .select("fid", "wkb", "AREA", "EAS_ID", "PRFEDEA"))
+    out = str(tmp_path / "copy.shp")
+    info = write_shapefile(src, out, [("AREA", "N", 12, 3),
+                                      ("EAS_ID", "N", 11, 0),
+                                      ("PRFEDEA", "C", 16, 0)], rpb=3)
+    assert info["n"] == 10
+    assert info["bbox"] == (478315.53125, 4762880.5,
+                            481645.3125, 4765610.5)
+    back = spark.read.format("shapefile").load(out)
+    rows = back.orderBy("fid").collect()
+    assert [r["EAS_ID"] for r in rows] == [
+        168, 179, 171, 173, 172, 169, 166, 158, 165, 170]
+    assert [r["n_points"] for r in rows] == [
+        20, 20, 29, 26, 6, 20, 31, 61, 27, 5]
+    assert rows[0]["AREA"] == 215229.266
+    # .shx written and indexes the same records
+    m = plan_one(out)
+    assert m["nrec"] == 10
+
+
 def test_spark_partitioned_scan(spark):
     """records_per_block=3 → 4 partitions over 10 records, same rows."""
     spark.dataSource.register(ShapefileDataSource)
