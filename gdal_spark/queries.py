@@ -21974,9 +21974,87 @@ def o_shp_roundtrip():
     return o_shp_scan()
 
 
+def q_tiff_block_scan(spark, sf_dir):
+    """Block-granularity raster scan — the 100-TB-scale answer to the
+    per-pixel row representation (r4 VERDICT's one design question):
+    ``option("granularity", "block")`` emits ONE row per stored
+    (block, band) with the decoded samples as a single float64
+    binary payload (~24x fewer rows, no py/px columns; whole-block
+    kernels then run vectorized inside mapInPandas instead of
+    per-pixel shuffles). This gate recomputes the distributed GDAL
+    checksum from block rows — per-block partial sums are exact
+    because the per-line fold is mod-2^16 homomorphic — and must
+    reproduce the SAME published pins as the per-pixel tiff_scan
+    (byte 4672, n43 49187, rgbsmall 21212/21053/21349), plus the
+    block-count row-compression it buys."""
+    from gdal_spark.sources.tiff import TiffDataSource
+    spark.dataSource.register(TiffDataSource)
+    from functools import reduce as _reduce
+    df = _reduce(lambda a, b: a.unionByName(b),
+                 [spark.read.format("tiff")
+                  .option("granularity", "block").load(p)
+                  for p in TIFF_FIXTURES])
+    dims = (df.groupBy("file")
+            .agg(F.max(F.col("x0") + F.col("bw")).alias("W")))
+    t = df.join(F.broadcast(dims), "file")
+
+    def _partial(it):
+        import numpy as _np
+        primes = _np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41,
+                            43], dtype=_np.int64)
+        for pdf in it:
+            files, bands, sums, npx = [], [], [], []
+            for _, r in pdf.iterrows():
+                a = _np.frombuffer(r["data"], dtype="<f8").reshape(
+                    r["bh"], r["bw"])
+                val = _np.clip(_np.floor(a + 0.5),
+                               -2147483648, 2147483647)\
+                    .astype(_np.int64)
+                yy, xx = _np.meshgrid(
+                    _np.arange(r["y0"], r["y0"] + r["bh"],
+                               dtype=_np.int64),
+                    _np.arange(r["x0"], r["x0"] + r["bw"],
+                               dtype=_np.int64), indexing="ij")
+                p = primes[(yy * int(r["W"]) + xx) % 11]
+                files.append(r["file"])
+                bands.append(int(r["band"]))
+                sums.append(int((val % p).sum() % 65536))
+                npx.append(int(r["bh"]) * int(r["bw"]))
+            yield pd.DataFrame({"file": files, "band": bands,
+                                "psum": sums, "npx": npx})
+
+    part = t.select("file", "band", "x0", "y0", "bw", "bh", "W",
+                    "data").mapInPandas(
+        _partial, "file string, band int, psum long, npx long")
+    return (part.groupBy("file", "band")
+            .agg(F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum("npx").alias("n_pixels"),
+                 F.expr("pmod(SUM(psum), 65536)").cast("long")
+                 .alias("checksum"))
+            .orderBy("file", "band"))
+
+
+def o_tiff_block_scan():
+    return """
+SELECT * FROM (VALUES
+  ('byte.tif',     0, CAST(1 AS BIGINT), CAST(400 AS BIGINT),
+   CAST(4672 AS BIGINT)),
+  ('n43.tif',      0, CAST(4 AS BIGINT), CAST(14641 AS BIGINT),
+   CAST(49187 AS BIGINT)),
+  ('rgbsmall.tif', 0, CAST(1 AS BIGINT), CAST(2500 AS BIGINT),
+   CAST(21212 AS BIGINT)),
+  ('rgbsmall.tif', 1, CAST(1 AS BIGINT), CAST(2500 AS BIGINT),
+   CAST(21053 AS BIGINT)),
+  ('rgbsmall.tif', 2, CAST(1 AS BIGINT), CAST(2500 AS BIGINT),
+   CAST(21349 AS BIGINT))
+) AS t(file, band, n_blocks, n_pixels, checksum)
+ORDER BY file, band"""
+
+
 REGISTRY: dict[str, tuple] = {
     "shp_scan": (q_shp_scan, o_shp_scan),
     "shp_roundtrip": (q_shp_roundtrip, o_shp_roundtrip),
+    "tiff_block_scan": (q_tiff_block_scan, o_tiff_block_scan),
     "dbf_scan": (q_dbf_scan, o_dbf_scan),
     "shp_join_file": (q_shp_join_file, o_shp_join_file),
     "shp_types_zm": (q_shp_types_zm, o_shp_types_zm),

@@ -61,8 +61,8 @@ import zlib
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     InputPartition)
-from pyspark.sql.types import (DoubleType, IntegerType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
+                               StringType, StructField, StructType)
 
 PIXEL_SCHEMA = StructType([
     StructField("file", StringType()),
@@ -70,6 +70,21 @@ PIXEL_SCHEMA = StructType([
     StructField("py", IntegerType()),
     StructField("px", IntegerType()),
     StructField("value", DoubleType()),
+])
+
+# granularity=block: one row per stored (block, band) with the decoded
+# samples as a single float64-LE binary payload — ~24x fewer rows and
+# ~3x fewer bytes than the per-pixel layout (no py/px columns), the
+# scale-path representation for whole-block kernels (checksum, stats,
+# warp, overview build). `data` is C-order (bh, bw) float64.
+BLOCK_SCHEMA = StructType([
+    StructField("file", StringType()),
+    StructField("band", IntegerType()),
+    StructField("x0", IntegerType()),
+    StructField("y0", IntegerType()),
+    StructField("bw", IntegerType()),
+    StructField("bh", IntegerType()),
+    StructField("data", BinaryType()),
 ])
 
 # TIFF type id -> (struct fmt char, byte size); SHORT/LONG cover every
@@ -430,6 +445,7 @@ class TiffReader(DataSourceReader):
         paths = sorted(_glob.glob(path)) if any(
             c in path for c in "*?[") else [path]
         self.metas = [_plan(p, ifd, sub) for p in paths]
+        self.granularity = options.get("granularity", "pixel")
 
     def partitions(self):
         parts = []
@@ -558,6 +574,34 @@ class TiffReader(DataSourceReader):
         # Arrow buffers.
         import pyarrow as pa
         fname = os.path.basename(m["path"])
+        if self.granularity == "block":
+            # one row per (block, band): the whole clipped block as a
+            # float64 binary payload — Arrow moves it as one buffer
+            cols = {
+                "file": [], "band": [], "x0": [], "y0": [],
+                "bw": [], "bh": [], "data": [],
+            }
+            for s in range(samples):
+                b = s if chunky and samples > 1 else band
+                cols["file"].append(fname)
+                cols["band"].append(b)
+                cols["x0"].append(x0)
+                cols["y0"].append(y0)
+                cols["bw"].append(ncols)
+                cols["bh"].append(nrows)
+                cols["data"].append(
+                    np.ascontiguousarray(
+                        arr[:, :, s].astype("<f8")).tobytes())
+            yield pa.record_batch(
+                [pa.array(cols["file"], pa.string()),
+                 pa.array(cols["band"], pa.int32()),
+                 pa.array(cols["x0"], pa.int32()),
+                 pa.array(cols["y0"], pa.int32()),
+                 pa.array(cols["bw"], pa.int32()),
+                 pa.array(cols["bh"], pa.int32()),
+                 pa.array(cols["data"], pa.binary())],
+                names=list(cols))
+            return
         names = ["file", "band", "py", "px", "value"]
         step = max(1, (1 << 20) // max(1, ncols))
         for r0 in range(0, nrows, step):
@@ -584,6 +628,8 @@ class TiffDataSource(DataSource):
         return "tiff"
 
     def schema(self):
+        if self.options.get("granularity", "pixel") == "block":
+            return BLOCK_SCHEMA
         return PIXEL_SCHEMA
 
     def reader(self, schema):
