@@ -205,7 +205,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "gif_rgbexpand", "png_file_scan", "aaigrid_scan",
                  "rawbin_scan", "warp_file_artifact",
                  "grid_file_artifact", "pnm_scan", "colorrelief_file",
-                 "stats_file", "histogram_file"]:
+                 "stats_file", "histogram_file",
+                 # round-5 additions: shapefile/DBF vector FILE
+                 # surface + block-granularity raster scan
+                 "shp_scan", "shp_roundtrip", "dbf_scan",
+                 "shp_join_file", "shp_types_zm", "shp_extent",
+                 "tiff_block_scan", "mif_scan", "mif_all_geoms"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
