@@ -80,6 +80,135 @@ def _kruger_consts():
     return n, big_a, alpha
 
 
+def _kruger_consts_gen(a: float, f: float):
+    """Karney series constants for an arbitrary ellipsoid (a, f) —
+    the generalization that lets a .prj-declared datum (e.g. Airy
+    1830 for OSGB 1936) drive the same projection kernel. Includes
+    the beta (inverse) series, Karney 2011 eq. 21/22."""
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    big_a = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = [
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180
+        - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+        + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ]
+    beta = [
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360
+        - 81 * n5 / 512 + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+        - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480
+        + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    ]
+    return n, big_a, alpha, beta
+
+
+def tm_forward_gen(lon: float, lat: float, p: dict) -> tuple:
+    """Generalized transverse Mercator forward with .prj parameters
+    p = {a, f, lat0, lon0, k0, fe, fn} (degrees for lat0/lon0)."""
+    n, big_a, alpha, _ = _kruger_consts_gen(p["a"], p["f"])
+    e2n = 2.0 * math.sqrt(n) / (1.0 + n)
+
+    def _xi_eta(phi, lam):
+        sphi = math.sin(phi)
+        t = math.sinh(math.atanh(sphi) - e2n * math.atanh(e2n * sphi))
+        xi_p = math.atan2(t, math.cos(lam))
+        eta_p = math.atanh(math.sin(lam) / math.sqrt(1.0 + t * t))
+        xi, eta = xi_p, eta_p
+        for j, a_ in enumerate(alpha, start=1):
+            xi += a_ * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+            eta += a_ * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+        return xi, eta
+
+    xi, eta = _xi_eta(math.radians(lat),
+                      math.radians(lon - p["lon0"]))
+    # the false northing is measured from the projection of lat0
+    xi0, _ = _xi_eta(math.radians(p["lat0"]), 0.0)
+    return (p["fe"] + p["k0"] * big_a * eta,
+            p["fn"] + p["k0"] * big_a * (xi - xi0))
+
+
+def tm_inverse_gen(x: float, y: float, p: dict) -> tuple:
+    """Generalized transverse Mercator inverse (Karney beta series)
+    → (lon, lat) degrees on the .prj's own datum (no datum shift —
+    the reference delegates Helmert steps to PROJ pipelines, out of
+    scope per SURVEY §7.5)."""
+    n, big_a, alpha, beta = _kruger_consts_gen(p["a"], p["f"])
+    e2n = 2.0 * math.sqrt(n) / (1.0 + n)
+    # northing origin offset of lat0 (same series as forward)
+    phi0 = math.radians(p["lat0"])
+    sphi0 = math.sin(phi0)
+    t0 = math.sinh(math.atanh(sphi0)
+                   - e2n * math.atanh(e2n * sphi0))
+    xi0_p = math.atan2(t0, 1.0)
+    xi0 = xi0_p
+    for j, a_ in enumerate(alpha, start=1):
+        xi0 += a_ * math.sin(2 * j * xi0_p)
+    xi = (y - p["fn"]) / (p["k0"] * big_a) + xi0
+    eta = (x - p["fe"]) / (p["k0"] * big_a)
+    xi_p, eta_p = xi, eta
+    for j, b_ in enumerate(beta, start=1):
+        xi_p -= b_ * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        eta_p -= b_ * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    t = math.sinh(eta_p)
+    chi = math.atan2(math.sin(xi_p),
+                     math.hypot(t, math.cos(xi_p)))
+    # conformal -> geographic latitude: Newton on tau' (Karney 19-20)
+    tau_p = math.tan(chi)
+    tau = tau_p
+    for _ in range(6):
+        s = math.sinh(e2n * math.atanh(
+            e2n * tau / math.hypot(1.0, tau)))
+        tau_i = tau * math.hypot(1.0, s) - s * math.hypot(1.0, tau)
+        dtau = ((tau_p - tau_i) / math.hypot(1.0, tau_i)
+                * (1.0 + (1.0 - e2n * e2n) * tau * tau)
+                / ((1.0 - e2n * e2n) * math.hypot(1.0, tau)))
+        tau += dtau
+        if abs(dtau) < 1e-16:
+            break
+    phi = math.atan(tau)
+    lam = math.atan2(math.sinh(eta_p), math.cos(xi_p))
+    return (p["lon0"] + math.degrees(lam), math.degrees(phi))
+
+
+def parse_prj_wkt(text: str) -> dict:
+    """Minimal ESRI .prj (WKT1) parameter extraction for
+    Transverse_Mercator PROJCS — name, spheroid, and the five
+    projection parameters (the shapefile sidecar's contract;
+    ogr/ogrspatialref.cpp importFromESRI analog)."""
+    import re as _re
+
+    def _param(name, default=0.0):
+        m = _re.search(rf'PARAMETER\["{name}",([-0-9.eE+]+)\]', text,
+                       _re.I)
+        return float(m.group(1)) if m else default
+
+    m = _re.search(r'SPHEROID\["([^"]+)",([-0-9.eE+]+),([-0-9.eE+]+)',
+                   text)
+    name = _re.match(r'PROJCS\["([^"]+)"', text)
+    return {
+        "name": name.group(1) if name else None,
+        "spheroid": m.group(1) if m else None,
+        "a": float(m.group(2)) if m else None,
+        "f": 1.0 / float(m.group(3)) if m else None,
+        "lat0": _param("latitude_of_origin"),
+        "lon0": _param("central_meridian"),
+        "k0": _param("scale_factor", 1.0),
+        "fe": _param("false_easting"),
+        "fn": _param("false_northing"),
+    }
+
+
 def utm_forward(lon: float, lat: float, zone: int,
                 north: bool = True) -> tuple[float, float]:
     """WGS84 geographic -> UTM zone easting/northing (meters)."""
