@@ -742,6 +742,8 @@ def iso_wkt(wkb_bytes: bytes | None, zs=None, ms=None) -> str:
             s += f" {_num(ms[i])}"
         return s
 
+    if kind != "point" and len(data) == 0:
+        return f"{kind.upper()}{tag} EMPTY"
     if kind == "point":
         return f"POINT{tag} ({pt(data)})"
     if kind == "multipoint":
