@@ -212,7 +212,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "shp_join_file", "shp_types_zm", "shp_extent",
                  "tiff_block_scan", "mif_scan", "mif_all_geoms",
                  "geojson_scan", "prj_transform",
-                 "ogr2ogr_file_pipeline", "gpx_scan", "kml_scan"]:
+                 "ogr2ogr_file_pipeline", "gpx_scan", "kml_scan",
+                 "gsg_scan"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
