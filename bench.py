@@ -213,7 +213,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "tiff_block_scan", "mif_scan", "mif_all_geoms",
                  "geojson_scan", "prj_transform",
                  "ogr2ogr_file_pipeline", "gpx_scan", "kml_scan",
-                 "gsg_scan", "grassascii_scan", "gtx_scan"]:
+                 "gsg_scan", "grassascii_scan", "gtx_scan",
+                 "byn_scan"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
