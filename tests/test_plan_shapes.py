@@ -105,3 +105,26 @@ def test_triangle_wedge_joins_are_hash(spark):
     plan = _plan(REGISTRY["triangle_count"][0](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_shp_join_file_broadcasts_dim(spark):
+    """File-file OGR join: the idlink.dbf dim side must broadcast —
+    no SortMergeJoin between the two file scans (the 100-TB
+    contract: fact-side shapefile partitions flow map-side)."""
+    from gdal_spark.queries import REGISTRY
+    plan = _plan(REGISTRY["shp_join_file"][0](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shapefile_scan_partitions_by_record_block(spark):
+    """The shapefile source plans one InputPartition per record
+    block from the .shx index — Spark sees a parallel PythonScan,
+    not a single-slice collect."""
+    from gdal_spark.sources.shapefile import ShapefileDataSource
+    spark.dataSource.register(ShapefileDataSource)
+    df = (spark.read.format("shapefile")
+          .option("records_per_block", 2)
+          .load("/root/reference/autotest/ogr/data/poly.shp"))
+    assert df.rdd.getNumPartitions() == 5
+    assert "PythonScan" in _plan(df) or "BatchScan" in _plan(df)
