@@ -268,7 +268,17 @@ def record_wkb(st: int, parts, z, m):
     re-ordered to WKB traversal order (identical to file order except
     when polygon rings are regrouped)."""
     from gdal_spark.geo import wkb as W
-    if st == 0 or not parts:
+    if st == 0:
+        return None, None, None
+    if not parts:
+        # zero-part arc/polygon/multipoint records → the EMPTY
+        # geometry, not null (test_ogr_shape_20's emptymulti* files)
+        if st in (3, 13, 23):
+            return W.multilinestring_wkb([]), None, None
+        if st in (5, 15, 25):
+            return W.multipolygon_wkb([]), None, None
+        if st in (8, 18, 28):
+            return W.multipoint_wkb([]), None, None
         return None, None, None
     base = st % 10 if st != 8 else 8
     if st in (1, 11, 21):
@@ -381,9 +391,14 @@ class ShapefileReader(DataSourceReader):
         self.schema = schema
 
     def partitions(self):
-        return [ShpBlock(m, r0, min(r0 + self.rpb, m["nrec"]))
-                for m in self.metas
-                for r0 in range(0, m["nrec"], self.rpb)]
+        out = [ShpBlock(m, r0, min(r0 + self.rpb, m["nrec"]))
+               for m in self.metas
+               for r0 in range(0, m["nrec"], self.rpb)]
+        if not out:
+            # zero-record file: Spark still needs one partition to
+            # carry the (empty) batch with the right schema
+            out = [ShpBlock(self.metas[0], 0, 0)]
+        return out
 
     def read(self, part: ShpBlock):
         import pyarrow as pa
@@ -406,7 +421,7 @@ class ShapefileReader(DataSourceReader):
             keep &= ~deleted[:n]
             for k, v in dvals.items():
                 cols[k] = v
-        if m["shp"] is not None:
+        if m["shp"] is not None and n > 0:
             idx = m["index"]
             lo = int(idx[r0, 0])
             hi = int(idx[r1 - 1, 0] + 8 + idx[r1 - 1, 1])
@@ -416,10 +431,18 @@ class ShapefileReader(DataSourceReader):
             for i in range(n):
                 off = int(idx[r0 + i, 0]) - lo + 8
                 clen = int(idx[r0 + i, 1])
-                st, parts, z, mm = decode_record(
-                    blob[off:off + clen])
-                wkb_b, zs, ms = record_wkb(st, parts, z, mm)
-                cols["shape_type"][i] = SHAPE_NAMES.get(st, str(st))
+                try:
+                    st, parts, z, mm = decode_record(
+                        blob[off:off + clen])
+                    wkb_b, zs, ms = record_wkb(st, parts, z, mm)
+                except (ValueError, IndexError, struct.error):
+                    # truncated/corrupt record (the reference's
+                    # buggymulti* fixtures): keep the attribute row,
+                    # surface a null geometry — never fail the scan
+                    st, wkb_b, zs, ms, parts = -1, None, None, None, []
+                cols["shape_type"][i] = (
+                    "Invalid" if st == -1
+                    else SHAPE_NAMES.get(st, str(st)))
                 cols["wkb"][i] = wkb_b
                 cols["n_parts"][i] = len(parts)
                 cols["n_points"][i] = int(sum(len(p) for p in parts))

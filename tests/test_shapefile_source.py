@@ -139,3 +139,26 @@ def test_spark_partitioned_scan(spark):
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 10
     assert df.agg({"n_points": "sum"}).collect()[0][0] == 245
+
+
+def test_empty_and_buggy_fixtures(spark):
+    """test_ogr_shape_20/21 resilience: zero-part records read as
+    EMPTY geometries; truncated/corrupt records (the buggymulti*
+    fixtures) surface null geometry without failing the scan."""
+    spark.dataSource.register(ShapefileDataSource)
+    S = f"{DATA}/shp"
+    for f, wkt_exp in (("emptymultipoint.shp", "MULTIPOINT EMPTY"),
+                       ("emptymultiline.shp",
+                        "MULTILINESTRING EMPTY"),
+                       ("emptymultipoly.shp", "MULTIPOLYGON EMPTY")):
+        rows = spark.read.format("shapefile").load(f"{S}/{f}").collect()
+        assert len(rows) == 1
+        assert iso_wkt(rows[0]["wkb"]) == wkt_exp, f
+    for f in ("buggypoint.shp", "buggymultipoint.shp",
+              "buggymultiline.shp", "buggymultipoly.shp",
+              "buggymultipoly2.shp"):
+        rows = spark.read.format("shapefile").load(f"{S}/{f}").collect()
+        assert len(rows) == 1 and rows[0]["wkb"] is None, f
+        assert rows[0]["shape_type"] == "Invalid", f
+    assert spark.read.format("shapefile").load(
+        f"{S}/empty.shp").count() == 0
