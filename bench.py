@@ -214,7 +214,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "geojson_scan", "prj_transform",
                  "ogr2ogr_file_pipeline", "gpx_scan", "kml_scan",
                  "gsg_scan", "grassascii_scan", "gtx_scan",
-                 "byn_scan", "dted_scan"]:
+                 "byn_scan", "dted_scan", "csv_vector_scan",
+                 "geojson_write_pipeline"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))

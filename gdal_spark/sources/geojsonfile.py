@@ -36,6 +36,7 @@ from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
 GEOJSON_SCHEMA = StructType([
     StructField("file", StringType()),
     StructField("fid", LongType()),
+    StructField("feature_id", StringType()),
     StructField("geom_type", StringType()),
     StructField("wkb", BinaryType()),
     StructField("n_points", IntegerType()),
@@ -147,13 +148,18 @@ class GeoJsonFileReader(DataSourceReader):
             raw = raw[3:]
         doc = json.loads(raw)
         fname = os.path.basename(part.path)
-        cols = {k: [] for k in ("file", "fid", "geom_type", "wkb",
+        cols = {k: [] for k in ("file", "fid", "feature_id",
+                                "geom_type", "wkb",
                                 "n_points", "xmin", "ymin", "xmax",
                                 "ymax", "properties")}
         for fid, feat in enumerate(doc_features(doc)):
             g = feat.get("geometry")
             cols["file"].append(fname)
             cols["fid"].append(fid)
+            fi = feat.get("id")
+            cols["feature_id"].append(
+                None if fi is None else
+                (fi if isinstance(fi, str) else json.dumps(fi)))
             if g is None:
                 cols["geom_type"].append(None)
                 cols["wkb"].append(None)
@@ -178,6 +184,7 @@ class GeoJsonFileReader(DataSourceReader):
         yield pa.record_batch(
             [pa.array(cols["file"], pa.string()),
              pa.array(cols["fid"], pa.int64()),
+             pa.array(cols["feature_id"], pa.string()),
              pa.array(cols["geom_type"], pa.string()),
              pa.array(cols["wkb"], pa.binary()),
              pa.array(cols["n_points"], pa.int32()),
@@ -188,6 +195,118 @@ class GeoJsonFileReader(DataSourceReader):
              pa.array(cols["properties"],
                       pa.map_(pa.string(), pa.string()))],
             names=list(cols))
+
+
+def wkb_to_geojson_geom(wkb_bytes: bytes) -> dict:
+    """2-D WKB → GeoJSON geometry object (floats carried exactly —
+    json round-trips IEEE doubles via shortest-repr)."""
+    from gdal_spark.geo.wkb import parse_wkb
+    kind, data = parse_wkb(wkb_bytes)
+    if kind == "point":
+        return {"type": "Point",
+                "coordinates": [float(data[0]), float(data[1])]}
+    if kind == "linestring":
+        return {"type": "LineString",
+                "coordinates": [[float(x), float(y)]
+                                for x, y in data]}
+    if kind == "multipoint":
+        return {"type": "MultiPoint",
+                "coordinates": [[float(x), float(y)]
+                                for x, y in data]}
+    if kind == "multilinestring":
+        return {"type": "MultiLineString",
+                "coordinates": [[[float(x), float(y)]
+                                 for x, y in part] for part in data]}
+    if kind == "polygon":
+        return {"type": "Polygon",
+                "coordinates": [[[float(x), float(y)]
+                                 for x, y in ring] for ring in data]}
+    if kind == "multipolygon":
+        return {"type": "MultiPolygon",
+                "coordinates": [[[[float(x), float(y)]
+                                  for x, y in ring] for ring in poly]
+                                for poly in data]}
+    raise ValueError(kind)
+
+
+def write_geojson(df, path: str, attr_cols, id_field=None,
+                  id_type=None, rpb: int = 4096) -> dict:
+    """Distributed GeoJSON FeatureCollection sink — the reference's
+    ogr2ogr -f GeoJSON path (ogr/ogrsf_frmts/geojson/
+    ogrgeojsonwriter.cpp serialization rules, matched to the
+    PUBLISHED pins: compact separators, ``"id"`` before
+    ``"properties"``, the ID_FIELD promoted out of properties, and
+    ID_TYPE=String/Integer coercion; ogr_geojson.py
+    test_ogr_geojson_id_field_and_id_type).
+
+    ``df`` needs fid (dense 0..n-1), wkb, and ``attr_cols``.
+    Executors serialize each fid-block's feature lines into a part
+    file (two-phase rename); the driver concatenates them inside the
+    FeatureCollection wrapper — O(bytes copied), no feature ever
+    parsed driver-side."""
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    tmp_dir = path + ".parts"
+    os.makedirs(tmp_dir, exist_ok=True)
+    cols = list(attr_cols)
+
+    def one_block(key, pdf):
+        blk = int(key[0])
+        pdf = pdf.sort_values("fid")
+        lines = []
+        for _, row in pdf.iterrows():
+            feat = {"type": "Feature"}
+            if id_field is not None:
+                v = row[id_field]
+                if id_type == "String":
+                    v = str(v)
+                elif id_type == "Integer":
+                    v = int(v)
+                elif hasattr(v, "item"):
+                    v = v.item()
+                feat["id"] = v
+            props = {}
+            for c in cols:
+                if c == id_field:
+                    continue
+                v = row[c]
+                props[c] = v.item() if hasattr(v, "item") else v
+            feat["properties"] = props
+            feat["geometry"] = (
+                None if row["wkb"] is None
+                else wkb_to_geojson_geom(bytes(row["wkb"])))
+            lines.append(json.dumps(feat, separators=(",", ":"),
+                                    ensure_ascii=False))
+        part = os.path.join(tmp_dir, f"gj-{blk:06d}")
+        with open(part + ".tmp", "w", encoding="utf-8") as fh:
+            fh.write(",\n".join(lines))
+        os.replace(part + ".tmp", part)
+        return _pd.DataFrame({"blk": [blk], "n": [len(pdf)]})
+
+    report = (df.withColumn("_blk",
+                            (F.col("fid") / F.lit(rpb)).cast("int"))
+              .groupBy("_blk")
+              .applyInPandas(one_block, "blk int, n long")
+              .collect())
+    report.sort(key=lambda r: r["blk"])
+    with open(path, "w", encoding="utf-8") as out:
+        out.write('{"type":"FeatureCollection","features":[\n')
+        first = True
+        for r in report:
+            if r["n"] == 0:
+                continue
+            if not first:
+                out.write(",\n")
+            first = False
+            with open(os.path.join(tmp_dir, f"gj-{r['blk']:06d}"),
+                      encoding="utf-8") as fh:
+                out.write(fh.read())
+        out.write("\n]}\n")
+    for r in report:
+        os.remove(os.path.join(tmp_dir, f"gj-{r['blk']:06d}"))
+    os.rmdir(tmp_dir)
+    return {"n": int(sum(r["n"] for r in report))}
 
 
 class GeoJsonFileDataSource(DataSource):
