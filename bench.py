@@ -215,7 +215,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                  "ogr2ogr_file_pipeline", "gpx_scan", "kml_scan",
                  "gsg_scan", "grassascii_scan", "gtx_scan",
                  "byn_scan", "dted_scan", "csv_vector_scan",
-                 "geojson_write_pipeline"]:
+                 "geojson_write_pipeline", "avce00_scan"]:
         fn = REGISTRY[name][0]
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
