@@ -160,6 +160,9 @@ def _on_ring_edge(pt, ring: np.ndarray, eps: float = 1e-12) -> bool:
     ll = dx * dx + dy * dy
     scale = np.maximum(np.sqrt(ll), 1.0)
     on = (cross <= eps * scale) & (dot >= -eps) & (dot <= ll + eps)
+    # closed rings carry a duplicate closure vertex whose roll pair
+    # is a zero-length segment — it would match EVERY point
+    on &= ll > eps * eps
     return bool(on.any())
 
 
@@ -347,13 +350,19 @@ def dbf_block(meta: dict, r0: int, r1: int):
             out = []
             for s in svals:
                 s = s.strip()
-                if len(s) == 8 and s.isdigit():
-                    try:
+                try:
+                    if len(s) == 8 and s.isdigit():
                         out.append(_dt.date(int(s[:4]), int(s[4:6]),
                                             int(s[6:8])))
-                    except ValueError:
+                    elif len(s) == 10 and s[2:3] == b"/" \
+                            and s[5:6] == b"/":
+                        # alternate MM/DD/YYYY form (the reference's
+                        # #2746 tolerance, water_main_dist.dbf)
+                        out.append(_dt.date(int(s[6:10]), int(s[:2]),
+                                            int(s[3:5])))
+                    else:
                         out.append(None)
-                else:
+                except ValueError:
                     out.append(None)
             cols[name] = out
         elif ftype == "L":

@@ -57,3 +57,16 @@ def test_spark_small_mif(spark):
     assert rows[0]["DATA"] == 4
     assert rows[1]["OWNER"] == 'Guarino "Chucky" Sandra'
     assert rows[1]["APPRAISED_VALUE"] == 62480.53
+
+
+def test_tab_delimiter_and_empty_first_field(spark):
+    """Delimiter '\\t' + an empty leading MID field parse per the
+    shipped empty_first_field_with_tab_delimiter fixture."""
+    spark.dataSource.register(MifDataSource)
+    rows = (spark.read.format("mif")
+            .load("/root/reference/autotest/ogr/data/mitab/"
+                  "empty_first_field_with_tab_delimiter.mif")
+            .collect())
+    assert len(rows) == 1
+    assert rows[0]["field1"] == ""
+    assert rows[0]["field2"] == "foo"

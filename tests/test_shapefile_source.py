@@ -162,3 +162,42 @@ def test_empty_and_buggy_fixtures(spark):
         assert rows[0]["shape_type"] == "Invalid", f
     assert spark.read.format("shapefile").load(
         f"{S}/empty.shp").count() == 0
+
+
+def test_invalid_winding_multipolygon_recovery():
+    """QGIS<=3.28.11-style bad files (multi-part multipolygon written
+    as one part with outers as 'holes'): orphan rings promote to
+    their own polygons — published pins
+    (test_ogr_shape_read_multipolygon_as_invalid_polygon)."""
+    pins = [
+        "MULTIPOLYGON (((0 0,0 1,1 1,0 0)),((10 0,11 1,10 1,10 0)))",
+        "MULTIPOLYGON (((0 0,0 1,1 1,0 0)),"
+        "((0.5 -0.5,1.5 0.5,0.5 0.5,0.5 -0.5)))",
+    ]
+    for fid, pin in enumerate(pins):
+        wkb, zs, ms = _feature(
+            f"{DATA}/shp/multipolygon_as_invalid_polygon.shp", fid)
+        assert iso_wkt(wkb) == pin
+
+
+def test_dbf_date_fields(spark):
+    """D-type columns: empty string → null (date_empty_string.dbf);
+    water_main_dist.dbf pins 1989-04-25 (test_ogr_shape_27)."""
+    import datetime
+    spark.dataSource.register(ShapefileDataSource)
+    r = (spark.read.format("shapefile")
+         .load(f"{DATA}/shp/date_empty_string.dbf").collect())
+    assert len(r) == 1 and r[0]["date"] is None
+    r = (spark.read.format("shapefile")
+         .load(f"{DATA}/shp/water_main_dist.dbf").collect())
+    assert r[0]["installe_1"] == datetime.date(1989, 4, 25)
+
+
+def test_real_world_county_extract(spark):
+    spark.dataSource.register(ShapefileDataSource)
+    r = (spark.read.format("shapefile")
+         .load(f"{DATA}/shp/cb_2022_us_county_20m_extract.shp")
+         .collect())
+    assert len(r) == 1
+    assert r[0]["shape_type"] == "Polygon"
+    assert r[0]["wkb"] is not None and r[0]["n_points"] > 4
